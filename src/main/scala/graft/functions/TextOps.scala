@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text-analysis primitives (SURVEY.md §2.8 F8, §2.10).
+  *
+  * All of these are built from Spark's codegen'd built-in/higher-order
+  * functions — no UDFs — so they stay inside whole-stage codegen and scale
+  * to 100 TB document corpora without serialization overhead.
+  */
+object TextOps {
+
+  /** Lowercased word tokens; empty strings from leading/trailing separators
+    * removed. Mirrors DuckDB `list_filter(string_split_regex(lower(x),
+    * '\W+'), x -> x <> '')` for oracle portability.
+    */
+  def tokens(text: Column): Column =
+    array_remove(split(lower(text), "\\W+"), "")
+
+  /** n-word shingles ("w1 w2 w3") of a token array; empty when fewer than
+    * `n` tokens (guard needed: Spark's `sequence(a, b)` generates a
+    * *descending* range when a > b rather than an empty one).
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " "))
+    ).otherwise(array().cast("array<string>"))
+
+  /** Token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Type-token ratio (distinct/total) — a quality-scoring signal. */
+  def typeTokenRatio(toks: Column): Column =
+    size(array_distinct(toks)).cast("double") / size(toks)
+
+  /** Mean token length, computed exactly over integer lengths. */
+  def avgTokenLength(toks: Column): Column =
+    aggregate(transform(toks, t => length(t)), lit(0L), (acc, x) => acc + x)
+      .cast("double") / size(toks)
+
+  /** Count of tokens drawn from a fixed marker set (language-ID heuristic
+    * building block; n-gram-free variant — marker stopwords).
+    */
+  def markerCount(toks: Column, markers: Seq[String]): Column = {
+    val arr = array(markers.map(lit): _*)
+    size(filter(toks, t => array_contains(arr, t)))
+  }
+}

@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{TextOps, VectorOps}
+import graft.operators.{Dedup, SimilaritySearch}
+
+/** Dedup / similarity / multimodal operator catalog (SURVEY.md §2.10):
+  * exact keyed dedup, exact n-gram-Jaccard near-dup pairs, cosine top-k,
+  * multimodal text⋈vector join — each with a DuckDB oracle — plus
+  * MinHash-LSH / SimHash / LSH-ANN variants (hash-function-specific, so
+  * rows-only checks: no portable SQL oracle exists for xxhash64).
+  */
+object DedupQueries {
+  import CoreQueries.QFn
+
+  // q23 — exact keyed dedup with deterministic winner (D1/W3).
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.exact(Tables.load(s, dir, "documents"), Seq("lang", "n_chars"), "doc_id")
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  private val q23Sql =
+    """WITH r AS (SELECT doc_id, lang, n_chars,
+      |    row_number() OVER (PARTITION BY lang, n_chars ORDER BY doc_id) rn
+      |  FROM documents)
+      |SELECT doc_id, lang, n_chars FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  // q24 — exact 3-gram Jaccard near-dup pairs via shingle inverted index
+  // (D2). The shingle self-join is the scalable formulation: shuffle on
+  // shingle, pairs only within posting lists (vs O(n²) all-pairs).
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.load(s, dir, "documents")
+      .select($"doc_id",
+        explode(array_distinct(TextOps.shingles(TextOps.tokens($"text"), 3)))
+          .as("sh"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), "a_id")
+      .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), "b_id")
+      .withColumn("jaccard", $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
+      .filter($"jaccard" >= 0.5)
+      .select($"a_id", $"b_id", round($"jaccard", 4).as("jaccard"))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  private val q24Sql =
+    """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') ws
+      |  FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |  FROM w, unnest(range(1, len(ws) - 1)) t(i)),
+      |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT a_id, b_id,
+      |  round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+      |FROM pairs JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+      |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
+
+  // q25 — brute-force cosine top-10 against embedding #0 (D3/A11).
+  // The query vector is read from the table itself and broadcast.
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val q = emb.filter($"vec_id" === 0)
+      .select(VectorOps.toDoubles($"embedding").as("qvec"))
+    emb.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .select($"vec_id",
+        round(VectorOps.cosine(VectorOps.toDoubles($"embedding"), $"qvec"), 4)
+          .as("cosine"))
+      .orderBy($"cosine".desc, $"vec_id")
+      .limit(10)
+  }
+
+  private val q25Sql =
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qvec FROM embeddings WHERE vec_id = 0)
+      |SELECT e.vec_id,
+      |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec), 4) AS cosine
+      |FROM embeddings e, q WHERE e.vec_id <> 0
+      |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+
+  // q26 — multimodal join (D4): text features ⋈ vector features in one
+  // relation; l2 norm via higher-order fns, token count via split.
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .join(Tables.load(s, dir, "embeddings"),
+        $"doc_id" === $"vec_id")
+      .select($"doc_id", $"lang", $"label", $"n_chars",
+        size(TextOps.tokens($"text")).as("n_tokens"),
+        round(VectorOps.l2Norm(VectorOps.toDoubles($"embedding")), 4)
+          .as("emb_norm"))
+      .orderBy($"doc_id")
+  }
+
+  private val q26Sql =
+    """SELECT doc_id, lang, label, n_chars,
+      |  len(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS n_tokens,
+      |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS emb_norm
+      |FROM documents JOIN embeddings ON doc_id = vec_id
+      |ORDER BY doc_id""".stripMargin
+
+  // q27 — MinHash+LSH near-dup candidates, exact-Jaccard verified.
+  // xxhash64-based → no portable SQL oracle; rows-only check. Correctness
+  // is pinned by the spec comparing it against q24's exact pair set.
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.minhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+        shingleLen = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  // q28 — SimHash near-dup candidates (Hamming <= 3 on 64-bit signatures).
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.simhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  // q29 — LSH-bucketed approximate NN against embedding #0 (scale path of
+  // q25); rows-only (bucketing depends on seeded hyperplanes).
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val qv = emb.filter($"vec_id" === 0)
+      .select(VectorOps.toDoubles($"embedding"))
+      .head().getSeq[Double](0).toArray
+    SimilaritySearch.lshTopK(emb, "vec_id", "embedding", qv, k = 10,
+      numPlanes = 4, excludeId = Some(0L))
+  }
+
+  val defs: Seq[(String, QFn)] = Seq(
+    "q23_dedup_exact" -> (q23 _),
+    "q24_neardup_jaccard" -> (q24 _),
+    "q25_cosine_topk" -> (q25 _),
+    "q26_multimodal_join" -> (q26 _),
+    "q27_minhash_lsh" -> (q27 _),
+    "q28_simhash" -> (q28 _),
+    "q29_ann_lsh" -> (q29 _))
+
+  val oracle: Seq[(String, String)] = Seq(
+    "q23_dedup_exact" -> q23Sql,
+    "q24_neardup_jaccard" -> q24Sql,
+    "q25_cosine_topk" -> q25Sql,
+    "q26_multimodal_join" -> q26Sql)
+}

@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextOps
+
+/** Text-analysis operator catalog over the `documents` table (SURVEY.md
+  * §2.4 A10, §2.8 F8, §2.10 D5): tokenization, token stats, quality
+  * scoring, language profiling, language-ID heuristic.
+  *
+  * All integer-derived arithmetic (counts, ratios of counts) — fully
+  * deterministic across engines with no rounding subtleties.
+  */
+object TextQueries {
+  import CoreQueries.QFn
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  // q19 — tokenization + top-k token counts (A10): explode(split) is
+  // Spark's built-in generator; the groupBy shuffles on the token — at
+  // 100 TB this is the classic word-count with map-side partial agg.
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select(explode(TextOps.tokens($"text")).as("word"))
+      .groupBy($"word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"word")
+      .limit(20)
+  }
+
+  private val q19Sql =
+    """SELECT w AS word, count(*) AS cnt FROM (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS w
+      |  FROM documents)
+      |GROUP BY w ORDER BY cnt DESC, word LIMIT 20""".stripMargin
+
+  // q20 — per-language corpus profile (D5).
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("docs"),
+        round(avg($"n_chars"), 4).as("avg_chars"),
+        min($"n_chars").as("min_chars"),
+        max($"n_chars").as("max_chars"))
+      .orderBy($"lang")
+  }
+
+  private val q20Sql =
+    """SELECT lang, count(*) AS docs, round(avg(n_chars), 4) AS avg_chars,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // q21 — per-document quality scoring (token count, type-token ratio,
+  // mean token length — length/stopword-style signals).
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .withColumn("toks", TextOps.tokens($"text"))
+      .select($"doc_id",
+        size($"toks").as("n_tokens"),
+        size(array_distinct($"toks")).as("n_distinct"),
+        round(TextOps.typeTokenRatio($"toks"), 4).as("ttr"),
+        round(TextOps.avgTokenLength($"toks"), 4).as("avg_len"))
+      .orderBy($"doc_id")
+  }
+
+  private val q21Sql =
+    """WITH tk AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+      |  FROM documents)
+      |SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct,
+      |  round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4) AS ttr,
+      |  round(CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t), 4) AS avg_len
+      |FROM tk ORDER BY doc_id""".stripMargin
+
+  // q22 — language-ID heuristic (stopword-marker scoring) cross-tabulated
+  // against the labeled lang. The synthetic corpus shares one vocabulary
+  // across langs, so this exercises the operator shape (marker scoring →
+  // argmax bucket), not linguistic accuracy.
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val markers = Seq("the", "a", "of", "and")
+    docs(s, dir)
+      .withColumn("toks", TextOps.tokens($"text"))
+      .withColumn("en_score", TextOps.markerCount($"toks", markers))
+      .withColumn("pred", when($"en_score" >= 5, lit("en")).otherwise(lit("und")))
+      .groupBy($"lang", $"pred")
+      .agg(count(lit(1)).as("cnt"), round(avg($"en_score"), 4).as("avg_score"))
+      .orderBy($"lang", $"pred")
+  }
+
+  private val q22Sql =
+    """WITH sc AS (
+      |  SELECT lang,
+      |    len(list_filter(string_split_regex(lower(text), '\W+'),
+      |        x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and')) AS en_score
+      |  FROM documents)
+      |SELECT lang, CASE WHEN en_score >= 5 THEN 'en' ELSE 'und' END AS pred,
+      |  count(*) AS cnt, round(avg(en_score), 4) AS avg_score
+      |FROM sc GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin
+
+  val defs: Seq[(String, QFn)] = Seq(
+    "q19_top_tokens" -> (q19 _),
+    "q20_lang_profile" -> (q20 _),
+    "q21_text_quality" -> (q21 _),
+    "q22_langid" -> (q22 _))
+
+  val oracle: Seq[(String, String)] = Seq(
+    "q19_top_tokens" -> q19Sql,
+    "q20_lang_profile" -> q20Sql,
+    "q21_text_quality" -> q21Sql,
+    "q22_langid" -> q22Sql)
+}
