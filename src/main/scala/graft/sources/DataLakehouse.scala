@@ -1,0 +1,278 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.sql.Timestamp
+import java.util.UUID
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{Path => HadoopPath}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
+
+import graft.{AssetClass, IngestionStats, OhlcvBar, QueryResult, model}
+
+/** The lakehouse kernel (SURVEY.md §2.1, §3): buffered validated ingest →
+  * date-partitioned Parquet with a transaction log → pruned, snapshot-
+  * consistent reads — the Spark-native re-expression of the reference's
+  * `DataLakehouse` (lakehouse.py:216-628) plus its *declared* ACID/
+  * time-travel/compaction surface (README.md:28,43,136,138).
+  *
+  * Write protocol (S3/S8/S11): data lands in a staging dir, files move into
+  * `date=YYYY-MM-DD/` partition dirs, then ONE txn-log commit publishes
+  * them. Readers resolve file lists from the log, never from dir listing —
+  * so concurrent snapshot reads see either all or none of a commit
+  * (SURVEY §7.4-5), and time travel is a log replay (S13).
+  *
+  * Scale design: writes repartition by the partition key so each task owns
+  * whole partitions (no small-file explosion per task); files are clustered
+  * by (symbol, timestamp) — the linear-clustering equivalent of the
+  * declared Z-order (README.md:125,134) — so symbol predicates skip row
+  * groups via parquet min/max stats; queries prune partitions by date-key
+  * string range *before* Spark ever lists a file, including one-sided
+  * ranges (fixing the reference's both-bounds-or-nothing miss at
+  * lakehouse.py:388-390).
+  */
+final class DataLakehouse(
+    val spark: SparkSession,
+    val root: String,
+    val batchSize: Int = 10000,
+    val clusterOnWrite: Boolean = true) {
+
+  val txnLog = new TxnLog(root)
+  private val buffer = ArrayBuffer.empty[OhlcvBar]
+  private var totalErrors: Long = 0L
+
+  private val schemaWithDate: StructType =
+    model.ohlcvSchema.add("date", StringType, nullable = true)
+
+  // ---------------------------------------------------------------- ingest
+
+  /** Driver-side constraint check (lakehouse.py:73-88) — single-record
+    * ingest must not launch a Spark job per bar.
+    */
+  def isValid(b: OhlcvBar): Boolean =
+    b.high >= b.low &&
+      b.open >= b.low && b.open <= b.high &&
+      b.close >= b.low && b.close <= b.high &&
+      b.volume >= 0 &&
+      AssetClass.all.contains(b.asset_class)
+
+  /** Buffered single-record ingest with auto-flush at batchSize
+    * (lakehouse.py:253-273, S6). Returns true if accepted.
+    */
+  def ingest(bar: OhlcvBar): Boolean = {
+    if (!isValid(bar)) { totalErrors += 1; deadLetter(Seq(bar)); false }
+    else {
+      buffer += bar
+      if (buffer.size >= batchSize) flush()
+      true
+    }
+  }
+
+  /** Batch ingest with validation and per-op stats (lakehouse.py:275-304,
+    * S7). Contract per SURVEY §3.2: stats cover the WHOLE batch (the
+    * reference's auto-flush undercount quirk is not replicated).
+    */
+  def ingestBatch(bars: Seq[OhlcvBar]): IngestionStats = {
+    val t0 = System.nanoTime()
+    val (valid, invalid) = bars.partition(isValid)
+    totalErrors += invalid.size
+    if (invalid.nonEmpty) deadLetter(invalid)
+    buffer ++= valid
+    val partitions = flushInternal()
+    IngestionStats(valid.size.toLong, partitions, (System.nanoTime() - t0) / 1e6,
+      invalid.size.toLong)
+  }
+
+  /** Flush the buffer to one txn-log commit (lakehouse.py:306-336, S8). */
+  def flush(): Long = flushInternal()
+
+  private def flushInternal(): Long = {
+    if (buffer.isEmpty) return 0L
+    import spark.implicits._
+    val df = spark.createDataset(buffer.toSeq).toDF()
+    buffer.clear()
+    appendDF(df)
+  }
+
+  /** Dead-letter queue for rejected records (README.md:39-40, S10). */
+  private def deadLetter(bars: Seq[OhlcvBar]): Unit = {
+    import spark.implicits._
+    spark.createDataset(bars).toDF()
+      .withColumn("_rejected_at", current_timestamp())
+      .write.mode(SaveMode.Append).parquet(s"$root/_dlq")
+  }
+
+  def deadLetterCount(): Long =
+    if (Files.isDirectory(Paths.get(root, "_dlq")))
+      spark.read.parquet(s"$root/_dlq").count()
+    else 0L
+
+  def errorCount: Long = totalErrors
+  def bufferedCount: Int = buffer.size
+
+  /** Append an OHLCV DataFrame as one atomic commit; returns the number of
+    * partitions written. `batchId` makes streaming replays idempotent (T6).
+    */
+  def appendDF(df: DataFrame, batchId: Option[String] = None): Long = {
+    if (batchId.exists(txnLog.hasBatch)) return 0L
+    val stagingId = UUID.randomUUID().toString
+    val staging = s"$root/_staging/$stagingId"
+    val withDate = df.withColumn("date", model.dateKey)
+    val clustered =
+      if (clusterOnWrite)
+        withDate.repartition(col("date"))
+          .sortWithinPartitions(col("symbol"), col("timestamp"))
+      else withDate
+    clustered.write.partitionBy("date").parquet(staging)
+    val added = publishStaged(staging)
+    txnLog.commit(added = added, batchId = batchId)
+    added.map(_.split('/').head).distinct.size.toLong
+  }
+
+  /** Move staged parquet files (under their date= dirs) into the table
+    * root; returns their relative paths.
+    */
+  private def publishStaged(staging: String): Seq[String] = {
+    val stagingPath = Paths.get(staging)
+    val files = Files.walk(stagingPath).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .toSeq
+    val rels = files.map { f =>
+      val rel = stagingPath.relativize(f).toString
+      val target = Paths.get(root, rel)
+      Files.createDirectories(target.getParent)
+      Files.move(f, target, StandardCopyOption.ATOMIC_MOVE)
+      rel
+    }
+    deleteRecursively(stagingPath)
+    rels
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+
+  // ----------------------------------------------------------------- query
+
+  /** Pruned, snapshot-consistent read (lakehouse.py:338-372, §3.1):
+    * partition pruning by date-key range → parquet scan of the live file
+    * set → residual timestamp/symbol filters (pushed to row groups) →
+    * deterministic (timestamp, symbol) sort.
+    *
+    * `totalRowsScanned` (A2) is the row count of the pruned file set, from
+    * parquet footers — metadata-only, no data IO, scales with file count.
+    */
+  def query(
+      symbol: Option[String] = None,
+      start: Option[Timestamp] = None,
+      end: Option[Timestamp] = None,
+      asOfVersion: Option[Long] = None,
+      asOfTimestampMs: Option[Long] = None): QueryResult = {
+    val t0 = System.nanoTime()
+    val version = asOfVersion
+      .orElse(asOfTimestampMs.map(txnLog.versionAsOf))
+      .getOrElse(Long.MaxValue)
+    val allFiles = txnLog.snapshotFiles(version)
+
+    // Partition pruning: relative paths are date=YYYY-MM-DD/file.parquet;
+    // lexicographic compare on the date key == chronological (O2).
+    val startKey = start.map(ts => model.dateKeyOf(ts))
+    val endKey = end.map(ts => model.dateKeyOf(ts))
+    val pruned = allFiles.filter { rel =>
+      val date = rel.stripPrefix("date=").takeWhile(_ != '/')
+      startKey.forall(date >= _) && endKey.forall(date <= _)
+    }
+
+    val rowsScanned = pruned.map(footerRowCount).sum
+
+    val base =
+      if (pruned.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          schemaWithDate)
+      else
+        spark.read.schema(schemaWithDate)
+          .option("basePath", root)
+          .parquet(pruned.map(rel => s"$root/$rel"): _*)
+
+    val filtered = Seq(
+      symbol.map(s => col("symbol") === s),
+      start.map(ts => col("timestamp") >= lit(ts)),
+      end.map(ts => col("timestamp") <= lit(ts)))
+      .flatten
+      .foldLeft(base)((df, cond) => df.filter(cond))
+      .orderBy(col("timestamp"), col("symbol"))
+
+    QueryResult(filtered, (System.nanoTime() - t0) / 1e6, rowsScanned)
+  }
+
+  private def footerRowCount(rel: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val in = HadoopInputFile.fromPath(new HadoopPath(s"$root/$rel"), conf)
+    val reader = ParquetFileReader.open(in)
+    try reader.getRecordCount finally reader.close()
+  }
+
+  /** Time-travel read (S13): full snapshot at a version. */
+  def timeTravel(version: Long): DataFrame = query(asOfVersion = Some(version)).df
+
+  /** Register the current snapshot as a temp view and run SQL (S12, §3.3). */
+  def sql(text: String, tableName: String = "trades"): DataFrame = {
+    query().df.createOrReplaceTempView(tableName)
+    spark.sql(text)
+  }
+
+  // ------------------------------------------------------------ compaction
+
+  /** Compact partitions with more than `maxFilesPerPartition` files into
+    * `targetFiles` clustered files each, swapped in ONE commit so readers
+    * never see a half-compacted table (S14, README.md:138).
+    */
+  def compact(maxFilesPerPartition: Int = 1, targetFiles: Int = 1): Long = {
+    val live = txnLog.snapshotFiles()
+    val byPartition = live.groupBy(_.stripPrefix("date=").takeWhile(_ != '/'))
+    val toCompact = byPartition.filter(_._2.size > maxFilesPerPartition)
+    if (toCompact.isEmpty) return -1L
+
+    val adds = ArrayBuffer.empty[String]
+    val removes = ArrayBuffer.empty[String]
+    toCompact.foreach { case (_, rels) =>
+      val staging = s"$root/_staging/${UUID.randomUUID()}"
+      spark.read.schema(schemaWithDate).option("basePath", root)
+        .parquet(rels.map(r => s"$root/$r"): _*)
+        .repartition(targetFiles)
+        .sortWithinPartitions(col("symbol"), col("timestamp"))
+        .write.partitionBy("date").parquet(staging)
+      adds ++= publishStaged(staging)
+      removes ++= rels
+    }
+    txnLog.commit(added = adds.toSeq, removed = removes.toSeq)
+  }
+
+  /** Physically delete files no longer referenced by the latest snapshot
+    * (post-compaction cleanup; time travel older than the vacuum horizon is
+    * sacrificed, as in Delta's VACUUM).
+    */
+  def vacuum(): Long = {
+    val live = txnLog.snapshotFiles().toSet
+    val rootPath = Paths.get(root)
+    val dataFiles = Files.walk(rootPath).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .filterNot(p => p.startsWith(rootPath.resolve("_dlq")) ||
+        p.startsWith(rootPath.resolve("_staging")))
+      .toSeq
+    val dead = dataFiles.filterNot(p => live.contains(rootPath.relativize(p).toString))
+    dead.foreach(Files.deleteIfExists(_))
+    dead.size.toLong
+  }
+
+  /** Partition keys present in the current snapshot, sorted (S5/O2). */
+  def listPartitions(): Seq[String] =
+    txnLog.snapshotFiles()
+      .map(_.stripPrefix("date=").takeWhile(_ != '/'))
+      .distinct.sorted
+}

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.model
+import graft.sources.DataLakehouse
+
+/** Streaming tier (SURVEY.md §2.9): the reference's declared ring-buffer →
+  * 100 ms flush ingest path (README.md:36-37,50,127) re-expressed as
+  * Structured Streaming, plus the windowed-aggregation/dedup surface.
+  *
+  * Exactly-once (T6): every micro-batch commits to the lakehouse txn log
+  * keyed by (streamId, batchId); a replayed batch after failure is a no-op
+  * because the log already contains that key. Combined with checkpointing,
+  * ingestion accounting is exactly-once end-to-end.
+  */
+object Streaming {
+
+  /** File-source streaming ingest (S9/T1/T2/S10): parquet files dropped in
+    * `sourceDir` are validated, appended to the lakehouse in one txn-log
+    * commit per micro-batch, and rejects land in the DLQ — all inside
+    * `foreachBatch`, at a 100 ms trigger cadence by default.
+    */
+  def ingestStream(
+      lake: DataLakehouse,
+      sourceDir: String,
+      checkpointDir: String,
+      streamId: String = "ingest",
+      triggerMs: Long = 100L): StreamingQuery = {
+    lake.spark.readStream
+      .schema(model.ohlcvSchema)
+      .parquet(sourceDir)
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val valid = batch.filter(model.barValid)
+        val invalid = batch.filter(!model.barValid)
+        lake.appendDF(valid, batchId = Some(s"$streamId-$batchId"))
+        if (!invalid.isEmpty)
+          invalid.withColumn("_rejected_at", current_timestamp())
+            .write.mode("append").parquet(s"${lake.root}/_dlq")
+        ()
+      }
+      .start()
+  }
+
+  /** Tick → OHLCV bar resampling (T3, the streaming twin of batch A7):
+    * tumbling window per symbol with a watermark bounding state (T4).
+    * Works on both streaming and batch DataFrames with columns
+    * (ts: timestamp, symbol, price, volume).
+    */
+  def tickToBars(
+      ticks: DataFrame,
+      windowLength: String = "1 minute",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    ticks
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("symbol"), window(col("ts"), windowLength))
+      .agg(
+        min_by(col("price"), col("ts")).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), col("ts")).as("close"),
+        sum(col("volume")).as("volume"))
+      .select(col("symbol"), col("window.start").as("bar_start"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"))
+
+  /** Sliding-window variant (T7). */
+  def slidingBars(
+      ticks: DataFrame,
+      windowLength: String = "10 minutes",
+      slide: String = "1 minute",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    ticks
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("symbol"), window(col("ts"), windowLength, slide))
+      .agg(avg(col("price")).as("avg_price"), sum(col("volume")).as("volume"))
+      .select(col("symbol"), col("window.start").as("win_start"),
+        col("avg_price"), col("volume"))
+
+  /** Session windows per key (T7): gap-based sessionization. */
+  def sessionize(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      gap: String = "5 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
+  /** Streaming dedup within the watermark horizon (T5: README.md:41's
+    * dedup gate, stateful form).
+    */
+  def dedupWithinWatermark(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+}

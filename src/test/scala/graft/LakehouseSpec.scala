@@ -1,0 +1,170 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.sources.DataLakehouse
+
+/** Port of the reference's TestPartitionManager / TestIngestion / TestFlush
+  * / TestQuery (test_core.py:136-305) on the FIXTURES.md A2/A4/A5 fixtures,
+  * plus the txn-log surface the reference only declares (time travel,
+  * compaction, snapshot isolation).
+  */
+class LakehouseSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def bar(i: Int): OhlcvBar = OhlcvBar(
+    symbol = if (i % 2 == 0) "AAPL" else "GOOGL",
+    timestamp = new Timestamp(ts("2024-06-15 09:30:00").getTime + i * 3600L * 1000),
+    open = 150.0 + i, high = 155.0 + i, low = 149.0 + i, close = 153.0 + i,
+    volume = 1000000L + 1000L * i, asset_class = AssetClass.Equity)
+
+  private val sampleBars: Seq[OhlcvBar] = (0 until 10).map(bar)
+
+  private def newLake(batchSize: Int = 5): DataLakehouse =
+    new DataLakehouse(spark, tempDir("lake"), batchSize = batchSize)
+
+  // --- ingestion (test_core.py:171-219)
+
+  test("ingest buffers until batchSize then auto-flushes") {
+    val lake = newLake(batchSize = 5)
+    (0 until 4).foreach(i => assert(lake.ingest(bar(i))))
+    assert(lake.bufferedCount == 4)
+    assert(lake.txnLog.currentVersion() == -1L) // nothing flushed yet
+    lake.ingest(bar(4))
+    assert(lake.bufferedCount == 0)
+    assert(lake.txnLog.currentVersion() == 0L) // one commit
+  }
+
+  test("invalid bar rejected, counted, and dead-lettered") {
+    val lake = newLake()
+    val bad = bar(0).copy(high = 1.0, low = 2.0)
+    assert(!lake.ingest(bad))
+    assert(lake.errorCount == 1)
+    assert(lake.deadLetterCount() == 1)
+    assert(lake.bufferedCount == 0)
+  }
+
+  test("ingestBatch returns whole-batch stats") {
+    val lake = newLake(batchSize = 3) // forces mid-batch size > batch
+    val bad = bar(0).copy(volume = -5)
+    val stats = lake.ingestBatch(sampleBars :+ bad)
+    assert(stats.rowsIngested == 10)
+    assert(stats.errors == 1)
+    assert(stats.partitionsWritten == 1) // all 10 bars land on 2024-06-15
+    assert(stats.elapsedMs >= 0)
+  }
+
+  test("flush on empty buffer is a no-op") {
+    val lake = newLake()
+    assert(lake.flush() == 0L)
+    assert(lake.txnLog.currentVersion() == -1L)
+  }
+
+  // --- partitioning + pruning (test_core.py:136-166)
+
+  test("multi-day batch writes one partition per day; range prunes exactly") {
+    val lake = newLake()
+    val days = Seq("2024-06-13", "2024-06-14", "2024-06-15", "2024-06-16")
+    val bars = days.zipWithIndex.map { case (d, i) =>
+      bar(i).copy(timestamp = ts(s"$d 10:00:00"))
+    }
+    lake.ingestBatch(bars)
+    assert(lake.listPartitions() == days)
+
+    // A5: query [06-14, 06-15] must scan exactly the two middle partitions
+    val qr = lake.query(
+      start = Some(ts("2024-06-14 00:00:00")),
+      end = Some(ts("2024-06-15 23:59:59")))
+    assert(qr.count == 2)
+    assert(qr.totalRowsScanned == 2) // pruning proof: only 2 rows' files read
+  }
+
+  test("one-sided time range still prunes (reference scanned everything)") {
+    val lake = newLake()
+    val bars = Seq("2024-06-13", "2024-06-14", "2024-06-15").zipWithIndex
+      .map { case (d, i) => bar(i).copy(timestamp = ts(s"$d 10:00:00")) }
+    lake.ingestBatch(bars)
+    val qr = lake.query(start = Some(ts("2024-06-15 00:00:00")))
+    assert(qr.count == 1)
+    assert(qr.totalRowsScanned == 1)
+  }
+
+  // --- query semantics (test_core.py:248-305)
+
+  test("query all / symbol filter / inclusive time range / sortedness") {
+    val lake = newLake()
+    lake.ingestBatch(sampleBars)
+
+    val all = lake.query()
+    assert(all.count == 10)
+    assert(all.queryTimeMs >= 0)
+
+    val aapl = lake.query(symbol = Some("AAPL"))
+    assert(aapl.count == 5)
+    assert(aapl.df.select("symbol").distinct().collect().map(_.getString(0))
+      .toSeq == Seq("AAPL"))
+
+    // inclusive bounds: [bar1.ts, bar3.ts] picks bars 1,2,3
+    val ranged = lake.query(
+      start = Some(sampleBars(1).timestamp),
+      end = Some(sampleBars(3).timestamp))
+    assert(ranged.count == 3)
+
+    val times = all.df.collect().map(_.getTimestamp(1).getTime).toSeq
+    assert(times == times.sorted)
+  }
+
+  test("query on empty lakehouse returns empty frame with schema") {
+    val lake = newLake()
+    val qr = lake.query()
+    assert(qr.count == 0)
+    assert(qr.totalRowsScanned == 0)
+    assert(qr.df.columns.contains("symbol"))
+  }
+
+  // --- txn log: snapshots, time travel, compaction (S11/S13/S14)
+
+  test("time travel reads the snapshot as of a version") {
+    val lake = newLake()
+    lake.ingestBatch(sampleBars.take(4)) // v0
+    lake.ingestBatch(sampleBars.drop(4)) // v1
+    assert(lake.timeTravel(0).count() == 4)
+    assert(lake.timeTravel(1).count() == 10)
+    assert(lake.query().count == 10)
+  }
+
+  test("compaction merges files atomically and preserves data + history") {
+    val lake = newLake()
+    sampleBars.grouped(2).foreach(g => lake.ingestBatch(g)) // 5 commits
+    val filesBefore = lake.txnLog.snapshotFiles().size
+    assert(filesBefore >= 5)
+    val v = lake.compact(maxFilesPerPartition = 1)
+    assert(v == lake.txnLog.currentVersion())
+    assert(lake.txnLog.snapshotFiles().size < filesBefore)
+    assert(lake.query().count == 10) // data intact
+    assert(lake.timeTravel(v - 1).count() == 10) // pre-compaction snapshot intact
+    val removed = lake.vacuum()
+    assert(removed >= filesBefore - lake.txnLog.snapshotFiles().size)
+    assert(lake.query().count == 10) // latest snapshot unaffected by vacuum
+  }
+
+  test("idempotent batch commits (streaming exactly-once hook)") {
+    val lake = newLake()
+    import spark.implicits._
+    val df = spark.createDataset(sampleBars.take(3)).toDF()
+    lake.appendDF(df, batchId = Some("s1-0"))
+    lake.appendDF(df, batchId = Some("s1-0")) // replay must be a no-op
+    assert(lake.query().count == 3)
+  }
+
+  test("sql over the registered snapshot (VWAP of README.md:77-81)") {
+    val lake = newLake()
+    lake.ingestBatch(sampleBars)
+    val vwap = lake.sql(
+      """SELECT symbol, SUM(close * volume) / SUM(volume) AS vwap
+        |FROM trades GROUP BY symbol ORDER BY vwap DESC LIMIT 10""".stripMargin)
+    assert(vwap.count() == 2)
+    assert(vwap.columns.toSeq == Seq("symbol", "vwap"))
+  }
+}

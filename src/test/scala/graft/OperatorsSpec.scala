@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextOps, VectorOps}
+import graft.operators.{AsOfJoin, Dedup, SimilaritySearch}
+
+/** Unit specs for the custom operators (SURVEY.md §2.3 J5, §2.10). */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("as-of join backward picks latest at-or-before per key") {
+    val left = Seq((1L, "A", 100L), (2L, "A", 205L), (3L, "B", 50L))
+      .toDF("l_id", "l_key", "l_ts")
+    val right = Seq((10L, "A", 90L, 1.0), (11L, "A", 100L, 2.0),
+      (12L, "A", 201L, 3.0), (13L, "B", 60L, 4.0))
+      .toDF("r_id", "r_key", "r_ts", "r_val")
+    val out = AsOfJoin.backward(left, right, Seq(("l_key", "r_key")),
+        "l_ts", "r_ts", leftId = "l_id", tieBreaker = "r_id")
+      .select($"l_id", $"r_id", $"r_val").orderBy($"l_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+    assert(out(0) == ((1L, Some(11L), Some(2.0)))) // ts tie -> at-or-before
+    assert(out(1) == ((2L, Some(12L), Some(3.0))))
+    assert(out(2) == ((3L, None, None))) // no right row at-or-before 50
+  }
+
+  test("exact dedup keeps deterministic winner (min id) per key") {
+    val df = Seq((3L, "k1"), (1L, "k1"), (2L, "k2")).toDF("id", "key")
+    val kept = Dedup.exact(df, Seq("key"), "id")
+      .select($"id").orderBy($"id").as[Long].collect().toSeq
+    assert(kept == Seq(1L, 2L))
+  }
+
+  test("shingles: n-grams, and empty when fewer than n tokens") {
+    val df = Seq("one two three four", "too short").toDF("text")
+      .select(TextOps.shingles(TextOps.tokens($"text"), 3).as("sh"))
+    val rows = df.as[Seq[String]].collect()
+    assert(rows(0) == Seq("one two three", "two three four"))
+    assert(rows(1) == Seq.empty)
+  }
+
+  test("minhash LSH finds planted near-dup, skips unrelated docs") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 58).map(i => s"w$i").mkString(" ") + " x y"
+    val other = (100 to 160).map(i => s"v$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(df, "doc_id", "text", threshold = 0.5)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash: identical docs at distance 0; disjoint docs far apart") {
+    val a = (1 to 40).map(i => s"w$i").mkString(" ")
+    val c = (100 to 140).map(i => s"v$i").mkString(" ")
+    val sigs = Seq(a, a, c).toDF("text")
+      .select(Dedup.simhash(TextOps.tokens($"text")).as("sig"))
+      .as[Long].collect()
+    assert(sigs(0) == sigs(1))
+    assert(java.lang.Long.bitCount(sigs(0) ^ sigs(2)) > 3)
+  }
+
+  test("cosine: orthonormal basis sanity + brute-force top-k order") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val top = SimilaritySearch.bruteForceTopK(df, "vec_id", "embedding",
+        Array(1.0, 0.0), k = 3)
+      .as[(Long, Double)].collect().toSeq
+    assert(top.map(_._1) == Seq(1L, 2L, 3L))
+    assert(top(0)._2 == 1.0)
+    assert(top(2)._2 == 0.0)
+  }
+
+  test("lsh ANN returns query's bucket neighbors, topped by true nearest") {
+    val vecs = (0 until 50).map { i =>
+      val angle = i * 0.02
+      (i.toLong, Array(math.cos(angle).toFloat, math.sin(angle).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val top = SimilaritySearch.lshTopK(df, "vec_id", "embedding",
+        Array(1.0, 0.0), k = 5, numPlanes = 2, excludeId = Some(0L))
+      .as[(Long, Double)].collect().toSeq
+    assert(top.nonEmpty)
+    assert(top.head._1 == 1L) // closest remaining vector
+  }
+
+  test("vector ops: dot/norm/cosine agree with hand math") {
+    val df = Seq((Array(3.0, 4.0), Array(4.0, 3.0))).toDF("a", "b")
+    val r = df.select(
+      VectorOps.dot($"a", $"b"),
+      VectorOps.l2Norm($"a"),
+      round(VectorOps.cosine($"a", $"b"), 4)).head()
+    assert(r.getDouble(0) == 24.0)
+    assert(r.getDouble(1) == 5.0)
+    assert(r.getDouble(2) == 0.96)
+  }
+}

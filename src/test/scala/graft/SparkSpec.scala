@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all suites (one JVM-wide session — Spark
+  * startup dominates test wall-clock otherwise).
+  */
+object SharedSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-tests")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+abstract class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = {
+    val s = SharedSpark.spark
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  def tempDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+}

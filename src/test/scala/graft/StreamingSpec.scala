@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.sources.DataLakehouse
+import graft.streaming.Streaming
+
+/** Streaming tier specs (SURVEY.md §2.9): tick→bar resampling (T3),
+  * watermark bounds (T4), streaming dedup (T5), and the end-to-end
+  * file-source → lakehouse ingest with exactly-once commits (S9/T6).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private case class Tick(ts: Timestamp, symbol: String, price: Double, volume: Long)
+
+  private def tick(sec: Int, sym: String, p: Double, v: Long) =
+    Tick(new Timestamp(1718445600000L + sec * 1000L), sym, p, v)
+
+  test("tickToBars over a memory stream produces OHLCV per minute") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Tick]
+    mem.addData(
+      tick(0, "AAPL", 10, 1), tick(20, "AAPL", 12, 2), tick(50, "AAPL", 11, 1),
+      tick(65, "AAPL", 9, 3), // second minute
+      tick(5, "GOOG", 100, 1))
+    val q = Streaming.tickToBars(mem.toDF(), "1 minute", "10 minutes")
+      .writeStream.format("memory").queryName("bars_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val bars = spark.table("bars_test")
+        .orderBy($"symbol", $"bar_start")
+        .select($"symbol", $"open", $"high", $"low", $"close", $"volume")
+        .as[(String, Double, Double, Double, Double, Long)].collect().toSeq
+      assert(bars == Seq(
+        ("AAPL", 10.0, 12.0, 10.0, 11.0, 4L),
+        ("AAPL", 9.0, 9.0, 9.0, 9.0, 3L),
+        ("GOOG", 100.0, 100.0, 100.0, 100.0, 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops same-key records within watermark") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Tick]
+    mem.addData(tick(0, "AAPL", 10, 1), tick(1, "AAPL", 99, 9),
+      tick(2, "GOOG", 5, 1))
+    val q = Streaming.dedupWithinWatermark(mem.toDF(), Seq("symbol"), "ts")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup_test").select($"symbol").distinct().count() == 2)
+      assert(spark.table("dedup_test").count() == 2)
+    } finally q.stop()
+  }
+
+  test("file-source ingest stream: validation, DLQ, exactly-once commits") {
+    val lake = new DataLakehouse(spark, tempDir("slake"))
+    val src = tempDir("src")
+    val ckpt = tempDir("ckpt")
+    val good = OhlcvBar("AAPL", Timestamp.valueOf("2024-06-15 10:30:00"),
+      150, 155, 149, 153, 1000, AssetClass.Equity)
+    val bad = good.copy(high = 1.0, low = 2.0, symbol = "BAD")
+    spark.createDataset(Seq(good, good.copy(symbol = "GOOG"), bad)).toDF()
+      .write.mode("overwrite").parquet(src)
+
+    val q = Streaming.ingestStream(lake, src, ckpt, streamId = "t", triggerMs = 50)
+    try q.processAllAvailable() finally q.stop()
+
+    assert(lake.query().count == 2)
+    assert(lake.deadLetterCount() == 1)
+    // batch commits are keyed: the txn log records batch t-0 exactly once
+    assert(lake.txnLog.commits().count(_.batchId.exists(_.startsWith("t-"))) == 1)
+  }
+
+  test("sessionization groups events separated by less than the gap") {
+    val df = Seq(
+      ("u1", new Timestamp(0L)), ("u1", new Timestamp(60 * 1000L)),
+      ("u1", new Timestamp(20 * 60 * 1000L)), ("u2", new Timestamp(0L)))
+      .toDF("user", "ts")
+    val sessions = Streaming.sessionize(df, "user", "ts", gap = "5 minutes")
+      .orderBy($"user", $"session_start")
+      .select($"user", $"n_events").as[(String, Long)].collect().toSeq
+    assert(sessions == Seq(("u1", 2L), ("u1", 1L), ("u2", 1L)))
+  }
+}
