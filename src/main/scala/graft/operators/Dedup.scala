@@ -61,45 +61,97 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     val numHashes = bands * rowsPerBand
-    val sh = df
+
+    // Exploded (id, shingle-hash) relation: each shingle STRING is hashed
+    // exactly once; the numHashes minhash "permutations" re-hash the
+    // fixed-width long (xxhash64(i, h)) inside vectorized min() aggregates.
+    // One shuffle on id; everything upstream is narrow and codegen'd.
+    // Persisted: referenced by the signature agg, the size agg, and both
+    // sides of the verification join — without persist each reference
+    // re-tokenizes the corpus (self-joins do NOT share unmaterialized
+    // subplans). At cluster scale this is the same persist/checkpoint you
+    // would put after the expensive narrow stage.
+    val shex = df
       .select(col(idCol).as("id"),
-        array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleLen))
-          .as("shingles"))
-      .filter(size($"shingles") > 0)
+        explode(array_distinct(
+          TextOps.shingles(TextOps.tokens(col(textCol)), shingleLen))).as("sh"))
+      .select($"id", xxhash64($"sh").as("h"))
+      .persist()
 
-    val banded = sh
-      .withColumn("sig", minhashSignature($"shingles", numHashes))
-      .select($"id", $"shingles",
-        posexplode(lshBands($"sig", bands, rowsPerBand)).as(Seq("band", "bucket")))
+    val sigCols = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), $"h")).as(s"mh$i"))
+    val sigs = shex.groupBy($"id")
+      .agg(sigCols.head, sigCols.tail: _*)
+      .select($"id", array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
 
-    val a = banded.select($"id".as("a_id"), $"shingles".as("a_sh"), $"band", $"bucket")
-    val b = banded.select($"id".as("b_id"), $"shingles".as("b_sh"),
-      $"band".as("band_b"), $"bucket".as("bucket_b"))
-    val cand = a.join(b,
-        $"band" === $"band_b" && $"bucket" === $"bucket_b" && $"a_id" < $"b_id")
-      .select($"a_id", $"b_id", $"a_sh", $"b_sh")
+    // Bands carry only (id, band, bucket) — candidate generation shuffles
+    // ints, never shingle sets (which at corpus scale dwarf the ids).
+    val banded = sigs.select($"id",
+      posexplode(lshBands($"sig", bands, rowsPerBand)).as(Seq("band", "bucket")))
+      .persist()
+
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
+          $"a.id" < $"b.id")
+      .select($"a.id".as("a_id"), $"b.id".as("b_id"))
       .dropDuplicates("a_id", "b_id")
 
-    cand
-      .withColumn("inter", size(array_intersect($"a_sh", $"b_sh")))
+    // Exact-Jaccard verification of candidates only: intersection counts
+    // come from joining the (small, broadcastable) pair set against the
+    // exploded shingle relation — the shingle sets are never materialized
+    // as arrays, and set sizes are a cheap count per id.
+    val sizes = shex.groupBy($"id").agg(count(lit(1)).as("n"))
+    val inter = broadcast(cand)
+      .join(shex.select($"id".as("a_id"), $"h"), "a_id")
+      .join(shex.select($"id".as("b_id"), $"h".as("h_b")), Seq("b_id"))
+      .filter($"h" === $"h_b")
+      .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select($"id".as("a_id"), $"n".as("na")), "a_id")
+      .join(sizes.select($"id".as("b_id"), $"n".as("nb")), "b_id")
       .withColumn("jaccard",
-        $"inter".cast("double") /
-          (size($"a_sh") + size($"b_sh") - $"inter"))
+        $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
       .filter($"jaccard" >= threshold)
       .select($"a_id", $"b_id", round($"jaccard", 4).as("jaccard"))
   }
 
   /** 64-bit SimHash of a token array: bit b is set when the sum over tokens
-    * of ±1 (sign of bit b of xxhash64(token)) is positive.
+    * of ±1 (sign of bit b of xxhash64(token)) is positive. Each token is
+    * hashed exactly once; the 64 bit-votes then walk the (cheap) long
+    * array, not the string array.
     */
   def simhash(toks: Column): Column = {
+    val hashes = transform(toks, tk => xxhash64(tk))
     val bitCols = transform(sequence(lit(0), lit(63)), b => {
-      val vote = aggregate(toks, lit(0L), (acc, tk) =>
-        acc + when(call_function("shiftright", xxhash64(tk), b)
+      val vote = aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(call_function("shiftright", h, b)
           .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
       when(vote > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))
     })
     aggregate(bitCols, lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash signatures via the scalable explode formulation: one string
+    * hash per token occurrence, then 64 vectorized bit-vote sums per doc
+    * (one shuffle on id).
+    */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashed = df
+      .select(col(idCol).as("id"),
+        explode(TextOps.tokens(col(textCol))).as("tok"))
+      .select($"id", xxhash64($"tok").as("h"))
+    val votes = (0 until 64).map(b =>
+      sum(when(call_function("shiftright", $"h", lit(b))
+        .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$b"))
+    hashed.groupBy($"id")
+      .agg(votes.head, votes.tail: _*)
+      .select($"id",
+        (0 until 64).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce((a, x) => a.bitwiseOR(x)).as("sig"))
   }
 
   /** SimHash near-dup pairs: candidates share one of four 16-bit chunks
@@ -113,10 +165,8 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val sigs = df
-      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
-      .filter(size($"toks") > 0)
-      .withColumn("sig", simhash($"toks"))
+    // persist: both sides of the chunk self-join read the signatures
+    val sigs = simhashSignatures(df, idCol, textCol).persist()
       .select($"id", $"sig",
         posexplode(transform(sequence(lit(0), lit(3)),
           j => call_function("shiftright", $"sig", j * 16)

@@ -35,13 +35,21 @@ object DedupQueries {
   // shingle, pairs only within posting lists (vs O(n²) all-pairs).
   private def q24(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // persisted: the self-join + size join would otherwise re-tokenize 3x
     val sh = Tables.load(s, dir, "documents")
       .select($"doc_id",
         explode(array_distinct(TextOps.shingles(TextOps.tokens($"text"), 3)))
           .as("sh"))
+      .persist()
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"), $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+    // Shingles appearing in a single document cannot produce a pair —
+    // dropping them first shrinks the quadratic posting-list expansion
+    // (the result is provably unchanged; doc sizes were computed above).
+    val hot = sh.groupBy($"sh").agg(count(lit(1)).as("df")).filter($"df" > 1)
+      .select($"sh")
+    val sh2 = sh.join(hot, "sh").persist()
+    val pairs = sh2.as("a")
+      .join(sh2.as("b"), $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
       .agg(count(lit(1)).as("inter"))
     pairs
