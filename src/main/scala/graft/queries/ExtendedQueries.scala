@@ -1,0 +1,231 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Multimodal
+
+/** Extended operator coverage (SURVEY.md §2.4 A8-A9, §2.5 W2, §2.7,
+  * §2.10 D4): set ops, cube/grouping sets, statistical aggregates,
+  * percentiles, per-group top-k, calendar rollups, multimodal columns.
+  */
+object ExtendedQueries {
+  import CoreQueries.QFn
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  // q30 — multimodal feature extraction (D4): binary content + metadata
+  // struct + stub-decoded dims (see operators.Multimodal for the stub
+  // contract). Portable because the stub is byte-length arithmetic.
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mm = Multimodal.withContent(t(s, dir, "documents"), "text", "doc_id")
+    mm.select($"doc_id", $"mime",
+        $"meta.n_bytes".as("n_bytes"),
+        Multimodal.stubWidth($"content").as("width"),
+        Multimodal.stubHeight($"content").as("height"),
+        Multimodal.stubDurationMs($"content").as("duration_ms"))
+      .orderBy($"doc_id")
+  }
+
+  private val q30Sql =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+      |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+      |       ELSE 'video/mp4' END AS mime,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  octet_length(encode(text)) % 640 + 1 AS width,
+      |  octet_length(encode(text)) % 480 + 1 AS height,
+      |  CAST(octet_length(encode(text)) AS BIGINT) * 10 + 1000 AS duration_ms
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // q31 — frame sampling (D4): bounded explode per video row.
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mm = Multimodal.withContent(t(s, dir, "documents"), "text", "doc_id")
+    Multimodal.sampleFrames(mm, everyMs = 1000L, maxFrames = 5)
+      .select($"doc_id", $"frame_idx", $"frame_offset_ms")
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  private val q31Sql =
+    """WITH v AS (
+      |  SELECT doc_id,
+      |    CAST(octet_length(encode(text)) AS BIGINT) * 10 + 1000 AS duration_ms
+      |  FROM documents WHERE doc_id % 3 = 2)
+      |SELECT doc_id, CAST(i AS INT) AS frame_idx, i * 1000 AS frame_offset_ms
+      |FROM v, unnest(range(least(duration_ms // 1000 + 1, 5))) t(i)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
+  // q32 — UNION ALL (§2.7: the multi-partition concat the reference does
+  // imperatively at lakehouse.py:356-361).
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "events")
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", lit("p").as("src"))
+    val errors = e.filter($"event_type" === "error")
+      .select($"event_id", $"user_id", lit("e").as("src"))
+    purchases.unionAll(errors)
+      .groupBy($"src").agg(count(lit(1)).as("cnt"),
+        countDistinct($"user_id").as("users"))
+      .orderBy($"src")
+  }
+
+  private val q32Sql =
+    """SELECT src, count(*) AS cnt, count(DISTINCT user_id) AS users FROM (
+      |  SELECT event_id, user_id, 'p' AS src FROM events WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT event_id, user_id, 'e' AS src FROM events WHERE event_type = 'error')
+      |GROUP BY src ORDER BY src""".stripMargin
+
+  // q33 — CUBE over two dims (A9).
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .cube($"c_mktsegment", $"c_nationkey")
+      .agg(count(lit(1)).as("cnt"))
+      .select(coalesce($"c_mktsegment", lit("(all)")).as("segment"),
+        coalesce($"c_nationkey", lit(-1)).as("nationkey"), $"cnt")
+      .orderBy($"segment", $"nationkey")
+  }
+
+  private val q33Sql =
+    """SELECT COALESCE(c_mktsegment, '(all)') AS segment,
+      |  COALESCE(c_nationkey, -1) AS nationkey, count(*) AS cnt
+      |FROM customer GROUP BY CUBE(c_mktsegment, c_nationkey)
+      |ORDER BY segment, nationkey""".stripMargin
+
+  // q34 — GROUPING SETS (A9): chosen granularities only.
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT COALESCE(o_orderstatus, '(all)') AS status,
+        |  COALESCE(o_orderpriority, '(all)') AS priority, count(*) AS cnt
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  private val q34Sql =
+    """SELECT COALESCE(o_orderstatus, '(all)') AS status,
+      |  COALESCE(o_orderpriority, '(all)') AS priority, count(*) AS cnt
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      |ORDER BY status, priority""".stripMargin
+
+  // q35 — statistical aggregates (A5 extension): stddev / corr / covar.
+  // Sample stddev over ~12k rows/group: cross-engine double noise is
+  // ~1e-11 relative, far inside ROUND(.,4).
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        round(stddev($"l_quantity"), 4).as("sd_qty"),
+        round(corr($"l_quantity", $"l_extendedprice"), 4).as("corr_qty_price"),
+        round(covar_samp($"l_quantity", $"l_discount"), 4).as("cov_qty_disc"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val q35Sql =
+    """SELECT l_returnflag,
+      |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+      |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+      |  round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // q36 — exact percentiles (median / p90) via interpolated quantile.
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT o_orderpriority,
+        |  round(percentile(o_totalprice, 0.5), 4) AS p50,
+        |  round(percentile(o_totalprice, 0.9), 4) AS p90
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  private val q36Sql =
+    """SELECT o_orderpriority,
+      |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // q37 — per-group top-k (W2): top-3 orders by value within each
+  // priority, via ranked window (the scalable top-k-per-key shape:
+  // partial top-k per partition before the shuffle under AQE).
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    t(s, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"o_orderpriority", $"rk", $"o_orderkey",
+        round($"o_totalprice", 2).as("o_totalprice"))
+      .orderBy($"o_orderpriority", $"rk")
+  }
+
+  private val q37Sql =
+    """SELECT o_orderpriority, rk, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+      |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |        row_number() OVER (PARTITION BY o_orderpriority
+      |          ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |      FROM orders)
+      |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin
+
+  // q38 — calendar rollup (F1/F2 date functions): monthly revenue.
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy(date_format($"l_shipdate", "yyyy-MM").as("month"))
+      .agg(
+        round(sum($"l_extendedprice".cast("decimal(18,2)")), 2).cast("double")
+          .as("revenue"),
+        count(lit(1)).as("items"))
+      .orderBy($"month")
+  }
+
+  private val q38Sql =
+    """SELECT strftime(l_shipdate, '%Y-%m') AS month,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+      |  count(*) AS items
+      |FROM lineitem GROUP BY 1 ORDER BY month""".stripMargin
+
+  // q39 — approximate distinct (A8 HLL++): rows-only (sketch
+  // implementations differ across engines by design; the exact
+  // counterpart is oracle-checked in q10).
+  private def q39(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
+        countDistinct($"l_partkey").as("exact_parts"))
+      .orderBy($"l_returnflag")
+  }
+
+  val defs: Seq[(String, QFn)] = Seq(
+    "q30_multimodal_features" -> (q30 _),
+    "q31_frame_sample" -> (q31 _),
+    "q32_union_all" -> (q32 _),
+    "q33_cube" -> (q33 _),
+    "q34_grouping_sets" -> (q34 _),
+    "q35_stats_agg" -> (q35 _),
+    "q36_percentiles" -> (q36 _),
+    "q37_topk_per_group" -> (q37 _),
+    "q38_monthly_revenue" -> (q38 _),
+    "q39_approx_distinct" -> (q39 _))
+
+  val oracle: Seq[(String, String)] = Seq(
+    "q30_multimodal_features" -> q30Sql,
+    "q31_frame_sample" -> q31Sql,
+    "q32_union_all" -> q32Sql,
+    "q33_cube" -> q33Sql,
+    "q34_grouping_sets" -> q34Sql,
+    "q35_stats_agg" -> q35Sql,
+    "q36_percentiles" -> q36Sql,
+    "q37_topk_per_group" -> q37Sql,
+    "q38_monthly_revenue" -> q38Sql)
+}
