@@ -35,10 +35,45 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Lakehouse-path metrics mirroring BASELINE.md's headline numbers:
+    // bulk ingest throughput and the pruned single-symbol filter query.
+    val lakeMetrics = benchLakehouse(spark)
+    val qs = (results ++ lakeMetrics).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).sum + lakeMetrics.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Ingest 200k bars across 20 symbols × 10 days, then run the pruned
+    * single-symbol + date-range query (BASELINE.md rows 1 and 8).
+    */
+  private def benchLakehouse(spark: SparkSession): Seq[(String, Double)] = {
+    import java.sql.Timestamp
+    import graft.sources.DataLakehouse
+    val root = java.nio.file.Files.createTempDirectory("benchlake").toString
+    val lake = new DataLakehouse(spark, root)
+    val n = 200000
+    val bars = (0 until n).map { i =>
+      OhlcvBar(
+        symbol = s"SYM${i % 20}",
+        timestamp = new Timestamp(1718409600000L + (i % 10) * 86400000L +
+          (i / 10) * 1000L),
+        open = 100 + (i % 50), high = 160 + (i % 50), low = 90 + (i % 50),
+        close = 120 + (i % 50), volume = 1000L + i,
+        asset_class = AssetClass.Equity)
+    }
+    val t0 = System.nanoTime()
+    lake.ingestBatch(bars)
+    val ingestSec = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    val qr = lake.query(
+      symbol = Some("SYM7"),
+      start = Some(new Timestamp(1718496000000L)),
+      end = Some(new Timestamp(1718582400000L)))
+    qr.df.write.format("noop").mode("overwrite").save()
+    val querySec = (System.nanoTime() - t1) / 1e9
+    Seq("lake_ingest_200k" -> ingestSec, "lake_pruned_filter" -> querySec)
   }
 }

@@ -201,7 +201,7 @@ object ExtendedQueries {
     import s.implicits._
     t(s, dir, "lineitem")
       .groupBy($"l_returnflag")
-      .agg(approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
+      .agg(approx_count_distinct($"l_partkey", 0.05).as("approx_parts"),
         countDistinct($"l_partkey").as("exact_parts"))
       .orderBy($"l_returnflag")
   }

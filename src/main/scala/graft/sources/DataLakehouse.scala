@@ -40,7 +40,12 @@ final class DataLakehouse(
     val spark: SparkSession,
     val root: String,
     val batchSize: Int = 10000,
-    val clusterOnWrite: Boolean = true) {
+    val clusterOnWrite: Boolean = true,
+    val format: String = "parquet") {
+
+  require(format == "parquet" || format == "csv",
+    s"unsupported format: $format") // S1-S4: parquet primary, CSV fallback
+    // (lakehouse.py:25-32,427-452; table-level rather than per-file dispatch)
 
   val txnLog = new TxnLog(root)
   private val buffer = ArrayBuffer.empty[OhlcvBar]
@@ -128,7 +133,8 @@ final class DataLakehouse(
         withDate.repartition(col("date"))
           .sortWithinPartitions(col("symbol"), col("timestamp"))
       else withDate
-    clustered.write.partitionBy("date").parquet(staging)
+    clustered.write.partitionBy("date").format(format)
+      .option("header", format == "csv").save(staging)
     val added = publishStaged(staging)
     txnLog.commit(added = added, batchId = batchId)
     added.map(_.split('/').head).distinct.size.toLong
@@ -140,7 +146,8 @@ final class DataLakehouse(
   private def publishStaged(staging: String): Seq[String] = {
     val stagingPath = Paths.get(staging)
     val files = Files.walk(stagingPath).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .filter(p => (p.toString.endsWith(".parquet") || p.toString.endsWith(".csv"))
+        && Files.isRegularFile(p))
       .toSeq
     val rels = files.map { f =>
       val rel = stagingPath.relativize(f).toString
@@ -172,7 +179,8 @@ final class DataLakehouse(
       start: Option[Timestamp] = None,
       end: Option[Timestamp] = None,
       asOfVersion: Option[Long] = None,
-      asOfTimestampMs: Option[Long] = None): QueryResult = {
+      asOfTimestampMs: Option[Long] = None,
+      mergeSchema: Boolean = false): QueryResult = {
     val t0 = System.nanoTime()
     val version = asOfVersion
       .orElse(asOfTimestampMs.map(txnLog.versionAsOf))
@@ -194,10 +202,18 @@ final class DataLakehouse(
       if (pruned.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           schemaWithDate)
-      else
-        spark.read.schema(schemaWithDate)
-          .option("basePath", root)
-          .parquet(pruned.map(rel => s"$root/$rel"): _*)
+      else {
+        val paths = pruned.map(rel => s"$root/$rel")
+        // mergeSchema: schema evolution read (README.md:29 / §1.2) — union
+        // the file schemas so later commits may add columns without rewrite.
+        val reader =
+          if (mergeSchema && format == "parquet")
+            spark.read.option("mergeSchema", "true").option("basePath", root)
+          else spark.read.schema(schemaWithDate).option("basePath", root)
+        reader.format(format)
+          .option("header", format == "csv")
+          .load(paths: _*)
+      }
 
     val filtered = Seq(
       symbol.map(s => col("symbol") === s),
@@ -210,12 +226,16 @@ final class DataLakehouse(
     QueryResult(filtered, (System.nanoTime() - t0) / 1e6, rowsScanned)
   }
 
-  private def footerRowCount(rel: String): Long = {
-    val conf = spark.sessionState.newHadoopConf()
-    val in = HadoopInputFile.fromPath(new HadoopPath(s"$root/$rel"), conf)
-    val reader = ParquetFileReader.open(in)
-    try reader.getRecordCount finally reader.close()
-  }
+  private def footerRowCount(rel: String): Long =
+    if (format == "csv") {
+      val lines = Files.lines(Paths.get(root, rel))
+      try math.max(0L, lines.count() - 1) finally lines.close() // minus header
+    } else {
+      val conf = spark.sessionState.newHadoopConf()
+      val in = HadoopInputFile.fromPath(new HadoopPath(s"$root/$rel"), conf)
+      val reader = ParquetFileReader.open(in)
+      try reader.getRecordCount finally reader.close()
+    }
 
   /** Time-travel read (S13): full snapshot at a version. */
   def timeTravel(version: Long): DataFrame = query(asOfVersion = Some(version)).df
@@ -243,10 +263,12 @@ final class DataLakehouse(
     toCompact.foreach { case (_, rels) =>
       val staging = s"$root/_staging/${UUID.randomUUID()}"
       spark.read.schema(schemaWithDate).option("basePath", root)
-        .parquet(rels.map(r => s"$root/$r"): _*)
+        .format(format).option("header", format == "csv")
+        .load(rels.map(r => s"$root/$r"): _*)
         .repartition(targetFiles)
         .sortWithinPartitions(col("symbol"), col("timestamp"))
-        .write.partitionBy("date").parquet(staging)
+        .write.partitionBy("date").format(format)
+        .option("header", format == "csv").save(staging)
       adds ++= publishStaged(staging)
       removes ++= rels
     }
