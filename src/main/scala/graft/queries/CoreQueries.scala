@@ -83,9 +83,14 @@ object CoreQueries {
   private def q03(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "events")
+      // range filter on the RAW ns column: a predicate on derived
+      // `ts_us` (ts_ns div 1000) cannot be pushed to the parquet scan,
+      // while this equivalent plain-column range is (verified in plan:
+      // PushedFilters gets both bounds). µs-range [a,b) == ns-range
+      // [a*1000, b*1000) exactly, for positive epochs.
       .filter($"event_type" === "purchase" &&
-        $"ts_us" >= lit(1704844800000000L) && // 2024-01-10T00:00Z
-        $"ts_us" < lit(1705708800000000L))    // 2024-01-20T00:00Z
+        $"ts_ns" >= lit(1704844800000000000L) && // 2024-01-10T00:00Z
+        $"ts_ns" < lit(1705708800000000000L))    // 2024-01-20T00:00Z
       .select($"event_id", $"ts_us", $"user_id", round($"value", 4).as("value"))
       .orderBy($"event_id")
   }

@@ -1,0 +1,103 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.sources.DataLakehouse
+
+/** Property-based invariants (SURVEY.md §5.2-3): ingest→query round-trip,
+  * pruning soundness, constraint-rejection completeness, snapshot
+  * monotonicity under append-only commits.
+  *
+  * Uses raw ScalaCheck generators sampled from fixed seeds (the
+  * scalatest-scalacheck bridge isn't in the offline dependency cache);
+  * 5 deterministic samples per property.
+  */
+class PropertySpec extends SparkSpec {
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g.apply(Gen.Parameters.default.withSize(30), Seed(seed))
+      .getOrElse(sys.error("gen failed"))
+
+  private def seeds: Seq[Long] = Seq(1L, 7L, 42L, 99L, 1234L)
+
+  private val baseMs = Timestamp.valueOf("2024-06-10 00:00:00").getTime
+
+  private val genValidBar: Gen[OhlcvBar] = for {
+    sym <- Gen.oneOf("AAPL", "GOOGL", "MSFT")
+    dayOff <- Gen.choose(0, 4)
+    secOff <- Gen.choose(0, 86399)
+    low <- Gen.choose(10.0, 100.0)
+    spread <- Gen.choose(0.0, 50.0)
+    openF <- Gen.choose(0.0, 1.0)
+    closeF <- Gen.choose(0.0, 1.0)
+    vol <- Gen.choose(0L, 1000000L)
+    ac <- Gen.oneOf(AssetClass.all)
+  } yield OhlcvBar(sym,
+    new Timestamp(baseMs + dayOff * 86400000L + secOff * 1000L),
+    open = low + openF * spread, high = low + spread, low = low,
+    close = low + closeF * spread, volume = vol, asset_class = ac)
+
+  private val genInvalidBar: Gen[OhlcvBar] =
+    genValidBar.map(b => b.copy(high = b.low - 1.0, open = b.low, close = b.low))
+
+  test("round-trip: ingest then query-all returns exactly the bars, sorted") {
+    seeds.foreach { seed =>
+      val bars = sample(Gen.nonEmptyListOf(genValidBar), seed)
+      val lake = new DataLakehouse(spark, tempDir("prop"))
+      lake.ingestBatch(bars)
+      val got = lake.query().df.collect()
+      assert(got.length == bars.size, s"seed=$seed")
+      val gotTs = got.map(_.getAs[Timestamp]("timestamp").getTime).toSeq
+      assert(gotTs == gotTs.sorted, s"seed=$seed")
+      val expect = bars.map(b => (b.symbol, b.timestamp.getTime, b.volume)).sorted
+      val actual = got.map(r => (r.getAs[String]("symbol"),
+        r.getAs[Timestamp]("timestamp").getTime, r.getAs[Long]("volume"))).toSeq.sorted
+      assert(actual == expect, s"seed=$seed")
+    }
+  }
+
+  test("pruning soundness: ranged query == full scan filtered") {
+    seeds.foreach { seed =>
+      val bars = sample(Gen.nonEmptyListOf(genValidBar), seed)
+      val lake = new DataLakehouse(spark, tempDir("prop"))
+      lake.ingestBatch(bars)
+      val lo = new Timestamp(baseMs + 86400000L)      // day 1
+      val hi = new Timestamp(baseMs + 3 * 86400000L)  // day 3
+      val pruned = lake.query(start = Some(lo), end = Some(hi)).count
+      val reference = bars.count(b =>
+        !b.timestamp.before(lo) && !b.timestamp.after(hi))
+      assert(pruned == reference, s"seed=$seed")
+    }
+  }
+
+  test("rejection completeness: invalid bars never reach the table") {
+    seeds.foreach { seed =>
+      val ok = sample(Gen.listOf(genValidBar), seed)
+      val bad = sample(Gen.listOf(genInvalidBar), seed + 1000)
+      val lake = new DataLakehouse(spark, tempDir("prop"))
+      val mixed = new scala.util.Random(seed).shuffle(ok ++ bad)
+      val stats = lake.ingestBatch(mixed)
+      assert(stats.rowsIngested == ok.size, s"seed=$seed")
+      assert(stats.errors == bad.size, s"seed=$seed")
+      assert(lake.query().count == ok.size, s"seed=$seed")
+    }
+  }
+
+  test("snapshot monotonicity: append-only commits only grow the file set") {
+    seeds.take(2).foreach { seed =>
+      val batches = (0 until 3).map(i =>
+        sample(Gen.nonEmptyListOf(genValidBar), seed + i))
+      val lake = new DataLakehouse(spark, tempDir("prop"))
+      batches.foreach(lake.ingestBatch)
+      (0L to lake.txnLog.currentVersion()).sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(lake.txnLog.snapshotFiles(a).toSet
+            .subsetOf(lake.txnLog.snapshotFiles(b).toSet), s"seed=$seed")
+        case _ =>
+      }
+    }
+  }
+}
