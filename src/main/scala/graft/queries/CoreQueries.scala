@@ -355,10 +355,14 @@ object CoreQueries {
     val v = e.filter($"event_type" === "view")
       .select($"event_id".as("v_id"), $"user_id".as("v_user"),
         $"ts_us".as("v_ts"), $"value".as("v_value"))
+    // no-match rows surface as -1/-1.0 sentinels: NULL floats hash as NaN
+    // and NaN != NaN under exact comparison, which would false-fail an
+    // engine-differential compare on genuinely-equal results.
     AsOfJoin.backward(p, v, Seq(("p_user", "v_user")), "p_ts", "v_ts",
         leftId = "p_id", tieBreaker = "v_id")
-      .select($"p_id", $"p_user".as("user_id"), $"p_ts", $"v_id",
-        round($"v_value", 4).as("v_value"))
+      .select($"p_id", $"p_user".as("user_id"), $"p_ts",
+        coalesce($"v_id", lit(-1L)).as("v_id"),
+        coalesce(round($"v_value", 4), lit(-1.0)).as("v_value"))
       .orderBy($"p_id")
   }
 
@@ -370,7 +374,8 @@ object CoreQueries {
       |j AS (SELECT p.p_id, p.p_user, p.p_ts, v.v_id, v.v_value,
       |        row_number() OVER (PARTITION BY p.p_id ORDER BY v.v_ts DESC, v.v_id DESC) rn
       |      FROM p LEFT JOIN v ON p_user = v_user AND v_ts <= p_ts)
-      |SELECT p_id, p_user AS user_id, p_ts, v_id, round(v_value, 4) AS v_value
+      |SELECT p_id, p_user AS user_id, p_ts, COALESCE(v_id, -1) AS v_id,
+      |  COALESCE(round(v_value, 4), -1.0) AS v_value
       |FROM j WHERE rn = 1 ORDER BY p_id""".stripMargin
 
   // q18 — tick→bar OHLCV resampling (A7 batch form of streaming T3):

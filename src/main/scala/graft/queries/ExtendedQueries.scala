@@ -206,7 +206,36 @@ object ExtendedQueries {
       .orderBy($"l_returnflag")
   }
 
+  // q40 — range/interval join (J6): views in the hour before each
+  // purchase, same user. Planner shape: hash join on the user equi-key
+  // with the range as a post-join filter — the bucketed equi+theta
+  // formulation SURVEY §2.3 prescribes (the time bucket here is the user;
+  // at 100 TB add a coarse time-bucket key to both sides).
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "events")
+    val p = e.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id".as("p_user"), $"ts_us".as("p_ts"))
+    val v = e.filter($"event_type" === "view")
+      .select($"user_id".as("v_user"), $"ts_us".as("v_ts"))
+    p.join(v, $"p_user" === $"v_user" &&
+        $"v_ts" >= $"p_ts" - 3600000000L && $"v_ts" < $"p_ts", "left")
+      .groupBy($"p_id")
+      .agg(count($"v_ts").as("views_1h"))
+      .orderBy($"p_id")
+  }
+
+  private val q40Sql =
+    """WITH p AS (SELECT event_id p_id, user_id p_user, epoch_us(ts) p_ts
+      |           FROM events WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id v_user, epoch_us(ts) v_ts FROM events WHERE event_type = 'view')
+      |SELECT p_id, count(v_ts) AS views_1h
+      |FROM p LEFT JOIN v ON p_user = v_user
+      |  AND v_ts >= p_ts - 3600000000 AND v_ts < p_ts
+      |GROUP BY p_id ORDER BY p_id""".stripMargin
+
   val defs: Seq[(String, QFn)] = Seq(
+    "q40_range_join" -> (q40 _),
     "q30_multimodal_features" -> (q30 _),
     "q31_frame_sample" -> (q31 _),
     "q32_union_all" -> (q32 _),
@@ -219,6 +248,7 @@ object ExtendedQueries {
     "q39_approx_distinct" -> (q39 _))
 
   val oracle: Seq[(String, String)] = Seq(
+    "q40_range_join" -> q40Sql,
     "q30_multimodal_features" -> q30Sql,
     "q31_frame_sample" -> q31Sql,
     "q32_union_all" -> q32Sql,

@@ -99,7 +99,14 @@ final class DataLakehouse(
   private def flushInternal(): Long = {
     if (buffer.isEmpty) return 0L
     import spark.implicits._
-    val df = spark.createDataset(buffer.toSeq).toDF()
+    // Large batches: distribute row encoding across cores (a LocalRelation
+    // from createDataset serializes on the driver single-threaded, which
+    // becomes the ingest bottleneck well before the parquet write does).
+    val df =
+      if (buffer.size >= 50000)
+        spark.createDataset(spark.sparkContext.parallelize(buffer.toSeq,
+          spark.sparkContext.defaultParallelism)).toDF()
+      else spark.createDataset(buffer.toSeq).toDF()
     buffer.clear()
     appendDF(df)
   }

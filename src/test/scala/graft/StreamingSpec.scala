@@ -77,6 +77,27 @@ class StreamingSpec extends SparkSpec {
     assert(lake.txnLog.commits().count(_.batchId.exists(_.startsWith("t-"))) == 1)
   }
 
+  test("CDC: a streaming reader over the table root picks up new commits") {
+    val lake = new DataLakehouse(spark, tempDir("cdclake"))
+    val good = OhlcvBar("AAPL", Timestamp.valueOf("2024-06-15 10:30:00"),
+      150, 155, 149, 153, 1000, AssetClass.Equity)
+    lake.ingestBatch(Seq(good))
+    // S15: file-source streaming read of the lakehouse data dir = CDC feed
+    val cdc = spark.readStream.schema(model.ohlcvSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"${lake.root}/date=*")
+    val q = cdc.writeStream.format("memory").queryName("cdc_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cdc_test").count() == 1)
+      lake.ingestBatch(Seq(good.copy(symbol = "GOOG"),
+        good.copy(symbol = "MSFT")))
+      q.processAllAvailable()
+      assert(spark.table("cdc_test").count() == 3) // new commit streamed in
+    } finally q.stop()
+  }
+
   test("sessionization groups events separated by less than the gap") {
     val df = Seq(
       ("u1", new Timestamp(0L)), ("u1", new Timestamp(60 * 1000L)),
