@@ -50,8 +50,8 @@ object SimilaritySearch {
     val base = excludeId.fold(df)(id => df.filter(col(idCol) =!= id))
     base
       .select(col(idCol),
-        round(VectorOps.cosine(VectorOps.toDoubles(col(vecCol)), q), 4)
-          .as("cosine"))
+        round(graft.functions.CosineSimilarity.cosineFast(spark,
+          col(vecCol), q), 4).as("cosine"))
       .orderBy($"cosine".desc, col(idCol))
       .limit(k)
   }

@@ -82,11 +82,14 @@ object DedupQueries {
     val emb = Tables.load(s, dir, "embeddings")
     val q = emb.filter($"vec_id" === 0)
       .select(VectorOps.toDoubles($"embedding").as("qvec"))
+    // fused native expression (functions.CosineSimilarity): identical
+    // element-sequential accumulation to the HOF form, one pass, no
+    // intermediate array — the 100 TB scan kernel.
     emb.filter($"vec_id" =!= 0)
       .crossJoin(broadcast(q))
       .select($"vec_id",
-        round(VectorOps.cosine(VectorOps.toDoubles($"embedding"), $"qvec"), 4)
-          .as("cosine"))
+        round(graft.functions.CosineSimilarity.cosineFast(s,
+          $"embedding", $"qvec"), 4).as("cosine"))
       .orderBy($"cosine".desc, $"vec_id")
       .limit(10)
   }

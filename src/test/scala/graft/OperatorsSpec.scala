@@ -85,6 +85,27 @@ class OperatorsSpec extends SparkSpec {
     assert(top.head._1 == 1L) // closest remaining vector
   }
 
+  test("native CosineSimilarity expression: codegen path == HOF path, SQL-callable") {
+    val df = (0 until 100).map { i =>
+      (i.toLong, Array.tabulate(16)(j => (math.sin(i * 16 + j) * 10).toFloat))
+    }.toDF("id", "v")
+    val q = array((0 until 16).map(j => lit(math.cos(j))): _*)
+    val both = df.select(
+      graft.functions.CosineSimilarity.cosineFast(spark, $"v", q).as("fast"),
+      graft.functions.VectorOps.cosine(
+        graft.functions.VectorOps.toDoubles($"v"), q).as("hof"))
+    // bit-identical: same element-sequential double accumulation
+    assert(both.filter($"fast" =!= $"hof").count() == 0)
+    // SQL surface
+    graft.functions.CosineSimilarity.register(spark)
+    df.createOrReplaceTempView("cosvec")
+    val viaSql = spark.sql(
+      "SELECT graft_cosine(CAST(v AS ARRAY<DOUBLE>), CAST(v AS ARRAY<DOUBLE>)) c FROM cosvec")
+      .agg(min($"c"), max($"c")).head()
+    assert(math.abs(viaSql.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(viaSql.getDouble(1) - 1.0) < 1e-12)
+  }
+
   test("vector ops: dot/norm/cosine agree with hand math") {
     val df = Seq((Array(3.0, 4.0), Array(4.0, 3.0))).toDF("a", "b")
     val r = df.select(
