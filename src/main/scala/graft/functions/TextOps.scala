@@ -47,4 +47,27 @@ object TextOps {
     val arr = array(markers.map(lit): _*)
     size(filter(toks, t => array_contains(arr, t)))
   }
+
+  /** BPE-ish subword tokens: alternating alphanumeric runs and individual
+    * punctuation marks — the pre-tokenization split most BPE vocabularies
+    * assume. ASCII classes only, so Java-regex and RE2 agree.
+    */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  /** Character n-grams of a string ("rolling window"). */
+  def charNgrams(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      transform(sequence(lit(1), length(text) - (n - 1)),
+        i => substring(text, i, lit(n)))
+    ).otherwise(array().cast("array<string>"))
+
+  /** Document fingerprint (rolling-hash family, winnowing-style): the
+    * bottom-k sketch of the char-n-gram hash set. Two documents' sketch
+    * overlap estimates their n-gram Jaccard; identical prefixes/edits
+    * barely move the sketch. k hashes per doc regardless of length.
+    */
+  def fingerprint(text: Column, n: Int = 8, k: Int = 16): Column =
+    slice(array_sort(array_distinct(
+      transform(charNgrams(text, n), g => xxhash64(g)))), 1, k)
 }

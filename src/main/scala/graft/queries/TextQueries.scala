@@ -103,15 +103,47 @@ object TextQueries {
       |  count(*) AS cnt, round(avg(en_score), 4) AS avg_score
       |FROM sc GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin
 
+  // q41 — token counting two ways (A10): whitespace words vs BPE-ish
+  // subword pre-tokenization (alphanumeric runs + punctuation marks).
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id",
+        size(TextOps.tokens($"text")).as("ws_tokens"),
+        size(TextOps.bpeishTokens($"text")).as("bpeish_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  private val q41Sql =
+    """SELECT doc_id,
+      |  len(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS ws_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS bpeish_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // q42 — document fingerprints (rolling-hash bottom-k sketch): xxhash64-
+  // based, so rows-only. Sketch overlap across the corpus approximates
+  // char-8-gram Jaccard; output the per-doc sketch head for inspection.
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id",
+        TextOps.fingerprint($"text", n = 8, k = 16).as("fp"))
+      .select($"doc_id", $"fp"(0).as("fp0"), size($"fp").as("fp_len"))
+      .orderBy($"doc_id")
+  }
+
   val defs: Seq[(String, QFn)] = Seq(
     "q19_top_tokens" -> (q19 _),
     "q20_lang_profile" -> (q20 _),
     "q21_text_quality" -> (q21 _),
-    "q22_langid" -> (q22 _))
+    "q22_langid" -> (q22 _),
+    "q41_token_counting" -> (q41 _),
+    "q42_fingerprint" -> (q42 _))
 
   val oracle: Seq[(String, String)] = Seq(
     "q19_top_tokens" -> q19Sql,
     "q20_lang_profile" -> q20Sql,
     "q21_text_quality" -> q21Sql,
-    "q22_langid" -> q22Sql)
+    "q22_langid" -> q22Sql,
+    "q41_token_counting" -> q41Sql)
 }

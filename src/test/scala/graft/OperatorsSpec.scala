@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextOps, VectorOps}
-import graft.operators.{AsOfJoin, Dedup, SimilaritySearch}
+import graft.operators.{AsOfJoin, Dedup, SimilaritySearch, Skew}
 
 /** Unit specs for the custom operators (SURVEY.md §2.3 J5, §2.10). */
 class OperatorsSpec extends SparkSpec {
@@ -104,6 +104,48 @@ class OperatorsSpec extends SparkSpec {
       .agg(min($"c"), max($"c")).head()
     assert(math.abs(viaSql.getDouble(0) - 1.0) < 1e-12)
     assert(math.abs(viaSql.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("salted aggregation == plain aggregation") {
+    val df = (0 until 1000).map(i => (if (i < 900) "hot" else s"k$i", i.toDouble))
+      .toDF("key", "v") // 90% of rows on one key: the skew shape
+    val plain = df.groupBy($"key")
+      .agg(sum($"v").as("sum_v"), count(lit(1)).as("cnt"))
+      .orderBy($"key").collect().toSeq
+    val salted = Skew.saltedSumCount(df, Seq("key"), "v", salts = 8)
+      .orderBy($"key").collect().toSeq
+    assert(salted.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))) ==
+      plain.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))))
+  }
+
+  test("salted join == plain join") {
+    val big = (0 until 500).map(i => (if (i % 2 == 0) 1L else i.toLong, i))
+      .toDF("k", "payload")
+    val dim = Seq((1L, "one"), (3L, "three"), (5L, "five")).toDF("dk", "name")
+    val plain = big.join(dim, $"k" === $"dk")
+      .select($"payload", $"name").as[(Int, String)].collect().toSet
+    val salted = Skew.saltedJoin(big, dim, "k", "dk", salts = 4)
+      .select($"payload", $"name").as[(Int, String)].collect().toSet
+    assert(salted == plain)
+  }
+
+  test("fingerprint: stable under small edits, disjoint for unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val edited = base + " tail"
+    val other = "completely different content with nothing shared at all ok"
+    val fps = Seq(base, edited, other).toDF("text")
+      .select(TextOps.fingerprint($"text", 8, 16).as("fp"))
+      .as[Seq[Long]].collect()
+    def overlap(a: Seq[Long], b: Seq[Long]) = a.toSet.intersect(b.toSet).size
+    assert(overlap(fps(0), fps(1)) >= 12) // near-dup: sketch barely moves
+    assert(overlap(fps(0), fps(2)) == 0)  // unrelated: disjoint
+    assert(fps(0).size == 16)
+  }
+
+  test("bpeish tokens split punctuation from words") {
+    val r = Seq("Hello, world! x2").toDF("text")
+      .select(TextOps.bpeishTokens($"text")).as[Seq[String]].head()
+    assert(r == Seq("hello", ",", "world", "!", "x2"))
   }
 
   test("vector ops: dot/norm/cosine agree with hand math") {
