@@ -152,7 +152,34 @@ object DedupQueries {
       numPlanes = 4, excludeId = Some(0L))
   }
 
+  // q43 — embedding-cosine near-duplicate pairs (the vector twin of q24):
+  // exact all-pairs at oracle scale; the LSH-bucketed variants (q29) are
+  // the 100 TB path. The fused native cosine keeps the O(n²/2) scan
+  // inside whole-stage codegen.
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "embeddings")
+      .select($"vec_id", $"embedding")
+    val a = e.select($"vec_id".as("a_id"), $"embedding".as("a_v"))
+    val b = e.select($"vec_id".as("b_id"), $"embedding".as("b_v"))
+    a.join(b, $"a_id" < $"b_id")
+      .withColumn("cosine",
+        graft.functions.CosineSimilarity.cosineFast(s, $"a_v", $"b_v"))
+      .filter($"cosine" >= 0.35)
+      .select($"a_id", $"b_id", round($"cosine", 4).as("cosine"))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  private val q43Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+      |SELECT a.vec_id a_id, b.vec_id b_id,
+      |  round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+      |ORDER BY a_id, b_id""".stripMargin
+
   val defs: Seq[(String, QFn)] = Seq(
+    "q43_embedding_neardup" -> (q43 _),
     "q23_dedup_exact" -> (q23 _),
     "q24_neardup_jaccard" -> (q24 _),
     "q25_cosine_topk" -> (q25 _),
@@ -162,6 +189,7 @@ object DedupQueries {
     "q29_ann_lsh" -> (q29 _))
 
   val oracle: Seq[(String, String)] = Seq(
+    "q43_embedding_neardup" -> q43Sql,
     "q23_dedup_exact" -> q23Sql,
     "q24_neardup_jaccard" -> q24Sql,
     "q25_cosine_topk" -> q25Sql,

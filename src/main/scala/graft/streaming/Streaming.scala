@@ -1,11 +1,18 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
 
 import graft.model
 import graft.sources.DataLakehouse
+
+/** Input/state/output records for the custom-state operator (T-series:
+  * mapGroupsWithState needs product encoders at top level).
+  */
+final case class SymbolTick(symbol: String, price: Double, volume: Long)
+final case class VwapState(pv: Double, vol: Double, n: Long)
+final case class VwapUpdate(symbol: String, vwap: Double, nTicks: Long)
 
 /** Streaming tier (SURVEY.md §2.9): the reference's declared ring-buffer →
   * 100 ms flush ingest path (README.md:36-37,50,127) re-expressed as
@@ -95,6 +102,27 @@ object Streaming {
       .agg(count(lit(1)).as("n_events"))
       .select(col(keyCol), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"))
+
+  /** Custom stateful streaming operator (SURVEY §2.9 /
+    * KeyValueGroupedDataset.mapGroupsWithState): running exact VWAP per
+    * symbol, state carried across micro-batches. Emits one update per
+    * touched symbol per batch (Update output mode). State is two doubles
+    * and a count per live symbol — bounded by symbol cardinality, not
+    * stream length.
+    */
+  def runningVwap(ticks: Dataset[SymbolTick]): Dataset[VwapUpdate] = {
+    import ticks.sparkSession.implicits._
+    ticks
+      .groupByKey(_.symbol)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (sym: String, it: Iterator[SymbolTick], state: GroupState[VwapState]) =>
+          val s1 = it.foldLeft(state.getOption.getOrElse(VwapState(0, 0, 0))) {
+            (s, t) => VwapState(s.pv + t.price * t.volume, s.vol + t.volume, s.n + 1)
+          }
+          state.update(s1)
+          VwapUpdate(sym, s1.pv / s1.vol, s1.n)
+      }
+  }
 
   /** Streaming dedup within the watermark horizon (T5: README.md:41's
     * dedup gate, stateful form).

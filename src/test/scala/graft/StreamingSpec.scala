@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.sources.DataLakehouse
-import graft.streaming.Streaming
+import graft.streaming.{Streaming, SymbolTick}
 
 /** Streaming tier specs (SURVEY.md §2.9): tick→bar resampling (T3),
   * watermark bounds (T4), streaming dedup (T5), and the end-to-end
@@ -75,6 +75,41 @@ class StreamingSpec extends SparkSpec {
     assert(lake.deadLetterCount() == 1)
     // batch commits are keyed: the txn log records batch t-0 exactly once
     assert(lake.txnLog.commits().count(_.batchId.exists(_.startsWith("t-"))) == 1)
+  }
+
+  test("mapGroupsWithState: running VWAP carries state across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[SymbolTick]
+    val q = Streaming.runningVwap(mem.toDS())
+      .writeStream.format("memory").queryName("vwap_state_test")
+      .outputMode("update").start()
+    try {
+      mem.addData(SymbolTick("AAPL", 10.0, 100), SymbolTick("AAPL", 20.0, 100))
+      q.processAllAvailable()
+      val r1 = spark.table("vwap_state_test")
+        .filter($"symbol" === "AAPL").orderBy($"nTicks".desc).head()
+      assert(r1.getAs[Double]("vwap") == 15.0 && r1.getAs[Long]("nTicks") == 2)
+      // second batch: state must accumulate, not reset
+      mem.addData(SymbolTick("AAPL", 30.0, 200))
+      q.processAllAvailable()
+      val r2 = spark.table("vwap_state_test")
+        .filter($"symbol" === "AAPL").orderBy($"nTicks".desc).head()
+      assert(r2.getAs[Long]("nTicks") == 3)
+      assert(math.abs(r2.getAs[Double]("vwap") - (10.0*100 + 20.0*100 + 30.0*200) / 400.0) < 1e-12)
+    } finally q.stop()
+  }
+
+  test("VwapAggregator (typed UDAF) equals the composed built-in form") {
+    val df = Seq(("A", 10.0, 100L), ("A", 20.0, 300L), ("B", 5.0, 10L))
+      .toDF("sym", "price", "vol")
+    val viaUdaf = df.groupBy($"sym")
+      .agg(graft.functions.VwapAggregator.vwap($"price", $"vol".cast("double"))
+        .as("vwap"))
+    val viaBuiltin = df.groupBy($"sym")
+      .agg((sum($"price" * $"vol") / sum($"vol")).as("vwap"))
+    val a = viaUdaf.orderBy($"sym").as[(String, Double)].collect().toSeq
+    val b = viaBuiltin.orderBy($"sym").as[(String, Double)].collect().toSeq
+    assert(a == b)
   }
 
   test("CDC: a streaming reader over the table root picks up new commits") {
