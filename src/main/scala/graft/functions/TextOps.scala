@@ -21,6 +21,12 @@ object TextOps {
   /** n-word shingles ("w1 w2 w3") of a token array; empty when fewer than
     * `n` tokens (guard needed: Spark's `sequence(a, b)` generates a
     * *descending* range when a > b rather than an empty one).
+    *
+    * PERF: pass a *materialized column* (project `tokens(...)` first in a
+    * select below the consuming Generate/explode), never the tokens
+    * expression inline — the lambda references `toks` per element, and
+    * CollapseProject would re-evaluate the whole tokenization once per
+    * shingle per row (measured 10-30x slowdown on the dedup pipeline).
     */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,

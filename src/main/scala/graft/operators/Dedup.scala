@@ -72,9 +72,9 @@ object Dedup {
     // subplans). At cluster scale this is the same persist/checkpoint you
     // would put after the expensive narrow stage.
     val shex = df
-      .select(col(idCol).as("id"),
-        explode(array_distinct(
-          TextOps.shingles(TextOps.tokens(col(textCol)), shingleLen))).as("sh"))
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select($"id",
+        explode(array_distinct(TextOps.shingles($"toks", shingleLen))).as("sh"))
       .select($"id", xxhash64($"sh").as("h"))
       .persist()
 

@@ -35,11 +35,12 @@ object DedupQueries {
   // shingle, pairs only within posting lists (vs O(n²) all-pairs).
   private def q24(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // persisted: the self-join + size join would otherwise re-tokenize 3x
+    // tokens materialized in their own projection (see TextOps.shingles
+    // PERF note), then persisted: self-join + size join reuse it
     val sh = Tables.load(s, dir, "documents")
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
       .select($"doc_id",
-        explode(array_distinct(TextOps.shingles(TextOps.tokens($"text"), 3)))
-          .as("sh"))
+        explode(array_distinct(TextOps.shingles($"toks", 3))).as("sh"))
       .persist()
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     // Shingles appearing in a single document cannot produce a pair —
