@@ -74,6 +74,26 @@ object Bench {
       end = Some(new Timestamp(1718582400000L)))
     qr.df.write.format("noop").mode("overwrite").save()
     val querySec = (System.nanoTime() - t1) / 1e9
-    Seq("lake_ingest_200k" -> ingestSec, "lake_pruned_filter" -> querySec)
+
+    // DataFrame-native append: 2M synthesized bars straight through
+    // validation + clustering + parquet + txn commit, no driver-side
+    // materialization — the scale-path ingest (streaming foreachBatch
+    // takes exactly this route).
+    import org.apache.spark.sql.functions._
+    val df2m = spark.range(2000000).select(
+      concat(lit("SYM"), pmod(col("id"), lit(20))).as("symbol"),
+      timestamp_millis(lit(1718409600000L) + pmod(col("id"), lit(10)) * 86400000L
+        + (col("id") / 10).cast("long")).as("timestamp"),
+      (lit(100.0) + pmod(col("id"), lit(50))).as("open"),
+      (lit(160.0) + pmod(col("id"), lit(50))).as("high"),
+      (lit(90.0) + pmod(col("id"), lit(50))).as("low"),
+      (lit(120.0) + pmod(col("id"), lit(50))).as("close"),
+      (lit(1000L) + col("id")).as("volume"),
+      lit("equity").as("asset_class"))
+    val t2 = System.nanoTime()
+    lake.appendDF(df2m)
+    val appendSec = (System.nanoTime() - t2) / 1e9
+    Seq("lake_ingest_200k" -> ingestSec, "lake_pruned_filter" -> querySec,
+      "lake_append_2m" -> appendSec)
   }
 }
