@@ -66,8 +66,48 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native fused dot product over two `array<double>` columns — the
+  * building block for pair scans that precompute per-vector norms once
+  * (cosine = dot / (norm_a · norm_b) is then float-identical to the fused
+  * [[CosineSimilarity]], same operation order on the same doubles).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 object CosineSimilarity {
   private val fnName = "graft_cosine"
+  private val dotName = "graft_dot"
 
   /** Register in the session's function registry (also exposes the
     * function to SQL text as `graft_cosine(a, b)`).
@@ -80,5 +120,12 @@ object CosineSimilarity {
   def cosineFast(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function(fnName, a.cast("array<double>"), b.cast("array<double>"))
+  }
+
+  /** Column API: fused dot product (inputs cast to array<double>). */
+  def dotFast(spark: SparkSession, a: Column, b: Column): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      dotName, exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    call_function(dotName, a.cast("array<double>"), b.cast("array<double>"))
   }
 }
