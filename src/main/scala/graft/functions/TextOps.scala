@@ -68,10 +68,12 @@ object TextOps {
         i => substring(text, i, lit(n)))
     ).otherwise(array().cast("array<string>"))
 
-  /** Document fingerprint (rolling-hash family, winnowing-style): the
-    * bottom-k sketch of the char-n-gram hash set. Two documents' sketch
-    * overlap estimates their n-gram Jaccard; identical prefixes/edits
-    * barely move the sketch. k hashes per doc regardless of length.
+  /** Document fingerprint (rolling-hash family; cf. Schleimer, Wilkerson &
+    * Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003 — this is the global bottom-k variant): the bottom-k
+    * sketch of the char-n-gram hash set. Two documents' sketch overlap
+    * estimates their n-gram Jaccard; identical prefixes/edits barely move
+    * the sketch. k hashes per doc regardless of length.
     */
   def fingerprint(text: Column, n: Int = 8, k: Int = 16): Column =
     slice(array_sort(array_distinct(

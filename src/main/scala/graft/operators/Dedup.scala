@@ -6,9 +6,12 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextOps
 
 /** Near-duplicate detection for large text corpora (SURVEY.md §2.10 D1-D2):
-  * exact keyed dedup, MinHash+LSH, and SimHash — the standard toolkit of an
-  * LLM-training-data pipeline, built entirely from codegen'd built-ins
-  * (xxhash64 + higher-order functions), no UDFs.
+  * exact keyed dedup, MinHash+LSH (Broder, "On the resemblance and
+  * containment of documents", 1997; banding per Leskovec/Rajaraman/Ullman,
+  * Mining of Massive Datasets ch.3), and SimHash (Charikar, "Similarity
+  * estimation techniques from rounding algorithms", STOC 2002) — the
+  * standard toolkit of an LLM-training-data pipeline, built entirely from
+  * codegen'd built-ins (xxhash64 + higher-order functions), no UDFs.
   *
   * Scale shape: signatures are computed map-side (narrow); the only shuffle
   * is the explode-on-band → self-join on bucket, which is exactly the

@@ -33,6 +33,9 @@ object DedupQueries {
   // q24 — exact 3-gram Jaccard near-dup pairs via shingle inverted index
   // (D2). The shingle self-join is the scalable formulation: shuffle on
   // shingle, pairs only within posting lists (vs O(n²) all-pairs).
+  // Public: q46 reuses the pair set for edit-distance verification.
+  def neardupPairs(s: SparkSession, dir: String): DataFrame = q24(s, dir)
+
   private def q24(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // tokens materialized in their own projection (see TextOps.shingles

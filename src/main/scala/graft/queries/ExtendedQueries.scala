@@ -234,7 +234,104 @@ object ExtendedQueries {
       |  AND v_ts >= p_ts - 3600000000 AND v_ts < p_ts
       |GROUP BY p_id ORDER BY p_id""".stripMargin
 
+  // q44 — PIVOT (wide-format aggregation): per-user event-type counts.
+  // Spark's pivot == conditional aggregation; the oracle states it that
+  // way (portable), with explicit 0 for absent combinations.
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = t(s, dir, "events")
+      .filter($"user_id" < 30)
+      .groupBy($"user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    p.select($"user_id" +: types.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+      .orderBy($"user_id")
+  }
+
+  private val q44Sql =
+    """SELECT user_id,
+      |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+      |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+      |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+      |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+      |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+      |FROM events WHERE user_id < 30
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // q45 — ranking-function family (W-series completeness): rank/dense_rank
+  // /percent_rank/cume_dist over a ties-bearing value ordering, plus
+  // row_number/ntile/lead/first_value over the event-time ordering.
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byValue = Window.partitionBy($"user_id").orderBy($"value")
+    val bySeq = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    t(s, dir, "events")
+      .filter($"user_id" < 10)
+      .select($"user_id", $"event_id",
+        rank().over(byValue).as("rnk"),
+        dense_rank().over(byValue).as("drnk"),
+        round(percent_rank().over(byValue), 4).as("pr"),
+        round(cume_dist().over(byValue), 4).as("cd"),
+        row_number().over(bySeq).as("rn"),
+        ntile(4).over(bySeq).as("quartile"),
+        round(coalesce(lead($"value", 1).over(bySeq), lit(-1.0)), 4).as("next_value"),
+        round(first($"value").over(bySeq), 4).as("first_value"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  private val q45Sql =
+    """SELECT user_id, event_id,
+      |  rank() OVER wv AS rnk,
+      |  dense_rank() OVER wv AS drnk,
+      |  round(percent_rank() OVER wv, 4) AS pr,
+      |  round(cume_dist() OVER wv, 4) AS cd,
+      |  row_number() OVER ws AS rn,
+      |  ntile(4) OVER ws AS quartile,
+      |  round(COALESCE(lead(value, 1) OVER ws, -1.0), 4) AS next_value,
+      |  round(first_value(value) OVER ws, 4) AS first_value
+      |FROM events WHERE user_id < 10
+      |WINDOW wv AS (PARTITION BY user_id ORDER BY value),
+      |       ws AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // q46 — fuzzy matching: edit distance over the near-dup pairs found by
+  // q24 (Levenshtein's unit-cost distance is engine-portable) — the
+  // second-stage verifier of a text-dedup pipeline.
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+      .select($"doc_id", substring($"text", 1, 80).as("head"))
+    DedupQueries.neardupPairs(s, dir)
+      .join(docs.select($"doc_id".as("a_id"), $"head".as("a_head")), "a_id")
+      .join(docs.select($"doc_id".as("b_id"), $"head".as("b_head")), "b_id")
+      .select($"a_id", $"b_id", $"jaccard",
+        levenshtein($"a_head", $"b_head").as("edit_dist"))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  private val q46Sql =
+    """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') ws
+      |  FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |  FROM w, unnest(range(1, len(ws) - 1)) t(i)),
+      |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |jac AS (SELECT a_id, b_id,
+      |    round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+      |  FROM pairs JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+      |  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5)
+      |SELECT a_id, b_id, jaccard,
+      |  levenshtein(substring(da.text, 1, 80), substring(db.text, 1, 80)) AS edit_dist
+      |FROM jac JOIN documents da ON da.doc_id = a_id
+      |         JOIN documents db ON db.doc_id = b_id
+      |ORDER BY a_id, b_id""".stripMargin
+
   val defs: Seq[(String, QFn)] = Seq(
+    "q44_pivot" -> (q44 _),
+    "q45_rank_family" -> (q45 _),
+    "q46_edit_distance" -> (q46 _),
     "q40_range_join" -> (q40 _),
     "q30_multimodal_features" -> (q30 _),
     "q31_frame_sample" -> (q31 _),
@@ -248,6 +345,9 @@ object ExtendedQueries {
     "q39_approx_distinct" -> (q39 _))
 
   val oracle: Seq[(String, String)] = Seq(
+    "q44_pivot" -> q44Sql,
+    "q45_rank_family" -> q45Sql,
+    "q46_edit_distance" -> q46Sql,
     "q40_range_join" -> q40Sql,
     "q30_multimodal_features" -> q30Sql,
     "q31_frame_sample" -> q31Sql,
