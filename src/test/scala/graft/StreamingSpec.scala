@@ -133,6 +133,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("end-to-end pipeline: tick stream -> 1-min bars -> lakehouse -> query") {
+    implicit val sc = spark.sqlContext
+    val lake = new DataLakehouse(spark, tempDir("e2elake"))
+    val mem = MemoryStream[Tick]
+    // two symbols, two minutes of ticks
+    mem.addData(
+      tick(0, "AAPL", 10, 1), tick(30, "AAPL", 14, 2), tick(59, "AAPL", 12, 1),
+      tick(70, "AAPL", 20, 5), tick(10, "GOOG", 100, 3))
+    val bars = Streaming.tickToBars(mem.toDF(), "1 minute", "10 minutes")
+    // complete-mode bars -> validated OHLCV rows -> exactly-once append
+    val q = bars.writeStream.outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val asBars = batch.select(
+          org.apache.spark.sql.functions.col("symbol"),
+          org.apache.spark.sql.functions.col("bar_start").as("timestamp"),
+          org.apache.spark.sql.functions.col("open"),
+          org.apache.spark.sql.functions.col("high"),
+          org.apache.spark.sql.functions.col("low"),
+          org.apache.spark.sql.functions.col("close"),
+          org.apache.spark.sql.functions.col("volume"),
+          org.apache.spark.sql.functions.lit("equity").as("asset_class"))
+        lake.appendDF(asBars.filter(model.barValid), batchId = Some(s"bars-$id"))
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+
+    val qr = lake.query(symbol = Some("AAPL"))
+    val rows = qr.df.orderBy($"timestamp")
+      .select($"open", $"high", $"low", $"close", $"volume")
+      .as[(Double, Double, Double, Double, Long)].collect().toSeq
+    assert(rows == Seq((10.0, 14.0, 10.0, 12.0, 4L), (20.0, 20.0, 20.0, 20.0, 5L)))
+    // the lakehouse's SQL tier answers the canonical VWAP over the bars
+    val vwap = lake.sql(
+      """SELECT symbol, SUM(close * volume) / SUM(volume) AS vwap
+        |FROM trades GROUP BY symbol ORDER BY symbol""".stripMargin)
+      .as[(String, Double)].collect().toSeq
+    assert(vwap.map(_._1) == Seq("AAPL", "GOOG"))
+  }
+
   test("sessionization groups events separated by less than the gap") {
     val df = Seq(
       ("u1", new Timestamp(0L)), ("u1", new Timestamp(60 * 1000L)),
