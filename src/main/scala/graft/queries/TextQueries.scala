@@ -127,7 +127,7 @@ object TextQueries {
     import s.implicits._
     docs(s, dir)
       .select($"doc_id",
-        TextOps.fingerprint($"text", n = 8, k = 16).as("fp"))
+        graft.functions.NgramFingerprint.fingerprintFast(s, $"text").as("fp"))
       .select($"doc_id", $"fp"(0).as("fp0"), size($"fp").as("fp_len"))
       .orderBy($"doc_id")
   }

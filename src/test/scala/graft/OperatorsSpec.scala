@@ -142,6 +142,16 @@ class OperatorsSpec extends SparkSpec {
     assert(fps(0).size == 16)
   }
 
+  test("fast fingerprint expression == HOF fingerprint on ASCII corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(100)
+    val cmp = docs.select(
+      TextOps.fingerprint($"text", 8, 16).as("hof"),
+      graft.functions.NgramFingerprint.fingerprintFast(spark, $"text", 8, 16)
+        .as("fast"))
+    assert(cmp.filter(not($"hof" === $"fast")).count() == 0)
+  }
+
   test("bpeish tokens split punctuation from words") {
     val r = Seq("Hello, world! x2").toDF("text")
       .select(TextOps.bpeishTokens($"text")).as[Seq[String]].head()
