@@ -25,7 +25,7 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
   * is O(commits). Production-scale variants add checkpoints every N
   * commits — straightforward here because snapshots are pure folds.
   */
-final class TxnLog(root: String) {
+final class TxnLog(root: String, checkpointInterval: Int = 10) {
   private val mapper = new ObjectMapper()
   private val logDir: Path = Paths.get(root, "_txn_log")
 
@@ -84,6 +84,7 @@ final class TxnLog(root: String) {
       try {
         // CREATE_NEW semantics: move fails if the target exists.
         Files.move(tmp, versionPath(v), StandardCopyOption.ATOMIC_MOVE)
+        maybeCheckpoint(v)
         return v
       } catch {
         case _: java.nio.file.FileAlreadyExistsException
@@ -102,10 +103,59 @@ final class TxnLog(root: String) {
   def hasBatch(batchId: String): Boolean =
     commits().exists(_.batchId.contains(batchId))
 
-  /** Live file list (relative paths) at a version (default: latest). */
+  // ---- checkpoints: O(commits) replay → O(interval) snapshot resolution.
+  // Every `checkpointInterval` commits the full live file list is written
+  // to checkpoint-v%08d.json; snapshot(v) replays only the tail after the
+  // newest checkpoint <= v. At 100 ms flush cadence (864k commits/day,
+  // README.md:37) unbounded replay would dominate query planning.
+
+  private def checkpointPath(v: Long): Path =
+    logDir.resolve(f"checkpoint-v$v%08d.json")
+
+  private def maybeCheckpoint(v: Long): Unit =
+    if (checkpointInterval > 0 && v > 0 && v % checkpointInterval == 0) {
+      val node: ObjectNode = mapper.createObjectNode()
+      node.put("version", v)
+      val a: ArrayNode = node.putArray("files")
+      snapshotFiles(v).foreach(a.add)
+      val tmp = Files.createTempFile(logDir, ".ckpt", ".tmp")
+      Files.write(tmp, mapper.writeValueAsString(node)
+        .getBytes(StandardCharsets.UTF_8))
+      try Files.move(tmp, checkpointPath(v), StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileSystemException =>
+        Files.deleteIfExists(tmp) // lost a race; that checkpoint exists
+      }
+    }
+
+  /** Newest checkpoint at or below `v`, if any: (version, live files). */
+  private def latestCheckpoint(v: Long): Option[(Long, Seq[String])] = {
+    if (!Files.isDirectory(logDir)) return None
+    val best = Files.list(logDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.matches("checkpoint-v\\d{8}\\.json") =>
+        s.substring(12, 20).toLong }
+      .filter(_ <= v)
+      .foldLeft(-1L)(math.max)
+    if (best < 0) None
+    else {
+      val node = mapper.readTree(Files.readAllBytes(checkpointPath(best)))
+      Some((best, node.get("files").elements().asScala.map(_.asText()).toSeq))
+    }
+  }
+
+  /** Live file list (relative paths) at a version (default: latest).
+    * Starts from the newest checkpoint <= version, replaying only the
+    * commit tail.
+    */
   def snapshotFiles(version: Long = Long.MaxValue): Seq[String] = {
+    val cur = currentVersion()
+    val upTo = math.min(cur, version)
+    val (from, initial) = latestCheckpoint(upTo)
+      .map { case (cv, files) => (cv + 1, files) }
+      .getOrElse((0L, Seq.empty[String]))
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    commits(version).foreach { c =>
+    live ++= initial
+    (from to upTo).map(read).foreach { c =>
       live ++= c.added
       live --= c.removed
     }

@@ -149,6 +149,22 @@ class LakehouseSpec extends SparkSpec {
     assert(lake.query().count == 10) // latest snapshot unaffected by vacuum
   }
 
+  test("txn-log checkpoints accelerate snapshots without changing them") {
+    val lake = newLake() // checkpoint interval 10
+    (0 until 12).foreach(i => lake.ingestBatch(Seq(bar(i))))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      lake.root, "_txn_log", "checkpoint-v00000010.json")))
+    // checkpointed resolution == naive full replay, at every version shape:
+    // before / at / after the checkpoint, and head
+    for (v <- Seq(3L, 10L, 11L, Long.MaxValue)) {
+      val naive = scala.collection.mutable.LinkedHashSet.empty[String]
+      lake.txnLog.commits(v).foreach { c => naive ++= c.added; naive --= c.removed }
+      assert(lake.txnLog.snapshotFiles(v).toSet == naive.toSet, s"v=$v")
+    }
+    assert(lake.query().count == 12)
+    assert(lake.timeTravel(4).count() == 5)
+  }
+
   test("idempotent batch commits (streaming exactly-once hook)") {
     val lake = newLake()
     import spark.implicits._

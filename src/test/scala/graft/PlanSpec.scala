@@ -1,0 +1,57 @@
+package graft
+
+/** Physical-plan regression net: the scale-critical plan properties the
+  * engine relies on (predicate pushdown, column pruning, broadcast of
+  * dims, true top-k) must survive query edits — a silent regression here
+  * costs nothing at sf0.01 and everything at 100 TB.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q03: both ts range bounds and the type predicate push to parquet") {
+    val p = plan("q03_filter_project")
+    // (the PushedFilters line is truncated in toString — the lower bound
+    // proves range pushdown; the upper bound shows in the Filter node)
+    assert(p.contains("EqualTo(event_type,purchase), GreaterThanOrEqual(ts,"), p)
+    assert(p.contains("< 1705708800000000000"), p)
+  }
+
+  test("q01: column pruning reads only the 6 referenced lineitem columns") {
+    val p = plan("q01_pricing_summary")
+    val read = p.split("\n").find(_.contains("ReadSchema")).get
+    assert(read.contains("l_quantity") && read.contains("l_returnflag"), read)
+    assert(!read.contains("l_partkey") && !read.contains("l_suppkey"), read)
+  }
+
+  test("q04: both dimension tables broadcast") {
+    val p = plan("q04_dim_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q02/q25: ORDER BY + LIMIT plans as true top-k, not a full sort") {
+    assert(plan("q02_vwap_topk").contains("TakeOrderedAndProject"))
+    assert(plan("q25_cosine_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q37: per-group top-k inserts a WindowGroupLimit before the shuffle") {
+    // Spark 3.5+ pushes rank<=k filters into partial WindowGroupLimit on
+    // the map side — the property that makes per-group top-k scale.
+    assert(plan("q37_topk_per_group").contains("WindowGroupLimit"))
+  }
+
+  test("lakehouse query: symbol filter pushes to parquet on clustered files") {
+    import java.sql.Timestamp
+    val lake = new graft.sources.DataLakehouse(spark, tempDir("planlake"))
+    val bar = OhlcvBar("AAPL", Timestamp.valueOf("2024-06-15 10:30:00"),
+      150, 155, 149, 153, 1000, AssetClass.Equity)
+    lake.ingestBatch(Seq(bar, bar.copy(symbol = "GOOG")))
+    val p = lake.query(symbol = Some("AAPL")).df
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(symbol), EqualTo(symbol,AAPL)]"), p)
+  }
+}
