@@ -7,12 +7,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQ
 import graft.model
 import graft.sources.DataLakehouse
 
-/** Input/state/output records for the custom-state operator (T-series:
+/** Input/state/output records for the custom-state operators (T-series:
   * mapGroupsWithState needs product encoders at top level).
   */
 final case class SymbolTick(symbol: String, price: Double, volume: Long)
 final case class VwapState(pv: Double, vol: Double, n: Long)
 final case class VwapUpdate(symbol: String, vwap: Double, nTicks: Long)
+
+final case class TsTick(symbol: String, tsMs: Long, price: Double, volume: Long)
+final case class OpenBar(barStartMs: Long, open: Double, high: Double,
+    low: Double, close: Double, volume: Long)
+final case class ClosedBar(symbol: String, barStartMs: Long, open: Double,
+    high: Double, low: Double, close: Double, volume: Long)
 
 /** Streaming tier (SURVEY.md §2.9): the reference's declared ring-buffer →
   * 100 ms flush ingest path (README.md:36-37,50,127) re-expressed as
@@ -121,6 +127,46 @@ object Streaming {
           }
           state.update(s1)
           VwapUpdate(sym, s1.pv / s1.vol, s1.n)
+      }
+  }
+
+  /** Append-mode custom state (flatMapGroupsWithState): close-on-advance
+    * bar construction. A symbol's in-progress bar lives in state; when a
+    * tick from a later minute arrives, every completed minute's bar is
+    * EMITTED (append semantics — each bar exactly once) and the new open
+    * bar replaces the state. Complements [[tickToBars]]: that form emits
+    * evolving aggregates per trigger; this one emits only finalized bars,
+    * the contract a downstream lakehouse append wants.
+    */
+  def barCloser(ticks: Dataset[TsTick],
+      barMs: Long = 60000L): Dataset[ClosedBar] = {
+    import ticks.sparkSession.implicits._
+    ticks
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (sym: String, it: Iterator[TsTick], state: GroupState[OpenBar]) =>
+          val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedBar]
+          var cur = state.getOption
+          it.toSeq.sortBy(t => (t.tsMs, t.price)).foreach { t =>
+            val start = t.tsMs - (t.tsMs % barMs)
+            cur match {
+              case Some(b) if b.barStartMs == start =>
+                cur = Some(b.copy(high = math.max(b.high, t.price),
+                  low = math.min(b.low, t.price), close = t.price,
+                  volume = b.volume + t.volume))
+              case Some(b) =>
+                closed += ClosedBar(sym, b.barStartMs, b.open, b.high, b.low,
+                  b.close, b.volume)
+                cur = Some(OpenBar(start, t.price, t.price, t.price, t.price,
+                  t.volume))
+              case None =>
+                cur = Some(OpenBar(start, t.price, t.price, t.price, t.price,
+                  t.volume))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
       }
   }
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.sources.DataLakehouse
-import graft.streaming.{Streaming, SymbolTick}
+import graft.streaming.{Streaming, SymbolTick, TsTick}
 
 /** Streaming tier specs (SURVEY.md §2.9): tick→bar resampling (T3),
   * watermark bounds (T4), streaming dedup (T5), and the end-to-end
@@ -96,6 +96,31 @@ class StreamingSpec extends SparkSpec {
         .filter($"symbol" === "AAPL").orderBy($"nTicks".desc).head()
       assert(r2.getAs[Long]("nTicks") == 3)
       assert(math.abs(r2.getAs[Double]("vwap") - (10.0*100 + 20.0*100 + 30.0*200) / 400.0) < 1e-12)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState: bars emitted exactly once, on minute advance") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[TsTick]
+    val q = Streaming.barCloser(mem.toDS())
+      .writeStream.format("memory").queryName("barcloser_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: minute 0 ticks + one minute-1 tick -> closes bar 0
+      mem.addData(TsTick("AAPL", 1000, 10, 1), TsTick("AAPL", 30000, 14, 2),
+        TsTick("AAPL", 61000, 20, 5))
+      q.processAllAvailable()
+      val bars1 = spark.table("barcloser_test")
+        .as[(String, Long, Double, Double, Double, Double, Long)].collect().toSeq
+      assert(bars1 == Seq(("AAPL", 0L, 10.0, 14.0, 10.0, 14.0, 3L)))
+      // batch 2: minute 2 tick -> closes bar 1 (state crossed the batch)
+      mem.addData(TsTick("AAPL", 121000, 30, 1))
+      q.processAllAvailable()
+      val bars2 = spark.table("barcloser_test").orderBy($"barStartMs")
+        .as[(String, Long, Double, Double, Double, Double, Long)].collect().toSeq
+      assert(bars2 == Seq(
+        ("AAPL", 0L, 10.0, 14.0, 10.0, 14.0, 3L),
+        ("AAPL", 60000L, 20.0, 20.0, 20.0, 20.0, 5L)))
     } finally q.stop()
   }
 
