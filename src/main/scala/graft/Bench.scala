@@ -80,20 +80,42 @@ object Bench {
     // materialization — the scale-path ingest (streaming foreachBatch
     // takes exactly this route).
     import org.apache.spark.sql.functions._
+    // realistic price shapes (cents) — synthetic integers would flatter
+    // the CSV side of the storage comparison
+    val cents = pmod(col("id") * 37L, lit(100)).cast("double") / 100.0
     val df2m = spark.range(2000000).select(
       concat(lit("SYM"), pmod(col("id"), lit(20))).as("symbol"),
       timestamp_millis(lit(1718409600000L) + pmod(col("id"), lit(10)) * 86400000L
         + (col("id") / 10).cast("long")).as("timestamp"),
-      (lit(100.0) + pmod(col("id"), lit(50))).as("open"),
-      (lit(160.0) + pmod(col("id"), lit(50))).as("high"),
-      (lit(90.0) + pmod(col("id"), lit(50))).as("low"),
-      (lit(120.0) + pmod(col("id"), lit(50))).as("close"),
+      (lit(100.0) + pmod(col("id"), lit(50)) + cents).as("open"),
+      (lit(160.0) + pmod(col("id"), lit(50)) + cents).as("high"),
+      (lit(90.0) + pmod(col("id"), lit(50)) + cents).as("low"),
+      (lit(120.0) + pmod(col("id"), lit(50)) + cents).as("close"),
       (lit(1000L) + col("id")).as("volume"),
       lit("equity").as("asset_class"))
     val t2 = System.nanoTime()
     lake.appendDF(df2m)
     val appendSec = (System.nanoTime() - t2) / 1e9
+
+    // BASELINE.md bench-protocol bullet 1: pruned filter ≫ full scan.
+    val t3 = System.nanoTime()
+    lake.query().df.write.format("noop").mode("overwrite").save()
+    val fullScanSec = (System.nanoTime() - t3) / 1e9
+
+    // BASELINE.md bench-protocol bullet 3: parquet+snappy ≤ 1/6 of CSV.
+    val csvRoot = java.nio.file.Files.createTempDirectory("benchcsv").toString
+    val csvLake = new DataLakehouse(spark, csvRoot, format = "csv")
+    csvLake.appendDF(df2m)
+    def dirBytes(p: String, suffix: String): Long = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator().asScala
+        .filter(f => f.toString.endsWith(suffix))
+        .map(java.nio.file.Files.size).sum
+    }
+    val ratio = dirBytes(csvRoot, ".csv").toDouble / dirBytes(root, ".parquet")
+
     Seq("lake_ingest_200k" -> ingestSec, "lake_pruned_filter" -> querySec,
-      "lake_append_2m" -> appendSec)
+      "lake_append_2m" -> appendSec, "lake_full_scan" -> fullScanSec,
+      "storage_csv_over_parquet" -> ratio)
   }
 }
