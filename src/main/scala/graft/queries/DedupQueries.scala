@@ -113,7 +113,7 @@ object DedupQueries {
       .join(Tables.load(s, dir, "embeddings"),
         $"doc_id" === $"vec_id")
       .select($"doc_id", $"lang", $"label", $"n_chars",
-        size(TextOps.tokens($"text")).as("n_tokens"),
+        size(TextOps.tokens($"text")).cast("long").as("n_tokens"),
         round(VectorOps.l2Norm(VectorOps.toDoubles($"embedding")), 4)
           .as("emb_norm"))
       .orderBy($"doc_id")

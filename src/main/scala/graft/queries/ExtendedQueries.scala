@@ -22,10 +22,12 @@ object ExtendedQueries {
   private def q30(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val mm = Multimodal.withContent(t(s, dir, "documents"), "text", "doc_id")
+    // BIGINT casts: Spark octet_length/pmod yield int32 where DuckDB's
+    // octet_length yields BIGINT — dtype parity for the hash compare
     mm.select($"doc_id", $"mime",
-        $"meta.n_bytes".as("n_bytes"),
-        Multimodal.stubWidth($"content").as("width"),
-        Multimodal.stubHeight($"content").as("height"),
+        $"meta.n_bytes".cast("long").as("n_bytes"),
+        Multimodal.stubWidth($"content").cast("long").as("width"),
+        Multimodal.stubHeight($"content").cast("long").as("height"),
         Multimodal.stubDurationMs($"content").as("duration_ms"))
       .orderBy($"doc_id")
   }
@@ -161,7 +163,7 @@ object ExtendedQueries {
     val w = Window.partitionBy($"o_orderpriority")
       .orderBy($"o_totalprice".desc, $"o_orderkey")
     t(s, dir, "orders")
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= 3)
       .select($"o_orderpriority", $"rk", $"o_orderkey",
         round($"o_totalprice", 2).as("o_totalprice"))
@@ -269,12 +271,12 @@ object ExtendedQueries {
     t(s, dir, "events")
       .filter($"user_id" < 10)
       .select($"user_id", $"event_id",
-        rank().over(byValue).as("rnk"),
-        dense_rank().over(byValue).as("drnk"),
+        rank().over(byValue).cast("long").as("rnk"),
+        dense_rank().over(byValue).cast("long").as("drnk"),
         round(percent_rank().over(byValue), 4).as("pr"),
         round(cume_dist().over(byValue), 4).as("cd"),
-        row_number().over(bySeq).as("rn"),
-        ntile(4).over(bySeq).as("quartile"),
+        row_number().over(bySeq).cast("long").as("rn"),
+        ntile(4).over(bySeq).cast("long").as("quartile"),
         round(coalesce(lead($"value", 1).over(bySeq), lit(-1.0)), 4).as("next_value"),
         round(first($"value").over(bySeq), 4).as("first_value"))
       .orderBy($"user_id", $"event_id")
@@ -306,7 +308,7 @@ object ExtendedQueries {
       .join(docs.select($"doc_id".as("a_id"), $"head".as("a_head")), "a_id")
       .join(docs.select($"doc_id".as("b_id"), $"head".as("b_head")), "b_id")
       .select($"a_id", $"b_id", $"jaccard",
-        levenshtein($"a_head", $"b_head").as("edit_dist"))
+        levenshtein($"a_head", $"b_head").cast("long").as("edit_dist"))
       .orderBy($"a_id", $"b_id")
   }
 

@@ -61,8 +61,8 @@ object TextQueries {
     docs(s, dir)
       .withColumn("toks", TextOps.tokens($"text"))
       .select($"doc_id",
-        size($"toks").as("n_tokens"),
-        size(array_distinct($"toks")).as("n_distinct"),
+        size($"toks").cast("long").as("n_tokens"),
+        size(array_distinct($"toks")).cast("long").as("n_distinct"),
         round(TextOps.typeTokenRatio($"toks"), 4).as("ttr"),
         round(TextOps.avgTokenLength($"toks"), 4).as("avg_len"))
       .orderBy($"doc_id")
@@ -109,8 +109,8 @@ object TextQueries {
     import s.implicits._
     docs(s, dir)
       .select($"doc_id",
-        size(TextOps.tokens($"text")).as("ws_tokens"),
-        size(TextOps.bpeishTokens($"text")).as("bpeish_tokens"))
+        size(TextOps.tokens($"text")).cast("long").as("ws_tokens"),
+        size(TextOps.bpeishTokens($"text")).cast("long").as("bpeish_tokens"))
       .orderBy($"doc_id")
   }
 

@@ -38,6 +38,12 @@ def main(sf_dir, out_dir):
         if len(spark_df) != len(duck_df):
             print(f"FAIL {name}: rows {len(spark_df)} vs {len(duck_df)}")
             n_fail += 1; continue
+        dt = [(c, str(spark_df[c].dtype), str(duck_df[c].dtype))
+              for c in spark_df.columns
+              if str(spark_df[c].dtype) != str(duck_df[c].dtype)]
+        if dt:
+            print(f"FAIL {name}: dtype mismatch {dt}")
+            n_fail += 1; continue
         # value compare, exact (both sides already rounded per contract)
         mism = []
         for c in spark_df.columns:
