@@ -330,7 +330,57 @@ object ExtendedQueries {
       |         JOIN documents db ON db.doc_id = b_id
       |ORDER BY a_id, b_id""".stripMargin
 
+  // q47 — correlated scalar subquery (SURVEY §4 "subquery decorrelation:
+  // free in Catalyst"): orders priced above their priority class's mean.
+  // Catalyst rewrites the correlation into an aggregate + join.
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS above_avg
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT avg(i.o_totalprice) FROM orders i
+        |                      WHERE i.o_orderpriority = o.o_orderpriority)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  private val q47Sql =
+    """SELECT o_orderpriority, count(*) AS above_avg
+      |FROM orders o
+      |WHERE o_totalprice > (SELECT avg(i.o_totalprice) FROM orders i
+      |                      WHERE i.o_orderpriority = o.o_orderpriority)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // q48 — recursive CTE (Spark 4.x WITH RECURSIVE): dense month spine over
+  // the order-date range, left-joined to monthly order counts — the
+  // calendar-spine pattern that reports zero for gap months.
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT DATE '1995-01-01'
+        |  UNION ALL SELECT m + INTERVAL 1 MONTH FROM months
+        |  WHERE m < DATE '2001-08-01')
+        |SELECT date_format(m, 'yyyy-MM') AS month,
+        |  count(o_orderkey) AS n_orders
+        |FROM months LEFT JOIN orders
+        |  ON date_format(o_orderdate, 'yyyy-MM') = date_format(m, 'yyyy-MM')
+        |GROUP BY 1 ORDER BY month""".stripMargin)
+  }
+
+  private val q48Sql =
+    """WITH RECURSIVE months(m) AS (
+      |  SELECT DATE '1995-01-01'
+      |  UNION ALL SELECT m + INTERVAL 1 MONTH FROM months
+      |  WHERE m < DATE '2001-08-01')
+      |SELECT strftime(m, '%Y-%m') AS month,
+      |  count(o_orderkey) AS n_orders
+      |FROM months LEFT JOIN orders
+      |  ON strftime(o_orderdate, '%Y-%m') = strftime(m, '%Y-%m')
+      |GROUP BY 1 ORDER BY month""".stripMargin
+
   val defs: Seq[(String, QFn)] = Seq(
+    "q47_scalar_subquery" -> (q47 _),
+    "q48_recursive_cte" -> (q48 _),
     "q44_pivot" -> (q44 _),
     "q45_rank_family" -> (q45 _),
     "q46_edit_distance" -> (q46 _),
@@ -347,6 +397,8 @@ object ExtendedQueries {
     "q39_approx_distinct" -> (q39 _))
 
   val oracle: Seq[(String, String)] = Seq(
+    "q47_scalar_subquery" -> q47Sql,
+    "q48_recursive_cte" -> q48Sql,
     "q44_pivot" -> q44Sql,
     "q45_rank_family" -> q45Sql,
     "q46_edit_distance" -> q46Sql,
