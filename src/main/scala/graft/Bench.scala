@@ -40,7 +40,10 @@ object Bench {
     val lakeMetrics = benchLakehouse(spark)
     val qs = (results ++ lakeMetrics).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + lakeMetrics.map(_._2).sum
+    // total sums SECONDS only — ratio-valued metrics are reported in the
+    // queries map but excluded here
+    val total = results.map(_._2).sum +
+      lakeMetrics.filterNot(_._1 == "storage_csv_over_parquet").map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
