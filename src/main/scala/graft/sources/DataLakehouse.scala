@@ -150,12 +150,17 @@ final class DataLakehouse(
   /** Move staged parquet files (under their date= dirs) into the table
     * root; returns their relative paths.
     */
+  /** Files.walk with the stream closed (leaked directory fds otherwise). */
+  private def walkFiles(p: Path): Seq[Path] = {
+    val s = Files.walk(p)
+    try s.iterator().asScala.toList finally s.close()
+  }
+
   private def publishStaged(staging: String): Seq[String] = {
     val stagingPath = Paths.get(staging)
-    val files = Files.walk(stagingPath).iterator().asScala
+    val files = walkFiles(stagingPath)
       .filter(p => (p.toString.endsWith(".parquet") || p.toString.endsWith(".csv"))
         && Files.isRegularFile(p))
-      .toSeq
     val rels = files.map { f =>
       val rel = stagingPath.relativize(f).toString
       val target = Paths.get(root, rel)
@@ -168,8 +173,7 @@ final class DataLakehouse(
   }
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+    if (Files.exists(p)) walkFiles(p).reverse.foreach(Files.deleteIfExists)
 
   // ----------------------------------------------------------------- query
 
@@ -289,11 +293,10 @@ final class DataLakehouse(
   def vacuum(): Long = {
     val live = txnLog.snapshotFiles().toSet
     val rootPath = Paths.get(root)
-    val dataFiles = Files.walk(rootPath).iterator().asScala
+    val dataFiles = walkFiles(rootPath)
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
       .filterNot(p => p.startsWith(rootPath.resolve("_dlq")) ||
         p.startsWith(rootPath.resolve("_staging")))
-      .toSeq
     val dead = dataFiles.filterNot(p => live.contains(rootPath.relativize(p).toString))
     dead.foreach(Files.deleteIfExists(_))
     dead.size.toLong

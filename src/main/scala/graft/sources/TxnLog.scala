@@ -38,10 +38,19 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
 
   private def versionPath(v: Long): Path = logDir.resolve(f"v$v%08d.json")
 
+  /** Directory listing with the stream closed (called per commit — an
+    * unclosed Files.list leaks a directory fd each call).
+    */
+  private def listNames(): Seq[String] =
+    if (!Files.isDirectory(logDir)) Nil
+    else {
+      val s = Files.list(logDir)
+      try s.iterator().asScala.map(_.getFileName.toString).toList
+      finally s.close()
+    }
+
   def currentVersion(): Long =
-    if (!Files.isDirectory(logDir)) -1L
-    else Files.list(logDir).iterator().asScala
-      .map(_.getFileName.toString)
+    listNames()
       .collect { case s if s.matches("v\\d{8}\\.json") => s.substring(1, 9).toLong }
       .foldLeft(-1L)(math.max)
 
@@ -77,7 +86,7 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       node.put("timestampMs", System.currentTimeMillis())
       val a: ArrayNode = node.putArray("added"); added.foreach(a.add)
       val r: ArrayNode = node.putArray("removed"); removed.foreach(r.add)
-      batchId.foreach(node.put("batchId", _))
+      batchId.foreach { b => node.put("batchId", b); knownBatches += b }
       val tmp = Files.createTempFile(logDir, ".commit", ".tmp")
       Files.write(tmp, mapper.writerWithDefaultPrettyPrinter()
         .writeValueAsString(node).getBytes(StandardCharsets.UTF_8))
@@ -98,10 +107,18 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
   }
 
   /** Has a streaming micro-batch already committed? (T6 exactly-once:
-    * foreachBatch replays become no-ops.)
+    * foreachBatch replays become no-ops.) Batch ids are cached after one
+    * log read — a full replay per micro-batch would make a long-lived
+    * stream quadratic in its own commit count. Valid under the
+    * single-writer scope (this process sees every commit it makes).
     */
-  def hasBatch(batchId: String): Boolean =
-    commits().exists(_.batchId.contains(batchId))
+  private lazy val knownBatches: scala.collection.mutable.Set[String] = {
+    val s = scala.collection.mutable.Set.empty[String]
+    commits().foreach(_.batchId.foreach(s += _))
+    s
+  }
+
+  def hasBatch(batchId: String): Boolean = knownBatches.contains(batchId)
 
   // ---- checkpoints: O(commits) replay → O(interval) snapshot resolution.
   // Every `checkpointInterval` commits the full live file list is written
@@ -129,9 +146,7 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
 
   /** Newest checkpoint at or below `v`, if any: (version, live files). */
   private def latestCheckpoint(v: Long): Option[(Long, Seq[String])] = {
-    if (!Files.isDirectory(logDir)) return None
-    val best = Files.list(logDir).iterator().asScala
-      .map(_.getFileName.toString)
+    val best = listNames()
       .collect { case s if s.matches("checkpoint-v\\d{8}\\.json") =>
         s.substring(12, 20).toLong }
       .filter(_ <= v)
