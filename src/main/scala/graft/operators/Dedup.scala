@@ -15,8 +15,9 @@ import graft.functions.TextOps
   *
   * Scale shape: signatures are computed map-side (narrow); the only shuffle
   * is the explode-on-band → self-join on bucket, which is exactly the
-  * communication lower bound for LSH banding. Giant buckets (degenerate
-  * shingles) are the skew risk at 100 TB — cap them with `maxBucketSize`.
+  * communication lower bound for LSH banding. Giant buckets (boilerplate
+  * documents sharing a band) are the skew risk at 100 TB — bound them with
+  * `minhashPairs(maxBucketSize = ...)`.
   */
 object Dedup {
 
@@ -51,6 +52,11 @@ object Dedup {
     *
     * @param df       input with a unique id column and a text column
     * @param threshold exact shingle-Jaccard cutoff applied to candidates
+    * @param maxBucketSize drop LSH buckets holding more than this many
+    *        docs (0 = unlimited). A degenerate bucket of m docs emits
+    *        m²/2 candidate pairs — the skew bomb at corpus scale. Capping
+    *        trades recall ONLY on documents that collide with > cap others
+    *        (which are overwhelmingly boilerplate/templates in practice).
     * @return (a_id, b_id, jaccard) with a_id < b_id, one row per pair
     */
   def minhashPairs(
@@ -60,7 +66,8 @@ object Dedup {
       shingleLen: Int = 3,
       bands: Int = 16,
       rowsPerBand: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val numHashes = bands * rowsPerBand
@@ -93,8 +100,16 @@ object Dedup {
       posexplode(lshBands($"sig", bands, rowsPerBand)).as(Seq("band", "bucket")))
       .persist()
 
-    val cand = banded.as("a")
-      .join(banded.as("b"),
+    val capped =
+      if (maxBucketSize > 0) {
+        val ok = banded.groupBy($"band", $"bucket")
+          .agg(count(lit(1)).as("__c")).filter($"__c" <= maxBucketSize)
+          .select($"band", $"bucket")
+        banded.join(ok, Seq("band", "bucket"))
+      } else banded
+
+    val cand = capped.as("a")
+      .join(capped.as("b"),
         $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
           $"a.id" < $"b.id")
       .select($"a.id".as("a_id"), $"b.id".as("b_id"))

@@ -49,6 +49,23 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("minhash bucket cap drops degenerate buckets, keeps isolated pairs") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 58).map(i => s"w$i").mkString(" ") + " x y"
+    // 8 copies of one template: every band bucket holds all 8
+    val template = (200 to 260).map(i => s"t$i").mkString(" ")
+    val rows = Seq((1L, base), (2L, nearDup)) ++
+      (10L to 17L).map(i => (i, template))
+    val df = rows.toDF("doc_id", "text")
+    val uncapped = Dedup.minhashPairs(df, "doc_id", "text", threshold = 0.5)
+      .count()
+    assert(uncapped == 1 + 28) // the near-dup pair + C(8,2) template pairs
+    val capped = Dedup.minhashPairs(df, "doc_id", "text", threshold = 0.5,
+        maxBucketSize = 4)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L))) // template buckets (8 > 4) dropped
+  }
+
   test("simhash: identical docs at distance 0; disjoint docs far apart") {
     val a = (1 to 40).map(i => s"w$i").mkString(" ")
     val c = (100 to 140).map(i => s"v$i").mkString(" ")
