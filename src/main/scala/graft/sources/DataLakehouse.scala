@@ -147,15 +147,15 @@ final class DataLakehouse(
     added.map(_.split('/').head).distinct.size.toLong
   }
 
-  /** Move staged parquet files (under their date= dirs) into the table
-    * root; returns their relative paths.
-    */
   /** Files.walk with the stream closed (leaked directory fds otherwise). */
   private def walkFiles(p: Path): Seq[Path] = {
     val s = Files.walk(p)
     try s.iterator().asScala.toList finally s.close()
   }
 
+  /** Move staged data files (under their date= dirs) into the table root;
+    * returns their relative paths.
+    */
   private def publishStaged(staging: String): Seq[String] = {
     val stagingPath = Paths.get(staging)
     val files = walkFiles(stagingPath)
