@@ -80,8 +80,18 @@ object model {
       (col("volume") >= 0) &&
       col("asset_class").isin(AssetClass.all: _*)
 
-  /** Partition key derivation (lakehouse.py:156-165): UTC calendar date. */
-  def dateKey: Column = date_format(col("timestamp"), "yyyy-MM-dd")
+  /** Partition key derivation (lakehouse.py:156-165): UTC calendar date.
+    * Derived with epoch-day arithmetic — `unix_seconds` and
+    * `date_from_unix_date` are timezone-FREE, unlike `date_format`, which
+    * renders in `spark.sql.session.timeZone` and would write partition
+    * keys that disagree with the (UTC-pinned) pruning twin [[dateKeyOf]]
+    * in any non-UTC session, silently dropping day-boundary rows from
+    * range queries.
+    */
+  def dateKey: Column =
+    date_from_unix_date(
+      floor(unix_seconds(col("timestamp")) / 86400.0).cast(IntegerType))
+      .cast(StringType)
 
   /** Driver-side twin of [[dateKey]] for pruning arithmetic (UTC). */
   def dateKeyOf(ts: Timestamp): String =

@@ -143,8 +143,23 @@ final class DataLakehouse(
     clustered.write.partitionBy("date").format(format)
       .option("header", format == "csv").save(staging)
     val added = publishStaged(staging)
-    txnLog.commit(added = added, batchId = batchId)
+    txnLog.commit(added = added, batchId = batchId,
+      schemaJson = Some(clustered.schema.json),
+      rowCounts = countRows(added))
     added.map(_.split('/').head).distinct.size.toLong
+  }
+
+  /** Per-file row counts for freshly published files (footer metadata for
+    * parquet, line count for CSV), read in parallel — recorded in the txn
+    * commit so queries never re-walk footers (scan accounting stays
+    * O(log replay), not O(files) at 100× file counts).
+    */
+  private def countRows(rels: Seq[String]): Map[String, Long] = {
+    import java.util.stream.Collectors
+    rels.asJava.parallelStream()
+      .collect(Collectors.toMap(
+        (r: String) => r, (r: String) => java.lang.Long.valueOf(footerRowCount(r))))
+      .asScala.map { case (k, v) => k -> v.longValue() }.toMap
   }
 
   /** Files.walk with the stream closed (leaked directory fds otherwise). */
@@ -207,20 +222,31 @@ final class DataLakehouse(
       startKey.forall(date >= _) && endKey.forall(date <= _)
     }
 
-    val rowsScanned = pruned.map(footerRowCount).sum
+    // Commit-time row counts from the log; footer IO only for files from
+    // pre-rowCount commits (none in practice).
+    val recorded = txnLog.rowCountsAt(version)
+    val rowsScanned = pruned.map(r => recorded.getOrElse(r, footerRowCount(r))).sum
+
+    // Schema evolution (§1.2): read with the schema RECORDED at the target
+    // version — a time-travel read across a later schema change must
+    // deserialize with its own epoch's schema, not today's.
+    val versionSchema = txnLog.schemaAt(version)
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[StructType])
+      .getOrElse(schemaWithDate)
 
     val base =
       if (pruned.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          schemaWithDate)
+          versionSchema)
       else {
         val paths = pruned.map(rel => s"$root/$rel")
-        // mergeSchema: schema evolution read (README.md:29 / §1.2) — union
-        // the file schemas so later commits may add columns without rewrite.
+        // mergeSchema: union the file schemas so later commits may add
+        // columns without rewrite (README.md:29 / §1.2).
         val reader =
           if (mergeSchema && format == "parquet")
             spark.read.option("mergeSchema", "true").option("basePath", root)
-          else spark.read.schema(schemaWithDate).option("basePath", root)
+          else spark.read.schema(versionSchema).option("basePath", root)
         reader.format(format)
           .option("header", format == "csv")
           .load(paths: _*)
@@ -271,9 +297,15 @@ final class DataLakehouse(
 
     val adds = ArrayBuffer.empty[String]
     val removes = ArrayBuffer.empty[String]
+    // Latest recorded schema, not the static one: compacting an evolved
+    // table must carry its added columns through the rewrite.
+    val liveSchema = txnLog.schemaAt()
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[StructType])
+      .getOrElse(schemaWithDate)
     toCompact.foreach { case (_, rels) =>
       val staging = s"$root/_staging/${UUID.randomUUID()}"
-      spark.read.schema(schemaWithDate).option("basePath", root)
+      spark.read.schema(liveSchema).option("basePath", root)
         .format(format).option("header", format == "csv")
         .load(rels.map(r => s"$root/$r"): _*)
         .repartition(targetFiles)
@@ -283,7 +315,8 @@ final class DataLakehouse(
       adds ++= publishStaged(staging)
       removes ++= rels
     }
-    txnLog.commit(added = adds.toSeq, removed = removes.toSeq)
+    txnLog.commit(added = adds.toSeq, removed = removes.toSeq,
+      rowCounts = countRows(adds.toSeq))
   }
 
   /** Physically delete files no longer referenced by the latest snapshot

@@ -15,11 +15,14 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
   *   batchId?: "streamId-batchId"}`.
   *
   * Snapshot(v) = replay of commits 0..v: union of `added` minus `removed`.
-  * Atomicity: commits are written to a temp file then moved with
-  * ATOMIC_MOVE + CREATE-exclusive semantics — a concurrent writer racing to
-  * the same version loses the rename and retries at the next version
-  * (single-driver scope matches the reference, SURVEY §7.4-3). Readers only
-  * ever see fully-written commit files.
+  * Atomicity: commits are fully written to a temp file, then PUBLISHED with
+  * `Files.createLink` — hard-link creation is atomic and, unlike
+  * `rename(2)`/ATOMIC_MOVE (which silently REPLACES an existing target on
+  * POSIX), fails with FileAlreadyExistsException when the version is taken.
+  * A concurrent writer racing to the same version therefore loses the link
+  * and retries at the next version; no commit is ever overwritten. Readers
+  * only ever see fully-written commit files (the link exposes complete
+  * content or nothing).
   *
   * Scale note: the log stores *relative file paths*, not data; replay cost
   * is O(commits). Production-scale variants add checkpoints every N
@@ -34,7 +37,9 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       timestampMs: Long,
       added: Seq[String],
       removed: Seq[String],
-      batchId: Option[String])
+      batchId: Option[String],
+      schemaJson: Option[String] = None,
+      rowCounts: Map[String, Long] = Map.empty)
 
   private def versionPath(v: Long): Path = logDir.resolve(f"v$v%08d.json")
 
@@ -64,19 +69,26 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
     def arr(name: String): Seq[String] =
       Option(node.get(name)).map(_.elements().asScala.map(_.asText()).toSeq)
         .getOrElse(Nil)
+    val counts = Option(node.get("rowCounts")).map { rc =>
+      rc.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+    }.getOrElse(Map.empty[String, Long])
     Commit(
       node.get("version").asLong(),
       node.get("timestampMs").asLong(),
       arr("added"),
       arr("removed"),
-      Option(node.get("batchId")).filter(!_.isNull).map(_.asText()))
+      Option(node.get("batchId")).filter(!_.isNull).map(_.asText()),
+      Option(node.get("schemaJson")).filter(!_.isNull).map(_.asText()),
+      counts)
   }
 
   /** Append a commit; returns the committed version. Retries on version
     * collision (optimistic concurrency via exclusive file creation).
     */
   def commit(added: Seq[String], removed: Seq[String] = Nil,
-      batchId: Option[String] = None): Long = {
+      batchId: Option[String] = None,
+      schemaJson: Option[String] = None,
+      rowCounts: Map[String, Long] = Map.empty): Long = {
     Files.createDirectories(logDir)
     var attempt = 0
     while (true) {
@@ -86,13 +98,23 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       node.put("timestampMs", System.currentTimeMillis())
       val a: ArrayNode = node.putArray("added"); added.foreach(a.add)
       val r: ArrayNode = node.putArray("removed"); removed.foreach(r.add)
-      batchId.foreach { b => node.put("batchId", b); knownBatches += b }
+      batchId.foreach { b => node.put("batchId", b); knownBatches.add(b) }
+      schemaJson.foreach(node.put("schemaJson", _))
+      if (rowCounts.nonEmpty) {
+        val rc: ObjectNode = node.putObject("rowCounts")
+        rowCounts.foreach { case (k, n) => rc.put(k, n) }
+      }
       val tmp = Files.createTempFile(logDir, ".commit", ".tmp")
       Files.write(tmp, mapper.writerWithDefaultPrettyPrinter()
         .writeValueAsString(node).getBytes(StandardCharsets.UTF_8))
       try {
-        // CREATE_NEW semantics: move fails if the target exists.
-        Files.move(tmp, versionPath(v), StandardCopyOption.ATOMIC_MOVE)
+        // True CREATE_NEW publish: hard-link creation is atomic AND
+        // exclusive (EEXIST when the version is already taken) — unlike
+        // ATOMIC_MOVE, whose rename(2) silently replaces an existing
+        // target and would let two racing committers drop each other's
+        // commits.
+        Files.createLink(versionPath(v), tmp)
+        Files.deleteIfExists(tmp)
         maybeCheckpoint(v)
         return v
       } catch {
@@ -112,9 +134,12 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
     * stream quadratic in its own commit count. Valid under the
     * single-writer scope (this process sees every commit it makes).
     */
-  private lazy val knownBatches: scala.collection.mutable.Set[String] = {
-    val s = scala.collection.mutable.Set.empty[String]
-    commits().foreach(_.batchId.foreach(s += _))
+  private lazy val knownBatches: java.util.Set[String] = {
+    // Concurrent set: a streaming foreachBatch committer and a driver-side
+    // flush() may share this instance across threads (the same race the
+    // createLink publish defends against).
+    val s = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    commits().foreach(_.batchId.foreach(s.add))
     s
   }
 
@@ -181,4 +206,20 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
   def versionAsOf(tsMs: Long): Long =
     commits().filter(_.timestampMs <= tsMs).map(_.version)
       .foldLeft(-1L)(math.max)
+
+  /** Table schema (Spark StructType JSON) as of `version` — the newest
+    * schema recorded at or below it (S13 across schema evolution: a
+    * time-travel read deserializes with the schema its snapshot was
+    * written under, not today's).
+    */
+  def schemaAt(version: Long = Long.MaxValue): Option[String] =
+    commits(version).reverse.iterator.flatMap(_.schemaJson).nextOption()
+
+  /** Per-file row counts recorded at commit time for the live file set at
+    * `version`. Files from pre-rowCount commits are absent — callers fall
+    * back to a footer read for those. Recording counts in the log keeps
+    * scan accounting O(log replay) instead of O(files) footer IO.
+    */
+  def rowCountsAt(version: Long = Long.MaxValue): Map[String, Long] =
+    commits(version).foldLeft(Map.empty[String, Long])((m, c) => m ++ c.rowCounts)
 }

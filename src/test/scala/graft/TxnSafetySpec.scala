@@ -1,0 +1,110 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{DataLakehouse, TxnLog}
+
+/** Safety properties of the txn-log / partition-key layer that only show
+  * under concurrency, non-UTC sessions, or schema change — the failure
+  * modes a 1000-executor deployment hits first.
+  */
+class TxnSafetySpec extends SparkSpec {
+
+  // --- S11: concurrent commit atomicity -------------------------------
+
+  test("racing committers never overwrite each other's commits") {
+    val root = tempDir("txnrace")
+    val perThread = 50
+    val nThreads = 2
+    // Separate TxnLog instances over the same directory = two independent
+    // writers (a streaming foreachBatch plus a driver-side flush()).
+    val logs = (0 until nThreads).map(_ => new TxnLog(root))
+    val threads = logs.zipWithIndex.map { case (log, t) =>
+      new Thread(() => {
+        (0 until perThread).foreach { i =>
+          log.commit(added = Seq(s"t$t-f$i.parquet"))
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+
+    val check = new TxnLog(root)
+    val total = nThreads * perThread
+    // Every commit got its own version — none was silently replaced.
+    assert(check.currentVersion() == total - 1)
+    val allAdded = check.commits().flatMap(_.added)
+    assert(allAdded.size == total)
+    assert(allAdded.distinct.size == total)
+    // …and every committed file is live in the final snapshot.
+    val expected = (for (t <- 0 until nThreads; i <- 0 until perThread)
+      yield s"t$t-f$i.parquet").toSet
+    assert(check.snapshotFiles().toSet == expected)
+  }
+
+  // --- P9/F1: partition key must not depend on session timezone ------
+
+  test("non-UTC session: day-boundary rows survive a date-range query") {
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val lake = new DataLakehouse(spark, tempDir("tzlake"))
+      // 2024-06-15T23:30Z and 2024-06-16T00:30Z — both are 06-15 in
+      // New York local time; a session-tz-rendered date key would file
+      // the second bar under date=2024-06-15 while pruning (UTC) looks
+      // for it in 2024-06-16.
+      val t0 = 1718494200000L // 2024-06-15T23:30:00Z
+      val t1 = 1718497800000L // 2024-06-16T00:30:00Z
+      val mk = (ms: Long) => OhlcvBar("AAPL", new Timestamp(ms),
+        100.0, 101.0, 99.0, 100.5, 1000L, AssetClass.Equity)
+      lake.ingestBatch(Seq(mk(t0), mk(t1)))
+      assert(lake.listPartitions() == Seq("2024-06-15", "2024-06-16"))
+      val qr = lake.query(
+        start = Some(new Timestamp(1718496000000L)), // 2024-06-16T00:00Z
+        end = Some(new Timestamp(1718499600000L)))   // 2024-06-16T01:00Z
+      assert(qr.df.count() == 1)
+      assert(qr.df.select("timestamp").head().getTimestamp(0).getTime == t1)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  // --- §1.2: schema versions recorded in the txn log ------------------
+
+  test("schema evolution: time travel reads each version's own schema") {
+    import spark.implicits._
+    val lake = new DataLakehouse(spark, tempDir("schemalake"))
+    val base = Seq(OhlcvBar("AAPL", new Timestamp(1718409600000L),
+      100.0, 101.0, 99.0, 100.5, 1000L, AssetClass.Equity)).toDF()
+    lake.appendDF(base) // v0
+    lake.appendDF(base.withColumn("venue", lit("NYSE"))) // v1 adds a column
+
+    val v0 = lake.timeTravel(0)
+    assert(!v0.columns.contains("venue"))
+    assert(v0.count() == 1)
+
+    // HEAD reads with the evolved schema; pre-evolution files surface the
+    // new column as null.
+    val head = lake.query().df
+    assert(head.columns.contains("venue"))
+    assert(head.count() == 2)
+    assert(head.filter(col("venue").isNull).count() == 1)
+
+    // mergeSchema read agrees.
+    val merged = lake.query(mergeSchema = true).df
+    assert(merged.columns.contains("venue"))
+    assert(merged.count() == 2)
+  }
+
+  test("row counts are recorded at commit and drive scan accounting") {
+    val lake = new DataLakehouse(spark, tempDir("rclake"))
+    val bars = (0 until 10).map(i => OhlcvBar("AAPL",
+      new Timestamp(1718409600000L + i * 1000L),
+      100.0, 101.0, 99.0, 100.5, 1000L, AssetClass.Equity))
+    lake.ingestBatch(bars)
+    val counts = lake.txnLog.rowCountsAt()
+    assert(counts.nonEmpty)
+    assert(counts.values.sum == 10L)
+    assert(lake.query().totalRowsScanned == 10L)
+  }
+}
