@@ -111,12 +111,16 @@ final class DataLakehouse(
     appendDF(df)
   }
 
-  /** Dead-letter queue for rejected records (README.md:39-40, S10). */
+  /** Dead-letter queue for rejected records (README.md:39-40, S10).
+    * Hive-partitioned by batch so the driver path shares one layout with
+    * the streaming DLQ's idempotent per-batch overwrite dirs.
+    */
   private def deadLetter(bars: Seq[OhlcvBar]): Unit = {
     import spark.implicits._
     spark.createDataset(bars).toDF()
       .withColumn("_rejected_at", current_timestamp())
-      .write.mode(SaveMode.Append).parquet(s"$root/_dlq")
+      .write.mode(SaveMode.Append)
+      .parquet(s"$root/_dlq/batch=adhoc-${UUID.randomUUID()}")
   }
 
   def deadLetterCount(): Long =

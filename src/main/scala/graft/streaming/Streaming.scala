@@ -17,6 +17,11 @@ final case class VwapUpdate(symbol: String, vwap: Double, nTicks: Long)
 final case class TsTick(symbol: String, tsMs: Long, price: Double, volume: Long)
 final case class OpenBar(barStartMs: Long, open: Double, high: Double,
     low: Double, close: Double, volume: Long)
+/** barCloser state: the in-progress bar plus the newest CLOSED bar start —
+  * the watermark against which late ticks are detected and dropped (a late
+  * tick must never re-open a closed bar: "each bar exactly once").
+  */
+final case class BarState(bar: Option[OpenBar], maxClosedMs: Long)
 final case class ClosedBar(symbol: String, barStartMs: Long, open: Double,
     high: Double, low: Double, close: Double, volume: Long)
 
@@ -35,16 +40,31 @@ object Streaming {
     * `sourceDir` are validated, appended to the lakehouse in one txn-log
     * commit per micro-batch, and rejects land in the DLQ — all inside
     * `foreachBatch`, at a 100 ms trigger cadence by default.
+    *
+    * Admission control (the reference's declared 100 ms / 10 MB flush
+    * cadence, README.md:36-37,50): `maxFilesPerTrigger` bounds how much a
+    * burst can push into one micro-batch — the excess queues and drains
+    * over subsequent triggers instead of melting a single batch. Files are
+    * the admission unit because upstream producers emit bounded-size
+    * files; bytes-per-trigger is files × file-size-cap.
+    *
+    * DLQ idempotence (T6): rejects are written to a PER-BATCH directory
+    * (`_dlq/batch=<streamId>-<batchId>`) with overwrite semantics, so a
+    * replayed micro-batch rewrites the same rows instead of appending
+    * duplicates — deadLetterCount stays stable across replays even when
+    * the previous attempt crashed mid-write.
     */
   def ingestStream(
       lake: DataLakehouse,
       sourceDir: String,
       checkpointDir: String,
       streamId: String = "ingest",
-      triggerMs: Long = 100L): StreamingQuery = {
-    lake.spark.readStream
+      triggerMs: Long = 100L,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = lake.spark.readStream
       .schema(model.ohlcvSchema)
-      .parquet(sourceDir)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(sourceDir)
       .writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
@@ -52,10 +72,11 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val valid = batch.filter(model.barValid)
         val invalid = batch.filter(!model.barValid)
-        lake.appendDF(valid, batchId = Some(s"$streamId-$batchId"))
         if (!invalid.isEmpty)
           invalid.withColumn("_rejected_at", current_timestamp())
-            .write.mode("append").parquet(s"${lake.root}/_dlq")
+            .write.mode("overwrite")
+            .parquet(s"${lake.root}/_dlq/batch=$streamId-$batchId")
+        lake.appendDF(valid, batchId = Some(s"$streamId-$batchId"))
         ()
       }
       .start()
@@ -132,9 +153,13 @@ object Streaming {
 
   /** Append-mode custom state (flatMapGroupsWithState): close-on-advance
     * bar construction. A symbol's in-progress bar lives in state; when a
-    * tick from a later minute arrives, every completed minute's bar is
+    * tick from a later minute arrives, the completed minute's bar is
     * EMITTED (append semantics — each bar exactly once) and the new open
-    * bar replaces the state. Complements [[tickToBars]]: that form emits
+    * bar replaces the state. Ticks OLDER than the open bar's minute are
+    * DROPPED: state carries the newest closed bar start, so an
+    * out-of-order tick arriving in a later micro-batch can never
+    * prematurely close the open bar and re-open (double-emit) an
+    * already-closed minute. Complements [[tickToBars]]: that form emits
     * evolving aggregates per trigger; this one emits only finalized bars,
     * the contract a downstream lakehouse append wants.
     */
@@ -145,27 +170,29 @@ object Streaming {
       .groupByKey(_.symbol)
       .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout()) {
-        (sym: String, it: Iterator[TsTick], state: GroupState[OpenBar]) =>
+        (sym: String, it: Iterator[TsTick], state: GroupState[BarState]) =>
           val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedBar]
-          var cur = state.getOption
+          var s = state.getOption.getOrElse(BarState(None, Long.MinValue))
           it.toSeq.sortBy(t => (t.tsMs, t.price)).foreach { t =>
             val start = t.tsMs - (t.tsMs % barMs)
-            cur match {
+            s.bar match {
               case Some(b) if b.barStartMs == start =>
-                cur = Some(b.copy(high = math.max(b.high, t.price),
+                s = s.copy(bar = Some(b.copy(high = math.max(b.high, t.price),
                   low = math.min(b.low, t.price), close = t.price,
-                  volume = b.volume + t.volume))
-              case Some(b) =>
+                  volume = b.volume + t.volume)))
+              case Some(b) if start > b.barStartMs =>
                 closed += ClosedBar(sym, b.barStartMs, b.open, b.high, b.low,
                   b.close, b.volume)
-                cur = Some(OpenBar(start, t.price, t.price, t.price, t.price,
-                  t.volume))
+                s = BarState(Some(OpenBar(start, t.price, t.price, t.price,
+                  t.price, t.volume)), b.barStartMs)
+              case Some(_) => // late tick, older than the open bar: drop
+              case None if start <= s.maxClosedMs => // late after restart: drop
               case None =>
-                cur = Some(OpenBar(start, t.price, t.price, t.price, t.price,
-                  t.volume))
+                s = s.copy(bar = Some(OpenBar(start, t.price, t.price, t.price,
+                  t.price, t.volume)))
             }
           }
-          cur.foreach(state.update)
+          state.update(s)
           closed.iterator
       }
   }

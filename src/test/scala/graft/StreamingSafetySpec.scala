@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.sources.DataLakehouse
+import graft.streaming._
+
+/** Streaming failure-mode specs: out-of-order ticks across micro-batches,
+  * replayed batches (DLQ idempotence), and burst admission control — the
+  * T6 "exactly-once" contract under the conditions that actually break it.
+  */
+class StreamingSafetySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("barCloser: a late tick cannot double-emit an already-closed bar") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[TsTick]
+    val q = Streaming.barCloser(mem.toDS())
+      .writeStream.format("memory").queryName("barcloser_late_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: minute-0 ticks, then a minute-1 tick closes bar 0.
+      mem.addData(TsTick("AAPL", 1000, 10, 1), TsTick("AAPL", 30000, 14, 2),
+        TsTick("AAPL", 61000, 20, 5))
+      q.processAllAvailable()
+      // batch 2: a LATE minute-0 tick (bar 0 already closed). Must be
+      // dropped — not close the open minute-1 bar and re-open minute 0.
+      mem.addData(TsTick("AAPL", 45000, 99, 7))
+      q.processAllAvailable()
+      // batch 3: minute-2 tick closes bar 1 — whose OHLCV must be
+      // untouched by the late tick.
+      mem.addData(TsTick("AAPL", 121000, 30, 1))
+      q.processAllAvailable()
+      val bars = spark.table("barcloser_late_test").orderBy($"barStartMs")
+        .as[(String, Long, Double, Double, Double, Double, Long)].collect().toSeq
+      assert(bars == Seq(
+        ("AAPL", 0L, 10.0, 14.0, 10.0, 14.0, 3L),
+        ("AAPL", 60000L, 20.0, 20.0, 20.0, 20.0, 5L)))
+      // exactly one bar per (symbol, barStartMs)
+      assert(bars.map(b => (b._1, b._2)).distinct.size == bars.size)
+    } finally q.stop()
+  }
+
+  test("replayed micro-batch: DLQ count and lake rows both stay stable") {
+    val lake = new DataLakehouse(spark, tempDir("replaylake"))
+    val src = tempDir("replaysrc")
+    val good = OhlcvBar("AAPL", Timestamp.valueOf("2024-06-15 10:30:00"),
+      150, 155, 149, 153, 1000, AssetClass.Equity)
+    val bad = good.copy(high = 1.0, low = 2.0, symbol = "BAD")
+    spark.createDataset(Seq(good, bad)).toDF()
+      .write.mode("overwrite").parquet(src)
+
+    val q1 = Streaming.ingestStream(lake, src, tempDir("ckpt1"), streamId = "r")
+    try q1.processAllAvailable() finally q1.stop()
+    assert(lake.query().count == 1)
+    assert(lake.deadLetterCount() == 1)
+
+    // Fresh checkpoint + same stream id over the same source = the whole
+    // batch replays with the same (streamId, batchId) key. The lake append
+    // must be a txn-log no-op AND the DLQ write must overwrite, not append.
+    val q2 = Streaming.ingestStream(lake, src, tempDir("ckpt2"), streamId = "r")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(lake.query().count == 1)
+    assert(lake.deadLetterCount() == 1)
+    assert(lake.txnLog.commits().count(_.batchId.exists(_.startsWith("r-"))) == 1)
+  }
+
+  test("maxFilesPerTrigger splits a file burst across micro-batches") {
+    val lake = new DataLakehouse(spark, tempDir("burstlake"))
+    val src = tempDir("burstsrc")
+    // four flat source files dropped at once (the file stream source
+    // lists the monitored directory, not nested output dirs)
+    (0 until 4).foreach { i =>
+      val tmp = tempDir(s"burstpart$i")
+      spark.createDataset(Seq(OhlcvBar(s"SYM$i",
+        Timestamp.valueOf("2024-06-15 10:30:00"),
+        150, 155, 149, 153, 1000L + i, AssetClass.Equity))).toDF()
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part,
+        java.nio.file.Paths.get(src, s"f$i.parquet"))
+    }
+    val q = Streaming.ingestStream(lake, src, tempDir("burstckpt"),
+      streamId = "b", maxFilesPerTrigger = Some(1))
+    try q.processAllAvailable() finally q.stop()
+    assert(lake.query().count == 4)
+    // admission control: one file per micro-batch → four separate commits
+    assert(lake.txnLog.commits().count(_.batchId.exists(_.startsWith("b-"))) == 4)
+  }
+}
