@@ -8,11 +8,24 @@ import org.apache.spark.sql.SparkSession
   * Results are materialized through the noop sink — count() alone lets
   * Catalyst prune unreferenced projections, which would under-report
   * compute-heavy queries (hashing, HOF math).
+  *
+  * Each query is timed SPARK_GRAFT_REPEATS times (default 3) and the
+  * MEDIAN reported: this machine is shared, and round-over-round singles
+  * have shown 10×+ swings on identical code — medians make the per-round
+  * comparison meaningful. An optional substring arg filters query names
+  * (`runMain graft.Bench q28` while iterating on one operator).
   */
 object Bench {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(s.size / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
+    val nameFilter = args.headOption
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,17 +40,27 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.load(spark, sfDir, "lineitem").limit(1000)
       .write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => nameFilter.forall(name.contains) }
+      .map { case (name, fn) =>
+        val times = (0 until repeats).map { _ =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          // caches a query materializes internally (dedup pipelines) must
+          // not leak into the next repeat or the next query
+          spark.sharedState.cacheManager.clearCache()
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> median(times)
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
     // Lakehouse-path metrics mirroring BASELINE.md's headline numbers:
     // bulk ingest throughput and the pruned single-symbol filter query.
-    val lakeMetrics = benchLakehouse(spark)
+    val lakeMetrics =
+      if (nameFilter.isEmpty) benchLakehouseMedian(spark, repeats)
+      else Seq.empty
     val qs = (results ++ lakeMetrics).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // total sums SECONDS only — ratio-valued metrics are reported in the
@@ -48,10 +71,26 @@ object Bench {
     spark.stop()
   }
 
+  /** Median of `repeats` full lakehouse-path runs, each on a fresh temp
+    * dir. The storage-ratio comparison (CSV vs parquet byte sizes) is
+    * deterministic, so it is measured on the first run only — repeating
+    * it would just re-write 2M CSV rows for an identical ratio.
+    */
+  private def benchLakehouseMedian(
+      spark: SparkSession, repeats: Int): Seq[(String, Double)] = {
+    val runs = (0 until repeats).map(i =>
+      benchLakehouse(spark, measureStorage = i == 0).toMap)
+    runs.head.keys.toSeq.sorted.map { k =>
+      k -> median(runs.flatMap(_.get(k)))
+    }
+  }
+
   /** Ingest 200k bars across 20 symbols × 10 days, then run the pruned
     * single-symbol + date-range query (BASELINE.md rows 1 and 8).
     */
-  private def benchLakehouse(spark: SparkSession): Seq[(String, Double)] = {
+  private def benchLakehouse(
+      spark: SparkSession,
+      measureStorage: Boolean): Seq[(String, Double)] = {
     import java.sql.Timestamp
     import graft.sources.DataLakehouse
     val root = java.nio.file.Files.createTempDirectory("benchlake").toString
@@ -106,19 +145,34 @@ object Bench {
     val fullScanSec = (System.nanoTime() - t3) / 1e9
 
     // BASELINE.md bench-protocol bullet 3: parquet+snappy ≤ 1/6 of CSV.
-    val csvRoot = java.nio.file.Files.createTempDirectory("benchcsv").toString
-    val csvLake = new DataLakehouse(spark, csvRoot, format = "csv")
-    csvLake.appendDF(df2m)
     def dirBytes(p: String, suffix: String): Long = {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator().asScala
         .filter(f => f.toString.endsWith(suffix))
         .map(java.nio.file.Files.size).sum
     }
-    val ratio = dirBytes(csvRoot, ".csv").toDouble / dirBytes(root, ".parquet")
+    val storageMetric = if (measureStorage) {
+      val csvRoot = java.nio.file.Files.createTempDirectory("benchcsv").toString
+      val csvLake = new DataLakehouse(spark, csvRoot, format = "csv")
+      csvLake.appendDF(df2m)
+      val ratio =
+        dirBytes(csvRoot, ".csv").toDouble / dirBytes(root, ".parquet")
+      deleteRecursively(csvRoot)
+      Seq("storage_csv_over_parquet" -> ratio)
+    } else Seq.empty
+    deleteRecursively(root)
 
     Seq("lake_ingest_200k" -> ingestSec, "lake_pruned_filter" -> querySec,
-      "lake_append_2m" -> appendSec, "lake_full_scan" -> fullScanSec,
-      "storage_csv_over_parquet" -> ratio)
+      "lake_append_2m" -> appendSec, "lake_full_scan" -> fullScanSec) ++
+      storageMetric
+  }
+
+  private def deleteRecursively(p: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(p)
+    if (java.nio.file.Files.exists(root)) {
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 }

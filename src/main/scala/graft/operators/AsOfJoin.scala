@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -8,17 +8,32 @@ import org.apache.spark.sql.functions._
   * left row, the single latest right row with `rightOn <= leftOn` within the
   * same key group (backward direction).
   *
-  * Spark has no built-in as-of join; this composes an equi-key range join
-  * with a `row_number()` window (SURVEY §2.3 preference order (a): compose
-  * existing ops). At scale both sides shuffle once on the key — the same
-  * exchange the subsequent window reuses (Catalyst recognizes the
-  * co-partitioning, so no second shuffle for the window when the join output
-  * is hash-partitioned by the window's partition key prefix).
+  * Spark has no built-in as-of join; this uses the union-tagged sort
+  * formulation (SURVEY §2.3 preference order (a): compose existing ops):
+  * both sides are tagged and unioned on a common schema, and one
+  * key-partitioned window ordered by (ts, side, tieBreaker) computes
+  * `last(rightPayload, ignoreNulls)` over a running frame — each left row
+  * reads the newest right payload at-or-before its timestamp.
+  *
+  * Scale shape: ONE shuffle (the key partition) and a per-partition sort,
+  * linear in |left| + |right|. The previous formulation — range join then
+  * `row_number` — materialized every right row <= t per left row (per-key
+  * O(|left|·|right|), quadratic on active keys) and re-shuffled for a
+  * window keyed by left id; this one has no join node at all.
+  *
+  * The right payload travels as a single struct, so all right columns come
+  * atomically from the SAME right row (per-column `last(ignoreNulls)`
+  * would mix rows when a right column is genuinely null in the newest
+  * match).
   *
   * Requirements:
-  *  - `leftId` uniquely identifies left rows (window partition key).
   *  - right columns must not collide with left columns (pre-rename).
-  *  - `tieBreaker` makes the pick deterministic when right timestamps tie.
+  *  - `tieBreaker` makes the pick deterministic when right timestamps tie
+  *    (max tieBreaker wins, matching ORDER BY ts DESC, tieBreaker DESC /
+  *    row_number = 1).
+  *  - `leftId` is retained from the operator contract (left rows are
+  *    uniquely identified) but the union formulation no longer partitions
+  *    by it.
   */
 object AsOfJoin {
   def backward(
@@ -29,16 +44,46 @@ object AsOfJoin {
       rightOn: String,
       leftId: String,
       tieBreaker: String): DataFrame = {
-    val keyCond = keys.map { case (l, r) => left(l) === right(r) }
-      .reduce(_ && _)
-    val cond = keyCond && (right(rightOn) <= left(leftOn))
-    val joined = left.join(right, cond, "left")
-    val w = Window.partitionBy(left(leftId))
-      .orderBy(right(rightOn).desc, right(tieBreaker).desc)
-    joined
-      .withColumn("__asof_rn", row_number().over(w))
-      .filter(col("__asof_rn") === 1)
-      .drop("__asof_rn")
-      .drop(keys.map(_._2): _*)
+    require(left.columns.contains(leftId), s"missing left id column $leftId")
+    val leftCols = left.columns.toSeq
+    val rightKeyNames = keys.map(_._2)
+    val payloadCols = right.columns.toSeq.filterNot(rightKeyNames.contains)
+
+    // Right side: key cols (under the LEFT key names), event time, side 0,
+    // tie-break, and the whole payload as one struct.
+    val rTagged = right.select(
+      keys.map { case (l, r) => right(r).as(s"__k_$l") } ++ Seq(
+        right(rightOn).as("__ts"),
+        lit(0).as("__side"),
+        right(tieBreaker).as("__tb"),
+        struct(payloadCols.map(c => right(c).as(c)): _*).as("__pay")): _*)
+    val payType = rTagged.schema("__pay").dataType
+    val tbType = rTagged.schema("__tb").dataType
+
+    val lTagged = left.select(
+      keys.map { case (l, _) => left(l).as(s"__k_$l") } ++ Seq(
+        left(leftOn).as("__ts"),
+        lit(1).as("__side"),
+        lit(null).cast(tbType).as("__tb"),
+        lit(null).cast(payType).as("__pay")) ++
+        leftCols.map(c => left(c).as(s"__l_$c")): _*)
+    val rAligned = rTagged.select(
+      rTagged.columns.map(col) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType)
+          .as(s"__l_$c")): _*)
+
+    // Running last-non-null over (key) ordered by (ts, side, tieBreaker):
+    // side 0 < 1 puts a right row at ts == leftOn BEFORE the left row
+    // (backward join is inclusive); ascending tieBreaker makes the LAST
+    // right row in a ts tie the max-tieBreaker one.
+    val w = Window.partitionBy(keys.map(k => col(s"__k_${k._1}")): _*)
+      .orderBy(col("__ts"), col("__side"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    lTagged.unionByName(rAligned)
+      .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(c => col(s"__l_$c").as(c)) ++
+        payloadCols.map(c => col(s"__match.$c").as(c)): _*)
   }
 }

@@ -44,6 +44,17 @@ class PlanSpec extends SparkSpec {
     assert(plan("q37_topk_per_group").contains("WindowGroupLimit"))
   }
 
+  test("q17: as-of join plans as one shuffle + window, no join node") {
+    val p = plan("q17_asof_join")
+    // union-tagged formulation: no join operator of any kind, and exactly
+    // one exchange (the key partition the window sorts within). The old
+    // range-join + row_number shape was per-key quadratic and re-shuffled
+    // for the window.
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Window"), p)
+  }
+
   test("lakehouse query: symbol filter pushes to parquet on clustered files") {
     import java.sql.Timestamp
     val lake = new graft.sources.DataLakehouse(spark, tempDir("planlake"))
