@@ -155,6 +155,20 @@ object ExtendedQueries {
       |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // q49 — approx percentiles: the 100 TB twin of q36. Exact `percentile`
+  // buffers and sorts every group value; `approx_percentile` (t-digest
+  // style sketch, mergeable map-side) is the only shape that survives
+  // billions of rows per group. Sketch results are engine-specific →
+  // rows-only check; q36 stays the exact oracle pin.
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT o_orderpriority,
+        |  round(approx_percentile(o_totalprice, 0.5, 10000), 4) AS p50,
+        |  round(approx_percentile(o_totalprice, 0.9, 10000), 4) AS p90
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   // q37 — per-group top-k (W2): top-3 orders by value within each
   // priority, via ranked window (the scalable top-k-per-key shape:
   // partial top-k per partition before the shuffle under AQE).
@@ -392,6 +406,7 @@ object ExtendedQueries {
     "q34_grouping_sets" -> (q34 _),
     "q35_stats_agg" -> (q35 _),
     "q36_percentiles" -> (q36 _),
+    "q49_percentiles_approx" -> (q49 _),
     "q37_topk_per_group" -> (q37 _),
     "q38_monthly_revenue" -> (q38 _),
     "q39_approx_distinct" -> (q39 _))

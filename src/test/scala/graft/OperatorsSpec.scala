@@ -76,6 +76,35 @@ class OperatorsSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sigs(0) ^ sigs(2)) > 3)
   }
 
+  test("simhash bit-sliced signatures equal the per-bit-vote HOF twin") {
+    // repeated tokens exercise the vote sums beyond 0/1; a long doc
+    // exercises multi-lane accumulation
+    val docs = Seq(
+      (1L, (1 to 40).map(i => s"w$i").mkString(" ")),
+      (2L, "alpha beta alpha beta alpha gamma"),
+      (3L, (1 to 500).map(i => s"t${i % 37}").mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    val sliced = Dedup.simhashSignatures(df, "doc_id", "text")
+      .orderBy($"id").as[(Long, Long)].collect().toSeq
+    val hof = df.select($"doc_id",
+        Dedup.simhash(TextOps.tokens($"text")).as("sig"))
+      .orderBy($"doc_id").as[(Long, Long)].collect().toSeq
+    assert(sliced == hof)
+  }
+
+  test("simhash chunk-bucket cap drops degenerate buckets, keeps pairs") {
+    val a = (1 to 40).map(i => s"w$i").mkString(" ")
+    // 8 copies of one template: every chunk bucket holds all 8
+    val template = (200 to 260).map(i => s"t$i").mkString(" ")
+    val rows = Seq((1L, a), (2L, a)) ++ (10L to 17L).map(i => (i, template))
+    val df = rows.toDF("doc_id", "text")
+    val uncapped = Dedup.simhashPairs(df, "doc_id", "text").count()
+    assert(uncapped == 1 + 28) // identical pair + C(8,2) template pairs
+    val capped = Dedup.simhashPairs(df, "doc_id", "text", maxBucketSize = 4)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L))) // template buckets (8 > 4) dropped
+  }
+
   test("cosine: orthonormal basis sanity + brute-force top-k order") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
