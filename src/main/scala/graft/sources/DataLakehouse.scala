@@ -41,11 +41,18 @@ final class DataLakehouse(
     val root: String,
     val batchSize: Int = 10000,
     val clusterOnWrite: Boolean = true,
-    val format: String = "parquet") {
+    val format: String = "parquet",
+    val codec: String = "zstd") {
 
   require(format == "parquet" || format == "csv",
     s"unsupported format: $format") // S1-S4: parquet primary, CSV fallback
     // (lakehouse.py:25-32,427-452; table-level rather than per-file dispatch)
+
+  // zstd over the snappy default: ~25% smaller files at comparable write
+  // speed — at 100 TB the scan is IO-bound, so smaller files ARE the
+  // faster query path. CSV stays uncompressed (the reference's
+  // plain-text interchange format).
+  private val writeCompression = if (format == "parquet") codec else "none"
 
   val txnLog = new TxnLog(root)
   private val buffer = ArrayBuffer.empty[OhlcvBar]
@@ -145,7 +152,8 @@ final class DataLakehouse(
           .sortWithinPartitions(col("symbol"), col("timestamp"))
       else withDate
     clustered.write.partitionBy("date").format(format)
-      .option("header", format == "csv").save(staging)
+      .option("header", format == "csv")
+      .option("compression", writeCompression).save(staging)
     val added = publishStaged(staging)
     txnLog.commit(added = added, batchId = batchId,
       schemaJson = Some(clustered.schema.json),
@@ -153,10 +161,30 @@ final class DataLakehouse(
     added.map(_.split('/').head).distinct.size.toLong
   }
 
+  /** Register EXISTING data files into the table without rewriting them
+    * (the convert-in-place path: the reference scans whatever parquet/CSV
+    * files sit in a partition dir, dispatching on suffix —
+    * lakehouse.py:469-475). Paths are root-relative `date=YYYY-MM-DD/...`
+    * so partition pruning applies unchanged; the format of each file is
+    * dispatched per suffix at read time, so parquet and CSV may coexist
+    * in one table and one partition. One atomic txn commit.
+    */
+  def addFiles(rels: Seq[String]): Long = {
+    require(rels.nonEmpty, "no files to add")
+    rels.foreach { r =>
+      require(Files.isRegularFile(Paths.get(root, r)), s"no such file under root: $r")
+      require(r.endsWith(".parquet") || r.endsWith(".csv"),
+        s"unsupported file suffix (want .parquet or .csv): $r")
+      require(r.startsWith("date="), s"not under a date= partition: $r")
+    }
+    txnLog.commit(added = rels, rowCounts = countRows(rels))
+  }
+
   /** Per-file row counts for freshly published files (footer metadata for
-    * parquet, line count for CSV), read in parallel — recorded in the txn
-    * commit so queries never re-walk footers (scan accounting stays
-    * O(log replay), not O(files) at 100× file counts).
+    * parquet, line count for CSV — dispatched per file suffix), read in
+    * parallel — recorded in the txn commit so queries never re-walk
+    * footers (scan accounting stays O(log replay), not O(files) at 100×
+    * file counts).
     */
   private def countRows(rels: Seq[String]): Map[String, Long] = {
     import java.util.stream.Collectors
@@ -239,22 +267,30 @@ final class DataLakehouse(
         .asInstanceOf[StructType])
       .getOrElse(schemaWithDate)
 
+    // Per-file format dispatch (reference lakehouse.py:469-475 scans
+    // mixed parquet/CSV within one partition dir): the live set splits by
+    // suffix, each side reads with its own source, then unions. A
+    // homogeneous table (the norm) takes exactly one branch — no extra
+    // plan nodes vs the single-format read.
+    def readPaths(fmt: String, rels: Seq[String]) = {
+      // mergeSchema: union the file schemas so later commits may add
+      // columns without rewrite (README.md:29 / §1.2).
+      val reader =
+        if (mergeSchema && fmt == "parquet")
+          spark.read.option("mergeSchema", "true").option("basePath", root)
+        else spark.read.schema(versionSchema).option("basePath", root)
+      reader.format(fmt)
+        .option("header", fmt == "csv")
+        .load(rels.map(rel => s"$root/$rel"): _*)
+    }
+    val (csvRels, pqRels) = pruned.partition(_.endsWith(".csv"))
+    val sides = Seq("parquet" -> pqRels, "csv" -> csvRels)
+      .filter(_._2.nonEmpty).map((readPaths _).tupled)
     val base =
-      if (pruned.isEmpty)
+      if (sides.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           versionSchema)
-      else {
-        val paths = pruned.map(rel => s"$root/$rel")
-        // mergeSchema: union the file schemas so later commits may add
-        // columns without rewrite (README.md:29 / §1.2).
-        val reader =
-          if (mergeSchema && format == "parquet")
-            spark.read.option("mergeSchema", "true").option("basePath", root)
-          else spark.read.schema(versionSchema).option("basePath", root)
-        reader.format(format)
-          .option("header", format == "csv")
-          .load(paths: _*)
-      }
+      else sides.reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
 
     val filtered = Seq(
       symbol.map(s => col("symbol") === s),
@@ -268,7 +304,7 @@ final class DataLakehouse(
   }
 
   private def footerRowCount(rel: String): Long =
-    if (format == "csv") {
+    if (rel.endsWith(".csv")) {
       val lines = Files.lines(Paths.get(root, rel))
       try math.max(0L, lines.count() - 1) finally lines.close() // minus header
     } else {
@@ -315,7 +351,8 @@ final class DataLakehouse(
         .repartition(targetFiles)
         .sortWithinPartitions(col("symbol"), col("timestamp"))
         .write.partitionBy("date").format(format)
-        .option("header", format == "csv").save(staging)
+        .option("header", format == "csv")
+        .option("compression", writeCompression).save(staging)
       adds ++= publishStaged(staging)
       removes ++= rels
     }

@@ -185,6 +185,41 @@ class LakehouseSpec extends SparkSpec {
     assert(r.getAs[Double]("open") == 150.0) // schema-on-read casts applied
   }
 
+  test("mixed-format table: CSV registered via addFiles, dispatched per suffix") {
+    val lake = newLake()
+    lake.ingestBatch(sampleBars) // parquet, all on date=2024-06-15
+    // produce a CSV partition elsewhere, copy the files in place, register
+    val csvSrc = new DataLakehouse(spark, tempDir("csvsrc"), format = "csv")
+    val msft = (0 until 3).map(i => bar(i).copy(symbol = "MSFT",
+      timestamp = new Timestamp(ts("2024-06-16 10:00:00").getTime + i * 60000L)))
+    csvSrc.ingestBatch(msft)
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    import scala.jdk.CollectionConverters._
+    val srcRoot = JPaths.get(csvSrc.root)
+    val rels = {
+      val s = JFiles.walk(srcRoot)
+      try s.iterator().asScala.filter(_.toString.endsWith(".csv"))
+        .map(srcRoot.relativize(_).toString).toList
+      finally s.close()
+    }
+    assert(rels.nonEmpty)
+    rels.foreach { r =>
+      val tgt = JPaths.get(lake.root, r)
+      JFiles.createDirectories(tgt.getParent)
+      JFiles.copy(JPaths.get(csvSrc.root, r), tgt)
+    }
+    lake.addFiles(rels)
+    assert(lake.query().count == 13) // both formats in one read
+    assert(lake.query().totalRowsScanned == 13) // csv line counts recorded
+    // partition pruning applies to the registered partition
+    val day2 = lake.query(start = Some(ts("2024-06-16 00:00:00")))
+    assert(day2.totalRowsScanned == 3)
+    assert(day2.df.select("symbol").distinct().head().getString(0) == "MSFT")
+    // filters apply across formats; schema-on-read casts on the csv side
+    assert(lake.query(symbol = Some("AAPL")).count == 5)
+    assert(lake.query(symbol = Some("MSFT")).df.head().getAs[Double]("open") == 150.0)
+  }
+
   test("schema evolution: later commit adds a column without rewrite") {
     val lake = newLake()
     lake.ingestBatch(sampleBars.take(3))
