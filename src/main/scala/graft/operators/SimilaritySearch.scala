@@ -16,6 +16,10 @@ import graft.functions.VectorOps
   *   deterministic across runs/executors); search only scans the query's
   *   bucket. At 100 TB the bucket column becomes a partition/cluster key so
   *   a query touches 1/2^planes of the data.
+  * - `ivfTopK`: inverted-file index — a k-means coarse quantizer (fit with
+  *   DataFrame-only Lloyd's iterations) partitions the corpus into cells;
+  *   a query probes its `nprobe` nearest cells. Density-adaptive where LSH
+  *   buckets are oblivious; the standard ANN layout at corpus scale.
   */
 object SimilaritySearch {
 
@@ -72,6 +76,89 @@ object SimilaritySearch {
     val bucketed = df.withColumn("__bucket",
       lshBucket(VectorOps.toDoubles(col(vecCol)), planes))
     bruteForceTopK(bucketed.filter(col("__bucket") === qBucket),
+      idCol, vecCol, queryVec, k, excludeId)
+  }
+
+  // ------------------------------------------------------------------- IVF
+
+  /** Squared-L2 distances from `vec` to each centroid, as one array column. */
+  private def distArray(vec: Column, centroids: Array[Array[Double]]): Column =
+    array(centroids.map { c =>
+      // ||v - c||² expanded via the fused dot kernel would need v twice;
+      // the HOF zip keeps it one pass per centroid and stays codegen'd
+      aggregate(zip_with(vec, planeLit(c), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+    }: _*)
+
+  /** Nearest-centroid cell id in [0, k). */
+  def ivfCell(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val d = distArray(vec, centroids)
+    (array_position(d, array_min(d)) - 1).cast("int")
+  }
+
+  /** K-means coarse quantizer, Lloyd's iterations expressed entirely as
+    * DataFrame aggregations — per round: one narrow assign pass, one
+    * shuffle (groupBy cell×dimension), and a k×dim collect of the new
+    * centroids (tiny). Init is deterministic: the k vectors with the
+    * smallest xxhash64(id, seed). At 100 TB fit on a sample (the
+    * quantizer needs cluster SHAPE, not every point); assignment of the
+    * full corpus stays a narrow map.
+    */
+  def fitCentroids(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 5,
+      seed: Long = 42L): Array[Array[Double]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(col(idCol).as("id"),
+      VectorOps.toDoubles(col(vecCol)).as("v"))
+    var centroids: Array[Array[Double]] = vecs
+      .orderBy(xxhash64($"id", lit(seed))).limit(k)
+      .select($"v").as[Seq[Double]].collect().map(_.toArray)
+    for (_ <- 0 until iters) {
+      val means = vecs
+        .select(ivfCell($"v", centroids).as("cell"), posexplode($"v").as(Seq("pos", "x")))
+        .groupBy($"cell", $"pos").agg(avg($"x").as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+        }
+      // empty cells keep their previous centroid
+      val prev = centroids
+      centroids = prev.indices.map(i => means.getOrElse(i, prev(i))).toArray
+    }
+    centroids
+  }
+
+  /** IVF (inverted-file) ANN: the k-means cells partition the corpus; a
+    * query probes only its `nprobe` nearest cells and brute-forces within
+    * them — the classic FAISS-style coarse quantizer layout. At scale the
+    * cell id is the table's partition/cluster key, so a probe reads
+    * nprobe/k of the data; vs LSH buckets, cells adapt to the actual
+    * density of the corpus.
+    */
+  def ivfTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryVec: Array[Double],
+      k: Int,
+      numCells: Int = 16,
+      nprobe: Int = 4,
+      iters: Int = 5,
+      excludeId: Option[Long] = None): DataFrame = {
+    val centroids = fitCentroids(df, idCol, vecCol, numCells, iters)
+    val qDists = centroids.map(c =>
+      c.zip(queryVec).map { case (a, b) => (a - b) * (a - b) }.sum)
+    val probed = qDists.zipWithIndex.sortBy(_._1).take(nprobe).map(_._2).toSet
+    val celled = df.withColumn("__cell",
+      ivfCell(VectorOps.toDoubles(col(vecCol)), centroids))
+    bruteForceTopK(
+      celled.filter(col("__cell").isInCollection(probed)),
       idCol, vecCol, queryVec, k, excludeId)
   }
 }

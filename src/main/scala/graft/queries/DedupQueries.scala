@@ -171,6 +171,19 @@ object DedupQueries {
       numPlanes = 4, excludeId = Some(0L))
   }
 
+  // q50 — IVF ANN (k-means coarse quantizer, nprobe nearest cells probed,
+  // brute-force within): the density-adaptive twin of q29. Rows-only:
+  // cells depend on the seeded init, no portable SQL oracle.
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val qv = emb.filter($"vec_id" === 0)
+      .select(VectorOps.toDoubles($"embedding"))
+      .head().getSeq[Double](0).toArray
+    SimilaritySearch.ivfTopK(emb, "vec_id", "embedding", qv, k = 10,
+      numCells = 16, nprobe = 4, excludeId = Some(0L))
+  }
+
   // q43 — embedding-cosine near-duplicate pairs (the vector twin of q24):
   // exact all-pairs at oracle scale; the LSH-bucketed variants (q29) are
   // the 100 TB path. The fused native cosine keeps the O(n²/2) scan
@@ -210,7 +223,8 @@ object DedupQueries {
     "q26_multimodal_join" -> (q26 _),
     "q27_minhash_lsh" -> (q27 _),
     "q28_simhash" -> (q28 _),
-    "q29_ann_lsh" -> (q29 _))
+    "q29_ann_lsh" -> (q29 _),
+    "q50_ann_ivf" -> (q50 _))
 
   val oracle: Seq[(String, String)] = Seq(
     "q43_embedding_neardup" -> q43Sql,
