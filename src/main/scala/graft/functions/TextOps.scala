@@ -78,4 +78,44 @@ object TextOps {
   def fingerprint(text: Column, n: Int = 8, k: Int = 16): Column =
     slice(array_sort(array_distinct(
       transform(charNgrams(text, n), g => xxhash64(g)))), 1, k)
+
+  /** Hashes of every char n-gram ("rolling hash" stream). Materialize
+    * this in its OWN projection before feeding [[winnowFromHashes]] —
+    * same CollapseProject trap as [[shingles]].
+    */
+  def ngramHashes(text: Column, n: Int): Column =
+    transform(charNgrams(text, n), g => xxhash64(g))
+
+  /** Winnowing fingerprint — the POSITIONAL variant of Schleimer,
+    * Wilkerson & Aiken (SIGMOD 2003): keep the minimum of each sliding
+    * window of `w` consecutive n-gram hashes, distinct. Unlike the global
+    * bottom-k sketch above, winnowing GUARANTEES any common substring of
+    * length >= w + n - 1 contributes a shared fingerprint (the
+    * local-match detection the bottom-k form cannot promise), at density
+    * ~2/(w+1) of the n-gram count.
+    *
+    * PERF: `hashes` MUST be a materialized column ([[ngramHashes]]
+    * projected in a select below this one), never the expression inline —
+    * the window lambda references it per element, and CollapseProject
+    * would re-hash the whole document once per window (O(len²) per doc;
+    * measured minutes-vs-seconds on the sf0.1 corpus). With a
+    * materialized array the cost is O(len·w) codegen'd element ops (w is
+    * a small constant; the O(len) monotone-deque rolling min is not
+    * expressible in higher-order functions, and for w <= 8 the
+    * difference is noise next to the hashing itself).
+    */
+  def winnowFromHashes(hashes: Column, w: Int = 4): Column =
+    when(size(hashes) >= w,
+      array_distinct(transform(sequence(lit(1), size(hashes) - (w - 1)),
+        i => array_min(slice(hashes, i, lit(w))))))
+      .when(size(hashes) > 0, array(array_min(hashes)))
+      .otherwise(array().cast("array<bigint>"))
+
+  /** One-expression convenience form of winnowing — ONLY for small/ad-hoc
+    * inputs: inlining the hash stream into the window lambda triggers the
+    * re-evaluation trap described on [[winnowFromHashes]]. Hot paths must
+    * use the two-step materialized form (see q51).
+    */
+  def winnow(text: Column, n: Int = 8, w: Int = 4): Column =
+    winnowFromHashes(ngramHashes(text, n), w)
 }

@@ -188,6 +188,44 @@ object Dedup {
         }.reduce((a, x) => a.bitwiseOR(x)).as("sig"))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003) as
+    * an exploded (id, fp) relation — the distributed form: char-n-gram
+    * hashes posexplode to rows, and each full window of `w` consecutive
+    * hashes contributes its minimum via a codegen'd running-min window
+    * frame. One shuffle (on id) and WindowExec — NOT the array-HOF form
+    * (`TextOps.winnowFromHashes`), whose nested lambdas fall out of
+    * codegen into interpreted eval and re-hash the document per window
+    * (measured minutes-vs-seconds at sf0.1). The HOF twin is kept for
+    * column-level/ad-hoc use and spec-asserted equal to this one.
+    *
+    * Guarantee: any common substring of length >= w + n - 1 between two
+    * docs yields a shared fingerprint; density ~2/(w+1) of n-gram count.
+    * Docs shorter than a full window keep their global min (one fp).
+    */
+  def winnowFingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashed = df
+      .select(col(idCol).as("id"), TextOps.charNgrams(col(textCol), n).as("g"))
+      .select($"id", posexplode(transform($"g", x => xxhash64(x))).as(Seq("pos", "h")))
+    val byDoc = Window.partitionBy($"id")
+    val winMin = min($"h").over(
+      byDoc.orderBy($"pos").rowsBetween(Window.currentRow, w - 1))
+    hashed
+      .withColumn("cnt", count(lit(1)).over(byDoc))
+      .withColumn("fp", winMin)
+      // only FULL windows select fingerprints (positions 0..cnt-w); a doc
+      // shorter than one window keeps its pos-0 (global) min
+      .filter($"pos" <= greatest($"cnt" - w, lit(0)))
+      .select($"id", $"fp").distinct()
+  }
+
   /** SimHash near-dup pairs: candidates share one of four 16-bit chunks
     * (pigeonhole: any pair at Hamming distance <= 3 shares a chunk), then
     * verified with an exact `bit_count(xor) <= maxHamming` filter.

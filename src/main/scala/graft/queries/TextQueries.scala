@@ -132,13 +132,42 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  // q51 — winnowing near-dup candidates: docs sharing >= 3 positional
+  // window-min fingerprints (Dedup.winnowFingerprints, n=8 w=8: any
+  // common substring of 15+ chars is guaranteed a shared fingerprint).
+  // The posting-list self-join is the q24 shape but over the winnowed
+  // set — ~2/(w+1) the density of raw shingles, which is exactly the
+  // 100 TB win: the shuffle carries fingerprints, not n-grams. Winnow
+  // minima are BIASED toward hot values (they are selected for being
+  // small), so the posting-list cap is not optional here: a boilerplate
+  // fingerprint shared by m docs forms an m²/2 bucket — df is bounded to
+  // [2, 64], the same skew defuse as the minhash/simhash bucket caps.
+  // xxhash64-based → rows-only.
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fp = graft.operators.Dedup
+      .winnowFingerprints(docs(s, dir), "doc_id", "text", n = 8, w = 8)
+      .select($"id".as("doc_id"), $"fp")
+    val hot = fp.groupBy($"fp").agg(count(lit(1)).as("df"))
+      .filter($"df" > 1 && $"df" <= 64)
+      .select($"fp")
+    val fp2 = fp.join(hot, "fp").persist()
+    fp2.as("a")
+      .join(fp2.as("b"), $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter($"shared_fps" >= 3)
+      .orderBy($"a_id", $"b_id")
+  }
+
   val defs: Seq[(String, QFn)] = Seq(
     "q19_top_tokens" -> (q19 _),
     "q20_lang_profile" -> (q20 _),
     "q21_text_quality" -> (q21 _),
     "q22_langid" -> (q22 _),
     "q41_token_counting" -> (q41 _),
-    "q42_fingerprint" -> (q42 _))
+    "q42_fingerprint" -> (q42 _),
+    "q51_winnowing" -> (q51 _))
 
   val oracle: Seq[(String, String)] = Seq(
     "q19_top_tokens" -> q19Sql,

@@ -221,6 +221,41 @@ class OperatorsSpec extends SparkSpec {
     assert(cmp.filter(not($"hof" === $"fast")).count() == 0)
   }
 
+  test("winnowing: common substring >= w+n-1 chars shares a fingerprint") {
+    // n=8, w=4 -> guarantee threshold 11 chars; the planted run is 12
+    val common = "zqxjkvbwpfmg"
+    val a = "aaaa bbbb cccc " + common + " dddd"
+    val b = "totally different prefix " + common + " and suffix"
+    val c = "no overlap with those at all, none whatsoever!!"
+    val fps = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+      .select($"doc_id", TextOps.winnow($"text", 8, 4).as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty) // guarantee
+    assert(fps(1L).toSet.intersect(fps(3L).toSet).isEmpty)
+    // density: winnowed set is a strict subset of the n-gram hash count
+    assert(fps(1L).size < a.length - 7)
+    // short text (fewer than w n-grams) still yields one fingerprint
+    val tiny = Seq("abcdefghij").toDF("text")
+      .select(TextOps.winnow($"text", 8, 4).as("fp")).as[Seq[Long]].head()
+    assert(tiny.size == 1)
+  }
+
+  test("winnowFingerprints (window form) == winnow HOF twin, per doc") {
+    val docsDf = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different content with its own shape entirely!"),
+      (3L, "short"), (4L, "abcdefghij")).toDF("doc_id", "text")
+    val dist = Dedup.winnowFingerprints(docsDf, "doc_id", "text", n = 8, w = 4)
+      .as[(Long, Long)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hof = docsDf
+      .select($"doc_id", TextOps.winnow($"text", 8, 4).as("fp"))
+      .as[(Long, Seq[Long])].collect().toSeq
+      .map { case (id, fp) => id -> fp.toSet }.toMap
+    // doc 3 has no 8-gram at all -> absent from both forms
+    assert(dist == hof.filter(_._2.nonEmpty))
+  }
+
   test("bpeish tokens split punctuation from words") {
     val r = Seq("Hello, world! x2").toDF("text")
       .select(TextOps.bpeishTokens($"text")).as[Seq[String]].head()
