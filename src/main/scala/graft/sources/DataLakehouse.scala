@@ -345,9 +345,18 @@ final class DataLakehouse(
       .getOrElse(schemaWithDate)
     toCompact.foreach { case (_, rels) =>
       val staging = s"$root/_staging/${UUID.randomUUID()}"
-      spark.read.schema(liveSchema).option("basePath", root)
-        .format(format).option("header", format == "csv")
-        .load(rels.map(r => s"$root/$r"): _*)
+      // read each suffix with its own source (a mixed-format partition —
+      // addFiles — compacts correctly); the REWRITE normalizes to the
+      // table's primary format, so compaction doubles as convert-in-place
+      val (csvRels, pqRels) = rels.partition(_.endsWith(".csv"))
+      Seq("parquet" -> pqRels, "csv" -> csvRels)
+        .filter(_._2.nonEmpty)
+        .map { case (fmt, rs) =>
+          spark.read.schema(liveSchema).option("basePath", root)
+            .format(fmt).option("header", fmt == "csv")
+            .load(rs.map(r => s"$root/$r"): _*)
+        }
+        .reduce(_.unionByName(_))
         .repartition(targetFiles)
         .sortWithinPartitions(col("symbol"), col("timestamp"))
         .write.partitionBy("date").format(format)

@@ -218,6 +218,13 @@ class LakehouseSpec extends SparkSpec {
     // filters apply across formats; schema-on-read casts on the csv side
     assert(lake.query(symbol = Some("AAPL")).count == 5)
     assert(lake.query(symbol = Some("MSFT")).df.head().getAs[Double]("open") == 150.0)
+    // compaction reads each suffix with its own source and rewrites to
+    // the table's primary format — convert-in-place for registered CSV
+    lake.compact(maxFilesPerPartition = 0)
+    val after = lake.txnLog.snapshotFiles()
+    assert(after.nonEmpty && after.forall(_.endsWith(".parquet")))
+    assert(lake.query().count == 13)
+    assert(lake.query(symbol = Some("MSFT")).count == 3)
   }
 
   test("schema evolution: later commit adds a column without rewrite") {

@@ -24,6 +24,33 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2) == ((3L, None, None))) // no right row at-or-before 50
   }
 
+  test("as-of join == brute-force reference on randomized data") {
+    // seeded pseudo-random ticks with real timestamp ties — the union-
+    // window formulation must match the literal per-row definition
+    val rng = new scala.util.Random(7)
+    val ks = Seq("A", "B", "C")
+    val left = (0 until 200).map(i =>
+      (i.toLong, ks(rng.nextInt(3)), rng.nextInt(300).toLong))
+    val right = (0 until 300).map(j =>
+      (j.toLong, ks(rng.nextInt(3)), rng.nextInt(300).toLong, rng.nextDouble()))
+    val l = left.toDF("l_id", "k", "lts")
+    val r = right.toDF("r_id", "rk", "rts", "payload")
+    val got = AsOfJoin.backward(l, r, Seq("k" -> "rk"), "lts", "rts",
+        "l_id", "r_id")
+      .select($"l_id", $"r_id", $"payload")
+      .as[(Long, Option[Long], Option[Double])].collect().toSet
+    val byKey = right.groupBy(_._2)
+    val want = left.map { case (lid, k, lts) =>
+      val cands = byKey.getOrElse(k, Seq.empty).filter(_._3 <= lts)
+      if (cands.isEmpty) (lid, None, None)
+      else {
+        val best = cands.maxBy(t => (t._3, t._1)) // latest ts, max tiebreak
+        (lid, Some(best._1), Some(best._4))
+      }
+    }.toSet
+    assert(got == want)
+  }
+
   test("exact dedup keeps deterministic winner (min id) per key") {
     val df = Seq((3L, "k1"), (1L, "k1"), (2L, "k2")).toDF("id", "key")
     val kept = Dedup.exact(df, Seq("key"), "id")
