@@ -392,6 +392,32 @@ object ExtendedQueries {
       |  ON strftime(o_orderdate, '%Y-%m') = strftime(m, '%Y-%m')
       |GROUP BY 1 ORDER BY month""".stripMargin
 
+  // q52 — part-dimension join (TPC-H Q14 shape): revenue by part type.
+  // `part` broadcasts (dimension), so the fact table never shuffles for
+  // the join — the only exchange is the small final groupBy. Completes
+  // testdata table coverage (part was the one unqueried table).
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_type")
+      .agg(
+        round(sum($"l_extendedprice".cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)"))), 2)
+          .cast("double").as("revenue"),
+        count(lit(1)).as("line_count"),
+        round(avg($"p_retailprice"), 4).as("avg_retail"))
+      .orderBy($"p_type")
+  }
+
+  private val q52Sql =
+    """SELECT p_type,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+      |  count(*) AS line_count,
+      |  round(avg(p_retailprice), 4) AS avg_retail
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_type ORDER BY p_type""".stripMargin
+
   val defs: Seq[(String, QFn)] = Seq(
     "q47_scalar_subquery" -> (q47 _),
     "q48_recursive_cte" -> (q48 _),
@@ -407,6 +433,7 @@ object ExtendedQueries {
     "q35_stats_agg" -> (q35 _),
     "q36_percentiles" -> (q36 _),
     "q49_percentiles_approx" -> (q49 _),
+    "q52_promo_revenue" -> (q52 _),
     "q37_topk_per_group" -> (q37 _),
     "q38_monthly_revenue" -> (q38 _),
     "q39_approx_distinct" -> (q39 _))
@@ -425,6 +452,7 @@ object ExtendedQueries {
     "q34_grouping_sets" -> q34Sql,
     "q35_stats_agg" -> q35Sql,
     "q36_percentiles" -> q36Sql,
+    "q52_promo_revenue" -> q52Sql,
     "q37_topk_per_group" -> q37Sql,
     "q38_monthly_revenue" -> q38Sql)
 }
