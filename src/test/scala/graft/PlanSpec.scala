@@ -55,6 +55,10 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("q52: part dimension broadcasts; fact side joins without shuffle") {
+    assert(plan("q52_promo_revenue").contains("BroadcastHashJoin"))
+  }
+
   test("lakehouse query: symbol filter pushes to parquet on clustered files") {
     import java.sql.Timestamp
     val lake = new graft.sources.DataLakehouse(spark, tempDir("planlake"))
