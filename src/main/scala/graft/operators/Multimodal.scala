@@ -1,7 +1,12 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+
+/** Typed rows for the batch-decode path (top-level for Encoder derivation). */
+final case class MediaRow(doc_id: Long, mime: String, content: Array[Byte])
+final case class DecodedMedia(doc_id: Long, mime: String, width: Int,
+    height: Int, duration_ms: Long, checksum: Long)
 
 /** Multimodal column support (SURVEY.md §2.10 D4, driver-mandated): treat
   * image/audio/video payloads as opaque `binary` columns with a typed
@@ -45,6 +50,30 @@ object Multimodal {
   /** STUB decode — media duration in ms (audio/video), byte-derived. */
   def stubDurationMs(content: Column): Column =
     (octet_length(content).cast("long") * 10L) + 1000L
+
+  /** Batch decode over partition iterators — the Scala analog of the
+    * mapInPandas batch-UDF shape: the "codec" receives a whole partition
+    * ITERATOR, so a real implementation initializes its codec/JNI handle
+    * ONCE per partition and streams rows through it (exactly what a
+    * pandas batch amortizes), instead of per row. Narrow map — no
+    * shuffle, embarrassingly parallel at 100 TB. The decode itself is
+    * the documented stub (byte-length dims + an FNV-1a content
+    * checksum); dims match the expression stubs, spec-asserted.
+    */
+  def decodePartitions(ds: Dataset[MediaRow]): Dataset[DecodedMedia] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      // per-partition codec-handle init happens HERE, once
+      rows.map { m =>
+        val n = m.content.length
+        var h = -3750763034362895579L // FNV-1a 64 offset basis
+        var i = 0
+        while (i < n) { h = (h ^ (m.content(i) & 0xff)) * 1099511628211L; i += 1 }
+        DecodedMedia(m.doc_id, m.mime, n % 640 + 1, n % 480 + 1,
+          n.toLong * 10L + 1000L, h)
+      }
+    }
+  }
 
   /** Frame sampling for video rows: one output row per sampled frame at
     * `everyMs` cadence, bounded by `maxFrames` (fan-out control — at scale

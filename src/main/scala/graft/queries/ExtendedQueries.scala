@@ -43,6 +43,33 @@ object ExtendedQueries {
       |  CAST(octet_length(encode(text)) AS BIGINT) * 10 + 1000 AS duration_ms
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // q53 — batch decode via mapPartitions (D4, the mapInPandas batch
+  // shape): typed iterator in / typed iterator out, codec handle
+  // amortized once per partition. The stub's outputs are byte-length
+  // arithmetic, so unlike most binary pipelines this one IS
+  // oracle-checkable (width/height stay int32 on both engines; the
+  // content checksum is engine-specific and excluded).
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal
+      .withContent(t(s, dir, "documents"), "text", "doc_id")
+      .select($"doc_id", $"mime", $"content")
+      .as[graft.operators.MediaRow]
+    Multimodal.decodePartitions(media).toDF()
+      .select($"doc_id", $"mime", $"width", $"height", $"duration_ms")
+      .orderBy($"doc_id")
+  }
+
+  private val q53Sql =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+      |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+      |       ELSE 'video/mp4' END AS mime,
+      |  CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+      |  CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
+      |  CAST(octet_length(encode(text)) AS BIGINT) * 10 + 1000 AS duration_ms
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // q31 — frame sampling (D4): bounded explode per video row.
   private def q31(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -427,6 +454,7 @@ object ExtendedQueries {
     "q40_range_join" -> (q40 _),
     "q30_multimodal_features" -> (q30 _),
     "q31_frame_sample" -> (q31 _),
+    "q53_multimodal_decode" -> (q53 _),
     "q32_union_all" -> (q32 _),
     "q33_cube" -> (q33 _),
     "q34_grouping_sets" -> (q34 _),
@@ -447,6 +475,7 @@ object ExtendedQueries {
     "q40_range_join" -> q40Sql,
     "q30_multimodal_features" -> q30Sql,
     "q31_frame_sample" -> q31Sql,
+    "q53_multimodal_decode" -> q53Sql,
     "q32_union_all" -> q32Sql,
     "q33_cube" -> q33Sql,
     "q34_grouping_sets" -> q34Sql,

@@ -197,6 +197,31 @@ object Streaming {
       }
   }
 
+  /** Stream-stream interval join — the two-feed enrichment shape (trade
+    * ticks ⋈ the quotes in force within the preceding `maxLag`). Both
+    * sides carry watermarks, which is what lets Spark BOUND the join
+    * state: a buffered quote older than (tick watermark − maxLag) can
+    * never match a future tick and is evicted, so state is O(in-flight
+    * window), not O(stream). Inner matches emit as soon as both sides
+    * arrive; the interval condition keeps the join an equi-key + time
+    * range, never a cross product.
+    *
+    * Column contract: `ticks(ts timestamp, symbol, ...)`,
+    * `quotes(qts timestamp, qsymbol, ...)` — pre-renamed so the joined
+    * schema has no collisions (same rule as AsOfJoin).
+    */
+  def tickQuoteJoin(
+      ticks: DataFrame,
+      quotes: DataFrame,
+      maxLag: String = "1 minute",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val t = ticks.withWatermark("ts", watermarkDelay).alias("t")
+    val q = quotes.withWatermark("qts", watermarkDelay).alias("q")
+    t.join(q, expr(
+      s"t.symbol = q.qsymbol AND " +
+        s"q.qts >= t.ts - INTERVAL $maxLag AND q.qts <= t.ts"))
+  }
+
   /** Streaming dedup within the watermark horizon (T5: README.md:41's
     * dedup gate, stateful form).
     */

@@ -77,6 +77,28 @@ class StreamingSpec extends SparkSpec {
     assert(lake.txnLog.commits().count(_.batchId.exists(_.startsWith("t-"))) == 1)
   }
 
+  test("stream-stream interval join pairs ticks with in-force quotes") {
+    implicit val sc = spark.sqlContext
+    val memT = MemoryStream[Tick]
+    val memQ = MemoryStream[Tick] // quote feed: same shape, renamed columns
+    val q = Streaming.tickQuoteJoin(memT.toDF(),
+        memQ.toDF().toDF("qts", "qsymbol", "bid", "qvol"),
+        maxLag = "1 minute")
+      .select($"symbol", $"price", $"bid")
+      .writeStream.format("memory").queryName("ssjoin_test")
+      .outputMode("append").start()
+    try {
+      // quote at t=0 and t=-120s; tick at t=30 only matches the first
+      memQ.addData(Tick(new Timestamp(1718445600000L), "AAPL", 99.0, 0),
+        Tick(new Timestamp(1718445600000L - 120000L), "AAPL", 98.0, 0))
+      memT.addData(tick(30, "AAPL", 100.0, 1))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin_test")
+        .as[(String, Double, Double)].collect().toSet
+      assert(rows == Set(("AAPL", 100.0, 99.0)))
+    } finally q.stop()
+  }
+
   test("checkpointed restart: processed files skipped, new files ingested once") {
     val lake = new DataLakehouse(spark, tempDir("rlake"))
     val src = tempDir("rsrc")
