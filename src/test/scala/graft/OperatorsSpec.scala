@@ -168,6 +168,35 @@ class OperatorsSpec extends SparkSpec {
     assert(top(2)._2 == 0.0)
   }
 
+  test("ANN recall@10 vs brute force on real sf0.01 embeddings") {
+    // deterministic (fixed data, seeded hashes/init): measures how much
+    // of the exact top-10 each approximate path keeps on REAL vectors,
+    // not planted clusters. Floors are set below the measured values so
+    // this regresses only if the algorithms change.
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val qv = emb.filter($"vec_id" === 0)
+      .select(VectorOps.toDoubles($"embedding"))
+      .head().getSeq[Double](0).toArray
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select(df.columns.head).as[Long].collect().toSet
+    val brute = ids(SimilaritySearch.bruteForceTopK(emb, "vec_id", "embedding",
+      qv, k = 10, excludeId = Some(0L)))
+    val lsh = ids(SimilaritySearch.lshTopK(emb, "vec_id", "embedding",
+      qv, k = 10, numPlanes = 4, excludeId = Some(0L)))
+    val ivf = ids(SimilaritySearch.ivfTopK(emb, "vec_id", "embedding",
+      qv, k = 10, numCells = 16, nprobe = 4, excludeId = Some(0L)))
+    val lshRecall = brute.intersect(lsh).size / 10.0
+    val ivfRecall = brute.intersect(ivf).size / 10.0
+    info(f"recall@10: lsh=$lshRecall%.1f ivf=$ivfRecall%.1f")
+    // measured: lsh=0.3, ivf=0.9. These embeddings are weakly clustered
+    // (near-random directions), which is hyperplane-LSH's worst case even
+    // multi-probed — single-probe measured 0.0 before the multi-probe
+    // fix. IVF's density-adaptive cells are the quality path here; LSH
+    // wins when vectors are angularly clustered (planted-cluster test).
+    assert(lshRecall >= 0.2)
+    assert(ivfRecall >= 0.7)
+  }
+
   test("lsh ANN returns query's bucket neighbors, topped by true nearest") {
     val vecs = (0 until 50).map { i =>
       val angle = i * 0.02

@@ -39,6 +39,9 @@ object ScaleRun {
       case "minhash" =>
         operators.Dedup.minhashPairs(big, "doc_id", "text",
           threshold = 0.5, maxBucketSize = 500).count()
+      case "winnow" =>
+        operators.Dedup.winnowFingerprints(big, "doc_id", "text",
+          n = 8, w = 8).count()
       case _ =>
         operators.Dedup.simhashPairs(big, "doc_id", "text",
           maxHamming = 3, maxBucketSize = 500).count()
