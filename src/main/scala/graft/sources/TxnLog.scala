@@ -154,12 +154,27 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
   private def checkpointPath(v: Long): Path =
     logDir.resolve(f"checkpoint-v$v%08d.json")
 
+  private final case class Checkpoint(version: Long, files: Seq[String],
+      schemaJson: Option[String], rowCounts: Option[Map[String, Long]])
+
+  /** Checkpoints carry the full derived read state — live files, newest
+    * schema, per-file row counts — so EVERY per-query log resolution
+    * (`snapshotFiles`, `schemaAt`, `rowCountsAt`) replays only the tail
+    * after the newest checkpoint, never the whole log. At the declared
+    * 100 ms flush cadence (864k commits/day, README.md:37) a full replay
+    * per query would dominate planning.
+    */
   private def maybeCheckpoint(v: Long): Unit =
     if (checkpointInterval > 0 && v > 0 && v % checkpointInterval == 0) {
       val node: ObjectNode = mapper.createObjectNode()
       node.put("version", v)
+      val files = snapshotFiles(v)
       val a: ArrayNode = node.putArray("files")
-      snapshotFiles(v).foreach(a.add)
+      files.foreach(a.add)
+      schemaAt(v).foreach(node.put("schemaJson", _))
+      val live = files.toSet
+      val rc: ObjectNode = node.putObject("rowCounts")
+      rowCountsAt(v).foreach { case (k, n) => if (live(k)) rc.put(k, n) }
       val tmp = Files.createTempFile(logDir, ".ckpt", ".tmp")
       Files.write(tmp, mapper.writeValueAsString(node)
         .getBytes(StandardCharsets.UTF_8))
@@ -169,8 +184,8 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       }
     }
 
-  /** Newest checkpoint at or below `v`, if any: (version, live files). */
-  private def latestCheckpoint(v: Long): Option[(Long, Seq[String])] = {
+  /** Newest checkpoint at or below `v`, if any. */
+  private def latestCheckpoint(v: Long): Option[Checkpoint] = {
     val best = listNames()
       .collect { case s if s.matches("checkpoint-v\\d{8}\\.json") =>
         s.substring(12, 20).toLong }
@@ -179,7 +194,13 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
     if (best < 0) None
     else {
       val node = mapper.readTree(Files.readAllBytes(checkpointPath(best)))
-      Some((best, node.get("files").elements().asScala.map(_.asText()).toSeq))
+      val counts = Option(node.get("rowCounts")).map { rc =>
+        rc.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+      }
+      Some(Checkpoint(best,
+        node.get("files").elements().asScala.map(_.asText()).toSeq,
+        Option(node.get("schemaJson")).filter(!_.isNull).map(_.asText()),
+        counts))
     }
   }
 
@@ -191,7 +212,7 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
     val cur = currentVersion()
     val upTo = math.min(cur, version)
     val (from, initial) = latestCheckpoint(upTo)
-      .map { case (cv, files) => (cv + 1, files) }
+      .map(ck => (ck.version + 1, ck.files))
       .getOrElse((0L, Seq.empty[String]))
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     live ++= initial
@@ -210,16 +231,33 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
   /** Table schema (Spark StructType JSON) as of `version` — the newest
     * schema recorded at or below it (S13 across schema evolution: a
     * time-travel read deserializes with the schema its snapshot was
-    * written under, not today's).
+    * written under, not today's). Checkpoint-seeded: only the commit
+    * tail after the newest checkpoint is replayed.
     */
-  def schemaAt(version: Long = Long.MaxValue): Option[String] =
-    commits(version).reverse.iterator.flatMap(_.schemaJson).nextOption()
+  def schemaAt(version: Long = Long.MaxValue): Option[String] = {
+    val upTo = math.min(currentVersion(), version)
+    val ck = latestCheckpoint(upTo)
+    val from = ck.map(_.version + 1).getOrElse(0L)
+    (upTo to from by -1).iterator.map(read).flatMap(_.schemaJson)
+      .nextOption()
+      .orElse(ck.flatMap(_.schemaJson))
+  }
 
   /** Per-file row counts recorded at commit time for the live file set at
     * `version`. Files from pre-rowCount commits are absent — callers fall
-    * back to a footer read for those. Recording counts in the log keeps
-    * scan accounting O(log replay) instead of O(files) footer IO.
+    * back to a footer read for those. Checkpoint-seeded like
+    * `snapshotFiles`; a pre-rowCount checkpoint (no counts field) falls
+    * back to a full replay so recorded counts are never dropped.
     */
-  def rowCountsAt(version: Long = Long.MaxValue): Map[String, Long] =
-    commits(version).foldLeft(Map.empty[String, Long])((m, c) => m ++ c.rowCounts)
+  def rowCountsAt(version: Long = Long.MaxValue): Map[String, Long] = {
+    val upTo = math.min(currentVersion(), version)
+    latestCheckpoint(upTo).filter(_.rowCounts.isDefined) match {
+      case Some(ck) =>
+        (ck.version + 1 to upTo).map(read)
+          .foldLeft(ck.rowCounts.get)((m, c) => m ++ c.rowCounts)
+      case None =>
+        (0L to upTo).map(read)
+          .foldLeft(Map.empty[String, Long])((m, c) => m ++ c.rowCounts)
+    }
+  }
 }

@@ -44,6 +44,29 @@ class TxnSafetySpec extends SparkSpec {
     assert(check.snapshotFiles().toSet == expected)
   }
 
+  test("checkpointed schema/row-count resolution equals full replay") {
+    val root = tempDir("txnckpt")
+    val log = new TxnLog(root, checkpointInterval = 5)
+    (0 until 13).foreach { i =>
+      log.commit(added = Seq(s"f$i.parquet"),
+        removed = if (i >= 5) Seq(s"f${i - 5}.parquet") else Nil,
+        schemaJson = if (i % 4 == 0) Some(s"""{"v":$i}""") else None,
+        rowCounts = Map(s"f$i.parquet" -> (100L + i)))
+    }
+    // checkpoints exist (v5, v10); per-query resolution starts from the
+    // newest one — results must equal the ground-truth full replay
+    val fullCounts = log.commits()
+      .foldLeft(Map.empty[String, Long])((m, c) => m ++ c.rowCounts)
+    val live = log.snapshotFiles().toSet
+    assert(live == (8 until 13).map(i => s"f$i.parquet").toSet)
+    assert(log.rowCountsAt().view.filterKeys(live).toMap ==
+      fullCounts.view.filterKeys(live).toMap)
+    assert(log.schemaAt() == Some("""{"v":12}"""))
+    // a version BELOW the newest checkpoint still resolves correctly
+    assert(log.schemaAt(7) == Some("""{"v":4}"""))
+    assert(log.rowCountsAt(7).get("f7.parquet") == Some(107L))
+  }
+
   // --- P9/F1: partition key must not depend on session timezone ------
 
   test("non-UTC session: day-boundary rows survive a date-range query") {
