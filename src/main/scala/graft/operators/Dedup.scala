@@ -188,6 +188,51 @@ object Dedup {
         }.reduce((a, x) => a.bitwiseOR(x)).as("sig"))
   }
 
+  /** Connected components over a near-dup pair relation — the cluster
+    * step of a dedup pipeline: pairs say "same", components say "this
+    * GROUP is one document", and min-id becomes the canonical survivor.
+    *
+    * Iterative min-label propagation: every node starts labeled with its
+    * own id; each round every node takes the min of its label and its
+    * neighbors' labels; fixpoint in O(component diameter) rounds (near-dup
+    * components are shallow — dup clusters are cliques or near-cliques).
+    * Each round is one shuffle (join) + one aggregation, and labels are
+    * `localCheckpoint`ed to truncate the exponentially-growing iterative
+    * lineage — the standard guard for loop-shaped DataFrame algorithms.
+    *
+    * @param pairs (srcCol, dstCol) undirected edges
+    * @return (id, component) — component = min node id reachable
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      srcCol: String = "a_id",
+      dstCol: String = "b_id",
+      maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct().persist()
+    var labels = edges.select($"src".as("id")).distinct()
+      .select($"id", $"id".as("component")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNeighbor = edges
+        .join(labels, $"src" === $"id")
+        .select($"dst".as("id"), $"component")
+      val next = labels.union(viaNeighbor)
+        .groupBy($"id").agg(min($"component").as("component"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("component", "prev"), "id")
+        .filter($"component" =!= $"prev").isEmpty
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003) as
     * an exploded (id, fp) relation — the distributed form: char-n-gram
     * hashes posexplode to rows, and each full window of `w` consecutive

@@ -215,6 +215,41 @@ object DedupQueries {
       |WHERE list_cosine_similarity(a.v, b.v) >= 0.35
       |ORDER BY a_id, b_id""".stripMargin
 
+  // q54 — dedup clusters, the step AFTER pair detection: connected
+  // components over the q24 pair set (min reachable doc_id = the
+  // cluster's canonical survivor). Iterative label propagation on the
+  // Spark side; the DuckDB oracle computes the same components with a
+  // recursive-CTE transitive closure.
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.connectedComponents(neardupPairs(s, dir))
+      .select($"id".as("doc_id"), $"component".as("cluster"))
+      .orderBy($"doc_id")
+  }
+
+  private val q54Sql =
+    """WITH RECURSIVE w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') ws
+      |  FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |  FROM w, unnest(range(1, len(ws) - 1)) t(i)),
+      |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |jac AS (SELECT a_id, b_id
+      |  FROM pairs JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+      |  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5),
+      |e AS (SELECT a_id a, b_id b FROM jac UNION SELECT b_id, a_id FROM jac),
+      |reach AS (
+      |  SELECT a, b FROM e
+      |  UNION
+      |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+      |lbl AS (
+      |  SELECT a AS id, b AS l FROM reach
+      |  UNION ALL
+      |  SELECT DISTINCT a, a FROM e)
+      |SELECT id AS doc_id, min(l) AS cluster FROM lbl
+      |GROUP BY id ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, QFn)] = Seq(
     "q43_embedding_neardup" -> (q43 _),
     "q23_dedup_exact" -> (q23 _),
@@ -224,12 +259,14 @@ object DedupQueries {
     "q27_minhash_lsh" -> (q27 _),
     "q28_simhash" -> (q28 _),
     "q29_ann_lsh" -> (q29 _),
-    "q50_ann_ivf" -> (q50 _))
+    "q50_ann_ivf" -> (q50 _),
+    "q54_dedup_clusters" -> (q54 _))
 
   val oracle: Seq[(String, String)] = Seq(
     "q43_embedding_neardup" -> q43Sql,
     "q23_dedup_exact" -> q23Sql,
     "q24_neardup_jaccard" -> q24Sql,
     "q25_cosine_topk" -> q25Sql,
-    "q26_multimodal_join" -> q26Sql)
+    "q26_multimodal_join" -> q26Sql,
+    "q54_dedup_clusters" -> q54Sql)
 }

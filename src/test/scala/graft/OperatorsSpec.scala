@@ -277,6 +277,18 @@ class OperatorsSpec extends SparkSpec {
     assert(cmp.filter(not($"hof" === $"fast")).count() == 0)
   }
 
+  test("connected components: chain + clique resolve to min-id clusters") {
+    // chain 1-2-3-4 (diameter 3: exercises multi-round propagation),
+    // clique 10-11-12, isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L))
+      .toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("winnowing: common substring >= w+n-1 chars shares a fingerprint") {
     // n=8, w=4 -> guarantee threshold 11 chars; the planted run is 12
     val common = "zqxjkvbwpfmg"
