@@ -178,8 +178,16 @@ object SimilaritySearch {
       numCells: Int = 16,
       nprobe: Int = 4,
       iters: Int = 5,
-      excludeId: Option[Long] = None): DataFrame = {
-    val centroids = fitCentroids(df, idCol, vecCol, numCells, iters)
+      excludeId: Option[Long] = None,
+      fitSampleFraction: Double = 1.0): DataFrame = {
+    // The quantizer needs the corpus's cluster SHAPE, not every point:
+    // at 100 TB fit on a seeded sample (k-means centroids converge on a
+    // fraction), then the full-corpus pass is assignment only — a narrow
+    // map with the codegen'd dot kernel.
+    val fitDf =
+      if (fitSampleFraction < 1.0) df.sample(fitSampleFraction, seed = 42L)
+      else df
+    val centroids = fitCentroids(fitDf, idCol, vecCol, numCells, iters)
     val qDists = centroids.map(c =>
       c.zip(queryVec).map { case (a, b) => (a - b) * (a - b) }.sum)
     val probed = qDists.zipWithIndex.sortBy(_._1).take(nprobe).map(_._2).toSet

@@ -153,6 +153,12 @@ class OperatorsSpec extends SparkSpec {
     assert(ivf == brute)
     assert(ivf.head._1 == 0L) // zero-jitter cluster-0 point, cosine 1.0
     assert(ivf.head._2 == 1.0)
+    // the 100 TB path: quantizer fit on a HALF sample still recovers the
+    // cluster structure (assignment of the full corpus is unchanged)
+    val sampled = SimilaritySearch.ivfTopK(df, "vec_id", "embedding", q,
+        k = 5, numCells = 3, nprobe = 1, iters = 10, fitSampleFraction = 0.5)
+      .as[(Long, Double)].collect().toSeq
+    assert(sampled == brute)
   }
 
   test("cosine: orthonormal basis sanity + brute-force top-k order") {
