@@ -42,6 +42,11 @@ object ScaleRun {
       case "winnow" =>
         operators.Dedup.winnowFingerprints(big, "doc_id", "text",
           n = 8, w = 8).count()
+      case "cc" =>
+        // full pipeline: minhash pairs -> duplicate clusters
+        val pairs = operators.Dedup.minhashPairs(big, "doc_id", "text",
+          threshold = 0.5, maxBucketSize = 500)
+        operators.Dedup.connectedComponents(pairs).count()
       case _ =>
         operators.Dedup.simhashPairs(big, "doc_id", "text",
           maxHamming = 3, maxBucketSize = 500).count()
