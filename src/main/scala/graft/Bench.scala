@@ -49,10 +49,13 @@ object Bench {
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
           }
+          val sec = (System.nanoTime() - t0) / 1e9
           // caches a query materializes internally (dedup pipelines) must
-          // not leak into the next repeat or the next query
+          // not leak into the next repeat or the next query — and the
+          // teardown happens OUTSIDE the timed window, so cache-heavy
+          // queries aren't billed for their own unpersist
           spark.sharedState.cacheManager.clearCache()
-          (System.nanoTime() - t0) / 1e9
+          sec
         }
         name -> median(times)
       }

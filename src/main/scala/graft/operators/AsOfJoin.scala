@@ -50,8 +50,15 @@ object AsOfJoin {
     val payloadCols = right.columns.toSeq.filterNot(rightKeyNames.contains)
 
     // Right side: key cols (under the LEFT key names), event time, side 0,
-    // tie-break, and the whole payload as one struct.
-    val rTagged = right.select(
+    // tie-break, and the whole payload as one struct. Null keys / null
+    // event times are dropped FIRST — under the old equi-join they could
+    // never match (null comparisons are null), but in the union form a
+    // null-ts row would sort nulls-FIRST and a null key would share a
+    // window partition with null-key left rows, fabricating matches.
+    val rMatchable = right.filter(
+      (keys.map(k => right(k._2).isNotNull) :+ right(rightOn).isNotNull)
+        .reduce(_ && _))
+    val rTagged = rMatchable.select(
       keys.map { case (l, r) => right(r).as(s"__k_$l") } ++ Seq(
         right(rightOn).as("__ts"),
         lit(0).as("__side"),

@@ -156,12 +156,13 @@ object Dedup {
     *
     * Bit-slicing: the 64 per-bit ±1 vote sums reduce to per-bit ONES
     * counts (vote_b = 2·ones_b − n, so vote_b > 0 ⟺ 2·ones_b > n), and
-    * the ones counts pack four-per-long into 16-bit lanes — 16 packed
-    * long sums + one count instead of 64 conditional sums: a 4× smaller
+    * the ones counts pack two-per-long into 32-bit lanes — 32 packed
+    * long sums + one count instead of 64 conditional sums: a 2× smaller
     * aggregation buffer and branch-free per-row update inside codegen.
-    * Lane width bounds a doc at 65535 token occurrences; beyond that the
-    * lanes would carry into each other (cap/sample tokens upstream for
-    * pathological documents).
+    * 32-bit lanes bound a doc at 2^31−1 token occurrences before the
+    * high lane could reach the sign bit — unreachable in practice
+    * (16-bit lanes would pack tighter but silently overflow a signed
+    * long once a lane's count passed 32767).
     */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -170,20 +171,19 @@ object Dedup {
       .select(col(idCol).as("id"),
         explode(TextOps.tokens(col(textCol))).as("tok"))
       .select($"id", xxhash64($"tok").as("h"))
-    // packed_k lane j (16 bits at offset 16j) counts tokens with sig bit
-    // 4k+j set; a row contributes 0 or 1<<(16j) per lane — no carries
-    // until a lane exceeds 0xFFFF.
-    val packed = (0 until 16).map { k =>
-      sum((0 until 4).map { j =>
-        shiftright($"h", 4 * k + j).bitwiseAND(lit(1L)) * lit(1L << (16 * j))
+    // packed_k lane j (32 bits at offset 32j) counts tokens with sig bit
+    // 2k+j set; a row contributes 0 or 1<<(32j) per lane
+    val packed = (0 until 32).map { k =>
+      sum((0 until 2).map { j =>
+        shiftright($"h", 2 * k + j).bitwiseAND(lit(1L)) * lit(1L << (32 * j))
       }.reduce(_ + _)).as(s"p$k")
     }
     hashed.groupBy($"id")
       .agg(packed.head, (packed.tail :+ count(lit(1)).as("n")): _*)
       .select($"id",
         (0 until 64).map { b =>
-          val ones = shiftright(col(s"p${b / 4}"), 16 * (b % 4))
-            .bitwiseAND(lit(0xFFFFL))
+          val ones = shiftright(col(s"p${b / 2}"), 32 * (b % 2))
+            .bitwiseAND(lit(0xFFFFFFFFL))
           when(ones * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))
         }.reduce((a, x) => a.bitwiseOR(x)).as("sig"))
   }
@@ -207,7 +207,7 @@ object Dedup {
       pairs: DataFrame,
       srcCol: String = "a_id",
       dstCol: String = "b_id",
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -230,6 +230,12 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // a silent non-converged return would report one real component as
+    // several clusters — fail loudly instead (diameter > maxIter means
+    // the caller's graph is not near-dup-shaped; raise maxIter)
+    if (!converged) sys.error(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(component diameter exceeds maxIter)")
     labels
   }
 

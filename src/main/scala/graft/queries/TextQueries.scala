@@ -145,9 +145,13 @@ object TextQueries {
   // xxhash64-based → rows-only.
   private def q51(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // persist the EXPENSIVE upstream (posexplode + window-min pipeline):
+    // both the df aggregation and the join read it — self-joins do not
+    // share unmaterialized subplans
     val fp = graft.operators.Dedup
       .winnowFingerprints(docs(s, dir), "doc_id", "text", n = 8, w = 8)
       .select($"id".as("doc_id"), $"fp")
+      .persist()
     val hot = fp.groupBy($"fp").agg(count(lit(1)).as("df"))
       .filter($"df" > 1 && $"df" <= 64)
       .select($"fp")

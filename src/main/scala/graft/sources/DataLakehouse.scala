@@ -132,7 +132,11 @@ final class DataLakehouse(
 
   def deadLetterCount(): Long =
     if (Files.isDirectory(Paths.get(root, "_dlq")))
-      spark.read.parquet(s"$root/_dlq").count()
+      // recursiveFileLookup: counts rows whether rejects sit in batch=
+      // partition dirs (streaming/idempotent path) or flat files (older
+      // layouts) — partition discovery would refuse the mixed layout
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$root/_dlq").count()
     else 0L
 
   def errorCount: Long = totalErrors
@@ -376,8 +380,11 @@ final class DataLakehouse(
   def vacuum(): Long = {
     val live = txnLog.snapshotFiles().toSet
     val rootPath = Paths.get(root)
+    // both data suffixes: a compacted-away CSV (mixed-format/addFiles
+    // tables) must be reclaimed too, not just parquet
     val dataFiles = walkFiles(rootPath)
-      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .filter(p => (p.toString.endsWith(".parquet") || p.toString.endsWith(".csv"))
+        && Files.isRegularFile(p))
       .filterNot(p => p.startsWith(rootPath.resolve("_dlq")) ||
         p.startsWith(rootPath.resolve("_staging")))
     val dead = dataFiles.filterNot(p => live.contains(rootPath.relativize(p).toString))

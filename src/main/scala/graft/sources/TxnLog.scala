@@ -118,8 +118,10 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
         maybeCheckpoint(v)
         return v
       } catch {
-        case _: java.nio.file.FileAlreadyExistsException
-            | _: java.nio.file.FileSystemException =>
+        // ONLY the lost-race signal retries; a broader FileSystemException
+        // catch would spin 100 times on a full disk or EPERM and then
+        // misreport a storage failure as version contention
+        case _: java.nio.file.FileAlreadyExistsException =>
           Files.deleteIfExists(tmp)
           attempt += 1
           if (attempt > 100) sys.error(s"txn log contention at version $v")

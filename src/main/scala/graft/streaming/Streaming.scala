@@ -17,11 +17,13 @@ final case class VwapUpdate(symbol: String, vwap: Double, nTicks: Long)
 final case class TsTick(symbol: String, tsMs: Long, price: Double, volume: Long)
 final case class OpenBar(barStartMs: Long, open: Double, high: Double,
     low: Double, close: Double, volume: Long)
-/** barCloser state: the in-progress bar plus the newest CLOSED bar start —
-  * the watermark against which late ticks are detected and dropped (a late
-  * tick must never re-open a closed bar: "each bar exactly once").
+/** barCloser state: the in-progress bar. The open bar's start is the
+  * late-tick watermark — bars only advance forward, so every closed
+  * bar's start is strictly below the open one's, and dropping ticks
+  * older than the open bar subsumes a separate closed-bar high-water
+  * mark ("each bar exactly once").
   */
-final case class BarState(bar: Option[OpenBar], maxClosedMs: Long)
+final case class BarState(bar: Option[OpenBar])
 final case class ClosedBar(symbol: String, barStartMs: Long, open: Double,
     high: Double, low: Double, close: Double, volume: Long)
 
@@ -156,9 +158,10 @@ object Streaming {
     * tick from a later minute arrives, the completed minute's bar is
     * EMITTED (append semantics — each bar exactly once) and the new open
     * bar replaces the state. Ticks OLDER than the open bar's minute are
-    * DROPPED: state carries the newest closed bar start, so an
-    * out-of-order tick arriving in a later micro-batch can never
-    * prematurely close the open bar and re-open (double-emit) an
+    * DROPPED — and because closing always opens the next bar in the same
+    * transition, the open bar's start also bounds every already-closed
+    * bar, so an out-of-order tick arriving in a later micro-batch can
+    * never prematurely close the open bar or re-open (double-emit) an
     * already-closed minute. Complements [[tickToBars]]: that form emits
     * evolving aggregates per trigger; this one emits only finalized bars,
     * the contract a downstream lakehouse append wants.
@@ -172,23 +175,27 @@ object Streaming {
         GroupStateTimeout.NoTimeout()) {
         (sym: String, it: Iterator[TsTick], state: GroupState[BarState]) =>
           val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedBar]
-          var s = state.getOption.getOrElse(BarState(None, Long.MinValue))
+          var s = state.getOption.getOrElse(BarState(None))
           it.toSeq.sortBy(t => (t.tsMs, t.price)).foreach { t =>
             val start = t.tsMs - (t.tsMs % barMs)
             s.bar match {
               case Some(b) if b.barStartMs == start =>
-                s = s.copy(bar = Some(b.copy(high = math.max(b.high, t.price),
+                s = BarState(Some(b.copy(high = math.max(b.high, t.price),
                   low = math.min(b.low, t.price), close = t.price,
                   volume = b.volume + t.volume)))
               case Some(b) if start > b.barStartMs =>
                 closed += ClosedBar(sym, b.barStartMs, b.open, b.high, b.low,
                   b.close, b.volume)
                 s = BarState(Some(OpenBar(start, t.price, t.price, t.price,
-                  t.price, t.volume)), b.barStartMs)
-              case Some(_) => // late tick, older than the open bar: drop
-              case None if start <= s.maxClosedMs => // late after restart: drop
+                  t.price, t.volume)))
+              case Some(_) =>
+                // late tick, older than the open bar: drop. Closing always
+                // opens the NEXT bar in the same transition, so the open
+                // bar's start also bounds every already-closed bar — one
+                // comparison covers both "late for open" and "would
+                // re-open a closed minute".
               case None =>
-                s = s.copy(bar = Some(OpenBar(start, t.price, t.price, t.price,
+                s = BarState(Some(OpenBar(start, t.price, t.price, t.price,
                   t.price, t.volume)))
             }
           }

@@ -51,6 +51,27 @@ class OperatorsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("as-of join: null timestamps and null keys never fabricate matches") {
+    // equi-join semantics: a null never matches anything — the union-
+    // window form must preserve that (null ts sorts first; null keys
+    // share a window partition)
+    val l = Seq((1L, Option("A"), Option(10L)), (2L, None, Option(10L)),
+      (3L, Option("A"), None)).toDF("l_id", "k", "lts")
+    val r = Seq(
+      (100L, Option("A"), None, 1.0),        // null event time: unmatchable
+      (101L, None, Option(5L), 2.0),         // null key: unmatchable
+      (102L, Option("A"), Option(7L), 3.0))  // the only legitimate match
+      .toDF("r_id", "rk", "rts", "payload")
+    val got = AsOfJoin.backward(l, r, Seq("k" -> "rk"), "lts", "rts",
+        "l_id", "r_id")
+      .select($"l_id", $"r_id", $"payload")
+      .as[(Long, Option[Long], Option[Double])].collect().toSet
+    assert(got == Set(
+      (1L, Some(102L), Some(3.0)), // latest non-null at-or-before 10
+      (2L, None, None),            // null left key matches nothing
+      (3L, None, None)))           // null left ts matches nothing
+  }
+
   test("exact dedup keeps deterministic winner (min id) per key") {
     val df = Seq((3L, "k1"), (1L, "k1"), (2L, "k2")).toDF("id", "key")
     val kept = Dedup.exact(df, Seq("key"), "id")
