@@ -257,6 +257,34 @@ object DedupQueries {
       |SELECT id AS doc_id, min(l) AS cluster FROM lbl
       |GROUP BY id ORDER BY doc_id""".stripMargin
 
+  // q55 — semantic (embedding) dedup clusters: connected components over
+  // the q43 cosine pair set — the vector twin of q54 (text pipelines
+  // cluster on BOTH surface n-grams and embeddings; the operators
+  // compose identically).
+  private def q55(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.connectedComponents(q43(s, dir))
+      .select($"id".as("vec_id"), $"component".as("cluster"))
+      .orderBy($"vec_id")
+  }
+
+  private val q55Sql =
+    """WITH RECURSIVE ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |cp AS (SELECT a.vec_id a_id, b.vec_id b_id
+      |  FROM ev a JOIN ev b ON a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
+      |e AS (SELECT a_id a, b_id b FROM cp UNION SELECT b_id, a_id FROM cp),
+      |reach AS (
+      |  SELECT a, b FROM e
+      |  UNION
+      |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+      |lbl AS (
+      |  SELECT a AS id, b AS l FROM reach
+      |  UNION ALL
+      |  SELECT DISTINCT a, a FROM e)
+      |SELECT id AS vec_id, min(l) AS cluster FROM lbl
+      |GROUP BY id ORDER BY vec_id""".stripMargin
+
   val defs: Seq[(String, QFn)] = Seq(
     "q43_embedding_neardup" -> (q43 _),
     "q23_dedup_exact" -> (q23 _),
@@ -267,7 +295,8 @@ object DedupQueries {
     "q28_simhash" -> (q28 _),
     "q29_ann_lsh" -> (q29 _),
     "q50_ann_ivf" -> (q50 _),
-    "q54_dedup_clusters" -> (q54 _))
+    "q54_dedup_clusters" -> (q54 _),
+    "q55_embedding_clusters" -> (q55 _))
 
   val oracle: Seq[(String, String)] = Seq(
     "q43_embedding_neardup" -> q43Sql,
@@ -275,5 +304,6 @@ object DedupQueries {
     "q24_neardup_jaccard" -> q24Sql,
     "q25_cosine_topk" -> q25Sql,
     "q26_multimodal_join" -> q26Sql,
-    "q54_dedup_clusters" -> q54Sql)
+    "q54_dedup_clusters" -> q54Sql,
+    "q55_embedding_clusters" -> q55Sql)
 }
