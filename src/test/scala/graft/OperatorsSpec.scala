@@ -316,6 +316,30 @@ class OperatorsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components == union-find ground truth on a random graph") {
+    val rng = new scala.util.Random(11)
+    val n = 100
+    val edges = (0 until 150).map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    // driver-side union-find as the literal definition
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val inGraph = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    val want = inGraph.map(v => v -> {
+      // component label = min node id in the component
+      inGraph.filter(u => find(u.toInt) == find(v.toInt)).min
+    }).toMap
+    val got = Dedup.connectedComponents(edges.toDF("a_id", "b_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
   test("winnowing: common substring >= w+n-1 chars shares a fingerprint") {
     // n=8, w=4 -> guarantee threshold 11 chars; the planted run is 12
     val common = "zqxjkvbwpfmg"
