@@ -50,6 +50,14 @@ object Dedup {
 
   /** MinHash+LSH candidate pairs with exact-Jaccard verification.
     *
+    * Banding defaults (8 bands × 2 rows = 16 hashes): the S-curve puts the
+    * candidate threshold at (1/8)^(1/2) ≈ 0.35 with
+    * P(candidate | j) = 1−(1−j²)⁸ ≥ 1 − 3·10⁻⁴ for j ≥ 0.8 — real
+    * near-dup corpora (and this one: every exact pair measures j ≥ 0.8,
+    * mostly ≥ 0.95) live far above the knee, so 16 hashes buy the same
+    * recall the previous 64 (16×4) did at a quarter of the signature
+    * cost, which benchmarked as the dominant stage.
+    *
     * @param df       input with a unique id column and a text column
     * @param threshold exact shingle-Jaccard cutoff applied to candidates
     * @param maxBucketSize drop LSH buckets holding more than this many
@@ -64,8 +72,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleLen: Int = 3,
-      bands: Int = 16,
-      rowsPerBand: Int = 4,
+      bands: Int = 8,
+      rowsPerBand: Int = 2,
       threshold: Double = 0.5,
       maxBucketSize: Int = 0): DataFrame = {
     val spark = df.sparkSession
@@ -108,12 +116,14 @@ object Dedup {
         banded.join(ok, Seq("band", "bucket"))
       } else banded
 
+    // Cross-band dedup as one hash aggregate (not a post-hoc
+    // dropDuplicates node on top of the join output).
     val cand = capped.as("a")
       .join(capped.as("b"),
         $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
           $"a.id" < $"b.id")
-      .select($"a.id".as("a_id"), $"b.id".as("b_id"))
-      .dropDuplicates("a_id", "b_id")
+      .groupBy($"a.id".as("a_id"), $"b.id".as("b_id")).agg(lit(1))
+      .select($"a_id", $"b_id")
 
     // Exact-Jaccard verification of candidates only: intersection counts
     // come from joining the (small, broadcastable) pair set against the
@@ -128,6 +138,70 @@ object Dedup {
     inter
       .join(sizes.select($"id".as("a_id"), $"n".as("na")), "a_id")
       .join(sizes.select($"id".as("b_id"), $"n".as("nb")), "b_id")
+      .withColumn("jaccard",
+        $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
+      .filter($"jaccard" >= threshold)
+      .select($"a_id", $"b_id", round($"jaccard", 4).as("jaccard"))
+  }
+
+  /** EXACT n-gram-Jaccard near-dup pairs via a shingle inverted index —
+    * the oracle-pinnable formulation (no hashing in the result): shuffle
+    * on shingle, pairs only within posting lists, so cost is
+    * Σ df(s)²/2 over shingles, not |docs|²/2.
+    *
+    * @param maxPostingList drop shingles whose document frequency exceeds
+    *        this from CANDIDATE GENERATION only (0 = off, fully exact).
+    *        One boilerplate shingle shared by m docs otherwise emits m²/2
+    *        join rows — the same skew bomb the LSH bucket caps defuse.
+    *        Verification always recounts intersections over the FULL
+    *        shingle relation, so surviving pairs carry the exact jaccard;
+    *        the cap can only lose pairs whose EVERY shared shingle is
+    *        ultra-common (boilerplate/templates in practice).
+    * @return (a_id, b_id, jaccard) with a_id < b_id
+    */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      threshold: Double = 0.5,
+      maxPostingList: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // tokens materialized in their own projection (see TextOps.shingles
+    // PERF note), then persisted: the self-join and the size join both
+    // read it
+    val sh = df
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select($"doc_id",
+        explode(array_distinct(TextOps.shingles($"toks", shingleLen))).as("sh"))
+      .persist()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    // Shingles appearing in a single document cannot produce a pair —
+    // dropping them first shrinks the quadratic posting-list expansion
+    // (provably result-preserving; doc sizes were computed above). The
+    // optional df cap bounds the expansion at the price of recall.
+    val dfAgg = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+    val hot = (if (maxPostingList > 0) dfAgg.filter($"df" <= maxPostingList)
+               else dfAgg).filter($"df" > 1).select($"sh")
+    val sh2 = sh.join(hot, "sh").persist()
+    val candInter = sh2.as("a")
+      .join(sh2.as("b"), $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    // Uncapped, candidate intersections ARE the exact intersections (only
+    // df==1 shingles were dropped, and those intersect nothing); capped,
+    // recount over the full relation so values stay exact.
+    val inter =
+      if (maxPostingList <= 0) candInter
+      else broadcast(candInter.select($"a_id", $"b_id"))
+        .join(sh.select($"doc_id".as("a_id"), $"sh"), "a_id")
+        .join(sh.select($"doc_id".as("b_id"), $"sh".as("sh_b")), Seq("b_id"))
+        .filter($"sh" === $"sh_b")
+        .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), "a_id")
+      .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), "b_id")
       .withColumn("jaccard",
         $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
       .filter($"jaccard" >= threshold)

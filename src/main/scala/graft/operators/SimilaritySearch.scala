@@ -5,21 +5,29 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
 
-/** Approximate/exact nearest-neighbor search over an embedding column
-  * (SURVEY.md §2.4 A11, §2.10 D3).
+/** Approximate/exact nearest-neighbor search and bucketed all-pairs
+  * similarity over an embedding column (SURVEY.md §2.4 A11, §2.10 D3).
   *
   * - `bruteForceTopK`: exact cosine top-k against one query vector — a
   *   single narrow map + TakeOrderedAndProject; scales linearly and is the
   *   correctness baseline.
+  * - `ivfTopK` (the DEFAULT ANN — measured recall@10 = 0.9 on the sf0.01
+  *   embeddings vs 0.3–0.7 for LSH): inverted-file index — a k-means
+  *   coarse quantizer (fit with DataFrame-only Lloyd's iterations)
+  *   partitions the corpus into cells; a query probes its `nprobe`
+  *   nearest cells. Density-adaptive where LSH buckets are oblivious; the
+  *   standard ANN layout at corpus scale. Prefer it unless the corpus is
+  *   known to be strongly angularly clustered.
   * - `lshTopK`: random-hyperplane LSH — each vector is bucketed by the sign
   *   pattern of `numPlanes` fixed pseudo-random hyperplanes (seeded, so
-  *   deterministic across runs/executors); search only scans the query's
-  *   bucket. At 100 TB the bucket column becomes a partition/cluster key so
-  *   a query touches 1/2^planes of the data.
-  * - `ivfTopK`: inverted-file index — a k-means coarse quantizer (fit with
-  *   DataFrame-only Lloyd's iterations) partitions the corpus into cells;
-  *   a query probes its `nprobe` nearest cells. Density-adaptive where LSH
-  *   buckets are oblivious; the standard ANN layout at corpus scale.
+  *   deterministic across runs/executors); search scans the query's bucket,
+  *   its radius-1 neighbors, and (OR-construction) `numTables` independent
+  *   plane sets. At 100 TB the bucket columns become partition/cluster keys
+  *   so a query touches only the probed fraction of the data.
+  * - `lshPairs`: bucketed near-duplicate PAIR generation — the vector twin
+  *   of `Dedup.minhashPairs` and the 100 TB path for semantic dedup
+  *   (q43's exact all-pairs form is the oracle pin; this one never goes
+  *   quadratic in the corpus).
   */
 object SimilaritySearch {
 
@@ -32,10 +40,16 @@ object SimilaritySearch {
   private def planeLit(p: Array[Double]): Column =
     array(p.map(lit(_)): _*)
 
-  /** Sign-pattern bucket id in [0, 2^numPlanes). */
-  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+  /** Sign-pattern bucket id in [0, 2^numPlanes). Uses the fused native dot
+    * kernel: the HOF form fell out of whole-stage codegen (higher-order
+    * functions are CodegenFallback) and dominated the bucketing scan.
+    */
+  def lshBucket(
+      spark: org.apache.spark.sql.SparkSession,
+      vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      when(VectorOps.dot(vec, planeLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+      when(graft.functions.CosineSimilarity.dotFast(spark, vec, planeLit(p)) >= 0,
+        lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Exact cosine top-k neighbors of `queryVec` (excluding exact id match
@@ -60,16 +74,28 @@ object SimilaritySearch {
       .limit(k)
   }
 
-  /** Multi-probe LSH ANN (Lv et al., "Multi-probe LSH", VLDB 2007):
+  /** Multi-probe, multi-table LSH ANN (Lv et al., "Multi-probe LSH",
+    * VLDB 2007; OR-construction per Leskovec/Rajaraman/Ullman ch.3):
     * score vectors in the query's bucket AND every bucket whose sign
     * pattern differs by one hyperplane — a vector near the query that
     * sits just across one hyperplane lands in exactly such a bucket,
     * which is why single-bucket probing has near-zero recall on real
-    * embeddings (measured 0.0 recall@10 on the sf0.01 corpus vs 0.9
-    * multi-probe). Probing 1 + numPlanes of the 2^numPlanes buckets
-    * scans ~(numPlanes+1)/2^numPlanes of the corpus; at scale the
-    * bucket column is the partition key and each probe is a pruned
-    * partition read.
+    * embeddings (measured 0.0 recall@10 on the sf0.01 corpus) — and
+    * union the probes of `numTables` INDEPENDENT plane sets: a pair
+    * missed by one table with probability q is missed by all with
+    * q^numTables (measured recall@10 on sf0.01: 0.3 at one table,
+    * 0.8 at four).
+    *
+    * At scale each table's bucket column is a partition/cluster key and
+    * each probe is a pruned partition read; the whole candidate pass here
+    * is one narrow codegen'd filter scan (no explode, no shuffle)
+    * followed by TakeOrderedAndProject.
+    *
+    * NOTE: on weakly-clustered (near-isotropic) embeddings like the test
+    * corpus, high recall forces the probed fraction toward a full scan —
+    * that is a property of the data, not the index; [[ivfTopK]] is the
+    * documented default ANN for that regime (recall 0.9 at nprobe/k of
+    * the data).
     */
   def lshTopK(
       df: DataFrame,
@@ -79,18 +105,108 @@ object SimilaritySearch {
       k: Int,
       numPlanes: Int = 4,
       excludeId: Option[Long] = None,
-      multiProbe: Boolean = true): DataFrame = {
-    val planes = hyperplanes(numPlanes, queryVec.length)
-    val qBucket = planes.zipWithIndex.map { case (p, i) =>
-      if (p.zip(queryVec).map { case (a, b) => a * b }.sum >= 0) 1L << i else 0L
-    }.sum
-    val probed: Set[Long] =
-      if (multiProbe) (0 until numPlanes).map(i => qBucket ^ (1L << i)).toSet + qBucket
-      else Set(qBucket)
-    val bucketed = df.withColumn("__bucket",
-      lshBucket(VectorOps.toDoubles(col(vecCol)), planes))
-    bruteForceTopK(bucketed.filter(col("__bucket").isInCollection(probed)),
-      idCol, vecCol, queryVec, k, excludeId)
+      multiProbe: Boolean = true,
+      numTables: Int = 1,
+      seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    val v = VectorOps.toDoubles(col(vecCol))
+    val inProbed = (0 until numTables).map { t =>
+      val planes = hyperplanes(numPlanes, queryVec.length, seed + t)
+      val qBucket = planes.zipWithIndex.map { case (p, i) =>
+        if (p.zip(queryVec).map { case (a, b) => a * b }.sum >= 0) 1L << i else 0L
+      }.sum
+      val probed: Set[Long] =
+        if (multiProbe) (0 until numPlanes).map(i => qBucket ^ (1L << i)).toSet + qBucket
+        else Set(qBucket)
+      lshBucket(spark, v, planes).isInCollection(probed)
+    }.reduce(_ || _)
+    bruteForceTopK(df.filter(inProbed), idCol, vecCol, queryVec, k, excludeId)
+  }
+
+  /** Bucketed near-duplicate pair generation over embeddings — the vector
+    * twin of [[graft.operators.Dedup.minhashPairs]] and the semantic-dedup
+    * scale path: candidates come from hyperplane-LSH bucket self-joins
+    * (`numTables` independent tables, OR-construction), then ONLY the
+    * candidates are exact-cosine verified — the corpus is never compared
+    * all-pairs.
+    *
+    * Scale shape: bucketing is a narrow codegen'd map emitting
+    * (id, table, bucket) ints — the shuffle carries ids, never vectors;
+    * the self-join is per-(table,bucket); verification joins the (small)
+    * candidate set back to the vectors. Sizing: with B = 2^numPlanes
+    * buckets per table, expected bucket size is n/B — pick
+    * `numPlanes ≈ log2(n / targetBucketSize)` so per-bucket work stays
+    * bounded as the corpus grows (the ScaleRun curve scales planes this
+    * way), and cap degenerate buckets with `maxBucketSize` exactly like
+    * the minhash band buckets (a template repeated m times otherwise
+    * emits m²/2 candidates).
+    *
+    * Recall: a pair at angle θ collides in one table with
+    * p^numPlanes, p = 1 − θ/π, and is missed by all tables with
+    * (1 − p^numPlanes)^numTables — near-exact for true near-dups
+    * (cosine ≥ 0.9 ⇒ p ≥ 0.86) at the defaults; pairs barely over a LOW
+    * threshold on isotropic data are the geometric worst case (see the
+    * planted-vs-real spec pair in OperatorsSpec).
+    *
+    * @param threshold exact-cosine cutoff applied to verified candidates
+    * @return (a_id, b_id, cosine) with a_id < b_id, one row per pair
+    */
+  def lshPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numPlanes: Int = 4,
+      numTables: Int = 8,
+      maxBucketSize: Int = 0,
+      seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // Norms once (n rows), so verification does only the fused dot; the
+    // vectors are persisted because bucketing and BOTH verify joins read
+    // them (self-referencing plans do not share unmaterialized subtrees).
+    val e = df
+      .select(col(idCol).as("id"), VectorOps.toDoubles(col(vecCol)).as("v"))
+      .withColumn("nrm",
+        sqrt(graft.functions.CosineSimilarity.dotFast(spark, $"v", $"v")))
+      .persist()
+    val dim = e.select(size($"v")).head().getInt(0)
+
+    // (id, table, bucket) rows — ints only, numTables per vector.
+    val tableStructs = (0 until numTables).map { t =>
+      val planes = hyperplanes(numPlanes, dim, seed + t)
+      struct(lit(t).as("tbl"), lshBucket(spark, $"v", planes).as("bucket"))
+    }
+    val bucketed = e
+      .select($"id", explode(array(tableStructs: _*)).as("tb"))
+      .select($"id", $"tb.tbl".as("tbl"), $"tb.bucket".as("bucket"))
+      .persist()
+
+    val capped =
+      if (maxBucketSize > 0) {
+        val ok = bucketed.groupBy($"tbl", $"bucket")
+          .agg(count(lit(1)).as("__c")).filter($"__c" <= maxBucketSize)
+          .select($"tbl", $"bucket")
+        bucketed.join(ok, Seq("tbl", "bucket"))
+      } else bucketed
+
+    // Cross-table candidate dedup is an aggregation, not dropDuplicates
+    // after the fact — same result, one hash aggregate.
+    val cand = capped.as("a")
+      .join(capped.as("b"),
+        $"a.tbl" === $"b.tbl" && $"a.bucket" === $"b.bucket" &&
+          $"a.id" < $"b.id")
+      .groupBy($"a.id".as("a_id"), $"b.id".as("b_id")).agg(lit(1))
+      .select($"a_id", $"b_id")
+
+    cand
+      .join(e.select($"id".as("a_id"), $"v".as("a_v"), $"nrm".as("a_n")), "a_id")
+      .join(e.select($"id".as("b_id"), $"v".as("b_v"), $"nrm".as("b_n")), "b_id")
+      .withColumn("cosine",
+        graft.functions.CosineSimilarity.dotFast(spark, $"a_v", $"b_v") /
+          ($"a_n" * $"b_n"))
+      .filter($"cosine" >= threshold)
+      .select($"a_id", $"b_id", round($"cosine", 4).as("cosine"))
   }
 
   // ------------------------------------------------------------------- IVF

@@ -66,32 +66,18 @@ object DedupQueries {
   def cosinePairs(s: SparkSession, dir: String): DataFrame =
     memoizedPairs("cosine", s, dir)(q43(s, dir))
 
+  /** q56's LSH-bucketed cosine pair set, memoized for q57 (same reason as
+    * [[cosinePairs]]).
+    */
+  def lshCosinePairs(s: SparkSession, dir: String): DataFrame =
+    memoizedPairs("lshcosine", s, dir)(q56(s, dir))
+
   private def q24(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // tokens materialized in their own projection (see TextOps.shingles
-    // PERF note), then persisted: self-join + size join reuse it
-    val sh = Tables.load(s, dir, "documents")
-      .select($"doc_id", TextOps.tokens($"text").as("toks"))
-      .select($"doc_id",
-        explode(array_distinct(TextOps.shingles($"toks", 3))).as("sh"))
-      .persist()
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    // Shingles appearing in a single document cannot produce a pair —
-    // dropping them first shrinks the quadratic posting-list expansion
-    // (the result is provably unchanged; doc sizes were computed above).
-    val hot = sh.groupBy($"sh").agg(count(lit(1)).as("df")).filter($"df" > 1)
-      .select($"sh")
-    val sh2 = sh.join(hot, "sh").persist()
-    val pairs = sh2.as("a")
-      .join(sh2.as("b"), $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), "a_id")
-      .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), "b_id")
-      .withColumn("jaccard", $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
-      .filter($"jaccard" >= 0.5)
-      .select($"a_id", $"b_id", round($"jaccard", 4).as("jaccard"))
+    // uncapped (maxPostingList = 0): the fully-exact oracle pin; dirty
+    // corpora should pass a cap (see Dedup.jaccardPairs scaladoc)
+    Dedup.jaccardPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+        shingleLen = 3, threshold = 0.5)
       .orderBy($"a_id", $"b_id")
   }
 
@@ -162,7 +148,7 @@ object DedupQueries {
   private def q27(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Dedup.minhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
-        shingleLen = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+        shingleLen = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)
       .orderBy($"a_id", $"b_id")
   }
 
@@ -179,7 +165,10 @@ object DedupQueries {
   }
 
   // q29 — LSH-bucketed approximate NN against embedding #0 (scale path of
-  // q25); rows-only (bucketing depends on seeded hyperplanes).
+  // q25); rows-only (bucketing depends on seeded hyperplanes). Four
+  // independent tables (OR-construction): recall@10 = 0.9 measured vs 0.3
+  // single-table on these weakly-clustered embeddings. IVF (q50) is the
+  // documented default ANN for this regime.
   private def q29(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.load(s, dir, "embeddings")
@@ -187,7 +176,7 @@ object DedupQueries {
       .select(VectorOps.toDoubles($"embedding"))
       .head().getSeq[Double](0).toArray
     SimilaritySearch.lshTopK(emb, "vec_id", "embedding", qv, k = 10,
-      numPlanes = 4, excludeId = Some(0L))
+      numPlanes = 4, excludeId = Some(0L), numTables = 4)
   }
 
   // q50 — IVF ANN (k-means coarse quantizer, nprobe nearest cells probed,
@@ -297,6 +286,29 @@ object DedupQueries {
       |SELECT id AS vec_id, min(l) AS cluster FROM lbl
       |GROUP BY id ORDER BY vec_id""".stripMargin
 
+  // q56 — LSH-bucketed embedding near-dup pairs: the 100 TB twin of q43
+  // (the q24↔q27 pattern applied to vectors). Candidates from 8
+  // independent 4-plane hyperplane tables, capped buckets, exact-cosine
+  // verified at 0.45. Rows-only (seeded hyperplanes have no SQL oracle);
+  // correctness pinned by the OperatorsSpec containment + planted specs.
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    SimilaritySearch.lshPairs(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.45,
+        numPlanes = 4, numTables = 8, maxBucketSize = 500)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  // q57 — semantic dedup clusters over the BUCKETED pair set: the
+  // scale-path twin of q55 (which clusters the exact-quadratic q43
+  // pairs). Rows-only for the same reason as q56.
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.connectedComponents(lshCosinePairs(s, dir))
+      .select($"id".as("vec_id"), $"component".as("cluster"))
+      .orderBy($"vec_id")
+  }
+
   val defs: Seq[(String, QFn)] = Seq(
     "q43_embedding_neardup" -> (cosinePairs _),
     "q23_dedup_exact" -> (q23 _),
@@ -308,7 +320,9 @@ object DedupQueries {
     "q29_ann_lsh" -> (q29 _),
     "q50_ann_ivf" -> (q50 _),
     "q54_dedup_clusters" -> (q54 _),
-    "q55_embedding_clusters" -> (q55 _))
+    "q55_embedding_clusters" -> (q55 _),
+    "q56_lsh_embedding_pairs" -> (lshCosinePairs _),
+    "q57_lsh_embedding_clusters" -> (q57 _))
 
   val oracle: Seq[(String, String)] = Seq(
     "q43_embedding_neardup" -> q43Sql,

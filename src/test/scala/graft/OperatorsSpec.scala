@@ -209,19 +209,143 @@ class OperatorsSpec extends SparkSpec {
     val brute = ids(SimilaritySearch.bruteForceTopK(emb, "vec_id", "embedding",
       qv, k = 10, excludeId = Some(0L)))
     val lsh = ids(SimilaritySearch.lshTopK(emb, "vec_id", "embedding",
-      qv, k = 10, numPlanes = 4, excludeId = Some(0L)))
+      qv, k = 10, numPlanes = 4, excludeId = Some(0L), numTables = 4))
     val ivf = ids(SimilaritySearch.ivfTopK(emb, "vec_id", "embedding",
       qv, k = 10, numCells = 16, nprobe = 4, excludeId = Some(0L)))
     val lshRecall = brute.intersect(lsh).size / 10.0
     val ivfRecall = brute.intersect(ivf).size / 10.0
     info(f"recall@10: lsh=$lshRecall%.1f ivf=$ivfRecall%.1f")
-    // measured: lsh=0.3, ivf=0.9. These embeddings are weakly clustered
-    // (near-random directions), which is hyperplane-LSH's worst case even
-    // multi-probed — single-probe measured 0.0 before the multi-probe
-    // fix. IVF's density-adaptive cells are the quality path here; LSH
-    // wins when vectors are angularly clustered (planted-cluster test).
-    assert(lshRecall >= 0.2)
+    // These embeddings are weakly clustered (near-random directions),
+    // hyperplane-LSH's worst case — single-probe single-table measured
+    // 0.0, one multi-probed table 0.3; four OR'd tables lift it to the
+    // floor below. IVF's density-adaptive cells (0.9) remain the
+    // documented default ANN; LSH wins when vectors are angularly
+    // clustered (planted-cluster test).
+    assert(lshRecall >= 0.7)
     assert(ivfRecall >= 0.7)
+  }
+
+  test("lshPairs finds every planted near-dup pair and nothing across clusters") {
+    // 20 clusters of 3 near-identical vectors (cosine ≈ 0.9998): the
+    // regime semantic dedup actually targets. A pair this close collides
+    // per 4-plane table w.p. ≥ 0.97, so missing all 8 tables is ~1e-13 —
+    // the seeded run finds every planted pair, and exact-cosine
+    // verification at 0.9 kills any random cross-cluster bucket collision.
+    val rng = new scala.util.Random(5)
+    val vecs = (0 until 20).flatMap { c =>
+      val base = Array.fill(32)(rng.nextGaussian())
+      (0 until 3).map { j =>
+        val v = base.map(x => (x + 0.02 * rng.nextGaussian()).toFloat)
+        ((c * 3 + j).toLong, v)
+      }
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = SimilaritySearch.lshPairs(df, "vec_id", "embedding",
+        threshold = 0.9)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val want = (for {
+      c <- 0 until 20
+      a <- 0 until 3; b <- 0 until 3 if a < b
+    } yield ((c * 3 + a).toLong, (c * 3 + b).toLong)).toSet
+    assert(got == want)
+  }
+
+  test("lshPairs bucket cap drops degenerate buckets, keeps isolated pairs") {
+    val rng = new scala.util.Random(9)
+    val base = Array.fill(32)(rng.nextGaussian().toFloat)
+    val near = base.map(x => x + 0.01f)
+    // 8 identical copies of one template vector: all 8 share every bucket
+    // of every table
+    val template = Array.fill(32)(rng.nextGaussian().toFloat)
+    val rows = Seq((1L, base), (2L, near)) ++ (10L to 17L).map(i => (i, template))
+    val df = rows.toDF("vec_id", "embedding")
+    val uncapped = SimilaritySearch.lshPairs(df, "vec_id", "embedding",
+      threshold = 0.9).count()
+    assert(uncapped == 1 + 28) // the near pair + C(8,2) template pairs
+    val capped = SimilaritySearch.lshPairs(df, "vec_id", "embedding",
+        threshold = 0.9, maxBucketSize = 4)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L))) // template buckets (8 > 4) dropped
+  }
+
+  test("lshPairs (q56 config) ⊇ exact q43 pairs above threshold+margin on sf0.01") {
+    // the q24↔q27 pattern for vectors: the bucketed scale path must
+    // contain every exact pair comfortably above its threshold. Exact
+    // reference computed driver-side (500 × 64 floats).
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val vecs = emb.select($"vec_id", VectorOps.toDoubles($"embedding"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => (id, v.toArray) }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exactAt = (thr: Double) => (for {
+      i <- vecs.indices; j <- vecs.indices if vecs(i)._1 < vecs(j)._1
+      if cos(vecs(i)._2, vecs(j)._2) >= thr
+    } yield (vecs(i)._1, vecs(j)._1)).toSet
+    val got = SimilaritySearch.lshPairs(emb, "vec_id", "embedding",
+        threshold = 0.45, numPlanes = 4, numTables = 8, maxBucketSize = 500)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    // margin pairs (cosine >= 0.5, threshold+0.05) must ALL be present
+    val margin = exactAt(0.5)
+    assert(margin.subsetOf(got), s"missed margin pairs: ${margin.diff(got)}")
+    // honesty line + floor on at-threshold recall (isotropic worst case)
+    val atThr = exactAt(0.45)
+    val recall = got.intersect(atThr).size.toDouble / atThr.size
+    info(f"lshPairs recall at threshold 0.45: $recall%.2f (${atThr.size} exact pairs)")
+    assert(recall >= 0.5)
+    // everything returned really is over the threshold (exact verify)
+    assert(got.subsetOf(atThr))
+  }
+
+  test("minhash-LSH pairs (q27 config) == exact jaccard pairs (q24) on sf0.01") {
+    // the LSH candidate path must reproduce the oracle-matched exact pair
+    // set (values included — both verify with exact jaccard): every real
+    // pair here sits at j >= 0.9, far above the 8-band/2-row S-curve knee
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleLen = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(lsh == exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("jaccardPairs: posting-list cap preserves the pair set on clean data") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val uncapped = Dedup.jaccardPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val capped = Dedup.jaccardPairs(docs, "doc_id", "text", maxPostingList = 64)
+      .as[(Long, Long, Double)].collect().toSet
+    // values exact in both (capped recounts over the full relation);
+    // at df-cap 64 this corpus loses nothing
+    assert(capped == uncapped)
+    assert(uncapped.nonEmpty)
+  }
+
+  test("jaccardPairs: cap drops only pairs whose every shared shingle is hot") {
+    // two docs that share ONLY a boilerplate phrase repeated in 10 docs:
+    // the cap (< 10) removes their candidate path; a genuine near-dup
+    // pair (unique overlap) survives with its exact jaccard
+    val boiler = "this content is provided as is without any warranty of fitness"
+    val a = (1 to 30).map(i => s"w$i").mkString(" ")
+    val b = (1 to 28).map(i => s"w$i").mkString(" ") + " x y"
+    val rows = Seq((1L, a), (2L, b)) ++
+      (10L to 19L).map(i => (i, s"unique$i stuff number$i " + boiler))
+    val df = rows.toDF("doc_id", "text")
+    val uncapped = Dedup.jaccardPairs(df, "doc_id", "text", threshold = 0.1)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    // boilerplate makes every template pair a (low-jaccard) pair
+    assert(uncapped.contains((1L, 2L)) && uncapped.size > 1)
+    val capped = Dedup.jaccardPairs(df, "doc_id", "text", threshold = 0.1,
+        maxPostingList = 5)
+      .as[(Long, Long, Double)].collect()
+    assert(capped.map(r => (r._1, r._2)).toSet == Set((1L, 2L)))
+    // the surviving pair's jaccard is EXACT: 28 shingles each, 26 shared
+    assert(math.abs(capped.head._3 - math.rint(26.0 / 30.0 * 10000) / 10000) < 1e-9)
   }
 
   test("lsh ANN returns query's bucket neighbors, topped by true nearest") {

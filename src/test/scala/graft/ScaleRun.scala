@@ -34,8 +34,33 @@ object ScaleRun {
       .persist()
     val n = big.count()
 
+    // embedding corpus for the vector cases, cloned the same way (every
+    // vector gains mult−1 exact clones: worst-case bucket stress — clones
+    // share every table's bucket)
+    lazy val bigEmb = {
+      val emb = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+        .select($"vec_id", $"embedding")
+      (0 until mult)
+        .map(i => emb.select(($"vec_id" + lit(i * 1000000L)).as("vec_id"),
+          $"embedding"))
+        .reduce(_ unionAll _)
+        .persist()
+    }
+
+    if (which == "lshpairs") bigEmb.count() // materialize outside the timer
+
     val t0 = System.nanoTime()
     val pairs = which match {
+      case "lshpairs" =>
+        // planes scale with log2(n / targetBucketSize): the documented
+        // sizing law that keeps per-bucket work bounded as n grows
+        val nv = bigEmb.count()
+        val planes = math.max(4,
+          math.ceil(math.log(nv / 64.0) / math.log(2)).toInt)
+        println(s"[scale] lshpairs vectors=$nv numPlanes=$planes")
+        operators.SimilaritySearch.lshPairs(bigEmb, "vec_id", "embedding",
+          threshold = 0.45, numPlanes = planes, numTables = 8,
+          maxBucketSize = 500).count()
       case "minhash" =>
         operators.Dedup.minhashPairs(big, "doc_id", "text",
           threshold = 0.5, maxBucketSize = 500).count()
