@@ -32,6 +32,26 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
   private val mapper = new ObjectMapper()
   private val logDir: Path = Paths.get(root, "_txn_log")
 
+  // Last version/checkpoint this process has OBSERVED to exist (-2 = not
+  // yet initialized). Commit files are never deleted (vacuum reclaims data
+  // files only), so the caches are monotone-safe; they are lower bounds
+  // refreshed by probing FORWARD with Files.exists — one miss per lookup —
+  // instead of re-listing the whole log dir, which is O(commits) per call
+  // and O(commits²) cumulative at the declared 100 ms commit cadence
+  // (864k commits/day, README.md:37). Cross-process commits are still
+  // seen: the forward probe finds them; the cache only skips re-proving
+  // versions already known to exist.
+  private val cachedVersion =
+    new java.util.concurrent.atomic.AtomicLong(-2L)
+  private val cachedCkpt =
+    new java.util.concurrent.atomic.AtomicLong(-2L)
+
+  /** Listing calls actually issued — instrumentation for the cost spec
+    * (commit cost must stay flat in log length).
+    */
+  private[graft] val listCalls =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   final case class Commit(
       version: Long,
       timestampMs: Long,
@@ -46,18 +66,36 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
   /** Directory listing with the stream closed (called per commit — an
     * unclosed Files.list leaks a directory fd each call).
     */
-  private def listNames(): Seq[String] =
+  private def listNames(): Seq[String] = {
+    listCalls.incrementAndGet()
     if (!Files.isDirectory(logDir)) Nil
     else {
       val s = Files.list(logDir)
       try s.iterator().asScala.map(_.getFileName.toString).toList
       finally s.close()
     }
+  }
 
-  def currentVersion(): Long =
-    listNames()
-      .collect { case s if s.matches("v\\d{8}\\.json") => s.substring(1, 9).toLong }
-      .foldLeft(-1L)(math.max)
+  /** Newest committed version: ONE full listing on the cold call, then a
+    * forward existence probe from the cached floor (typically a single
+    * stat that misses). Keeps per-commit and per-query log resolution
+    * O(1) in log length instead of O(commits).
+    */
+  def currentVersion(): Long = {
+    val cached = cachedVersion.get()
+    var v =
+      if (cached != -2L) cached
+      else {
+        val listed = listNames()
+          .collect { case s if s.matches("v\\d{8}\\.json") =>
+            s.substring(1, 9).toLong }
+          .foldLeft(-1L)(math.max)
+        cachedVersion.compareAndSet(-2L, listed)
+        listed
+      }
+    while (Files.exists(versionPath(v + 1))) v += 1
+    cachedVersion.updateAndGet(c => math.max(c, v))
+  }
 
   def commits(upTo: Long = Long.MaxValue): Seq[Commit] = {
     val cur = currentVersion()
@@ -108,13 +146,9 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       Files.write(tmp, mapper.writerWithDefaultPrettyPrinter()
         .writeValueAsString(node).getBytes(StandardCharsets.UTF_8))
       try {
-        // True CREATE_NEW publish: hard-link creation is atomic AND
-        // exclusive (EEXIST when the version is already taken) — unlike
-        // ATOMIC_MOVE, whose rename(2) silently replaces an existing
-        // target and would let two racing committers drop each other's
-        // commits.
-        Files.createLink(versionPath(v), tmp)
+        publishExclusive(versionPath(v), tmp)
         Files.deleteIfExists(tmp)
+        cachedVersion.updateAndGet(c => math.max(c, v))
         maybeCheckpoint(v)
         return v
       } catch {
@@ -123,12 +157,40 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
         // misreport a storage failure as version contention
         case _: java.nio.file.FileAlreadyExistsException =>
           Files.deleteIfExists(tmp)
+          cachedVersion.updateAndGet(c => math.max(c, v)) // v is taken
           attempt += 1
           if (attempt > 100) sys.error(s"txn log contention at version $v")
       }
     }
     -1L // unreachable
   }
+
+  /** True CREATE_NEW publish of a fully-written temp file: hard-link
+    * creation is atomic AND exclusive (EEXIST when the version is taken) —
+    * unlike ATOMIC_MOVE, whose rename(2) silently replaces an existing
+    * target and would let two racing committers drop each other's commits.
+    *
+    * Portability: filesystems without hard links (some NFS/FUSE/
+    * object-store mounts) fall back to an exclusive-create write of the
+    * same bytes — CREATE_NEW keeps the no-overwrite guarantee; the only
+    * property lost is link-publish's readers-see-complete-content (a
+    * reader can transiently observe a partially-written commit on such
+    * mounts, the same window every rename-less log format has there).
+    */
+  private def publishExclusive(target: Path, tmp: Path): Unit =
+    try Files.createLink(target, tmp)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException => throw e
+      case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+        val ch = java.nio.channels.FileChannel.open(target,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val buf = java.nio.ByteBuffer.wrap(Files.readAllBytes(tmp))
+          while (buf.hasRemaining) ch.write(buf)
+          ch.force(true)
+        } finally ch.close()
+    }
 
   /** Has a streaming micro-batch already committed? (T6 exactly-once:
     * foreachBatch replays become no-ops.) Batch ids are cached after one
@@ -184,15 +246,48 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       catch { case _: java.nio.file.FileSystemException =>
         Files.deleteIfExists(tmp) // lost a race; that checkpoint exists
       }
+      cachedCkpt.updateAndGet(c => math.max(c, v)) // exists either way
     }
 
-  /** Newest checkpoint at or below `v`, if any. */
+  /** Newest checkpoint that exists, cache-seeded like [[currentVersion]]:
+    * one listing cold, then forward probes at interval multiples (another
+    * process may have checkpointed since).
+    */
+  private def newestCheckpointVersion(): Long = {
+    val cached = cachedCkpt.get()
+    var b =
+      if (cached != -2L) cached
+      else {
+        val listed = listNames()
+          .collect { case s if s.matches("checkpoint-v\\d{8}\\.json") =>
+            s.substring(12, 20).toLong }
+          .foldLeft(-1L)(math.max)
+        cachedCkpt.compareAndSet(-2L, listed)
+        listed
+      }
+    if (checkpointInterval > 0) {
+      var k = (math.max(b, 0L) / checkpointInterval + 1) * checkpointInterval
+      while (Files.exists(checkpointPath(k))) { b = k; k += checkpointInterval }
+    }
+    cachedCkpt.updateAndGet(c => math.max(c, b))
+  }
+
+  /** Newest checkpoint at or below `v`, if any. Checkpoints live at fixed
+    * interval multiples, so historical (`v` below the newest) lookups probe
+    * DOWNWARD from floor(v/interval)·interval — normally one hit — rather
+    * than listing the directory.
+    */
   private def latestCheckpoint(v: Long): Option[Checkpoint] = {
-    val best = listNames()
-      .collect { case s if s.matches("checkpoint-v\\d{8}\\.json") =>
-        s.substring(12, 20).toLong }
-      .filter(_ <= v)
-      .foldLeft(-1L)(math.max)
+    val newest = newestCheckpointVersion()
+    val best =
+      if (newest <= v) newest
+      else if (checkpointInterval <= 0) -1L
+      else {
+        var k = v / checkpointInterval * checkpointInterval
+        while (k > 0 && !Files.exists(checkpointPath(k)))
+          k -= checkpointInterval
+        if (k > 0) k else -1L
+      }
     if (best < 0) None
     else {
       val node = mapper.readTree(Files.readAllBytes(checkpointPath(best)))

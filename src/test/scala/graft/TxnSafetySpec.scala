@@ -44,6 +44,25 @@ class TxnSafetySpec extends SparkSpec {
     assert(check.snapshotFiles().toSet == expected)
   }
 
+  test("commit cost is flat in log length: one dir listing per cold start") {
+    val root = tempDir("txnflat")
+    val log = new TxnLog(root)
+    (0 until 60).foreach(i => log.commit(added = Seq(s"f$i.parquet")))
+    // Version + checkpoint resolution probe forward from the in-process
+    // cache; only the COLD calls may list the directory. 60 commits with
+    // checkpoints every 10 would otherwise issue 60+ O(commits) listings.
+    assert(log.listCalls.get() <= 3,
+      s"expected <=3 dir listings for 60 commits, got ${log.listCalls.get()}")
+    // A fresh instance (new process) still sees everything…
+    val reopened = new TxnLog(root)
+    assert(reopened.currentVersion() == 59L)
+    assert(reopened.snapshotFiles().size == 60)
+    // …and a cross-instance commit is visible to the first instance's
+    // cached view (forward probe finds foreign commits).
+    reopened.commit(added = Seq("foreign.parquet"))
+    assert(log.currentVersion() == 60L)
+  }
+
   test("checkpointed schema/row-count resolution equals full replay") {
     val root = tempDir("txnckpt")
     val log = new TxnLog(root, checkpointInterval = 5)
