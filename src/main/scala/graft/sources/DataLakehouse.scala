@@ -42,11 +42,19 @@ final class DataLakehouse(
     val batchSize: Int = 10000,
     val clusterOnWrite: Boolean = true,
     val format: String = "parquet",
-    val codec: String = "zstd") {
+    val codec: String = "zstd",
+    val partitionCols: Seq[String] = Seq("date")) {
 
   require(format == "parquet" || format == "csv",
     s"unsupported format: $format") // S1-S4: parquet primary, CSV fallback
     // (lakehouse.py:25-32,427-452; table-level rather than per-file dispatch)
+
+  // The reference's declared `partition_cols=['date', 'symbol']`
+  // (README.md:67): `date` is always derived from `timestamp` at write;
+  // any other name must be a data column. Each partition column becomes a
+  // Hive `k=v/` path level, and `query()` prunes on date range AND symbol
+  // equality against those path values before Spark lists a single file.
+  require(partitionCols.nonEmpty, "partitionCols must not be empty")
 
   // zstd over the snappy default: ~25% smaller files at comparable write
   // speed — at 100 TB the scan is IO-bound, so smaller files ARE the
@@ -152,17 +160,18 @@ final class DataLakehouse(
     val withDate = df.withColumn("date", model.dateKey)
     val clustered =
       if (clusterOnWrite)
-        withDate.repartition(col("date"))
+        withDate.repartition(partitionCols.map(col): _*)
           .sortWithinPartitions(col("symbol"), col("timestamp"))
       else withDate
-    clustered.write.partitionBy("date").format(format)
+    clustered.write.partitionBy(partitionCols: _*).format(format)
       .option("header", format == "csv")
       .option("compression", writeCompression).save(staging)
     val added = publishStaged(staging)
     txnLog.commit(added = added, batchId = batchId,
       schemaJson = Some(clustered.schema.json),
       rowCounts = countRows(added))
-    added.map(_.split('/').head).distinct.size.toLong
+    // leaf partitions touched (all k=v levels, not just the first)
+    added.map(r => r.take(math.max(0, r.lastIndexOf('/')))).distinct.size.toLong
   }
 
   /** Register EXISTING data files into the table without rewriting them
@@ -179,7 +188,8 @@ final class DataLakehouse(
       require(Files.isRegularFile(Paths.get(root, r)), s"no such file under root: $r")
       require(r.endsWith(".parquet") || r.endsWith(".csv"),
         s"unsupported file suffix (want .parquet or .csv): $r")
-      require(r.startsWith("date="), s"not under a date= partition: $r")
+      require(r.startsWith(s"${partitionCols.head}="),
+        s"not under a ${partitionCols.head}= partition: $r")
     }
     txnLog.commit(added = rels, rowCounts = countRows(rels))
   }
@@ -197,6 +207,16 @@ final class DataLakehouse(
         (r: String) => r, (r: String) => java.lang.Long.valueOf(footerRowCount(r))))
       .asScala.map { case (k, v) => k -> v.longValue() }.toMap
   }
+
+  /** Hive partition values parsed from a relative path's directory
+    * segments (`date=2024-06-15/symbol=AAPL/part-0.parquet` →
+    * `Map(date -> 2024-06-15, symbol -> AAPL)`).
+    */
+  private def partitionValues(rel: String): Map[String, String] =
+    rel.split('/').dropRight(1).iterator.flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i < 0) None else Some(seg.substring(0, i) -> seg.substring(i + 1))
+    }.toMap
 
   /** Files.walk with the stream closed (leaked directory fds otherwise). */
   private def walkFiles(p: Path): Seq[Path] = {
@@ -249,13 +269,17 @@ final class DataLakehouse(
       .getOrElse(Long.MaxValue)
     val allFiles = txnLog.snapshotFiles(version)
 
-    // Partition pruning: relative paths are date=YYYY-MM-DD/file.parquet;
-    // lexicographic compare on the date key == chronological (O2).
+    // Partition pruning on the Hive path values (k=v dir levels):
+    // lexicographic compare on the date key == chronological (O2), symbol
+    // equality when `symbol` is a partition column. A key absent from the
+    // layout simply doesn't prune (the residual filter still applies).
     val startKey = start.map(ts => model.dateKeyOf(ts))
     val endKey = end.map(ts => model.dateKeyOf(ts))
     val pruned = allFiles.filter { rel =>
-      val date = rel.stripPrefix("date=").takeWhile(_ != '/')
-      startKey.forall(date >= _) && endKey.forall(date <= _)
+      val pv = partitionValues(rel)
+      pv.get("date").forall(d =>
+        startKey.forall(d >= _) && endKey.forall(d <= _)) &&
+        symbol.forall(s => pv.get("symbol").forall(_ == s))
     }
 
     // Commit-time row counts from the log; footer IO only for files from
@@ -335,7 +359,9 @@ final class DataLakehouse(
     */
   def compact(maxFilesPerPartition: Int = 1, targetFiles: Int = 1): Long = {
     val live = txnLog.snapshotFiles()
-    val byPartition = live.groupBy(_.stripPrefix("date=").takeWhile(_ != '/'))
+    // group by the FULL partition directory (all k=v levels), so a
+    // date,symbol layout compacts per leaf partition, not per date
+    val byPartition = live.groupBy(r => r.take(math.max(0, r.lastIndexOf('/'))))
     val toCompact = byPartition.filter(_._2.size > maxFilesPerPartition)
     if (toCompact.isEmpty) return -1L
 
@@ -363,7 +389,7 @@ final class DataLakehouse(
         .reduce(_.unionByName(_))
         .repartition(targetFiles)
         .sortWithinPartitions(col("symbol"), col("timestamp"))
-        .write.partitionBy("date").format(format)
+        .write.partitionBy(partitionCols: _*).format(format)
         .option("header", format == "csv")
         .option("compression", writeCompression).save(staging)
       adds ++= publishStaged(staging)
@@ -392,9 +418,16 @@ final class DataLakehouse(
     dead.size.toLong
   }
 
-  /** Partition keys present in the current snapshot, sorted (S5/O2). */
+  /** Partition keys present in the current snapshot, sorted (S5/O2):
+    * the `k=v` values of each live leaf partition joined by `/` — for the
+    * default single `date` column this is the bare date key; for a
+    * `date,symbol` layout, `2024-06-15/AAPL`.
+    */
   def listPartitions(): Seq[String] =
     txnLog.snapshotFiles()
-      .map(_.stripPrefix("date=").takeWhile(_ != '/'))
+      .map { rel =>
+        rel.split('/').dropRight(1).iterator
+          .map(seg => seg.substring(seg.indexOf('=') + 1)).mkString("/")
+      }
       .distinct.sorted
 }

@@ -63,6 +63,51 @@ class LakehouseSpec extends SparkSpec {
 
   // --- partitioning + pruning (test_core.py:136-166)
 
+  test("partitionCols=date,symbol: layout, symbol pruning, compaction") {
+    // the reference's declared partition_cols=['date','symbol']
+    // (README.md:67) as a two-level Hive layout
+    val root = tempDir("lake2col")
+    val lake = new DataLakehouse(spark, root,
+      partitionCols = Seq("date", "symbol"))
+    val bars = for {
+      d <- Seq("2024-06-15", "2024-06-16"); i <- 0 until 6
+    } yield bar(i).copy(timestamp = ts(s"$d 10:0$i:00"))
+    lake.ingestBatch(bars) // 3 AAPL + 3 GOOGL per day
+    assert(lake.listPartitions() == Seq(
+      "2024-06-15/AAPL", "2024-06-15/GOOGL",
+      "2024-06-16/AAPL", "2024-06-16/GOOGL"))
+    assert(lake.txnLog.snapshotFiles().forall(
+      _.matches("date=\\d{4}-\\d{2}-\\d{2}/symbol=[A-Z]+/.*")))
+
+    // symbol pruning happens at the FILE level: scan accounting (footer
+    // row counts of the pruned file set) must only see AAPL rows
+    val qr = lake.query(symbol = Some("AAPL"))
+    assert(qr.count == 6)
+    assert(qr.totalRowsScanned == 6)
+    // …and composes with the date range prune
+    val qr2 = lake.query(symbol = Some("GOOGL"),
+      start = Some(ts("2024-06-16 00:00:00")),
+      end = Some(ts("2024-06-16 23:59:59")))
+    assert(qr2.count == 3)
+    assert(qr2.totalRowsScanned == 3)
+    // symbol values come back from the path, not the data files
+    assert(qr2.df.select("symbol").distinct().collect().map(_.getString(0))
+      .toSeq == Seq("GOOGL"))
+
+    // second append fragments the leaves; compaction regroups per LEAF
+    // partition and the table reads identically after a vacuum
+    lake.ingestBatch(bars)
+    val before = lake.query().df.orderBy("timestamp", "symbol", "volume")
+      .collect().toSeq
+    assert(lake.compact() >= 0L)
+    lake.vacuum()
+    assert(lake.listPartitions().size == 4)
+    val after = lake.query().df.orderBy("timestamp", "symbol", "volume")
+      .collect().toSeq
+    assert(after == before)
+    assert(lake.query(symbol = Some("AAPL")).totalRowsScanned == 12)
+  }
+
   test("multi-day batch writes one partition per day; range prunes exactly") {
     val lake = newLake()
     val days = Seq("2024-06-13", "2024-06-14", "2024-06-15", "2024-06-16")
