@@ -44,11 +44,15 @@ object Streaming {
     * `foreachBatch`, at a 100 ms trigger cadence by default.
     *
     * Admission control (the reference's declared 100 ms / 10 MB flush
-    * cadence, README.md:36-37,50): `maxFilesPerTrigger` bounds how much a
-    * burst can push into one micro-batch — the excess queues and drains
-    * over subsequent triggers instead of melting a single batch. Files are
-    * the admission unit because upstream producers emit bounded-size
-    * files; bytes-per-trigger is files × file-size-cap.
+    * cadence, README.md:36-37,50): `maxFilesPerTrigger` or
+    * `maxBytesPerTrigger` bounds how much a burst can push into one
+    * micro-batch — the excess queues and drains over subsequent triggers
+    * instead of melting a single batch. The byte cap is the direct
+    * analogue of the reference's 10 MB flush threshold and holds even
+    * when producers emit unbounded-size files (the source admits files
+    * until the running byte sum would exceed the cap, always at least
+    * one). Spark's file source accepts only one of the two caps per
+    * stream.
     *
     * DLQ idempotence (T6): rejects are written to a PER-BATCH directory
     * (`_dlq/batch=<streamId>-<batchId>`) with overwrite semantics, so a
@@ -62,10 +66,14 @@ object Streaming {
       checkpointDir: String,
       streamId: String = "ingest",
       triggerMs: Long = 100L,
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+      maxFilesPerTrigger: Option[Int] = None,
+      maxBytesPerTrigger: Option[Long] = None): StreamingQuery = {
+    require(maxFilesPerTrigger.isEmpty || maxBytesPerTrigger.isEmpty,
+      "maxFilesPerTrigger and maxBytesPerTrigger are mutually exclusive")
     val reader = lake.spark.readStream
       .schema(model.ohlcvSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    maxBytesPerTrigger.foreach(n => reader.option("maxBytesPerTrigger", n))
     reader.parquet(sourceDir)
       .writeStream
       .outputMode("append")

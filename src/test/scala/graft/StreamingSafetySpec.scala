@@ -90,4 +90,41 @@ class StreamingSafetySpec extends SparkSpec {
     // admission control: one file per micro-batch → four separate commits
     assert(lake.txnLog.commits().count(_.batchId.exists(_.startsWith("b-"))) == 4)
   }
+
+  test("maxBytesPerTrigger bounds each micro-batch by byte size") {
+    val lake = new DataLakehouse(spark, tempDir("bytelake"))
+    val src = tempDir("bytesrc")
+    // six ~equal-size single-row source files dropped at once
+    (0 until 6).foreach { i =>
+      val tmp = tempDir(s"bytepart$i")
+      spark.createDataset(Seq(OhlcvBar(s"SYM$i",
+        Timestamp.valueOf("2024-06-15 10:30:00"),
+        150, 155, 149, 153, 1000L + i, AssetClass.Equity))).toDF()
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part,
+        java.nio.file.Paths.get(src, s"f$i.parquet"))
+    }
+    val fileBytes = java.nio.file.Files.list(java.nio.file.Paths.get(src))
+      .mapToLong(java.nio.file.Files.size).toArray.toSeq
+    // cap = two files' worth: the burst must drain over >= 3 micro-batches,
+    // each admitting at most two files (the 10 MB-threshold shape of
+    // README.md:37, scaled down)
+    val cap = fileBytes.sorted.take(2).sum
+    val q = Streaming.ingestStream(lake, src, tempDir("byteckpt"),
+      streamId = "y", maxBytesPerTrigger = Some(cap))
+    try q.processAllAvailable() finally q.stop()
+    assert(lake.query().count == 6)
+    val commits = lake.txnLog.commits()
+      .filter(_.batchId.exists(_.startsWith("y-")))
+    assert(commits.size >= 3)
+    // byte bound ⇒ row bound: one row per source file, at most 2 per batch
+    assert(commits.forall(_.rowCounts.values.sum <= 2))
+    // both caps at once is a contract violation, failed fast
+    intercept[IllegalArgumentException] {
+      Streaming.ingestStream(lake, src, tempDir("byteckpt2"),
+        maxFilesPerTrigger = Some(1), maxBytesPerTrigger = Some(1000L))
+    }
+  }
 }
