@@ -59,15 +59,41 @@ object Bench {
         }
         name -> median(times)
       }
+    // Pipeline queries share a memoized pair set by design (q46 reuses
+    // q24's, q54/q55/q57 cluster over q24/q43/q56's). The cold numbers
+    // above clear caches per repeat, billing each of them for the WHOLE
+    // shared pipeline rebuild; the _warm twins below time them against a
+    // warm memo — the steady-state cost a resident pipeline actually pays.
+    val warmQueries = Seq("q46_edit_distance", "q54_dedup_clusters",
+      "q55_embedding_clusters", "q57_lsh_embedding_clusters")
+    val warmResults = warmQueries
+      .filter(name => nameFilter.forall(name.contains))
+      .flatMap(name => SparkEntry.queries.get(name).map(name -> _))
+      .map { case (name, fn) =>
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save() // warm
+        val times = (0 until repeats).map { _ =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] ${name}_warm failed: ${e.getMessage}")
+          }
+          (System.nanoTime() - t0) / 1e9
+        }
+        s"${name}_warm" -> median(times)
+      }
+    spark.sharedState.cacheManager.clearCache()
+
     // Lakehouse-path metrics mirroring BASELINE.md's headline numbers:
     // bulk ingest throughput and the pruned single-symbol filter query.
     val lakeMetrics =
       if (nameFilter.isEmpty) benchLakehouseMedian(spark, repeats)
       else Seq.empty
-    val qs = (results ++ lakeMetrics).map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = (results ++ warmResults ++ lakeMetrics)
+      .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // total sums SECONDS only — ratio-valued metrics are reported in the
-    // queries map but excluded here
+    // total sums cold SECONDS only — warm twins are supplementary
+    // measurements of the same queries (double-counting them would
+    // inflate the round-over-round total), ratios are not seconds
     val total = results.map(_._2).sum +
       lakeMetrics.filterNot(_._1 == "storage_csv_over_parquet").map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

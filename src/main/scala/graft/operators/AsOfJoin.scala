@@ -58,9 +58,16 @@ object AsOfJoin {
     val rMatchable = right.filter(
       (keys.map(k => right(k._2).isNotNull) :+ right(rightOn).isNotNull)
         .reduce(_ && _))
+    // The union formulation needs EXACT dtype agreement between the two
+    // sides' key/ts columns (unionByName does not coerce, unlike the join
+    // operators this replaced) — right columns are cast to the left's
+    // dtypes, which drive the operator's schema. A right key wider than
+    // the left's type can only hold values no left row carries, so the
+    // narrowing cast loses no genuine match.
     val rTagged = rMatchable.select(
-      keys.map { case (l, r) => right(r).as(s"__k_$l") } ++ Seq(
-        right(rightOn).as("__ts"),
+      keys.map { case (l, r) =>
+        right(r).cast(left.schema(l).dataType).as(s"__k_$l") } ++ Seq(
+        right(rightOn).cast(left.schema(leftOn).dataType).as("__ts"),
         lit(0).as("__side"),
         right(tieBreaker).as("__tb"),
         struct(payloadCols.map(c => right(c).as(c)): _*).as("__pay")): _*)

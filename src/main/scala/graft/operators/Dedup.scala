@@ -300,6 +300,10 @@ object Dedup {
         .localCheckpoint()
       converged = next.join(labels.withColumnRenamed("component", "prev"), "id")
         .filter($"component" =!= $"prev").isEmpty
+      // the convergence check above was the last read of the PREVIOUS
+      // round's checkpoint — release its blocks now, or executor storage
+      // grows O(iterations × |nodes|) across rounds
+      freeLocalCheckpoint(labels)
       labels = next
       iter += 1
     }
@@ -312,6 +316,18 @@ object Dedup {
         "(component diameter exceeds maxIter)")
     labels
   }
+
+  /** Release the cached blocks behind a `localCheckpoint`ed DataFrame.
+    * `df.unpersist` only consults the CacheManager, which never saw a
+    * checkpoint's RDD — the blocks live on the RDD itself, reachable
+    * through the plan's LogicalRDD leaf.
+    */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003) as
     * an exploded (id, fp) relation — the distributed form: char-n-gram

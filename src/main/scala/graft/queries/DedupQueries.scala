@@ -43,9 +43,25 @@ object DedupQueries {
   // an external clearCache drops the blocks the plan just recomputes.
   private val pairSetMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), DataFrame]
+  private val evictionHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
   private def memoizedPairs(key: String, s: SparkSession, dir: String)(
-      build: => DataFrame): DataFrame = {
+      build: => DataFrame): DataFrame = pairSetMemo.synchronized {
+    // synchronized: a concurrent getOrElseUpdate would race two builds of
+    // the same expensive plan and leak the loser's persisted DF. Plan
+    // CONSTRUCTION is driver-side and lazy, so the lock is cheap.
+    if (evictionHooked.add(s))
+      // entries die with their session — long-lived multi-session
+      // processes (test suites, notebook servers) must not accumulate
+      // plans/persisted frames of stopped sessions
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          pairSetMemo.filterInPlace { case ((sess, _, _), _) => sess != s }
+          evictionHooked.remove(s)
+        }
+      })
     val df = pairSetMemo.getOrElseUpdate((s, dir, key), build)
     // re-persist if an external clearCache (Bench does this between
     // repeats) dropped the registration — persist() on an already-cached

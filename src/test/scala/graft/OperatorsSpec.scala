@@ -72,6 +72,19 @@ class OperatorsSpec extends SparkSpec {
       (3L, None, None)))           // null left ts matches nothing
   }
 
+  test("as-of join coerces mismatched right key/ts dtypes to the left's") {
+    // int left key vs long right key, long left ts vs int right ts — the
+    // join operators the union form replaced coerced these implicitly;
+    // the union form must too (right side casts to the left's dtypes)
+    val l = Seq((1L, 7, 100L)).toDF("l_id", "k", "lts") // k: int, lts: long
+    val r = Seq((10L, 7L, 90, 1.5)).toDF("r_id", "rk", "rts", "payload")
+    val got = AsOfJoin.backward(l, r, Seq("k" -> "rk"), "lts", "rts",
+        "l_id", "r_id")
+      .select($"l_id", $"r_id", $"payload")
+      .as[(Long, Option[Long], Option[Double])].collect().toSeq
+    assert(got == Seq((1L, Some(10L), Some(1.5))))
+  }
+
   test("exact dedup keeps deterministic winner (min id) per key") {
     val df = Seq((3L, "k1"), (1L, "k1"), (2L, "k2")).toDF("id", "key")
     val kept = Dedup.exact(df, Seq("key"), "id")
