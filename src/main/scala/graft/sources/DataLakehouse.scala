@@ -43,7 +43,8 @@ final class DataLakehouse(
     val clusterOnWrite: Boolean = true,
     val format: String = "parquet",
     val codec: String = "zstd",
-    val partitionCols: Seq[String] = Seq("date")) {
+    val partitionCols: Seq[String] = Seq("date"),
+    val zorderCols: Seq[String] = Seq.empty) {
 
   require(format == "parquet" || format == "csv",
     s"unsupported format: $format") // S1-S4: parquet primary, CSV fallback
@@ -56,11 +57,25 @@ final class DataLakehouse(
   // equality against those path values before Spark lists a single file.
   require(partitionCols.nonEmpty, "partitionCols must not be empty")
 
+  // The reference's declared `ZORDER BY` (README.md:125,134), generalized
+  // to multiple dimensions: when set, files are clustered by the Morton
+  // interleave of these columns' ranks instead of the linear
+  // (symbol, timestamp) sort, so row-group min/max stats are partial in
+  // EVERY listed dimension and any single-dimension predicate skips.
+  // Single-column Z-order == linear clustering (SURVEY §1.3), hence off
+  // by default.
+
   // zstd over the snappy default: ~25% smaller files at comparable write
   // speed — at 100 TB the scan is IO-bound, so smaller files ARE the
   // faster query path. CSV stays uncompressed (the reference's
   // plain-text interchange format).
   private val writeCompression = if (format == "parquet") codec else "none"
+
+  // INT64 micros, not the INT96 legacy default: parquet writes no
+  // row-group statistics for INT96, so every timestamp-range predicate
+  // would read every row group — the entire point of clustering event
+  // time (linear or z-order) is those stats.
+  spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
   val txnLog = new TxnLog(root)
   private val buffer = ArrayBuffer.empty[OhlcvBar]
@@ -161,7 +176,7 @@ final class DataLakehouse(
     val clustered =
       if (clusterOnWrite)
         withDate.repartition(partitionCols.map(col): _*)
-          .sortWithinPartitions(col("symbol"), col("timestamp"))
+          .sortWithinPartitions(clusterSortKeys(withDate): _*)
       else withDate
     clustered.write.partitionBy(partitionCols: _*).format(format)
       .option("header", format == "csv")
@@ -207,6 +222,25 @@ final class DataLakehouse(
         (r: String) => r, (r: String) => java.lang.Long.valueOf(footerRowCount(r))))
       .asScala.map { case (k, v) => k -> v.longValue() }.toMap
   }
+
+  /** In-file clustering keys: the Morton z-key over `zorderCols` when
+    * configured (min/max ranks computed on `df` itself — one narrow agg
+    * job per write), else the linear (symbol, timestamp) sort, which is
+    * skipping-equivalent to single-column Z-order (SURVEY §1.3).
+    *
+    * The partition columns LEAD the sort: a partitioned write requires
+    * ordering by them, and when the plan doesn't already provide it the
+    * planned-write rule stacks its own Sort(partitionCols) on top — at
+    * which point EliminateSorts deletes the cluster sort as overridden
+    * and files land in ARRIVAL order with useless row-group stats.
+    * Prefixing makes the required ordering a prefix of ours, so no sort
+    * is inserted and the clustering actually reaches the files (pinned
+    * by ZOrderSpec's row-group-stats assertions).
+    */
+  private def clusterSortKeys(df: DataFrame): Seq[org.apache.spark.sql.Column] =
+    partitionCols.map(col) ++
+      (if (zorderCols.nonEmpty) Seq(graft.functions.ZOrder.zkey(df, zorderCols))
+       else Seq(col("symbol"), col("timestamp")))
 
   /** Hive partition values parsed from a relative path's directory
     * segments (`date=2024-06-15/symbol=AAPL/part-0.parquet` →
@@ -388,7 +422,7 @@ final class DataLakehouse(
         }
         .reduce(_.unionByName(_))
         .repartition(targetFiles)
-        .sortWithinPartitions(col("symbol"), col("timestamp"))
+        .transform(u => u.sortWithinPartitions(clusterSortKeys(u): _*))
         .write.partitionBy(partitionCols: _*).format(format)
         .option("header", format == "csv")
         .option("compression", writeCompression).save(staging)
