@@ -71,6 +71,7 @@ object ZOrder {
   def dictRank(c: Column, sortedDistinct: Seq[String], bits: Int): Column = {
     val top = (1L << bits) - 1
     val n = sortedDistinct.size
+    if (n == 0) return lit(0L) // empty batch: no values to rank
     val pairs = sortedDistinct.zipWithIndex.flatMap { case (v, i) =>
       Seq(lit(v), lit(if (n <= 1) 0L else i.toLong * top / (n - 1)))
     }
@@ -87,7 +88,8 @@ object ZOrder {
     * scaled against the batch's own min/max — one narrow aggregate job,
     * then a pure codegen'd expression per row.
     */
-  def zkey(df: DataFrame, cols: Seq[String], bits: Int = 16): Column = {
+  def zkey(df: DataFrame, cols: Seq[String], bitsPerDim: Int = 16): Column = {
+    val bits = math.min(bitsPerDim, 63 / cols.size) // fit a long at any arity
     val numeric = cols.filterNot(c => df.schema(c).dataType == StringType)
     val stats: Map[String, (Column, Column)] =
       if (numeric.isEmpty) Map.empty

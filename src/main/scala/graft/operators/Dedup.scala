@@ -196,8 +196,10 @@ object Dedup {
       if (maxPostingList <= 0) candInter
       else broadcast(candInter.select($"a_id", $"b_id"))
         .join(sh.select($"doc_id".as("a_id"), $"sh"), "a_id")
-        .join(sh.select($"doc_id".as("b_id"), $"sh".as("sh_b")), Seq("b_id"))
-        .filter($"sh" === $"sh_b")
+        // equi-join on BOTH (b_id, sh): each surviving row IS one shared
+        // shingle — joining on b_id alone would cross a's shingles with
+        // b's (|a|·|b| intermediate rows per pair) before filtering
+        .join(sh.select($"doc_id".as("b_id"), $"sh"), Seq("b_id", "sh"))
         .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), "a_id")

@@ -170,7 +170,14 @@ object SimilaritySearch {
       .withColumn("nrm",
         sqrt(graft.functions.CosineSimilarity.dotFast(spark, $"v", $"v")))
       .persist()
-    val dim = e.select(size($"v")).head().getInt(0)
+    val firstRow = e.select(size($"v")).take(1)
+    if (firstRow.isEmpty) { // empty corpus: no pairs, and no dim to bucket by
+      e.unpersist()
+      return e.sparkSession.emptyDataFrame
+        .select(lit(0L).as("a_id"), lit(0L).as("b_id"),
+          lit(0.0).as("cosine")).limit(0)
+    }
+    val dim = firstRow.head.getInt(0)
 
     // (id, table, bucket) rows — ints only, numTables per vector.
     val tableStructs = (0 until numTables).map { t =>

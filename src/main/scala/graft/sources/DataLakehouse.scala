@@ -244,13 +244,36 @@ final class DataLakehouse(
 
   /** Hive partition values parsed from a relative path's directory
     * segments (`date=2024-06-15/symbol=AAPL/part-0.parquet` →
-    * `Map(date -> 2024-06-15, symbol -> AAPL)`).
+    * `Map(date -> 2024-06-15, symbol -> AAPL)`). Values are UNESCAPED
+    * (Hive %XX encoding): Spark writes `symbol=A B` as `symbol=A%20B`,
+    * and pruning compares against the logical value — matching the raw
+    * path would silently prune files for any symbol containing an
+    * escaped character.
     */
   private def partitionValues(rel: String): Map[String, String] =
     rel.split('/').dropRight(1).iterator.flatMap { seg =>
       val i = seg.indexOf('=')
-      if (i < 0) None else Some(seg.substring(0, i) -> seg.substring(i + 1))
+      if (i < 0) None
+      else Some(seg.substring(0, i) -> unescapePath(seg.substring(i + 1)))
     }.toMap
+
+  private def unescapePath(s: String): String =
+    if (!s.contains('%')) s
+    else {
+      val sb = new java.lang.StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length &&
+            Character.digit(s.charAt(i + 1), 16) >= 0 &&
+            Character.digit(s.charAt(i + 2), 16) >= 0) {
+          sb.append((Character.digit(s.charAt(i + 1), 16) * 16 +
+            Character.digit(s.charAt(i + 2), 16)).toChar)
+          i += 3
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
 
   /** Files.walk with the stream closed (leaked directory fds otherwise). */
   private def walkFiles(p: Path): Seq[Path] = {

@@ -63,6 +63,23 @@ class LakehouseSpec extends SparkSpec {
 
   // --- partitioning + pruning (test_core.py:136-166)
 
+  test("symbol partition values with escaped characters prune correctly") {
+    // Spark Hive-escapes special chars in partition paths (A B -> A%20B);
+    // pruning must compare the UNESCAPED value or these files vanish
+    // from symbol queries
+    val lake = new DataLakehouse(spark, tempDir("esclake"),
+      partitionCols = Seq("date", "symbol"))
+    val odd = Seq("A B", "C:D", "PLAIN")
+    lake.ingestBatch(odd.zipWithIndex.map { case (s, i) =>
+      bar(i).copy(symbol = s)
+    })
+    odd.foreach { s =>
+      val qr = lake.query(symbol = Some(s))
+      assert(qr.count == 1, s"symbol '$s' lost by path-escape pruning")
+      assert(qr.totalRowsScanned == 1) // and still actually pruned
+    }
+  }
+
   test("partitionCols=date,symbol: layout, symbol pruning, compaction") {
     // the reference's declared partition_cols=['date','symbol']
     // (README.md:67) as a two-level Hive layout

@@ -263,6 +263,13 @@ class OperatorsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("lshPairs on an empty corpus returns an empty pair set") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val out = SimilaritySearch.lshPairs(empty, "vec_id", "embedding", 0.5)
+    assert(out.columns.toSeq == Seq("a_id", "b_id", "cosine"))
+    assert(out.count() == 0)
+  }
+
   test("lshPairs bucket cap drops degenerate buckets, keeps isolated pairs") {
     val rng = new scala.util.Random(9)
     val base = Array.fill(32)(rng.nextGaussian().toFloat)
