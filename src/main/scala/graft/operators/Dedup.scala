@@ -291,6 +291,16 @@ object Dedup {
       .distinct().persist()
     var labels = edges.select($"src".as("id")).distinct()
       .select($"id", $"id".as("component")).localCheckpoint()
+    // Convergence via the label-sum invariant: min-propagation only ever
+    // DECREASES a label, so "some label changed" ⇔ "the sum strictly
+    // dropped" — one narrow aggregate over the already-checkpointed
+    // frame, replacing the prior per-round join-with-previous (a whole
+    // extra shuffle). Decimal sum: immune to long overflow at any
+    // (id magnitude × node count).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.select(sum($"component".cast("decimal(38,0)"))).head()
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -300,11 +310,11 @@ object Dedup {
       val next = labels.union(viaNeighbor)
         .groupBy($"id").agg(min($"component").as("component"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("component", "prev"), "id")
-        .filter($"component" =!= $"prev").isEmpty
-      // the convergence check above was the last read of the PREVIOUS
-      // round's checkpoint — release its blocks now, or executor storage
-      // grows O(iterations × |nodes|) across rounds
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      // the previous round's checkpoint has had its last read — release
+      // its blocks now, or executor storage grows O(iterations × |nodes|)
       freeLocalCheckpoint(labels)
       labels = next
       iter += 1
