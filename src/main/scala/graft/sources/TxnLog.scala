@@ -320,10 +320,25 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
     live.toSeq
   }
 
-  /** Latest version whose commit timestamp is <= tsMs (time travel AS OF). */
-  def versionAsOf(tsMs: Long): Long =
-    commits().filter(_.timestampMs <= tsMs).map(_.version)
-      .foldLeft(-1L)(math.max)
+  /** Latest version whose commit timestamp is <= tsMs (time travel
+    * AS OF), by BINARY SEARCH over the version sequence — O(log commits)
+    * file reads instead of replaying every commit (864k/day at the
+    * declared cadence). Commit timestamps are taken under the version
+    * reservation, so they are non-decreasing up to sub-ms scheduling
+    * skew between racing committers — the same monotonicity contract
+    * log-structured tables generally assume for AS OF TIMESTAMP.
+    */
+  def versionAsOf(tsMs: Long): Long = {
+    val cur = currentVersion()
+    if (cur < 0 || read(0L).timestampMs > tsMs) return -1L
+    var lo = 0L // invariant: ts(lo) <= tsMs
+    var hi = cur
+    while (lo < hi) { // find the LAST version with ts <= tsMs
+      val mid = lo + (hi - lo + 1) / 2
+      if (read(mid).timestampMs <= tsMs) lo = mid else hi = mid - 1
+    }
+    lo
+  }
 
   /** Table schema (Spark StructType JSON) as of `version` — the newest
     * schema recorded at or below it (S13 across schema evolution: a

@@ -63,6 +63,24 @@ class TxnSafetySpec extends SparkSpec {
     assert(log.currentVersion() == 60L)
   }
 
+  test("versionAsOf binary search == linear replay reference") {
+    val root = tempDir("txnasof")
+    val log = new TxnLog(root)
+    (0 until 30).foreach { i =>
+      log.commit(added = Seq(s"f$i.parquet"))
+      if (i % 7 == 0) Thread.sleep(5) // force some distinct timestamps
+    }
+    val all = log.commits()
+    def linear(ts: Long): Long =
+      all.filter(_.timestampMs <= ts).map(_.version).foldLeft(-1L)(math.max)
+    val probes = Seq(all.head.timestampMs - 1, all.head.timestampMs,
+      all.last.timestampMs, all.last.timestampMs + 1000) ++
+      all.map(_.timestampMs) ++ all.map(_.timestampMs + 1)
+    probes.foreach { ts =>
+      assert(log.versionAsOf(ts) == linear(ts), s"at ts=$ts")
+    }
+  }
+
   test("checkpointed schema/row-count resolution equals full replay") {
     val root = tempDir("txnckpt")
     val log = new TxnLog(root, checkpointInterval = 5)
