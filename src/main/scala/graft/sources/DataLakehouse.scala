@@ -184,7 +184,7 @@ final class DataLakehouse(
     val added = publishStaged(staging)
     txnLog.commit(added = added, batchId = batchId,
       schemaJson = Some(clustered.schema.json),
-      rowCounts = countRows(added))
+      rowCounts = countRows(added), fileStats = collectStats(added))
     // leaf partitions touched (all k=v levels, not just the first)
     added.map(r => r.take(math.max(0, r.lastIndexOf('/')))).distinct.size.toLong
   }
@@ -206,7 +206,8 @@ final class DataLakehouse(
       require(r.startsWith(s"${partitionCols.head}="),
         s"not under a ${partitionCols.head}= partition: $r")
     }
-    txnLog.commit(added = rels, rowCounts = countRows(rels))
+    txnLog.commit(added = rels, rowCounts = countRows(rels),
+      fileStats = collectStats(rels))
   }
 
   /** Per-file row counts for freshly published files (footer metadata for
@@ -221,6 +222,50 @@ final class DataLakehouse(
       .collect(Collectors.toMap(
         (r: String) => r, (r: String) => java.lang.Long.valueOf(footerRowCount(r))))
       .asScala.map { case (k, v) => k -> v.longValue() }.toMap
+  }
+
+  /** Per-file (symbol, timestamp) bounds from the parquet footers of
+    * freshly published files, read in parallel at COMMIT time (the files
+    * are still page-cache-hot) and recorded in the txn log — Delta-style
+    * file statistics: `query()` prunes files from the log alone, no
+    * footer IO on the read path. CSV files and files whose footer lacks
+    * either column's stats are omitted (pruning treats absent as
+    * unskippable).
+    */
+  private def collectStats(rels: Seq[String]): Map[String, TxnLog.FileStat] = {
+    import java.util.stream.Collectors
+    rels.filter(_.endsWith(".parquet")).asJava.parallelStream()
+      .collect(Collectors.toMap(
+        (r: String) => r, (r: String) => footerStats(r).toList.asJava))
+      .asScala.flatMap { case (k, v) => v.asScala.headOption.map(k -> _) }
+      .toMap
+  }
+
+  private def footerStats(rel: String): Option[TxnLog.FileStat] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val in = HadoopInputFile.fromPath(new HadoopPath(s"$root/$rel"), conf)
+    val reader = ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      def bounds[T](col: String)(convert: Any => T)(implicit o: Ordering[T])
+          : Option[(T, T)] = {
+        val sts = blocks.flatMap { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == col)
+            .map(_.getStatistics)
+        }
+        if (sts.isEmpty || sts.exists(s =>
+            s == null || s.isEmpty || !s.hasNonNullValue)) None
+        else Some((sts.map(s => convert(s.genericGetMin)).min,
+          sts.map(s => convert(s.genericGetMax)).max))
+      }
+      for {
+        (sMin, sMax) <- bounds("symbol")(
+          _.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+        (tMin, tMax) <- bounds("timestamp")(
+          _.asInstanceOf[java.lang.Long].longValue())
+      } yield TxnLog.FileStat(sMin, sMax, tMin, tMax)
+    } catch { case scala.util.control.NonFatal(_) => None
+    } finally reader.close()
   }
 
   /** In-file clustering keys: the Morton z-key over `zorderCols` when
@@ -332,11 +377,25 @@ final class DataLakehouse(
     // layout simply doesn't prune (the residual filter still applies).
     val startKey = start.map(ts => model.dateKeyOf(ts))
     val endKey = end.map(ts => model.dateKeyOf(ts))
-    val pruned = allFiles.filter { rel =>
+    val partitionPruned = allFiles.filter { rel =>
       val pv = partitionValues(rel)
       pv.get("date").forall(d =>
         startKey.forall(d >= _) && endKey.forall(d <= _)) &&
         symbol.forall(s => pv.get("symbol").forall(_ == s))
+    }
+
+    // FILE pruning from commit-time log statistics (Delta-style,
+    // README.md:131): a file whose recorded (symbol, timestamp) bounds
+    // cannot overlap the predicate is dropped without any footer IO.
+    // Timestamp bounds are µs; query bounds are ms-resolution Timestamps,
+    // widened conservatively. Files without stats always survive.
+    val stats = txnLog.fileStatsAt(version)
+    val pruned = partitionPruned.filter { rel =>
+      stats.get(rel).forall { st =>
+        symbol.forall(s => st.symbolMin <= s && s <= st.symbolMax) &&
+          start.forall(ts => st.tsMaxUs >= ts.getTime * 1000L) &&
+          end.forall(ts => st.tsMinUs <= ts.getTime * 1000L + 999L)
+      }
     }
 
     // Commit-time row counts from the log; footer IO only for files from
@@ -444,8 +503,18 @@ final class DataLakehouse(
             .load(rs.map(r => s"$root/$r"): _*)
         }
         .reduce(_.unionByName(_))
-        .repartition(targetFiles)
-        .transform(u => u.sortWithinPartitions(clusterSortKeys(u): _*))
+        // RANGE partitioning, not hash: the targetFiles output files get
+        // DISJOINT cluster-key ranges (symbol, or z-range), so each file's
+        // recorded stats cover a narrow slice and the log-side file
+        // pruning actually skips — a hash split would give every file the
+        // full symbol span. This is the reference's compaction story:
+        // streaming writes small unsorted files, compaction produces the
+        // optimized skipping layout (README.md:131,134).
+        .transform { u =>
+          val keys = clusterSortKeys(u)
+          u.repartitionByRange(targetFiles, keys: _*)
+            .sortWithinPartitions(keys: _*)
+        }
         .write.partitionBy(partitionCols: _*).format(format)
         .option("header", format == "csv")
         .option("compression", writeCompression).save(staging)
@@ -453,7 +522,7 @@ final class DataLakehouse(
       removes ++= rels
     }
     txnLog.commit(added = adds.toSeq, removed = removes.toSeq,
-      rowCounts = countRows(adds.toSeq))
+      rowCounts = countRows(adds.toSeq), fileStats = collectStats(adds.toSeq))
   }
 
   /** Physically delete files no longer referenced by the latest snapshot

@@ -28,6 +28,17 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
   * is O(commits). Production-scale variants add checkpoints every N
   * commits — straightforward here because snapshots are pure folds.
   */
+object TxnLog {
+  /** Per-file clustering-column bounds recorded at commit time — the
+    * log-side statistics that let `query()` prune FILES without opening
+    * a single footer (the Delta-style skipping the reference describes:
+    * "reads the transaction log, finds that AAPL data for that date
+    * lives in specific Parquet files" — README.md:131).
+    */
+  final case class FileStat(
+      symbolMin: String, symbolMax: String, tsMinUs: Long, tsMaxUs: Long)
+}
+
 final class TxnLog(root: String, checkpointInterval: Int = 10) {
   private val mapper = new ObjectMapper()
   private val logDir: Path = Paths.get(root, "_txn_log")
@@ -52,6 +63,8 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
   private[graft] val listCalls =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
+  import TxnLog.FileStat
+
   final case class Commit(
       version: Long,
       timestampMs: Long,
@@ -59,7 +72,8 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       removed: Seq[String],
       batchId: Option[String],
       schemaJson: Option[String] = None,
-      rowCounts: Map[String, Long] = Map.empty)
+      rowCounts: Map[String, Long] = Map.empty,
+      fileStats: Map[String, FileStat] = Map.empty)
 
   private def versionPath(v: Long): Path = logDir.resolve(f"v$v%08d.json")
 
@@ -117,8 +131,28 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       arr("removed"),
       Option(node.get("batchId")).filter(!_.isNull).map(_.asText()),
       Option(node.get("schemaJson")).filter(!_.isNull).map(_.asText()),
-      counts)
+      counts,
+      readStats(node))
   }
+
+  private def readStats(node: JsonNode): Map[String, FileStat] =
+    Option(node.get("fileStats")).map { fs =>
+      fs.fields().asScala.map { e =>
+        val v = e.getValue
+        e.getKey -> FileStat(v.get("sMin").asText(), v.get("sMax").asText(),
+          v.get("tMin").asLong(), v.get("tMax").asLong())
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  private def writeStats(node: ObjectNode, stats: Map[String, FileStat]): Unit =
+    if (stats.nonEmpty) {
+      val fs: ObjectNode = node.putObject("fileStats")
+      stats.foreach { case (k, st) =>
+        val o = fs.putObject(k)
+        o.put("sMin", st.symbolMin); o.put("sMax", st.symbolMax)
+        o.put("tMin", st.tsMinUs); o.put("tMax", st.tsMaxUs)
+      }
+    }
 
   /** Append a commit; returns the committed version. Retries on version
     * collision (optimistic concurrency via exclusive file creation).
@@ -126,7 +160,8 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
   def commit(added: Seq[String], removed: Seq[String] = Nil,
       batchId: Option[String] = None,
       schemaJson: Option[String] = None,
-      rowCounts: Map[String, Long] = Map.empty): Long = {
+      rowCounts: Map[String, Long] = Map.empty,
+      fileStats: Map[String, FileStat] = Map.empty): Long = {
     Files.createDirectories(logDir)
     var attempt = 0
     while (true) {
@@ -142,6 +177,7 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
         val rc: ObjectNode = node.putObject("rowCounts")
         rowCounts.foreach { case (k, n) => rc.put(k, n) }
       }
+      writeStats(node, fileStats)
       val tmp = Files.createTempFile(logDir, ".commit", ".tmp")
       Files.write(tmp, mapper.writerWithDefaultPrettyPrinter()
         .writeValueAsString(node).getBytes(StandardCharsets.UTF_8))
@@ -219,7 +255,8 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
     logDir.resolve(f"checkpoint-v$v%08d.json")
 
   private final case class Checkpoint(version: Long, files: Seq[String],
-      schemaJson: Option[String], rowCounts: Option[Map[String, Long]])
+      schemaJson: Option[String], rowCounts: Option[Map[String, Long]],
+      fileStats: Map[String, FileStat])
 
   /** Checkpoints carry the full derived read state — live files, newest
     * schema, per-file row counts — so EVERY per-query log resolution
@@ -239,6 +276,7 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       val live = files.toSet
       val rc: ObjectNode = node.putObject("rowCounts")
       rowCountsAt(v).foreach { case (k, n) => if (live(k)) rc.put(k, n) }
+      writeStats(node, fileStatsAt(v).view.filterKeys(live).toMap)
       val tmp = Files.createTempFile(logDir, ".ckpt", ".tmp")
       Files.write(tmp, mapper.writeValueAsString(node)
         .getBytes(StandardCharsets.UTF_8))
@@ -297,7 +335,8 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       Some(Checkpoint(best,
         node.get("files").elements().asScala.map(_.asText()).toSeq,
         Option(node.get("schemaJson")).filter(!_.isNull).map(_.asText()),
-        counts))
+        counts,
+        readStats(node)))
     }
   }
 
@@ -370,6 +409,23 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       case None =>
         (0L to upTo).map(read)
           .foldLeft(Map.empty[String, Long])((m, c) => m ++ c.rowCounts)
+    }
+  }
+
+  /** Per-file clustering-column bounds for the live set at `version`,
+    * checkpoint-seeded like [[rowCountsAt]]. Files committed before stats
+    * were recorded are simply absent — pruning treats them as
+    * unskippable, never wrong.
+    */
+  def fileStatsAt(version: Long = Long.MaxValue): Map[String, FileStat] = {
+    val upTo = math.min(currentVersion(), version)
+    latestCheckpoint(upTo) match {
+      case Some(ck) =>
+        (ck.version + 1 to upTo).map(read)
+          .foldLeft(ck.fileStats)((m, c) => m ++ c.fileStats)
+      case None =>
+        (0L to upTo).map(read)
+          .foldLeft(Map.empty[String, FileStat])((m, c) => m ++ c.fileStats)
     }
   }
 }

@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.col
+
 import graft.sources.DataLakehouse
 
 /** Port of the reference's TestPartitionManager / TestIngestion / TestFlush
@@ -62,6 +64,61 @@ class LakehouseSpec extends SparkSpec {
   }
 
   // --- partitioning + pruning (test_core.py:136-166)
+
+  test("log file-stats prune files by symbol and time without partitioning") {
+    // Delta-style skipping (reference README.md:131): no symbol
+    // partitioning here — pruning works from the (symbol, timestamp)
+    // bounds recorded in each commit, proven via scan accounting
+    val lake = newLake()
+    // three commits, each one symbol, same date partition
+    Seq("AAPL", "GOOGL", "MSFT").zipWithIndex.foreach { case (s, i) =>
+      lake.ingestBatch((0 until 4).map(j =>
+        bar(j).copy(symbol = s,
+          timestamp = ts(s"2024-06-15 1$i:0$j:00"))))
+    }
+    assert(lake.txnLog.fileStatsAt().nonEmpty)
+    // symbol predicate: only GOOGL's file is scanned
+    val bySym = lake.query(symbol = Some("GOOGL"))
+    assert(bySym.count == 4)
+    assert(bySym.totalRowsScanned == 4)
+    // sub-day time range: date pruning alone can't help (one partition);
+    // the µs bounds in the log skip the other two files
+    val byTime = lake.query(
+      start = Some(ts("2024-06-15 11:00:00")),
+      end = Some(ts("2024-06-15 11:59:59")))
+    assert(byTime.count == 4)
+    assert(byTime.totalRowsScanned == 4)
+    // a predicate matching nothing scans nothing
+    assert(lake.query(symbol = Some("ZZZ")).totalRowsScanned == 0)
+  }
+
+  test("range-disjoint compaction makes file-stats pruning bite on mixed files") {
+    val lake = newLake()
+    // four commits, EACH mixing all four symbols: per-file stats span
+    // everything, so symbol queries must scan all files...
+    val syms = Seq("AAPL", "GOOGL", "MSFT", "NVDA")
+    (0 until 4).foreach { i =>
+      lake.ingestBatch(syms.zipWithIndex.map { case (s, j) =>
+        bar(j).copy(symbol = s, timestamp = ts(s"2024-06-15 1$i:0$j:00"))
+      })
+    }
+    val before = lake.query(symbol = Some("MSFT"))
+    assert(before.count == 4)
+    assert(before.totalRowsScanned == 16) // every file overlaps MSFT
+    val key = Seq("timestamp", "symbol", "volume").map(col)
+    val full = lake.query().df.orderBy(key: _*).collect().toSeq
+
+    // ...compaction range-partitions by the cluster key, so the four
+    // output files hold DISJOINT symbol ranges and the log stats skip
+    assert(lake.compact(maxFilesPerPartition = 1, targetFiles = 4) >= 0)
+    lake.vacuum()
+    val after = lake.query(symbol = Some("MSFT"))
+    assert(after.count == 4)
+    assert(after.totalRowsScanned < 16,
+      s"expected skipping after range compaction, scanned ${after.totalRowsScanned}")
+    // and the table itself is unchanged
+    assert(lake.query().df.orderBy(key: _*).collect().toSeq == full)
+  }
 
   test("symbol partition values with escaped characters prune correctly") {
     // Spark Hive-escapes special chars in partition paths (A B -> A%20B);
