@@ -164,6 +164,67 @@ object TextQueries {
       .orderBy($"a_id", $"b_id")
   }
 
+  // q58 — deterministic train/valid/test split (every training-data
+  // pipeline's first operator): assignment is a pure function of the
+  // document id via md5, so it is reproducible across runs, engines, and
+  // repartitioning — no RNG state, no sampling drift. Hex-prefix string
+  // ranges give ~80/10/10 (hex digits sort lexicographically =
+  // numerically): a narrow per-row map, embarrassingly parallel at any
+  // scale, and the split of a given doc never changes as the corpus
+  // grows. Oracle-matched: md5 is md5 in every engine.
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bucket = substring(md5($"doc_id".cast("string").cast("binary")), 1, 2)
+    docs(s, dir)
+      .select($"doc_id",
+        when(bucket < "cc", "train")
+          .when(bucket < "e6", "valid")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+
+  private val q58Sql =
+    """SELECT doc_id,
+      |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+      |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'valid'
+      |       ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // q59 — benchmark decontamination (the pre-training hygiene op): flag
+  // corpus documents sharing >= 3 distinct 3-gram shingles with ANY
+  // document of a benchmark set (stand-in: doc_id < 20). Scale shape:
+  // the benchmark side is always SMALL relative to the corpus (eval
+  // suites are ~1e5 docs vs 1e10 corpus docs), so its shingle set
+  // BROADCASTS and the corpus side streams through a map-side hash
+  // semi-join + partial count — no corpus shuffle on the shingle key.
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def sh(df: DataFrame, idAs: String) = df
+      .select(col("doc_id").as(idAs), TextOps.tokens($"text").as("toks"))
+      .select(col(idAs),
+        explode(array_distinct(TextOps.shingles($"toks", 3))).as("sh"))
+    val all = docs(s, dir)
+    val bench = sh(all.filter($"doc_id" < 20), "bench_id")
+      .select($"sh").distinct()
+    sh(all.filter($"doc_id" >= 20), "doc_id")
+      .join(broadcast(bench), "sh")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("shared_shingles"))
+      .filter($"shared_shingles" >= 3)
+      .orderBy($"doc_id")
+  }
+
+  private val q59Sql =
+    """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') ws
+      |  FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |  FROM w, unnest(range(1, len(ws) - 1)) t(i)),
+      |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20)
+      |SELECT doc_id, count(*) AS shared_shingles
+      |FROM sh JOIN bench USING (s)
+      |WHERE doc_id >= 20
+      |GROUP BY doc_id HAVING count(*) >= 3 ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, QFn)] = Seq(
     "q19_top_tokens" -> (q19 _),
     "q20_lang_profile" -> (q20 _),
@@ -171,12 +232,16 @@ object TextQueries {
     "q22_langid" -> (q22 _),
     "q41_token_counting" -> (q41 _),
     "q42_fingerprint" -> (q42 _),
-    "q51_winnowing" -> (q51 _))
+    "q51_winnowing" -> (q51 _),
+    "q58_deterministic_split" -> (q58 _),
+    "q59_decontamination" -> (q59 _))
 
   val oracle: Seq[(String, String)] = Seq(
     "q19_top_tokens" -> q19Sql,
     "q20_lang_profile" -> q20Sql,
     "q21_text_quality" -> q21Sql,
     "q22_langid" -> q22Sql,
-    "q41_token_counting" -> q41Sql)
+    "q41_token_counting" -> q41Sql,
+    "q58_deterministic_split" -> q58Sql,
+    "q59_decontamination" -> q59Sql)
 }
