@@ -182,9 +182,10 @@ final class DataLakehouse(
       .option("header", format == "csv")
       .option("compression", writeCompression).save(staging)
     val added = publishStaged(staging)
+    val (counts, stats) = commitMeta(added)
     txnLog.commit(added = added, batchId = batchId,
       schemaJson = Some(clustered.schema.json),
-      rowCounts = countRows(added), fileStats = collectStats(added))
+      rowCounts = counts, fileStats = stats)
     // leaf partitions touched (all k=v levels, not just the first)
     added.map(r => r.take(math.max(0, r.lastIndexOf('/')))).distinct.size.toLong
   }
@@ -206,67 +207,60 @@ final class DataLakehouse(
       require(r.startsWith(s"${partitionCols.head}="),
         s"not under a ${partitionCols.head}= partition: $r")
     }
-    txnLog.commit(added = rels, rowCounts = countRows(rels),
-      fileStats = collectStats(rels))
+    val (counts, stats) = commitMeta(rels)
+    txnLog.commit(added = rels, rowCounts = counts, fileStats = stats)
   }
 
-  /** Per-file row counts for freshly published files (footer metadata for
-    * parquet, line count for CSV — dispatched per file suffix), read in
-    * parallel — recorded in the txn commit so queries never re-walk
-    * footers (scan accounting stays O(log replay), not O(files) at 100×
-    * file counts).
+  /** Per-file metadata for freshly published files — row counts AND
+    * (symbol, timestamp) bounds — from ONE parallel footer pass at
+    * COMMIT time (files still page-cache-hot), recorded in the txn log:
+    * queries never re-open footers (scan accounting stays O(log replay)
+    * and file pruning is log-only, the Delta-style skipping of
+    * README.md:131). CSV files contribute a line count and no stats;
+    * footers lacking either column's stats contribute no stats (pruning
+    * treats absent as unskippable).
     */
-  private def countRows(rels: Seq[String]): Map[String, Long] = {
+  private def commitMeta(rels: Seq[String])
+      : (Map[String, Long], Map[String, TxnLog.FileStat]) = {
     import java.util.stream.Collectors
-    rels.asJava.parallelStream()
+    val metas = rels.asJava.parallelStream()
       .collect(Collectors.toMap(
-        (r: String) => r, (r: String) => java.lang.Long.valueOf(footerRowCount(r))))
-      .asScala.map { case (k, v) => k -> v.longValue() }.toMap
+        (r: String) => r, (r: String) => fileMeta(r)))
+      .asScala
+    (metas.map { case (k, v) => k -> v._1 }.toMap,
+      metas.flatMap { case (k, v) => v._2.map(k -> _) }.toMap)
   }
 
-  /** Per-file (symbol, timestamp) bounds from the parquet footers of
-    * freshly published files, read in parallel at COMMIT time (the files
-    * are still page-cache-hot) and recorded in the txn log — Delta-style
-    * file statistics: `query()` prunes files from the log alone, no
-    * footer IO on the read path. CSV files and files whose footer lacks
-    * either column's stats are omitted (pruning treats absent as
-    * unskippable).
-    */
-  private def collectStats(rels: Seq[String]): Map[String, TxnLog.FileStat] = {
-    import java.util.stream.Collectors
-    rels.filter(_.endsWith(".parquet")).asJava.parallelStream()
-      .collect(Collectors.toMap(
-        (r: String) => r, (r: String) => footerStats(r).toList.asJava))
-      .asScala.flatMap { case (k, v) => v.asScala.headOption.map(k -> _) }
-      .toMap
-  }
-
-  private def footerStats(rel: String): Option[TxnLog.FileStat] = {
-    val conf = spark.sessionState.newHadoopConf()
-    val in = HadoopInputFile.fromPath(new HadoopPath(s"$root/$rel"), conf)
-    val reader = ParquetFileReader.open(in)
-    try {
-      val blocks = reader.getFooter.getBlocks.asScala
-      def bounds[T](col: String)(convert: Any => T)(implicit o: Ordering[T])
-          : Option[(T, T)] = {
-        val sts = blocks.flatMap { b =>
-          b.getColumns.asScala.find(_.getPath.toDotString == col)
-            .map(_.getStatistics)
+  private def fileMeta(rel: String): (Long, Option[TxnLog.FileStat]) =
+    if (rel.endsWith(".csv")) (footerRowCount(rel), None)
+    else {
+      val conf = spark.sessionState.newHadoopConf()
+      val in = HadoopInputFile.fromPath(new HadoopPath(s"$root/$rel"), conf)
+      val reader = ParquetFileReader.open(in)
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala
+        def bounds[T](col: String)(convert: Any => T)(implicit o: Ordering[T])
+            : Option[(T, T)] = {
+          val sts = blocks.flatMap { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == col)
+              .map(_.getStatistics)
+          }
+          if (sts.isEmpty || sts.exists(s =>
+              s == null || s.isEmpty || !s.hasNonNullValue)) None
+          else Some((sts.map(s => convert(s.genericGetMin)).min,
+            sts.map(s => convert(s.genericGetMax)).max))
         }
-        if (sts.isEmpty || sts.exists(s =>
-            s == null || s.isEmpty || !s.hasNonNullValue)) None
-        else Some((sts.map(s => convert(s.genericGetMin)).min,
-          sts.map(s => convert(s.genericGetMax)).max))
-      }
-      for {
-        (sMin, sMax) <- bounds("symbol")(
-          _.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
-        (tMin, tMax) <- bounds("timestamp")(
-          _.asInstanceOf[java.lang.Long].longValue())
-      } yield TxnLog.FileStat(sMin, sMax, tMin, tMax)
-    } catch { case scala.util.control.NonFatal(_) => None
-    } finally reader.close()
-  }
+        val stat =
+          try for {
+            (sMin, sMax) <- bounds("symbol")(
+              _.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+            (tMin, tMax) <- bounds("timestamp")(
+              _.asInstanceOf[java.lang.Long].longValue())
+          } yield TxnLog.FileStat(sMin, sMax, tMin, tMax)
+          catch { case scala.util.control.NonFatal(_) => None }
+        (reader.getRecordCount, stat)
+      } finally reader.close()
+    }
 
   /** In-file clustering keys: the Morton z-key over `zorderCols` when
     * configured (min/max ranks computed on `df` itself — one narrow agg
@@ -521,8 +515,9 @@ final class DataLakehouse(
       adds ++= publishStaged(staging)
       removes ++= rels
     }
+    val (counts, stats) = commitMeta(adds.toSeq)
     txnLog.commit(added = adds.toSeq, removed = removes.toSeq,
-      rowCounts = countRows(adds.toSeq), fileStats = collectStats(adds.toSeq))
+      rowCounts = counts, fileStats = stats)
   }
 
   /** Physically delete files no longer referenced by the latest snapshot
