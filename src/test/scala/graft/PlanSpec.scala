@@ -38,6 +38,15 @@ class PlanSpec extends SparkSpec {
     assert(plan("q25_cosine_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("q59: the benchmark shingle set broadcasts; the corpus never shuffles on shingle") {
+    val p = plan("q59_decontamination")
+    // decontamination's scale contract: benchmark side broadcast, corpus
+    // side streamed — a SortMergeJoin here would shuffle the full corpus
+    // shingle relation on the shingle key
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q37: per-group top-k inserts a WindowGroupLimit before the shuffle") {
     // Spark 3.5+ pushes rank<=k filters into partial WindowGroupLimit on
     // the map side — the property that makes per-group top-k scale.
