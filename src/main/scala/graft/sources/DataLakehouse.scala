@@ -250,8 +250,27 @@ final class DataLakehouse(
           else Some((sts.map(s => convert(s.genericGetMin)).min,
             sts.map(s => convert(s.genericGetMax)).max))
         }
+        // Trust the ts bounds ONLY when the column really is INT64
+        // TIMESTAMP(MICROS): addFiles can register externally-written
+        // parquet where the unit is millis/nanos — read as µs those
+        // bounds would be off by 1000×, silently pruning live files.
+        def tsIsMicros: Boolean = {
+          import org.apache.parquet.schema.LogicalTypeAnnotation
+          val schema = reader.getFooter.getFileMetaData.getSchema
+          schema.containsField("timestamp") &&
+            (schema.getType(Seq("timestamp"): _*) match {
+              case p: org.apache.parquet.schema.PrimitiveType =>
+                p.getLogicalTypeAnnotation match {
+                  case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                    t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+                  case _ => false
+                }
+              case _ => false
+            })
+        }
         val stat =
-          try for {
+          try if (!tsIsMicros) None
+          else for {
             (sMin, sMax) <- bounds("symbol")(
               _.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
             (tMin, tMax) <- bounds("timestamp")(

@@ -92,6 +92,33 @@ class LakehouseSpec extends SparkSpec {
     assert(lake.query(symbol = Some("ZZZ")).totalRowsScanned == 0)
   }
 
+  test("addFiles: foreign millis-timestamp parquet gets no ts stats, never pruned") {
+    val lake = newLake()
+    val root = lake.root
+    // externally-written file with TIMESTAMP_MILLIS — µs-interpreted
+    // bounds would be off by 1000x and prune it out of every query
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    try {
+      import spark.implicits._
+      Seq(bar(0)).toDS().toDF()
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/date=2024-06-15/ext")
+    } finally spark.conf.set(
+      "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val rel = java.nio.file.Files.list(
+        java.nio.file.Paths.get(root, "date=2024-06-15/ext"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val relPath = java.nio.file.Paths.get(root).relativize(rel).toString
+    lake.addFiles(Seq(relPath))
+    // no stats recorded for the foreign unit...
+    assert(!lake.txnLog.fileStatsAt().contains(relPath))
+    // ...so the file survives every predicate and the row is found
+    val qr = lake.query(symbol = Some(bar(0).symbol),
+      start = Some(ts("2024-06-15 00:00:00")),
+      end = Some(ts("2024-06-15 23:59:59")))
+    assert(qr.count == 1)
+  }
+
   test("range-disjoint compaction makes file-stats pruning bite on mixed files") {
     val lake = newLake()
     // four commits, EACH mixing all four symbols: per-file stats span
