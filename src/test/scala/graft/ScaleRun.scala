@@ -49,6 +49,47 @@ object ScaleRun {
 
     if (which == "lshpairs") bigEmb.count() // materialize outside the timer
 
+    // Storage-layer scale case: mult×2M synthesized bars through the FULL
+    // lakehouse path — DataFrame-native append (validate, cluster, zstd
+    // parquet, txn commit with per-file stats), range compaction, then a
+    // log-stats-pruned symbol+day query. Reports per-phase seconds and
+    // the scan-accounting proof that pruning held at scale.
+    if (which == "lake") {
+      import java.nio.file.Files
+      val rows = mult * 2000000L
+      val root = Files.createTempDirectory("scalelake").toString
+      val lake = new sources.DataLakehouse(spark, root)
+      val cents = pmod(col("id") * 37L, lit(100)).cast("double") / 100.0
+      val dfBig = spark.range(rows).select(
+        concat(lit("SYM"), pmod(col("id"), lit(100))).as("symbol"),
+        timestamp_millis(lit(1718409600000L) +
+          pmod(col("id"), lit(10)) * 86400000L +
+          (col("id") / 10).cast("long")).as("timestamp"),
+        (lit(100.0) + pmod(col("id"), lit(50)) + cents).as("open"),
+        (lit(160.0) + pmod(col("id"), lit(50)) + cents).as("high"),
+        (lit(90.0) + pmod(col("id"), lit(50)) + cents).as("low"),
+        (lit(120.0) + pmod(col("id"), lit(50)) + cents).as("close"),
+        (lit(1000L) + col("id")).as("volume"),
+        lit("equity").as("asset_class"))
+      val tA = System.nanoTime()
+      lake.appendDF(dfBig)
+      val appendS = (System.nanoTime() - tA) / 1e9
+      val tC = System.nanoTime()
+      lake.compact(maxFilesPerPartition = 0, targetFiles = 16)
+      val compactS = (System.nanoTime() - tC) / 1e9
+      val tQ = System.nanoTime()
+      val qr = lake.query(symbol = Some("SYM42"),
+        start = Some(new java.sql.Timestamp(1718496000000L)),
+        end = Some(new java.sql.Timestamp(1718582399000L)))
+      qr.df.write.format("noop").mode("overwrite").save()
+      val queryS = (System.nanoTime() - tQ) / 1e9
+      println(f"[scale] lake ${mult}x rows=$rows append=$appendS%.1f " +
+        f"compact=$compactS%.1f prunedQuery=$queryS%.2f " +
+        f"rowsScanned=${qr.totalRowsScanned} (of $rows)")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      spark.stop(); return
+    }
+
     val t0 = System.nanoTime()
     val pairs = which match {
       case "lshpairs" =>
