@@ -225,6 +225,32 @@ object TextQueries {
       |WHERE doc_id >= 20
       |GROUP BY doc_id HAVING count(*) >= 3 ORDER BY doc_id""".stripMargin
 
+  // q60 — per-source quota sampling (source balancing): cap each
+  // source's contribution at K docs, selected by deterministic md5
+  // order — reproducible like q58's split, and no source can flood the
+  // corpus. Scale shape: rank-filter windows get a map-side
+  // WindowGroupLimit (pinned in PlanSpec), so each task forwards at
+  // most K rows per source before the shuffle — the window never sees
+  // a hot source's full volume.
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val h = md5($"doc_id".cast("string").cast("binary"))
+    val w = Window.partitionBy($"source").orderBy(h, $"doc_id")
+    docs(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 50)
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+
+  private val q60Sql =
+    """WITH r AS (SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) rn
+      |  FROM documents)
+      |SELECT doc_id, source FROM r WHERE rn <= 50 ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, QFn)] = Seq(
     "q19_top_tokens" -> (q19 _),
     "q20_lang_profile" -> (q20 _),
@@ -234,7 +260,8 @@ object TextQueries {
     "q42_fingerprint" -> (q42 _),
     "q51_winnowing" -> (q51 _),
     "q58_deterministic_split" -> (q58 _),
-    "q59_decontamination" -> (q59 _))
+    "q59_decontamination" -> (q59 _),
+    "q60_source_cap" -> (q60 _))
 
   val oracle: Seq[(String, String)] = Seq(
     "q19_top_tokens" -> q19Sql,
@@ -243,5 +270,6 @@ object TextQueries {
     "q22_langid" -> q22Sql,
     "q41_token_counting" -> q41Sql,
     "q58_deterministic_split" -> q58Sql,
-    "q59_decontamination" -> q59Sql)
+    "q59_decontamination" -> q59Sql,
+    "q60_source_cap" -> q60Sql)
 }

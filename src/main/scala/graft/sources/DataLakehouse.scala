@@ -485,6 +485,12 @@ final class DataLakehouse(
   /** Compact partitions with more than `maxFilesPerPartition` files into
     * `targetFiles` clustered files each, swapped in ONE commit so readers
     * never see a half-compacted table (S14, README.md:138).
+    *
+    * `compact(maxFilesPerPartition = 0)` rewrites EVERY partition — the
+    * OPTIMIZE [ZORDER] equivalent: output files are range-partitioned on
+    * the cluster key (or z-key when `zorderCols` is set) and re-sorted,
+    * so a table ingested unclustered (streaming bursts, addFiles) gains
+    * the full skipping layout in one call.
     */
   def compact(maxFilesPerPartition: Int = 1, targetFiles: Int = 1): Long = {
     val live = txnLog.snapshotFiles()

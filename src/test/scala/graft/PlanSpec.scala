@@ -53,6 +53,12 @@ class PlanSpec extends SparkSpec {
     assert(plan("q37_topk_per_group").contains("WindowGroupLimit"))
   }
 
+  test("q60: source-cap sampling gets a map-side WindowGroupLimit") {
+    // the property that makes per-source quotas safe under source skew:
+    // each task forwards at most K rows per source before the shuffle
+    assert(plan("q60_source_cap").contains("WindowGroupLimit"))
+  }
+
   test("q17: as-of join plans as one shuffle + window, no join node") {
     val p = plan("q17_asof_join")
     // union-tagged formulation: no join operator of any kind, and exactly
