@@ -573,7 +573,8 @@ final class DataLakehouse(
     txnLog.snapshotFiles()
       .map { rel =>
         rel.split('/').dropRight(1).iterator
-          .map(seg => seg.substring(seg.indexOf('=') + 1)).mkString("/")
+          .map(seg => unescapePath(seg.substring(seg.indexOf('=') + 1)))
+          .mkString("/")
       }
       .distinct.sorted
 }
