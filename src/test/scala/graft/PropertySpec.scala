@@ -73,6 +73,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("file-stats pruning soundness: random symbol+range probes == in-memory filter") {
+    // The log-side file pruning's failure mode is silently LOSING rows —
+    // this drives the combined partition + file-stats path with seeded
+    // random probes against the literal in-memory definition, across
+    // multi-commit layouts, a mid-history compaction, and post-vacuum.
+    seeds.take(3).foreach { seed =>
+      val rng = new scala.util.Random(seed)
+      val lake = new DataLakehouse(spark, tempDir("propstats"))
+      val all = scala.collection.mutable.ArrayBuffer.empty[OhlcvBar]
+      (0 until 5).foreach { i =>
+        val batch = sample(Gen.nonEmptyListOf(genValidBar), seed * 100 + i)
+        // alternate mixed batches with single-symbol batches so some
+        // files carry narrow symbol bounds and some carry wide ones
+        val b2 = if (i % 2 == 1) batch.map(_.copy(symbol = "AAPL")) else batch
+        all ++= b2
+        lake.ingestBatch(b2)
+        if (i == 2) { lake.compact(maxFilesPerPartition = 0, targetFiles = 2); lake.vacuum() }
+      }
+      (0 until 12).foreach { probe =>
+        val sym = rng.nextInt(4) match {
+          case 0 => None
+          case 1 => Some("ZZZ") // never present
+          case _ => Some(Seq("AAPL", "GOOGL", "MSFT")(rng.nextInt(3)))
+        }
+        val lo = if (rng.nextBoolean()) Some(new Timestamp(
+          baseMs + rng.nextInt(5) * 86400000L + rng.nextInt(86400) * 1000L)) else None
+        val hi = if (rng.nextBoolean()) Some(new Timestamp(
+          baseMs + rng.nextInt(5) * 86400000L + rng.nextInt(86400) * 1000L)) else None
+        val got = lake.query(symbol = sym, start = lo, end = hi).count
+        val want = all.count { b =>
+          sym.forall(_ == b.symbol) &&
+            lo.forall(!b.timestamp.before(_)) && hi.forall(!b.timestamp.after(_))
+        }
+        assert(got == want, s"seed=$seed probe=$probe sym=$sym lo=$lo hi=$hi")
+      }
+    }
+  }
+
   test("rejection completeness: invalid bars never reach the table") {
     seeds.foreach { seed =>
       val ok = sample(Gen.listOf(genValidBar), seed)
