@@ -21,6 +21,50 @@ object Bench {
     s(s.size / 2)
   }
 
+  /** Cumulative JVM GC milliseconds across all collectors — the delta
+    * around a query exposes how much of its wall time was GC, the prime
+    * suspect whenever a query's cost swings run-over-run with unchanged
+    * code (round-4 finding).
+    */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).filter(_ >= 0).sum
+  }
+
+  /** Release EVERY persisted block between samples: `clearCache` covers
+    * DataFrames registered with the CacheManager, but `localCheckpoint`
+    * RDDs (connected-components output lineage) are persisted directly
+    * on the SparkContext and survive clearCache — across a 60-query ×
+    * 3-repeat run those blocks accumulate in the storage pool and
+    * pressure GC for whatever runs late in catalog order (the round-4
+    * q46/q47/q48 cold regressions). Runs OUTSIDE the timed window.
+    */
+  private def freeAllBlocks(spark: SparkSession): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+
+  /** Time one materialization; None on failure (a failed attempt's
+    * elapsed time must not pollute the median). Returns (sec, gcSec).
+    */
+  private def timedRun(spark: SparkSession, name: String)
+      (run: => Unit): Option[(Double, Double)] = {
+    val gc0 = gcMillis()
+    val t0 = System.nanoTime()
+    val ok =
+      try { run; true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        false
+      }
+    val sec = (System.nanoTime() - t0) / 1e9
+    val gcSec = (gcMillis() - gc0) / 1e3
+    freeAllBlocks(spark)
+    if (ok) Some((sec, gcSec)) else None
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -40,25 +84,22 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.load(spark, sfDir, "lineitem").limit(1000)
       .write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // (sample teardown — cache clear + persistent-RDD release — happens
+    // inside timedRun, OUTSIDE the timed window, so cache-heavy queries
+    // aren't billed for their own unpersist and nothing leaks into the
+    // next repeat or the next query)
+    val coldRuns = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => nameFilter.forall(name.contains) }
-      .map { case (name, fn) =>
-        val times = (0 until repeats).map { _ =>
-          val t0 = System.nanoTime()
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          }
-          val sec = (System.nanoTime() - t0) / 1e9
-          // caches a query materializes internally (dedup pipelines) must
-          // not leak into the next repeat or the next query — and the
-          // teardown happens OUTSIDE the timed window, so cache-heavy
-          // queries aren't billed for their own unpersist
-          spark.sharedState.cacheManager.clearCache()
-          sec
+      .flatMap { case (name, fn) =>
+        val samples = (0 until repeats).flatMap { _ =>
+          timedRun(spark, name)(
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save())
         }
-        name -> median(times)
+        if (samples.isEmpty) None // all repeats failed: logged, not timed
+        else Some((name, median(samples.map(_._1)), median(samples.map(_._2))))
       }
+    val results = coldRuns.map { case (n, sec, _) => n -> sec }
+    val gcResults = coldRuns.map { case (n, _, gc) => n -> gc }
     // Pipeline queries share a memoized pair set by design (q46 reuses
     // q24's, q54/q55/q57 cluster over q24/q43/q56's). The cold numbers
     // above clear caches per repeat, billing each of them for the WHOLE
@@ -69,19 +110,33 @@ object Bench {
     val warmResults = warmQueries
       .filter(name => nameFilter.forall(name.contains))
       .flatMap(name => SparkEntry.queries.get(name).map(name -> _))
-      .map { case (name, fn) =>
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save() // warm
-        val times = (0 until repeats).map { _ =>
-          val t0 = System.nanoTime()
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      .flatMap { case (name, fn) =>
+        // the priming run warms the memo; if IT fails the query is
+        // broken — log and skip rather than abort the whole bench
+        val primed =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable =>
-            System.err.println(s"[bench] ${name}_warm failed: ${e.getMessage}")
+            System.err.println(s"[bench] ${name}_warm priming failed: ${e.getMessage}")
+            false
           }
-          (System.nanoTime() - t0) / 1e9
+        if (!primed) None
+        else {
+          val times = (0 until repeats).flatMap { _ =>
+            // no freeAllBlocks between warm repeats — the warm memo IS
+            // the measurement; time directly
+            val t0 = System.nanoTime()
+            val ok =
+              try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+              catch { case e: Throwable =>
+                System.err.println(s"[bench] ${name}_warm failed: ${e.getMessage}")
+                false
+              }
+            if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+          }
+          if (times.isEmpty) None else Some(s"${name}_warm" -> median(times))
         }
-        s"${name}_warm" -> median(times)
       }
-    spark.sharedState.cacheManager.clearCache()
+    freeAllBlocks(spark)
 
     // Lakehouse-path metrics mirroring BASELINE.md's headline numbers:
     // bulk ingest throughput and the pruned single-symbol filter query.
@@ -91,12 +146,17 @@ object Bench {
     val qs = (results ++ warmResults ++ lakeMetrics)
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-query GC seconds (median over repeats), parallel to "queries":
+    // a query whose cost swings while its gc share swings with it is an
+    // environment problem, not a plan problem
+    val gcs = gcResults.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     // total sums cold SECONDS only — warm twins are supplementary
     // measurements of the same queries (double-counting them would
     // inflate the round-over-round total), ratios are not seconds
     val total = results.map(_._2).sum +
       lakeMetrics.filterNot(_._1 == "storage_csv_over_parquet").map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gcs,"sf":"$sfDir"}""")
     spark.stop()
   }
 

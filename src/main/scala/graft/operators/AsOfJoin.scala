@@ -55,15 +55,28 @@ object AsOfJoin {
     // never match (null comparisons are null), but in the union form a
     // null-ts row would sort nulls-FIRST and a null key would share a
     // window partition with null-key left rows, fabricating matches.
-    val rMatchable = right.filter(
-      (keys.map(k => right(k._2).isNotNull) :+ right(rightOn).isNotNull)
-        .reduce(_ && _))
     // The union formulation needs EXACT dtype agreement between the two
     // sides' key/ts columns (unionByName does not coerce, unlike the join
     // operators this replaced) — right columns are cast to the left's
-    // dtypes, which drive the operator's schema. A right key wider than
-    // the left's type can only hold values no left row carries, so the
-    // narrowing cast loses no genuine match.
+    // dtypes, which drive the operator's schema. A right value a narrower
+    // left type cannot hold could never equal any left key — but a bare
+    // narrowing cast either WRAPS it into a spurious match (non-ANSI:
+    // long 4294967297 cast to int becomes 1) or THROWS (ANSI, Spark 4's
+    // default). The try_cast round-trip guard (cast to the left type and
+    // back must be the identity; out-of-range → null → dropped) removes
+    // such rows BEFORE the schema-aligning cast below; in-range values
+    // round-trip unchanged, so no genuine match is lost.
+    val roundTripSafe = (keys.map { case (l, r) => (r, l) } :+
+        (rightOn -> leftOn))
+      .collect { case (r, l)
+          if right.schema(r).dataType != left.schema(l).dataType =>
+        right(r).try_cast(left.schema(l).dataType)
+          .try_cast(right.schema(r).dataType) === right(r)
+      }
+    val rMatchable = right.filter(
+      (keys.map(k => right(k._2).isNotNull) :+ right(rightOn).isNotNull)
+        .concat(roundTripSafe)
+        .reduce(_ && _))
     val rTagged = rMatchable.select(
       keys.map { case (l, r) =>
         right(r).cast(left.schema(l).dataType).as(s"__k_$l") } ++ Seq(

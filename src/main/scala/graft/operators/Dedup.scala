@@ -268,13 +268,15 @@ object Dedup {
     * step of a dedup pipeline: pairs say "same", components say "this
     * GROUP is one document", and min-id becomes the canonical survivor.
     *
-    * Iterative min-label propagation: every node starts labeled with its
-    * own id; each round every node takes the min of its label and its
-    * neighbors' labels; fixpoint in O(component diameter) rounds (near-dup
-    * components are shallow — dup clusters are cliques or near-cliques).
-    * Each round is one shuffle (join) + one aggregation, and labels are
-    * `localCheckpoint`ed to truncate the exponentially-growing iterative
-    * lineage — the standard guard for loop-shaped DataFrame algorithms.
+    * Default algorithm: alternating large-star/small-star (Kiveris,
+    * Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected Components
+    * in MapReduce and Beyond", SoCC 2014), which converges in
+    * O(log² n) rounds regardless of component DIAMETER — a chain of
+    * length d collapses in ~log d alternations where min-label
+    * propagation ([[connectedComponentsLabelProp]]) needs d rounds, each
+    * a full shuffle over the edge set. Near-dup graphs are usually
+    * shallow, but one boilerplate chain is all it takes to stall the
+    * propagation form at scale.
     *
     * @param pairs (srcCol, dstCol) undirected edges
     * @return (id, component) — component = min node id reachable
@@ -283,7 +285,127 @@ object Dedup {
       pairs: DataFrame,
       srcCol: String = "a_id",
       dstCol: String = "b_id",
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50): DataFrame =
+    connectedComponentsStarWithRounds(pairs, srcCol, dstCol, maxIter)._1
+
+  /** Large-star/small-star CC with the round count exposed (spec hook:
+    * the chain-graph case must converge in ~half the label-prop rounds).
+    *
+    * State: the CANONICAL edge list (a > b). Each round applies
+    * large-star (hang every node's larger neighbors onto its min
+    * neighbor) then small-star (hang every node's smaller-or-equal
+    * neighbors onto its min neighbor); both preserve connectivity, and
+    * the joint fixpoint is a depth-1 forest: every non-root holds
+    * exactly the edge (node, componentMin).
+    *
+    * Per-node mins use groupBy+join (map-side partial aggregation),
+    * NOT a window: as rounds progress component roots accumulate huge
+    * degree, and a window would sort a root's entire neighborhood in
+    * one task — the agg form partial-aggregates the min map-side and
+    * leaves the (AQE-handled) join as the only skew point.
+    *
+    * Convergence: per-round (count, Σ xxhash64(a,b)) checksum equality
+    * gates an EXACT set-equality check (`except` both ways) — the exact
+    * check runs once at the candidate fixpoint, so rounds stay two
+    * aggregates cheap while convergence itself is never probabilistic.
+    */
+  private[graft] def connectedComponentsStarWithRounds(
+      pairs: DataFrame,
+      srcCol: String = "a_id",
+      dstCol: String = "b_id",
+      maxIter: Int = 50): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val raw = pairs.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    // every node that appears at all (self-pairs included) gets a label
+    val nodes = raw.select($"a".as("id")).union(raw.select($"b".as("id")))
+      .distinct()
+    var canon = raw
+      .select(greatest($"a", $"b").as("a"), least($"a", $"b").as("b"))
+      .filter($"a" =!= $"b").distinct().localCheckpoint()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val bidir = e.select($"a".as("u"), $"b".as("v"))
+        .union(e.select($"b".as("u"), $"a".as("v")))
+      val mins = bidir.groupBy($"u").agg(min($"v").as("mn"))
+      bidir.join(mins, "u")
+        .filter($"v" > $"u")
+        .select($"v".as("a"), least($"mn", $"u").as("b"))
+        .filter($"a" =!= $"b").distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // canonical rows already orient u = larger endpoint; both output
+      // edges — (neighbor, min) and (u, min) — come from ONE pass over
+      // the join via explode (a union of two selects would evaluate the
+      // join twice: self-referenced subplans are not shared)
+      val mins = e.groupBy($"a".as("u")).agg(min($"b").as("mn"))
+      e.join(mins, $"a" === $"u")
+        .select(explode(array(
+          struct($"b".as("a"), $"mn".as("b")),
+          struct($"a", $"mn".as("b")))).as("e"))
+        .select($"e.a", $"e.b")
+        .filter($"a" =!= $"b").distinct()
+    }
+    def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.select(count(lit(1)),
+        coalesce(sum(xxhash64($"a", $"b").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+
+    var prev = checksum(canon)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // checkpoint the large-star intermediate: smallStar references it
+      // twice (min agg + join) — unmaterialized it would evaluate the
+      // whole large-star plan per reference; blocks freed as soon as
+      // the round's output is materialized
+      val ls = largeStar(canon).localCheckpoint()
+      val next = smallStar(ls).localCheckpoint()
+      freeLocalCheckpoint(ls)
+      val sum = checksum(next)
+      if (sum == prev &&
+          next.except(canon).isEmpty && canon.except(next).isEmpty)
+        converged = true
+      prev = sum
+      freeLocalCheckpoint(canon)
+      canon = next
+      iter += 1
+    }
+    if (!converged) sys.error(
+      s"connectedComponents (star) did not converge in $maxIter rounds")
+    // depth-1 forest: non-roots carry (id -> componentMin); roots (and
+    // self-pair-only nodes) label themselves
+    val mapping = canon.groupBy($"a".as("id")).agg(min($"b").as("__c"))
+    val labels = nodes.join(mapping, Seq("id"), "left")
+      .select($"id", coalesce($"__c", $"id").as("component"))
+    (labels, iter)
+  }
+
+  /** Min-label propagation CC — the simple O(diameter)-round variant,
+    * kept as the reference implementation ([[connectedComponents]] is
+    * spec-asserted equal to it): every node starts labeled with its own
+    * id; each round takes the min of its own and its neighbors' labels.
+    * Each round is one shuffle (join) + one aggregation, and labels are
+    * `localCheckpoint`ed to truncate the exponentially-growing iterative
+    * lineage — the standard guard for loop-shaped DataFrame algorithms.
+    *
+    * @param pairs (srcCol, dstCol) undirected edges
+    * @return (id, component) — component = min node id reachable
+    */
+  def connectedComponentsLabelProp(
+      pairs: DataFrame,
+      srcCol: String = "a_id",
+      dstCol: String = "b_id",
+      maxIter: Int = 50): DataFrame =
+    connectedComponentsLabelPropWithRounds(pairs, srcCol, dstCol, maxIter)._1
+
+  private[graft] def connectedComponentsLabelPropWithRounds(
+      pairs: DataFrame,
+      srcCol: String = "a_id",
+      dstCol: String = "b_id",
+      maxIter: Int = 50): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -297,8 +419,11 @@ object Dedup {
     // frame, replacing the prior per-round join-with-previous (a whole
     // extra shuffle). Decimal sum: immune to long overflow at any
     // (id magnitude × node count).
+    // coalesce: sum() over an EMPTY labels frame is null — an empty pair
+    // set (no duplicates found) must converge cleanly, not NPE
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.select(sum($"component".cast("decimal(38,0)"))).head()
+      df.select(coalesce(sum($"component".cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).head()
         .getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
@@ -326,7 +451,7 @@ object Dedup {
     if (!converged) sys.error(
       s"connectedComponents did not converge in $maxIter rounds " +
         "(component diameter exceeds maxIter)")
-    labels
+    (labels, iter)
   }
 
   /** Release the cached blocks behind a `localCheckpoint`ed DataFrame.
@@ -379,6 +504,50 @@ object Dedup {
       .select($"id", $"fp").distinct()
   }
 
+  /** Winnowing near-dup candidate pairs — the [[winnowFingerprints]]
+    * posting-list self-join as a reusable operator (q51's pipeline):
+    * pairs of docs sharing at least `minShared` fingerprints.
+    *
+    * Winnow minima are BIASED toward hot values (they are selected for
+    * being small), so the posting-list cap matters more here than for
+    * raw shingles: a boilerplate fingerprint shared by m docs forms an
+    * m²/2 bucket.
+    *
+    * @param minShared minimum number of shared fingerprints for a pair
+    * @param maxDf drop fingerprints whose document frequency exceeds
+    *        this from candidate generation (0 = uncapped). df == 1
+    *        fingerprints are always dropped (they cannot form a pair —
+    *        provably result-preserving); the upper cap trades recall
+    *        only on pairs whose EVERY shared fingerprint is ultra-common.
+    * @return (a_id, b_id, shared_fps) with a_id < b_id
+    */
+  def winnowPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      w: Int = 8,
+      minShared: Int = 3,
+      maxDf: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // persist the EXPENSIVE upstream (posexplode + window-min pipeline):
+    // both the df aggregation and the join read it — self-joins do not
+    // share unmaterialized subplans
+    val fp = winnowFingerprints(df, idCol, textCol, n, w)
+      .select($"id".as("doc_id"), $"fp")
+      .persist()
+    val dfAgg = fp.groupBy($"fp").agg(count(lit(1)).as("df"))
+    val hot = (if (maxDf > 0) dfAgg.filter($"df" <= maxDf) else dfAgg)
+      .filter($"df" > 1).select($"fp")
+    val fp2 = fp.join(hot, "fp").persist()
+    fp2.as("a")
+      .join(fp2.as("b"), $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter($"shared_fps" >= minShared)
+  }
+
   /** SimHash near-dup pairs: candidates share one of four 16-bit chunks
     * (pigeonhole: any pair at Hamming distance <= 3 shares a chunk), then
     * verified with an exact `bit_count(xor) <= maxHamming` filter.
@@ -415,11 +584,17 @@ object Dedup {
     val a = capped.select($"id".as("a_id"), $"sig".as("a_sig"), $"chunk", $"chunkval")
     val b = capped.select($"id".as("b_id"), $"sig".as("b_sig"),
       $"chunk".as("chunk_b"), $"chunkval".as("chunkval_b"))
+    // Cross-chunk dedup as one hash aggregate (the minhashPairs pattern):
+    // a pair sharing k of the 4 chunks reaches the aggregate k times but
+    // is bit-counted ONCE, after dedup — not per duplicate join row. The
+    // sigs ride through the aggregation (min = the one value; a doc's sig
+    // is constant), avoiding a join back to the signature relation.
     a.join(b, $"chunk" === $"chunk_b" && $"chunkval" === $"chunkval_b" &&
         $"a_id" < $"b_id")
+      .groupBy($"a_id", $"b_id")
+      .agg(min($"a_sig").as("a_sig"), min($"b_sig").as("b_sig"))
       .select($"a_id", $"b_id",
         bit_count($"a_sig".bitwiseXOR($"b_sig")).as("hamming"))
-      .dropDuplicates("a_id", "b_id")
       .filter($"hamming" <= maxHamming)
   }
 }

@@ -62,6 +62,16 @@ object DedupQueries {
           evictionHooked.remove(s)
         }
       })
+    // Lifecycle bound: the memo is scoped to ONE dir per session (the
+    // pipeline family q24/q43/q56 → q46/q54/q55/q57 always shares a
+    // dir). Touching a NEW dir unpersists and drops every other-dir
+    // entry, so a multi-dir catalog sweep holds at most one dir's pair
+    // sets in executor storage instead of accumulating all of them.
+    pairSetMemo.keys
+      .filter { case (sess, d, _) => sess == s && d != dir }
+      .foreach { k =>
+        pairSetMemo.remove(k).foreach(_.unpersist(blocking = false))
+      }
     val df = pairSetMemo.getOrElseUpdate((s, dir, key), build)
     // re-persist if an external clearCache (Bench does this between
     // repeats) dropped the registration — persist() on an already-cached

@@ -145,22 +145,9 @@ object TextQueries {
   // xxhash64-based → rows-only.
   private def q51(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // persist the EXPENSIVE upstream (posexplode + window-min pipeline):
-    // both the df aggregation and the join read it — self-joins do not
-    // share unmaterialized subplans
-    val fp = graft.operators.Dedup
-      .winnowFingerprints(docs(s, dir), "doc_id", "text", n = 8, w = 8)
-      .select($"id".as("doc_id"), $"fp")
-      .persist()
-    val hot = fp.groupBy($"fp").agg(count(lit(1)).as("df"))
-      .filter($"df" > 1 && $"df" <= 64)
-      .select($"fp")
-    val fp2 = fp.join(hot, "fp").persist()
-    fp2.as("a")
-      .join(fp2.as("b"), $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
-      .agg(count(lit(1)).as("shared_fps"))
-      .filter($"shared_fps" >= 3)
+    graft.operators.Dedup
+      .winnowPairs(docs(s, dir), "doc_id", "text",
+        n = 8, w = 8, minShared = 3, maxDf = 64)
       .orderBy($"a_id", $"b_id")
   }
 

@@ -74,8 +74,22 @@ final class DataLakehouse(
   // INT64 micros, not the INT96 legacy default: parquet writes no
   // row-group statistics for INT96, so every timestamp-range predicate
   // would read every row group — the entire point of clustering event
-  // time (linear or z-order) is those stats.
-  spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+  // time (linear or z-order) is those stats. Scoped around each write
+  // (set + restore), NOT set globally in the constructor: constructing a
+  // lakehouse must not silently change parquet timestamp encoding for
+  // every other writer sharing the session. (The session conf is still
+  // session-wide for the duration of the write — the narrowest scope
+  // Spark offers for a SQLConf-read-at-write-time setting.)
+  private def withMicrosTimestamps[T](body: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 
   val txnLog = new TxnLog(root)
   private val buffer = ArrayBuffer.empty[OhlcvBar]
@@ -178,9 +192,11 @@ final class DataLakehouse(
         withDate.repartition(partitionCols.map(col): _*)
           .sortWithinPartitions(clusterSortKeys(withDate): _*)
       else withDate
-    clustered.write.partitionBy(partitionCols: _*).format(format)
-      .option("header", format == "csv")
-      .option("compression", writeCompression).save(staging)
+    withMicrosTimestamps {
+      clustered.write.partitionBy(partitionCols: _*).format(format)
+        .option("header", format == "csv")
+        .option("compression", writeCompression).save(staging)
+    }
     val added = publishStaged(staging)
     val (counts, stats) = commitMeta(added)
     txnLog.commit(added = added, batchId = batchId,
@@ -474,10 +490,35 @@ final class DataLakehouse(
   /** Time-travel read (S13): full snapshot at a version. */
   def timeTravel(version: Long): DataFrame = query(asOfVersion = Some(version)).df
 
-  /** Register the current snapshot as a temp view and run SQL (S12, §3.3). */
+  /** Register a snapshot as a temp view and run SQL (S12, §3.3).
+    *
+    * Time travel through SQL (S13): `FROM <table> FOR VERSION AS OF n`
+    * pins the view to snapshot n; `FOR TIMESTAMP AS OF
+    * 'yyyy-MM-dd HH:mm:ss[.SSS]'` resolves the version by commit time.
+    * The pin clause is recognized and stripped BEFORE Spark parses the
+    * statement (the table is a temp view, outside the v2-catalog path
+    * where Spark's native VERSION AS OF applies); one pin per statement —
+    * every reference to the table reads the same snapshot, which is also
+    * the only coherent semantics for a self-join.
+    */
   def sql(text: String, tableName: String = "trades"): DataFrame = {
-    query().df.createOrReplaceTempView(tableName)
-    spark.sql(text)
+    val t = java.util.regex.Pattern.quote(tableName)
+    val vRe = s"(?i)\\b$t\\s+FOR\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)".r
+    val tsRe = s"(?i)\\b$t\\s+FOR\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'".r
+    val versions = vRe.findAllMatchIn(text).map(_.group(1).toLong).toSeq.distinct
+    val stamps = tsRe.findAllMatchIn(text).map(_.group(1)).toSeq.distinct
+    require(versions.size + stamps.size <= 1,
+      s"at most one FOR VERSION/TIMESTAMP AS OF pin per statement, " +
+        s"got versions=$versions timestamps=$stamps")
+    val snapshot =
+      if (versions.nonEmpty) query(asOfVersion = Some(versions.head)).df
+      else if (stamps.nonEmpty)
+        query(asOfTimestampMs =
+          Some(java.sql.Timestamp.valueOf(stamps.head).getTime)).df
+      else query().df
+    val stripped = tsRe.replaceAllIn(vRe.replaceAllIn(text, tableName), tableName)
+    snapshot.createOrReplaceTempView(tableName)
+    spark.sql(stripped)
   }
 
   // ------------------------------------------------------------ compaction
@@ -514,7 +555,7 @@ final class DataLakehouse(
       // addFiles — compacts correctly); the REWRITE normalizes to the
       // table's primary format, so compaction doubles as convert-in-place
       val (csvRels, pqRels) = rels.partition(_.endsWith(".csv"))
-      Seq("parquet" -> pqRels, "csv" -> csvRels)
+      val compacted = Seq("parquet" -> pqRels, "csv" -> csvRels)
         .filter(_._2.nonEmpty)
         .map { case (fmt, rs) =>
           spark.read.schema(liveSchema).option("basePath", root)
@@ -534,9 +575,11 @@ final class DataLakehouse(
           u.repartitionByRange(targetFiles, keys: _*)
             .sortWithinPartitions(keys: _*)
         }
-        .write.partitionBy(partitionCols: _*).format(format)
-        .option("header", format == "csv")
-        .option("compression", writeCompression).save(staging)
+      withMicrosTimestamps {
+        compacted.write.partitionBy(partitionCols: _*).format(format)
+          .option("header", format == "csv")
+          .option("compression", writeCompression).save(staging)
+      }
       adds ++= publishStaged(staging)
       removes ++= rels
     }

@@ -231,19 +231,42 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
   /** Has a streaming micro-batch already committed? (T6 exactly-once:
     * foreachBatch replays become no-ops.) Batch ids are cached after one
     * log read — a full replay per micro-batch would make a long-lived
-    * stream quadratic in its own commit count. Valid under the
-    * single-writer scope (this process sees every commit it makes).
+    * stream quadratic in its own commit count.
+    *
+    * Cross-process visibility: the cold-start seed reads every committed
+    * batchId (so a REPLACED driver process no-ops batches its
+    * predecessor committed), and a cache MISS replays only the commit
+    * tail this instance has not yet seen (so a batch committed by a
+    * concurrent sibling process is found too — one forward existence
+    * probe plus the unseen tail, never a full re-listing). A hit costs a
+    * set lookup; batch ids are never un-committed, so hits need no
+    * revalidation.
     */
   private lazy val knownBatches: java.util.Set[String] = {
     // Concurrent set: a streaming foreachBatch committer and a driver-side
     // flush() may share this instance across threads (the same race the
     // createLink publish defends against).
     val s = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-    commits().foreach(_.batchId.foreach(s.add))
+    val cur = currentVersion()
+    (0L to cur).foreach(v => read(v).batchId.foreach(s.add))
+    batchSeedVersion.set(cur)
     s
   }
 
-  def hasBatch(batchId: String): Boolean = knownBatches.contains(batchId)
+  // newest version whose batchId (if any) is already in knownBatches
+  private val batchSeedVersion =
+    new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  def hasBatch(batchId: String): Boolean =
+    knownBatches.contains(batchId) || {
+      val cur = currentVersion()
+      val from = batchSeedVersion.get() + 1
+      if (cur >= from) {
+        (from to cur).foreach(v => read(v).batchId.foreach(knownBatches.add))
+        batchSeedVersion.updateAndGet(c => math.max(c, cur))
+      }
+      knownBatches.contains(batchId)
+    }
 
   // ---- checkpoints: O(commits) replay → O(interval) snapshot resolution.
   // Every `checkpointInterval` commits the full live file list is written

@@ -24,4 +24,20 @@ class CatalogSmokeSpec extends SparkSpec {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
+
+  test("pair-set memo is scoped to one dir: switching dirs releases the persist") {
+    // VERDICT r4 #5: a multi-dir catalog sweep must not accumulate every
+    // dir's persisted pair sets in executor storage
+    import org.apache.spark.storage.StorageLevel
+    val a = queries.DedupQueries.neardupPairs(spark, sfDir)
+    a.count() // materialize the persist
+    assert(a.storageLevel != StorageLevel.NONE)
+    val b = queries.DedupQueries.neardupPairs(spark, "/root/testdata/sf0.01")
+    assert(a.storageLevel == StorageLevel.NONE) // old dir released
+    b.count()
+    assert(b.storageLevel != StorageLevel.NONE)
+    // touch the original dir again so suites running after this one see
+    // a consistent memo state (it simply rebuilds)
+    queries.DedupQueries.neardupPairs(spark, sfDir).count()
+  }
 }

@@ -399,4 +399,41 @@ class LakehouseSpec extends SparkSpec {
     assert(vwap.count() == 2)
     assert(vwap.columns.toSeq == Seq("symbol", "vwap"))
   }
+
+  test("sql time travel: FOR VERSION / TIMESTAMP AS OF pin the snapshot") {
+    val lake = newLake()
+    lake.ingestBatch(sampleBars.take(4)) // v0
+    val tsBetween = System.currentTimeMillis()
+    Thread.sleep(5) // commit timestamps are ms-resolution
+    lake.ingestBatch(sampleBars.drop(4)) // v1
+    assert(lake.sql("SELECT count(*) c FROM trades").head().getLong(0) == 10)
+    assert(lake.sql("SELECT count(*) c FROM trades FOR VERSION AS OF 0")
+      .head().getLong(0) == 4)
+    // keyword case + surrounding clauses survive the strip
+    assert(lake.sql(
+      "SELECT count(*) c FROM trades for version as of 0 WHERE volume >= 0")
+      .head().getLong(0) == 4)
+    val tsStr = new Timestamp(tsBetween).toString
+    assert(lake.sql(s"SELECT count(*) c FROM trades FOR TIMESTAMP AS OF '$tsStr'")
+      .head().getLong(0) == 4)
+    // two conflicting pins in one statement are rejected loudly
+    intercept[IllegalArgumentException] {
+      lake.sql("SELECT * FROM trades FOR VERSION AS OF 0 " +
+        "JOIN trades FOR VERSION AS OF 1 USING (symbol)")
+    }
+  }
+
+  test("batch replay in a REPLACED driver process is a no-op") {
+    import spark.implicits._
+    val root = tempDir("lakereplay")
+    val lake1 = new DataLakehouse(spark, root)
+    val df = spark.createDataset(sampleBars.take(3)).toDF()
+    assert(lake1.appendDF(df, batchId = Some("s2-0")) > 0)
+    // a NEW lakehouse instance over the same root = a replaced driver:
+    // it must see the predecessor's committed batch id from the log
+    val lake2 = new DataLakehouse(spark, root)
+    assert(lake2.appendDF(df, batchId = Some("s2-0")) == 0L)
+    assert(lake2.query().count == 3)
+    assert(lake2.txnLog.currentVersion() == 0L) // no second commit
+  }
 }

@@ -484,6 +484,99 @@ class OperatorsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("connected components: empty pair set converges to an empty labeling") {
+    // ADVICE r4: label-prop NPE'd here (sum over an empty frame is null)
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+    assert(Dedup.connectedComponentsLabelProp(empty).count() == 0)
+  }
+
+  test("star CC == label-prop CC on a random graph") {
+    val rng = new scala.util.Random(23)
+    val n = 80
+    val edges = (0 until 120)
+      .map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val df = edges.toDF("a_id", "b_id")
+    val star = Dedup.connectedComponents(df)
+      .as[(Long, Long)].collect().toMap
+    val prop = Dedup.connectedComponentsLabelProp(df)
+      .as[(Long, Long)].collect().toMap
+    assert(star == prop)
+    assert(star.nonEmpty)
+  }
+
+  test("star CC collapses a chain in far fewer rounds than label-prop") {
+    // chain 1-2-…-24 (diameter 23): min-label propagation moves the min
+    // one hop per round; the star alternation hangs whole subtrees onto
+    // the running min, collapsing the chain logarithmically — the
+    // high-diameter worst case a boilerplate chain forms at corpus scale
+    val chain = (1L until 24L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val (starLabels, starRounds) =
+      Dedup.connectedComponentsStarWithRounds(chain)
+    val (propLabels, propRounds) =
+      Dedup.connectedComponentsLabelPropWithRounds(chain)
+    val want = (1L to 24L).map(_ -> 1L).toMap
+    assert(starLabels.as[(Long, Long)].collect().toMap == want)
+    assert(propLabels.as[(Long, Long)].collect().toMap == want)
+    info(s"chain-24 rounds: star=$starRounds labelProp=$propRounds")
+    assert(starRounds * 2 <= propRounds,
+      s"star=$starRounds not ~half of labelProp=$propRounds")
+  }
+
+  test("as-of join: out-of-range right keys are dropped, never wrapped") {
+    // left key INT; a right key of 2^32+1 under Spark's non-ANSI cast
+    // would WRAP to 1 and fabricate a match against the real left key 1 —
+    // the round-trip guard must drop it while keeping the in-range match
+    val l = Seq((1L, 1, 100L)).toDF("l_id", "k", "lts")
+    val r = Seq((10L, 4294967297L, 90, 9.9), (11L, 1L, 50, 1.5))
+      .toDF("r_id", "rk", "rts", "payload")
+    val got = AsOfJoin.backward(l, r, Seq("k" -> "rk"), "lts", "rts",
+        "l_id", "r_id")
+      .select($"l_id", $"r_id", $"payload")
+      .as[(Long, Option[Long], Option[Double])].collect().toSeq
+    assert(got == Seq((1L, Some(11L), Some(1.5))))
+  }
+
+  test("winnowPairs: cap is conservative and exact above the corpus max df") {
+    // q51's hard-coded [2,64] cap as a parameter, with the q24/q28
+    // treatment adapted to winnowing's semantics: dropping a hot
+    // fingerprint can only LOWER a pair's shared count, so the capped
+    // pair set is a SUBSET of the uncapped one (ids, provably); and a
+    // cap above the corpus's max fingerprint df drops nothing at all
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val uncapped = Dedup.winnowPairs(docs, "doc_id", "text", maxDf = 0)
+    val capped = Dedup.winnowPairs(docs, "doc_id", "text") // default 64
+    val loose = Dedup.winnowPairs(docs, "doc_id", "text", maxDf = 1000)
+    assert(loose.as[(Long, Long, Long)].collect().toSet ==
+      uncapped.as[(Long, Long, Long)].collect().toSet) // values included
+    val cappedIds = ids(capped)
+    assert(cappedIds.subsetOf(ids(uncapped)))
+    assert(cappedIds.nonEmpty)
+  }
+
+  test("winnowPairs: cap drops only boilerplate-overlap pairs") {
+    // two docs sharing a long UNIQUE run survive any cap; docs related
+    // only through a boilerplate phrase repeated in 10 docs do not
+    val common = "zq xj kv bw pf mg lr ts dn ch" * 3
+    val a = "first document body " + common + " alpha tail"
+    val b = "second doc prefix " + common + " beta ending"
+    val boiler = "all rights reserved contact us for licensing terms today"
+    val rows = Seq((1L, a), (2L, b)) ++
+      (10L to 19L).map(i => (i, s"unique$i page number$i " + boiler))
+    val df = rows.toDF("doc_id", "text")
+    val uncapped = Dedup.winnowPairs(df, "doc_id", "text",
+        minShared = 3, maxDf = 0)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((1L, 2L)) && uncapped.size > 1)
+    val capped = Dedup.winnowPairs(df, "doc_id", "text",
+        minShared = 3, maxDf = 5)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L)))
+  }
+
   test("winnowing: common substring >= w+n-1 chars shares a fingerprint") {
     // n=8, w=4 -> guarantee threshold 11 chars; the planted run is 12
     val common = "zqxjkvbwpfmg"

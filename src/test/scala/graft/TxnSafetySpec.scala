@@ -44,6 +44,22 @@ class TxnSafetySpec extends SparkSpec {
     assert(check.snapshotFiles().toSet == expected)
   }
 
+  test("batch ids are visible across TxnLog instances (cross-process exactly-once)") {
+    val root = tempDir("txnbatch")
+    val a = new TxnLog(root)
+    assert(!a.hasBatch("s9-0")) // seeds a's batch cache from the empty log
+    // a SECOND instance (sibling or replacement process) commits the batch
+    val b = new TxnLog(root)
+    b.commit(added = Seq("f0.parquet"), batchId = Some("s9-0"))
+    // a's cache was seeded BEFORE b's commit — the miss path must replay
+    // the unseen commit tail and find it, not re-run the batch
+    assert(a.hasBatch("s9-0"))
+    // replaced-driver shape: a cold instance seeds from the log directly
+    val c = new TxnLog(root)
+    assert(c.hasBatch("s9-0"))
+    assert(!c.hasBatch("s9-1"))
+  }
+
   test("commit cost is flat in log length: one dir listing per cold start") {
     val root = tempDir("txnflat")
     val log = new TxnLog(root)
