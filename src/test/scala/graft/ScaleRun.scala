@@ -90,6 +90,28 @@ object ScaleRun {
       spark.stop(); return
     }
 
+    // High-diameter CC worst case: ONE chain of mult×100k nodes
+    // (diameter = n−1). Min-label propagation moves the min one hop per
+    // round — it would need n rounds (a non-starter at any scale); the
+    // large-star/small-star default collapses the same chain in O(log n)
+    // alternations. Prints the round count as the direct evidence.
+    if (which == "chaincc") {
+      val nNodes = mult * 100000L
+      val chain = spark.range(1L, nNodes)
+        .select($"id".as("a_id"), ($"id" + 1L).as("b_id"))
+      val t0 = System.nanoTime()
+      val (labels, rounds) =
+        operators.Dedup.connectedComponentsStarWithRounds(chain)
+      val comps = labels.agg(
+        countDistinct($"component"), count(lit(1))).head()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] chaincc ${mult}x nodes=$nNodes diameter=${nNodes - 1} " +
+        f"rounds=$rounds components=${comps.getLong(0)} " +
+        f"labeled=${comps.getLong(1)} secs=$dt%.1f")
+      assert(comps.getLong(0) == 1L && comps.getLong(1) == nNodes)
+      spark.stop(); return
+    }
+
     val t0 = System.nanoTime()
     val pairs = which match {
       case "lshpairs" =>
