@@ -54,6 +54,30 @@ object TextOps {
     size(filter(toks, t => array_contains(arr, t)))
   }
 
+  /** Highest frequency of any single element in an array — the building
+    * block of repetition scoring. Computed as the longest equal-run of
+    * the SORTED array: O(n log n) per row and independent of the number
+    * of distinct elements, where the naive count-each-distinct form is
+    * O(n·d) — quadratic on the exact documents repetition filters exist
+    * to catch (a doc that is one phrase repeated 10k times). Pure
+    * codegen'd higher-order functions; zero shuffle: per-document
+    * repetition needs no grouping at all.
+    */
+  def maxElementFreq(arr: Column): Column = {
+    val stepped = aggregate(
+      array_sort(arr),
+      struct(lit(null).cast("string").as("prev"),
+        lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    stepped
+  }
+
   /** BPE-ish subword tokens: alternating alphanumeric runs and individual
     * punctuation marks — the pre-tokenization split most BPE vocabularies
     * assume. ASCII classes only, so Java-regex and RE2 agree.

@@ -210,6 +210,155 @@ object Dedup {
       .select($"a_id", $"b_id", round($"jaccard", 4).as("jaccard"))
   }
 
+  /** Incremental near-dup detection: EXACT n-gram-Jaccard pairs between a
+    * NEW batch and an existing corpus — the production shape of dedup at
+    * 100 TB. A daily increment is deduped against the standing corpus in
+    * cost proportional to the BATCH's posting lists (the join streams the
+    * corpus index past the batch's shingles), never re-self-joining the
+    * corpus: [[jaccardPairs]] over corpus∪batch would redo the
+    * corpus×corpus quadrant whose pairs are already known from previous
+    * increments.
+    *
+    * The corpus-side exploded (doc, shingle) relation is the incremental
+    * INDEX: in production it is a materialized table bucketed by shingle
+    * hash ([[graft.sources.Bucketing]]), so the per-increment join is
+    * co-located and the index grows by appending the increment's own
+    * shingles after it passes. Within-batch duplicates are a separate
+    * [[jaccardPairs]] over the (small) batch alone.
+    *
+    * Jaccard is exact over both documents' FULL distinct-shingle sets.
+    * `maxPostingList` caps candidate generation by the COMBINED document
+    * frequency (the skew defuse of [[jaccardPairs]]; verification still
+    * recounts over full relations, so surviving pairs stay exact).
+    *
+    * @return (batch_id, corpus_id, jaccard), jaccard >= threshold
+    */
+  def jaccardPairsAgainst(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      threshold: Double = 0.5,
+      maxPostingList: Int = 0): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    def sh(df: DataFrame, idAs: String) = df
+      .select(col(idCol).as(idAs), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col(idAs),
+        explode(array_distinct(TextOps.shingles($"toks", shingleLen))).as("sh"))
+    // both sides persisted: each feeds candidate generation, its size
+    // aggregate, and (capped) the verification recount
+    val bSh = sh(batch, "batch_id").persist()
+    val cSh = sh(corpus, "corpus_id").persist()
+    val bSizes = bSh.groupBy($"batch_id").agg(count(lit(1)).as("nb"))
+    val cSizes = cSh.groupBy($"corpus_id").agg(count(lit(1)).as("nc"))
+    // candidate pairs: one shared shingle suffices; the df cap bounds the
+    // per-shingle expansion (df measured across BOTH sides — a shingle
+    // hot in the corpus alone still fans out per batch occurrence)
+    val (bCand, cCand) =
+      if (maxPostingList > 0) {
+        val df2 = bSh.select($"sh").union(cSh.select($"sh"))
+          .groupBy($"sh").agg(count(lit(1)).as("df"))
+        val ok = df2.filter($"df" <= maxPostingList).select($"sh")
+        (bSh.join(ok, "sh"), cSh.join(ok, "sh"))
+      } else (bSh, cSh)
+    val candInter = bCand
+      .join(cCand, "sh")
+      .groupBy($"batch_id", $"corpus_id")
+      .agg(count(lit(1)).as("inter"))
+    // capped: recount intersections over the FULL relations so values
+    // stay exact (uncapped, candidate intersections ARE exact — no
+    // shingle was dropped)
+    val inter =
+      if (maxPostingList <= 0) candInter
+      else broadcast(candInter.select($"batch_id", $"corpus_id"))
+        .join(bSh, "batch_id")
+        .join(cSh, Seq("corpus_id", "sh"))
+        .groupBy($"batch_id", $"corpus_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(bSizes, "batch_id")
+      .join(cSizes, "corpus_id")
+      .withColumn("jaccard",
+        $"inter".cast("double") / ($"nb" + $"nc" - $"inter"))
+      .filter($"jaccard" >= threshold)
+      .select($"batch_id", $"corpus_id", round($"jaccard", 4).as("jaccard"))
+  }
+
+  /** Incremental MinHash-LSH: near-dup pairs between a new batch and the
+    * corpus via band buckets — [[jaccardPairsAgainst]]'s scale twin, the
+    * q24↔q27 pattern applied to the incremental shape. Candidates arise
+    * only where a batch band bucket meets a corpus band bucket (the
+    * banded corpus signature table is the persistent index in
+    * production; signatures are per-doc, so the increment never changes
+    * corpus signatures), then exact-Jaccard verification over the two
+    * exploded shingle relations — identical hash family to
+    * [[minhashPairs]], so a doc's signature is the same whether computed
+    * incrementally or in a full run.
+    *
+    * @return (batch_id, corpus_id, jaccard), verified >= threshold
+    */
+  def minhashPairsAgainst(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 0): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val numHashes = bands * rowsPerBand
+    def shex(df: DataFrame, idAs: String) = df
+      .select(col(idCol).as(idAs), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col(idAs),
+        explode(array_distinct(TextOps.shingles($"toks", shingleLen))).as("sh"))
+      .select(col(idAs), xxhash64($"sh").as("h"))
+    def banded(ex: DataFrame, idAs: String) = {
+      val sigCols = (0 until numHashes).map(i =>
+        min(xxhash64(lit(i), $"h")).as(s"mh$i"))
+      ex.groupBy(col(idAs)).agg(sigCols.head, sigCols.tail: _*)
+        .select(col(idAs),
+          array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
+        .select(col(idAs),
+          posexplode(lshBands($"sig", bands, rowsPerBand)).as(Seq("band", "bucket")))
+    }
+    val bEx = shex(batch, "batch_id").persist()
+    val cEx = shex(corpus, "corpus_id").persist()
+    val bBand = banded(bEx, "batch_id")
+    val cBand = banded(cEx, "corpus_id").persist() // the standing index
+    val cCapped =
+      if (maxBucketSize > 0) {
+        // cap by CORPUS bucket population — the side that grows unbounded
+        val ok = cBand.groupBy($"band", $"bucket")
+          .agg(count(lit(1)).as("__c")).filter($"__c" <= maxBucketSize)
+          .select($"band", $"bucket")
+        cBand.join(ok, Seq("band", "bucket"))
+      } else cBand
+    val cand = bBand
+      .join(cCapped, Seq("band", "bucket"))
+      .groupBy($"batch_id", $"corpus_id").agg(lit(1))
+      .select($"batch_id", $"corpus_id")
+    val bSizes = bEx.groupBy($"batch_id").agg(count(lit(1)).as("nb"))
+    val cSizes = cEx.groupBy($"corpus_id").agg(count(lit(1)).as("nc"))
+    // equi-join on BOTH (corpus_id, h): each surviving row IS one shared
+    // shingle hash — joining on corpus_id alone would cross the batch
+    // doc's shingles with the corpus doc's before filtering
+    val inter = broadcast(cand)
+      .join(bEx, "batch_id")
+      .join(cEx, Seq("corpus_id", "h"))
+      .groupBy($"batch_id", $"corpus_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(bSizes, "batch_id")
+      .join(cSizes, "corpus_id")
+      .withColumn("jaccard",
+        $"inter".cast("double") / ($"nb" + $"nc" - $"inter"))
+      .filter($"jaccard" >= threshold)
+      .select($"batch_id", $"corpus_id", round($"jaccard", 4).as("jaccard"))
+  }
+
   /** 64-bit SimHash of a token array: bit b is set when the sum over tokens
     * of ±1 (sign of bit b of xxhash64(token)) is positive. Each token is
     * hashed exactly once; the 64 bit-votes then walk the (cheap) long

@@ -335,6 +335,53 @@ object DedupQueries {
       .orderBy($"vec_id")
   }
 
+  // q62 — INCREMENTAL exact near-dup: a new batch (doc_id % 8 == 7, the
+  // stand-in for "today's crawl increment") deduped against the standing
+  // corpus (everything else) via Dedup.jaccardPairsAgainst. The
+  // production shape at 100 TB: cost tracks the increment's posting
+  // lists, and the corpus×corpus quadrant — already deduped by previous
+  // increments — is never recomputed. Fully SQL-expressible → oracle.
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = Tables.load(s, dir, "documents")
+    Dedup.jaccardPairsAgainst(
+        all.filter($"doc_id" % 8 === 7),
+        all.filter($"doc_id" % 8 =!= 7),
+        "doc_id", "text", shingleLen = 3, threshold = 0.5)
+      .orderBy($"batch_id", $"corpus_id")
+  }
+
+  private val q62Sql =
+    """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') ws
+      |  FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |  FROM w, unnest(range(1, len(ws) - 1)) t(i)),
+      |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+      |pairs AS (SELECT b.doc_id batch_id, c.doc_id corpus_id, count(*) inter
+      |  FROM sh b JOIN sh c ON b.s = c.s
+      |  WHERE b.doc_id % 8 = 7 AND c.doc_id % 8 <> 7
+      |  GROUP BY 1, 2)
+      |SELECT batch_id, corpus_id,
+      |  round(inter * 1.0 / (sb.n + sc.n - inter), 4) AS jaccard
+      |FROM pairs JOIN sz sb ON sb.doc_id = batch_id JOIN sz sc ON sc.doc_id = corpus_id
+      |WHERE inter * 1.0 / (sb.n + sc.n - inter) >= 0.5
+      |ORDER BY batch_id, corpus_id""".stripMargin
+
+  // q63 — q62's scale twin (the q24↔q27 pattern on the incremental
+  // shape): MinHash-LSH candidates where a batch band bucket meets the
+  // standing corpus band index, exact-Jaccard verification of candidates
+  // only. xxhash64-based → rows-only; spec pins it against the
+  // cross-side restriction of the full minhashPairs run.
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = Tables.load(s, dir, "documents")
+    Dedup.minhashPairsAgainst(
+        all.filter($"doc_id" % 8 === 7),
+        all.filter($"doc_id" % 8 =!= 7),
+        "doc_id", "text", threshold = 0.5)
+      .orderBy($"batch_id", $"corpus_id")
+  }
+
   val defs: Seq[(String, QFn)] = Seq(
     "q43_embedding_neardup" -> (cosinePairs _),
     "q23_dedup_exact" -> (q23 _),
@@ -348,10 +395,13 @@ object DedupQueries {
     "q54_dedup_clusters" -> (q54 _),
     "q55_embedding_clusters" -> (q55 _),
     "q56_lsh_embedding_pairs" -> (lshCosinePairs _),
-    "q57_lsh_embedding_clusters" -> (q57 _))
+    "q57_lsh_embedding_clusters" -> (q57 _),
+    "q62_incremental_dedup" -> (q62 _),
+    "q63_incremental_minhash" -> (q63 _))
 
   val oracle: Seq[(String, String)] = Seq(
     "q43_embedding_neardup" -> q43Sql,
+    "q62_incremental_dedup" -> q62Sql,
     "q23_dedup_exact" -> q23Sql,
     "q24_neardup_jaccard" -> q24Sql,
     "q25_cosine_topk" -> q25Sql,

@@ -238,6 +238,64 @@ object TextQueries {
       |  FROM documents)
       |SELECT doc_id, source FROM r WHERE rn <= 50 ORDER BY doc_id""".stripMargin
 
+  // q61 — repetition scoring (the Gopher-family quality filter, Rae et
+  // al. 2021 §A.1.1 adapted to word tokens): fraction of tokens taken by
+  // the single most frequent token, by the most frequent bigram, and the
+  // duplicate-bigram fraction; docs over threshold are flagged
+  // `repetitive`. Scale shape: per-DOCUMENT statistics — every score is
+  // a higher-order function over the row's own token array, so the whole
+  // query is one narrow codegen'd map with ZERO shuffles (no
+  // explode/groupBy): at 100 TB it reads at scan speed. The max
+  // frequency comes from the longest equal-run of the sorted array
+  // (O(n log n) per doc), not count-per-distinct (O(n·d) — quadratic on
+  // exactly the degenerate repeated-phrase docs this filter exists to
+  // catch).
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id", $"toks", TextOps.shingles($"toks", 2).as("bg"))
+      .select($"doc_id",
+        when(size($"toks") > 0, round(
+          TextOps.maxElementFreq($"toks").cast("double") / size($"toks"), 4))
+          .as("uni_frac"),
+        when(size($"bg") > 0, round(
+          TextOps.maxElementFreq($"bg").cast("double") / size($"bg"), 4))
+          .as("bi_frac"),
+        when(size($"bg") > 0, round(
+          lit(1.0) - size(array_distinct($"bg")).cast("double") / size($"bg"), 4))
+          .as("dup_bi_frac"))
+      .withColumn("repetitive",
+        coalesce($"uni_frac" > 0.3, lit(false)) ||
+          coalesce($"bi_frac" > 0.18, lit(false)))
+      .orderBy($"doc_id")
+  }
+
+  private val q61Sql =
+    """WITH tk AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, t,
+      |    CASE WHEN len(t) >= 2
+      |      THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+      |      ELSE CAST([] AS VARCHAR[]) END AS b
+      |  FROM tk),
+      |sc AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) > 0 THEN
+      |      round(CAST(list_max(list_transform(list_distinct(t),
+      |        x -> len(list_filter(t, y -> y = x)))) AS DOUBLE) / len(t), 4) END AS uni_frac,
+      |    CASE WHEN len(b) > 0 THEN
+      |      round(CAST(list_max(list_transform(list_distinct(b),
+      |        x -> len(list_filter(b, y -> y = x)))) AS DOUBLE) / len(b), 4) END AS bi_frac,
+      |    CASE WHEN len(b) > 0 THEN
+      |      round(1.0 - CAST(len(list_distinct(b)) AS DOUBLE) / len(b), 4) END AS dup_bi_frac
+      |  FROM bg)
+      |SELECT doc_id, uni_frac, bi_frac, dup_bi_frac,
+      |  (coalesce(uni_frac > 0.3, false) OR coalesce(bi_frac > 0.18, false)) AS repetitive
+      |FROM sc ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, QFn)] = Seq(
     "q19_top_tokens" -> (q19 _),
     "q20_lang_profile" -> (q20 _),
@@ -248,7 +306,8 @@ object TextQueries {
     "q51_winnowing" -> (q51 _),
     "q58_deterministic_split" -> (q58 _),
     "q59_decontamination" -> (q59 _),
-    "q60_source_cap" -> (q60 _))
+    "q60_source_cap" -> (q60 _),
+    "q61_repetition" -> (q61 _))
 
   val oracle: Seq[(String, String)] = Seq(
     "q19_top_tokens" -> q19Sql,
@@ -258,5 +317,6 @@ object TextQueries {
     "q41_token_counting" -> q41Sql,
     "q58_deterministic_split" -> q58Sql,
     "q59_decontamination" -> q59Sql,
-    "q60_source_cap" -> q60Sql)
+    "q60_source_cap" -> q60Sql,
+    "q61_repetition" -> q61Sql)
 }

@@ -577,6 +577,94 @@ class OperatorsSpec extends SparkSpec {
     assert(capped == Set((1L, 2L)))
   }
 
+  test("maxElementFreq: sorted-run form equals naive count-per-distinct") {
+    // the O(n log n) run-length form must agree with the O(n·d)
+    // definition (max occurrence count of any element) on random arrays
+    val rng = new scala.util.Random(61)
+    val arrays = (0 until 30).map(_ =>
+      (0 until rng.nextInt(40)).map(_ => s"w${rng.nextInt(8)}"))
+    val df = arrays.map(a => Tuple1(a)).toDF("arr")
+    val got = df.select(TextOps.maxElementFreq($"arr")).as[Long].collect()
+    val want = arrays.map(a =>
+      if (a.isEmpty) 0L
+      else a.groupBy(identity).values.map(_.size).max.toLong)
+    assert(got.toSeq == want)
+  }
+
+  test("repetition scoring flags a repeated-phrase doc, passes normal text") {
+    // a doc that is one bigram repeated: uni_frac=0.5, bi_frac~1 -> flagged;
+    // normal varied text stays under both thresholds
+    val spam = ("buy now " * 40).trim
+    val ok = "the quick brown fox jumps over a lazy dog near the riverbank today"
+    val df = Seq((1L, spam), (2L, ok)).toDF("doc_id", "text")
+    val toks = TextOps.tokens($"text")
+    val scored = df
+      .select($"doc_id", toks.as("toks"))
+      .select($"doc_id", $"toks", TextOps.shingles($"toks", 2).as("bg"))
+      .select($"doc_id",
+        (TextOps.maxElementFreq($"toks").cast("double") / size($"toks")).as("uf"),
+        (TextOps.maxElementFreq($"bg").cast("double") / size($"bg")).as("bf"))
+      .withColumn("repetitive", $"uf" > 0.3 || $"bf" > 0.18)
+      .as[(Long, Double, Double, Boolean)].collect()
+      .map { case (id, uf, bf, rep) => id -> ((uf, bf, rep)) }.toMap
+    assert(scored(1L)._3, s"spam doc not flagged: ${scored(1L)}")
+    assert(!scored(2L)._3, s"normal doc flagged: ${scored(2L)}")
+    assert(scored(1L)._1 == 0.5) // "buy" is 40 of 80 tokens
+  }
+
+  test("incremental jaccard == cross-side restriction of the full self-join") {
+    // jaccardPairsAgainst(batch, corpus) must produce exactly the pairs
+    // of the full jaccardPairs run that straddle the split, with
+    // identical jaccard values — incremental dedup loses nothing and
+    // invents nothing
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val batch = docs.filter($"doc_id" % 8 === 7)
+    val corpus = docs.filter($"doc_id" % 8 =!= 7)
+    val inc = Dedup.jaccardPairsAgainst(batch, corpus, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map { case (b, c, j) => (math.min(b, c), math.max(b, c)) -> j }.toMap
+    val full = Dedup.jaccardPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => (a % 8 == 7) != (b % 8 == 7) }
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(inc == full)
+    assert(inc.nonEmpty)
+  }
+
+  test("incremental minhash: exact subset, full recall at the S-curve knee") {
+    // verification recounts exact jaccard, so the LSH path can only be a
+    // SUBSET of the exact incremental pairs; at j >= 0.8 (above the 8x2
+    // banding knee) it must find every pair
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val batch = docs.filter($"doc_id" % 8 === 7)
+    val corpus = docs.filter($"doc_id" % 8 =!= 7)
+    val lsh = Dedup.minhashPairsAgainst(batch, corpus, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map { case (b, c, j) => (b, c) -> j }.toMap
+    val exact = Dedup.jaccardPairsAgainst(batch, corpus, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map { case (b, c, j) => (b, c) -> j }.toMap
+    assert(lsh.keySet.subsetOf(exact.keySet))
+    lsh.foreach { case (k, j) => assert(exact(k) == j) } // values exact
+    val knee = exact.filter(_._2 >= 0.8).keySet
+    assert(knee.nonEmpty && knee.subsetOf(lsh.keySet),
+      s"missed high-jaccard pairs: ${knee -- lsh.keySet}")
+  }
+
+  test("incremental jaccard cap: conservative, exact values, no-op above max df") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val batch = docs.filter($"doc_id" % 8 === 7)
+    val corpus = docs.filter($"doc_id" % 8 =!= 7)
+    def run(cap: Int) =
+      Dedup.jaccardPairsAgainst(batch, corpus, "doc_id", "text",
+          maxPostingList = cap)
+        .as[(Long, Long, Double)].collect().toSet
+    val uncapped = run(0)
+    val capped = run(16)
+    assert(capped.subsetOf(uncapped)) // full tuples: values stay exact
+    assert(run(100000) == uncapped)   // cap above corpus max df drops nothing
+  }
+
   test("winnowing: common substring >= w+n-1 chars shares a fingerprint") {
     // n=8, w=4 -> guarantee threshold 11 chars; the planted run is 12
     val common = "zqxjkvbwpfmg"
