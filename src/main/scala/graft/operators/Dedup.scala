@@ -307,52 +307,139 @@ object Dedup {
       bands: Int = 8,
       rowsPerBand: Int = 2,
       threshold: Double = 0.5,
-      maxBucketSize: Int = 0): DataFrame = {
-    val spark = batch.sparkSession
+      maxBucketSize: Int = 0): DataFrame =
+    minhashPairsAgainstIndex(batch,
+      minhashIndex(corpus, idCol, textCol, shingleLen, bands, rowsPerBand),
+      idCol, textCol, threshold, maxBucketSize)
+
+  /** The standing MinHash index over a corpus: the persisted exploded
+    * shingle-hash relation (exact verification reads it) and the banded
+    * signature table (candidate probes read it). Built ONCE and reused
+    * across increments — in production both live as tables bucketed by
+    * their join keys ((band, bucket) / (corpus_id, h)), and GROW by
+    * appending each accepted increment's own rows after it passes, so
+    * per-increment cost never includes re-indexing the corpus. Signatures
+    * are per-doc, so appending an increment never changes existing rows.
+    */
+  final case class MinhashIndex private[operators] (
+      shingleHashes: DataFrame, // (corpus_id, h)
+      bands: DataFrame, // (corpus_id, band, bucket)
+      sizes: DataFrame, // (corpus_id, nc) — distinct-shingle count per doc
+      bucketCounts: DataFrame, // (band, bucket, population)
+      numBands: Int,
+      rowsPerBand: Int,
+      shingleLen: Int) {
+    /** Materialize the persisted relations (e.g. before timing probes). */
+    def build(): this.type = {
+      shingleHashes.count(); bands.count(); sizes.count()
+      bucketCounts.count(); this
+    }
+    def unpersist(): Unit = {
+      shingleHashes.unpersist(blocking = false)
+      bands.unpersist(blocking = false)
+      sizes.unpersist(blocking = false)
+      bucketCounts.unpersist(blocking = false)
+    }
+  }
+
+  private def shingleHashRelation(
+      df: DataFrame, idCol: String, idAs: String, textCol: String,
+      shingleLen: Int): DataFrame = {
+    val spark = df.sparkSession
     import spark.implicits._
-    val numHashes = bands * rowsPerBand
-    def shex(df: DataFrame, idAs: String) = df
-      .select(col(idCol).as(idAs), TextOps.tokens(col(textCol)).as("toks"))
+    df.select(col(idCol).as(idAs), TextOps.tokens(col(textCol)).as("toks"))
       .select(col(idAs),
         explode(array_distinct(TextOps.shingles($"toks", shingleLen))).as("sh"))
       .select(col(idAs), xxhash64($"sh").as("h"))
-    def banded(ex: DataFrame, idAs: String) = {
-      val sigCols = (0 until numHashes).map(i =>
-        min(xxhash64(lit(i), $"h")).as(s"mh$i"))
-      ex.groupBy(col(idAs)).agg(sigCols.head, sigCols.tail: _*)
-        .select(col(idAs),
-          array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
-        .select(col(idAs),
-          posexplode(lshBands($"sig", bands, rowsPerBand)).as(Seq("band", "bucket")))
-    }
-    val bEx = shex(batch, "batch_id").persist()
-    val cEx = shex(corpus, "corpus_id").persist()
-    val bBand = banded(bEx, "batch_id")
-    val cBand = banded(cEx, "corpus_id").persist() // the standing index
-    val cCapped =
+  }
+
+  private def bandRelation(
+      ex: DataFrame, idAs: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    val spark = ex.sparkSession
+    import spark.implicits._
+    val numHashes = bands * rowsPerBand
+    val sigCols = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), $"h")).as(s"mh$i"))
+    ex.groupBy(col(idAs)).agg(sigCols.head, sigCols.tail: _*)
+      .select(col(idAs),
+        array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
+      .select(col(idAs),
+        posexplode(lshBands($"sig", bands, rowsPerBand)).as(Seq("band", "bucket")))
+  }
+
+  /** Build (and persist) the standing [[MinhashIndex]] for a corpus. */
+  def minhashIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 2): MinhashIndex = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cEx = shingleHashRelation(corpus, idCol, "corpus_id", textCol,
+      shingleLen).persist()
+    val cBand = bandRelation(cEx, "corpus_id", bands, rowsPerBand).persist()
+    val cSizes = cEx.groupBy($"corpus_id").agg(count(lit(1)).as("nc")).persist()
+    val cBuckets = cBand.groupBy($"band", $"bucket")
+      .agg(count(lit(1)).as("population")).persist()
+    MinhashIndex(cEx, cBand, cSizes, cBuckets, bands, rowsPerBand, shingleLen)
+  }
+
+  /** Probe a standing [[MinhashIndex]] with a new batch — the steady-state
+    * increment cost: shingle + sign + band the BATCH, bucket-join its
+    * bands against the index, exact-verify candidates. Nothing here is
+    * proportional to corpus size except the (pre-built, co-located-in-
+    * production) index joins themselves.
+    */
+  def minhashPairsAgainstIndex(
+      batch: DataFrame,
+      index: MinhashIndex,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 0): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val bEx = shingleHashRelation(batch, idCol, "batch_id", textCol,
+      index.shingleLen).persist()
+    val bBand = bandRelation(bEx, "batch_id", index.numBands, index.rowsPerBand)
+    val cBand = index.bands
+    val cEx = index.shingleHashes
+    // cap by CORPUS bucket population — precomputed in the index and
+    // applied to the BATCH side: hot buckets are by construction few, so
+    // the filter is a broadcast anti join over the (tiny) batch bands
+    val bCapped =
       if (maxBucketSize > 0) {
-        // cap by CORPUS bucket population — the side that grows unbounded
-        val ok = cBand.groupBy($"band", $"bucket")
-          .agg(count(lit(1)).as("__c")).filter($"__c" <= maxBucketSize)
-          .select($"band", $"bucket")
-        cBand.join(ok, Seq("band", "bucket"))
-      } else cBand
-    val cand = bBand
-      .join(cCapped, Seq("band", "bucket"))
+        val hot = index.bucketCounts
+          .filter($"population" > maxBucketSize).select($"band", $"bucket")
+        bBand.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+      } else bBand
+    // the BATCH bands broadcast (an increment is small by definition):
+    // candidate generation is then a map-side hash probe streaming over
+    // the corpus band index — the standing corpus is never shuffled
+    val cand = cBand
+      .join(broadcast(bCapped), Seq("band", "bucket"))
       .groupBy($"batch_id", $"corpus_id").agg(lit(1))
       .select($"batch_id", $"corpus_id")
     val bSizes = bEx.groupBy($"batch_id").agg(count(lit(1)).as("nb"))
-    val cSizes = cEx.groupBy($"corpus_id").agg(count(lit(1)).as("nc"))
+    // verification reads ONLY candidate corpus docs' shingles: the
+    // broadcast semi-join restricts the corpus relation before the big
+    // (corpus_id, h) equi-join, so a mostly-novel increment never
+    // shuffles the standing corpus's shingles (in production, with the
+    // index bucketed on corpus_id, this prunes the scan itself)
+    val cExCand = cEx.join(broadcast(cand.select($"corpus_id").distinct()),
+      "corpus_id")
     // equi-join on BOTH (corpus_id, h): each surviving row IS one shared
     // shingle hash — joining on corpus_id alone would cross the batch
     // doc's shingles with the corpus doc's before filtering
     val inter = broadcast(cand)
       .join(bEx, "batch_id")
-      .join(cEx, Seq("corpus_id", "h"))
+      .join(cExCand, Seq("corpus_id", "h"))
       .groupBy($"batch_id", $"corpus_id").agg(count(lit(1)).as("inter"))
     inter
       .join(bSizes, "batch_id")
-      .join(cSizes, "corpus_id")
+      .join(index.sizes, "corpus_id")
       .withColumn("jaccard",
         $"inter".cast("double") / ($"nb" + $"nc" - $"inter"))
       .filter($"jaccard" >= threshold)

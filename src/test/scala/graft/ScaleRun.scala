@@ -90,6 +90,40 @@ object ScaleRun {
       spark.stop(); return
     }
 
+    // Incremental dedup at scale: a fresh 5k-doc increment (one clone
+    // batch) deduped against the mult× standing corpus, vs re-running
+    // the full self-join over corpus∪batch. The incremental form's cost
+    // must track the BATCH (its posting lists / band probes), not the
+    // corpus — the property that makes daily dedup at 100 TB affordable.
+    if (which == "incdedup") {
+      // a REALISTIC increment: mostly novel content (reversed text forms
+      // disjoint shingles) with a 20% slice of true duplicates of corpus
+      // docs — daily crawls are mostly new, and the probe's cost should
+      // track what actually matches, not the standing corpus
+      val batch = docs
+        .select(($"doc_id" + lit(900000000L)).as("doc_id"),
+          when($"doc_id" % 5 === 0, $"text").otherwise(reverse($"text")).as("text"))
+      big.count() // corpus materialized outside both timers
+      // the standing index is built ONCE (in production: persisted
+      // bucketed tables, appended per accepted increment) — index build
+      // time reported separately; the PROBE is the steady-state cost
+      val tIdx = System.nanoTime()
+      val idx = operators.Dedup.minhashIndex(big, "doc_id", "text").build()
+      val idxS = (System.nanoTime() - tIdx) / 1e9
+      val t1 = System.nanoTime()
+      val incPairs = operators.Dedup.minhashPairsAgainstIndex(batch, idx,
+        "doc_id", "text", threshold = 0.5, maxBucketSize = 500).count()
+      val incS = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val fullPairs = operators.Dedup.minhashPairs(big.unionAll(batch),
+        "doc_id", "text", threshold = 0.5, maxBucketSize = 500).count()
+      val fullS = (System.nanoTime() - t2) / 1e9
+      println(f"[scale] incdedup ${mult}x corpus=$n batch=5000 " +
+        f"indexBuild=$idxS%.1f incPairs=$incPairs probeSecs=$incS%.1f " +
+        f"fullPairs=$fullPairs fullSecs=$fullS%.1f speedup=${fullS / incS}%.1fx")
+      spark.stop(); return
+    }
+
     // High-diameter CC worst case: ONE chain of mult×100k nodes
     // (diameter = n−1). Min-label propagation moves the min one hop per
     // round — it would need n rounds (a non-starter at any scale); the
