@@ -216,6 +216,118 @@ object SimilaritySearch {
       .select($"a_id", $"b_id", round($"cosine", 4).as("cosine"))
   }
 
+  /** Standing hyperplane-LSH index over an embedding corpus — the vector
+    * twin of [[graft.operators.Dedup.MinhashIndex]]: the persisted
+    * normalized-vector relation (verification reads it) and the
+    * (id, table, bucket) table with per-bucket populations (probes read
+    * them). Built once, reused across increments; in production the
+    * relations are bucketed tables that grow by appending each accepted
+    * increment's rows (hyperplanes are seed-derived, so an increment
+    * never changes existing bucket assignments).
+    */
+  final case class LshIndex private[operators] (
+      vectors: DataFrame, // (corpus_id, v, nrm)
+      buckets: DataFrame, // (corpus_id, tbl, bucket)
+      bucketCounts: DataFrame, // (tbl, bucket, population)
+      numPlanes: Int,
+      numTables: Int,
+      dim: Int,
+      seed: Long) {
+    def build(): this.type = {
+      vectors.count(); buckets.count(); bucketCounts.count(); this
+    }
+    def unpersist(): Unit = {
+      vectors.unpersist(blocking = false)
+      buckets.unpersist(blocking = false)
+      bucketCounts.unpersist(blocking = false)
+    }
+  }
+
+  /** Build (and persist) the standing [[LshIndex]] for a corpus. */
+  def lshIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numPlanes: Int = 4,
+      numTables: Int = 8,
+      seed: Long = 42L): LshIndex = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val e = corpus
+      .select(col(idCol).as("corpus_id"), VectorOps.toDoubles(col(vecCol)).as("v"))
+      .withColumn("nrm",
+        sqrt(graft.functions.CosineSimilarity.dotFast(spark, $"v", $"v")))
+      .persist()
+    val firstRow = e.select(size($"v")).take(1)
+    val dim = if (firstRow.isEmpty) 0 else firstRow.head.getInt(0)
+    val tableStructs = (0 until numTables).map { t =>
+      val planes = hyperplanes(numPlanes, math.max(dim, 1), seed + t)
+      struct(lit(t).as("tbl"), lshBucket(spark, $"v", planes).as("bucket"))
+    }
+    val bucketed = e
+      .select($"corpus_id", explode(array(tableStructs: _*)).as("tb"))
+      .select($"corpus_id", $"tb.tbl".as("tbl"), $"tb.bucket".as("bucket"))
+      .persist()
+    val counts = bucketed.groupBy($"tbl", $"bucket")
+      .agg(count(lit(1)).as("population")).persist()
+    LshIndex(e, bucketed, counts, numPlanes, numTables, dim, seed)
+  }
+
+  /** Probe a standing [[LshIndex]] with a batch of new embeddings — the
+    * incremental shape of [[lshPairs]] (semantic dedup of an increment
+    * against the standing corpus): batch vectors bucket under the SAME
+    * seed-derived hyperplanes, their (tbl, bucket) rows BROADCAST against
+    * the corpus bucket index (an increment is small by definition), and
+    * only candidates are exact-cosine verified against the
+    * semi-join-restricted corpus vector relation — the standing corpus is
+    * never shuffled.
+    *
+    * @return (batch_id, corpus_id, cosine), cosine >= threshold
+    */
+  def lshPairsAgainstIndex(
+      batch: DataFrame,
+      index: LshIndex,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      maxBucketSize: Int = 0): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val b = batch
+      .select(col(idCol).as("batch_id"), VectorOps.toDoubles(col(vecCol)).as("bv"))
+      .withColumn("bnrm",
+        sqrt(graft.functions.CosineSimilarity.dotFast(spark, $"bv", $"bv")))
+      .persist()
+    val tableStructs = (0 until index.numTables).map { t =>
+      val planes = hyperplanes(index.numPlanes, math.max(index.dim, 1),
+        index.seed + t)
+      struct(lit(t).as("tbl"), lshBucket(spark, $"bv", planes).as("bucket"))
+    }
+    val bBucketed = b
+      .select($"batch_id", explode(array(tableStructs: _*)).as("tb"))
+      .select($"batch_id", $"tb.tbl".as("tbl"), $"tb.bucket".as("bucket"))
+    val bCapped =
+      if (maxBucketSize > 0) {
+        val hot = index.bucketCounts
+          .filter($"population" > maxBucketSize).select($"tbl", $"bucket")
+        bBucketed.join(broadcast(hot), Seq("tbl", "bucket"), "left_anti")
+      } else bBucketed
+    val cand = index.buckets
+      .join(broadcast(bCapped), Seq("tbl", "bucket"))
+      .groupBy($"batch_id", $"corpus_id").agg(lit(1))
+      .select($"batch_id", $"corpus_id")
+    val cVecs = index.vectors
+      .join(broadcast(cand.select($"corpus_id").distinct()), "corpus_id")
+    broadcast(cand)
+      .join(b, "batch_id")
+      .join(cVecs, "corpus_id")
+      .withColumn("cosine",
+        graft.functions.CosineSimilarity.dotFast(spark, $"bv", $"v") /
+          ($"bnrm" * $"nrm"))
+      .filter($"cosine" >= threshold)
+      .select($"batch_id", $"corpus_id", round($"cosine", 4).as("cosine"))
+  }
+
   // ------------------------------------------------------------------- IVF
 
   /** Relative squared-L2 distances from `vec` to each centroid, as one

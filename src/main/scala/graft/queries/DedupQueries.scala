@@ -382,6 +382,21 @@ object DedupQueries {
       .orderBy($"batch_id", $"corpus_id")
   }
 
+  // q64 — incremental SEMANTIC dedup: new embeddings (vec_id % 8 == 7)
+  // probed against a standing hyperplane-LSH index of the rest — q62/
+  // q63's vector twin. Seeded hyperplanes → rows-only; the spec pins the
+  // probe result to the cross-side restriction of the full lshPairs run.
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val idx = SimilaritySearch.lshIndex(
+      emb.filter($"vec_id" % 8 =!= 7), "vec_id", "embedding")
+    SimilaritySearch.lshPairsAgainstIndex(
+        emb.filter($"vec_id" % 8 === 7), idx, "vec_id", "embedding",
+        threshold = 0.45)
+      .orderBy($"batch_id", $"corpus_id")
+  }
+
   val defs: Seq[(String, QFn)] = Seq(
     "q43_embedding_neardup" -> (cosinePairs _),
     "q23_dedup_exact" -> (q23 _),
@@ -397,7 +412,8 @@ object DedupQueries {
     "q56_lsh_embedding_pairs" -> (lshCosinePairs _),
     "q57_lsh_embedding_clusters" -> (q57 _),
     "q62_incremental_dedup" -> (q62 _),
-    "q63_incremental_minhash" -> (q63 _))
+    "q63_incremental_minhash" -> (q63 _),
+    "q64_incremental_embedding" -> (q64 _))
 
   val oracle: Seq[(String, String)] = Seq(
     "q43_embedding_neardup" -> q43Sql,

@@ -651,6 +651,29 @@ class OperatorsSpec extends SparkSpec {
       s"missed high-jaccard pairs: ${knee -- lsh.keySet}")
   }
 
+  test("lsh index probe == cross-side restriction of the full lshPairs run") {
+    // hyperplanes are seed-derived, so a vector's buckets are identical
+    // whether computed at index-build time or probe time: probing the
+    // standing index with a batch must find exactly the cross-side pairs
+    // of the full self-join (uncapped), with identical cosines
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val batch = emb.filter($"vec_id" % 8 === 7)
+    val corpus = emb.filter($"vec_id" % 8 =!= 7)
+    val idx = SimilaritySearch.lshIndex(corpus, "vec_id", "embedding")
+    val inc = SimilaritySearch
+      .lshPairsAgainstIndex(batch, idx, "vec_id", "embedding", threshold = 0.45)
+      .as[(Long, Long, Double)].collect()
+      .map { case (b, c, j) => (math.min(b, c), math.max(b, c)) -> j }.toMap
+    val full = SimilaritySearch
+      .lshPairs(emb, "vec_id", "embedding", threshold = 0.45)
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => (a % 8 == 7) != (b % 8 == 7) }
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    idx.unpersist()
+    assert(inc == full)
+    assert(inc.nonEmpty)
+  }
+
   test("incremental jaccard cap: conservative, exact values, no-op above max df") {
     val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
     val batch = docs.filter($"doc_id" % 8 === 7)

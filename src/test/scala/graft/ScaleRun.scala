@@ -124,6 +124,39 @@ object ScaleRun {
       spark.stop(); return
     }
 
+    // Incremental SEMANTIC dedup: incdedup's vector twin — a 2k-vector
+    // increment (80% novel: negated vectors land in the antipodal bucket
+    // and can't be near-dups; 20% exact clones of corpus vectors) probed
+    // against a standing LshIndex vs re-running the full self-join.
+    if (which == "incvec") {
+      val nv = bigEmb.count()
+      val planes = math.max(4,
+        math.ceil(math.log(nv / 64.0) / math.log(2)).toInt)
+      val emb = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+        .select($"vec_id", $"embedding").limit(2000)
+      val batch = emb.select(($"vec_id" + lit(900000000L)).as("vec_id"),
+        when($"vec_id" % 5 === 0, $"embedding")
+          .otherwise(transform($"embedding", x => -x)).as("embedding"))
+      val tIdx = System.nanoTime()
+      val idx = operators.SimilaritySearch.lshIndex(bigEmb, "vec_id",
+        "embedding", numPlanes = planes, numTables = 8).build()
+      val idxS = (System.nanoTime() - tIdx) / 1e9
+      val t1 = System.nanoTime()
+      val incPairs = operators.SimilaritySearch.lshPairsAgainstIndex(
+        batch, idx, "vec_id", "embedding", threshold = 0.45,
+        maxBucketSize = 500).count()
+      val incS = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val fullPairs = operators.SimilaritySearch.lshPairs(
+        bigEmb.unionAll(batch), "vec_id", "embedding", threshold = 0.45,
+        numPlanes = planes, numTables = 8, maxBucketSize = 500).count()
+      val fullS = (System.nanoTime() - t2) / 1e9
+      println(f"[scale] incvec ${mult}x corpus=$nv batch=2000 planes=$planes " +
+        f"indexBuild=$idxS%.1f incPairs=$incPairs probeSecs=$incS%.1f " +
+        f"fullPairs=$fullPairs fullSecs=$fullS%.1f speedup=${fullS / incS}%.1fx")
+      spark.stop(); return
+    }
+
     // High-diameter CC worst case: ONE chain of mult×100k nodes
     // (diameter = n−1). Min-label propagation moves the min one hop per
     // round — it would need n rounds (a non-starter at any scale); the
