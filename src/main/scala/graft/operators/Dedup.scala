@@ -386,6 +386,99 @@ object Dedup {
     MinhashIndex(cEx, cBand, cSizes, cBuckets, bands, rowsPerBand, shingleLen)
   }
 
+  /** Persist a [[MinhashIndex]] as parquet tables — the DURABLE form of
+    * the standing index: a daily dedup pipeline builds it once, then each
+    * increment probes the loaded index and, once accepted, appends its
+    * own rows ([[appendToMinhashIndex]]) — no driver ever re-indexes the
+    * corpus. Bucket populations are stored as per-append PARTIAL counts
+    * (append-only — an aggregated file could not be appended to); the
+    * loader re-aggregates them, a relation of at most one row per
+    * (append, band, bucket). At cluster scale the shingle and band
+    * tables would be written `bucketBy(corpus_id)` / `(band, bucket)` so
+    * probe joins are co-located; plain parquet keeps the sandbox path
+    * simple.
+    */
+  def saveMinhashIndex(index: MinhashIndex, path: String): Unit = {
+    index.shingleHashes.write.mode("overwrite")
+      .parquet(s"$path/shingles/append=base")
+    index.bands.write.mode("overwrite").parquet(s"$path/bands/append=base")
+    index.sizes.write.mode("overwrite").parquet(s"$path/sizes/append=base")
+    index.bucketCounts
+      .select(col("band"), col("bucket"), col("population").as("partial"))
+      .write.mode("overwrite").parquet(s"$path/bucket_counts/append=base")
+    val meta = s"""{"numBands":${index.numBands},""" +
+      s""""rowsPerBand":${index.rowsPerBand},"shingleLen":${index.shingleLen}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "index_meta.json"),
+      meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Load a durable [[MinhashIndex]] written by [[saveMinhashIndex]] /
+    * grown by [[appendToMinhashIndex]]. Relations come back persisted;
+    * partial bucket counts are re-aggregated on load.
+    */
+  def loadMinhashIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): MinhashIndex = {
+    import spark.implicits._
+    val (numBands, rowsPerBand, shingleLen) = loadIndexMeta(path)
+    // the append=<id> partition column is a durability artifact, not part
+    // of the relations — select it away
+    val counts = spark.read.parquet(s"$path/bucket_counts")
+      .groupBy($"band", $"bucket").agg(sum($"partial").as("population"))
+    MinhashIndex(
+      spark.read.parquet(s"$path/shingles").select($"corpus_id", $"h").persist(),
+      spark.read.parquet(s"$path/bands")
+        .select($"corpus_id", $"band", $"bucket").persist(),
+      spark.read.parquet(s"$path/sizes").select($"corpus_id", $"nc").persist(),
+      counts.persist(),
+      numBands, rowsPerBand, shingleLen)
+  }
+
+  /** Append an ACCEPTED increment's rows to a durable index — the write
+    * half of the daily loop (probe first, then append what survives).
+    * Signatures and buckets are pure per-doc functions of the same hash
+    * family, so appending never rewrites existing rows; bucket counts
+    * append as partials. Cost: one narrow pass over the batch.
+    *
+    * `appendId` names the increment's partition (`append=<id>`) and makes
+    * the operation IDEMPOTENT: a replayed increment (streaming batch
+    * redelivery, retried job) overwrites its own partition instead of
+    * double-counting rows — the txn-DLQ pattern applied to the index.
+    */
+  def appendToMinhashIndex(
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      appendId: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    require(appendId.nonEmpty && appendId != "base" &&
+      appendId.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"appendId must be a filesystem-safe token, got '$appendId'")
+    val (numBands, rowsPerBand, shingleLen) = loadIndexMeta(path)
+    val bEx = shingleHashRelation(batch, idCol, "corpus_id", textCol,
+      shingleLen).persist()
+    val bBand = bandRelation(bEx, "corpus_id", numBands, rowsPerBand).persist()
+    bEx.write.mode("overwrite").parquet(s"$path/shingles/append=$appendId")
+    bBand.write.mode("overwrite").parquet(s"$path/bands/append=$appendId")
+    bEx.groupBy($"corpus_id").agg(count(lit(1)).as("nc"))
+      .write.mode("overwrite").parquet(s"$path/sizes/append=$appendId")
+    bBand.groupBy($"band", $"bucket").agg(count(lit(1)).as("partial"))
+      .write.mode("overwrite").parquet(s"$path/bucket_counts/append=$appendId")
+    bEx.unpersist(blocking = false)
+    bBand.unpersist(blocking = false)
+  }
+
+  private def loadIndexMeta(path: String): (Int, Int, Int) = {
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "index_meta.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def metaInt(key: String): Int =
+      s""""$key":(\\d+)""".r.findFirstMatchIn(meta)
+        .getOrElse(sys.error(s"index_meta.json missing $key")).group(1).toInt
+    (metaInt("numBands"), metaInt("rowsPerBand"), metaInt("shingleLen"))
+  }
+
   /** Probe a standing [[MinhashIndex]] with a new batch — the steady-state
     * increment cost: shingle + sign + band the BATCH, bucket-join its
     * bands against the index, exact-verify candidates. Nothing here is

@@ -247,4 +247,64 @@ object Streaming {
       watermarkDelay: String = "10 minutes"): DataFrame =
     df.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Streaming incremental corpus dedup — the production daily loop as a
+    * stream: each micro-batch of documents probes the DURABLE minhash
+    * index at `indexPath` ([[graft.operators.Dedup.loadMinhashIndex]]),
+    * duplicate docs (near-dup of some indexed doc at `threshold`) land in
+    * `dupesDir/batch=N` (overwrite per batch — idempotent under replay,
+    * the DLQ pattern), and NOVEL docs are appended both to `acceptedDir`
+    * and to the index itself (per-batch overwrite partitions + self-pair
+    * filter, so a replayed batch neither double-counts index rows nor
+    * flags itself as duplicate), and later batches dedup against
+    * everything accepted before them. State lives entirely in the index
+    * tables — a restarted or replaced driver continues from the index on
+    * disk.
+    *
+    * The per-batch index load reads the parquet index fresh (cheap at
+    * increment cadence; the relations are lazily scanned by the probe),
+    * so growth appended by batch N is visible to batch N+1 without any
+    * in-memory cache invalidation protocol.
+    */
+  def incrementalDedupStream(
+      docs: DataFrame, // streaming (doc_id, text, ...)
+      indexPath: String,
+      acceptedDir: String,
+      dupesDir: String,
+      checkpointDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 0,
+      triggerMs: Long = 100L): StreamingQuery = {
+    import graft.operators.Dedup
+    docs.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val idx = Dedup.loadMinhashIndex(spark, indexPath)
+        // self-pair filter: under REPLAY the batch's own rows are already
+        // in the index (same ids) — matching yourself is not duplication
+        val dupIds = Dedup.minhashPairsAgainstIndex(batch, idx, idCol,
+            textCol, threshold, maxBucketSize)
+          .filter(col("batch_id") =!= col("corpus_id"))
+          .select(col("batch_id").as(idCol)).distinct()
+        // tiny relation (ids of this increment's duplicates): broadcast
+        // both the dupes projection and the novel anti join
+        val dupes = batch.join(broadcast(dupIds), idCol)
+        val novel = batch.join(broadcast(dupIds), Seq(idCol), "left_anti")
+          .persist() // read twice: accepted sink + index append
+        dupes.write.mode("overwrite").parquet(s"$dupesDir/batch=$batchId")
+        novel.write.mode("overwrite").parquet(s"$acceptedDir/batch=$batchId")
+        Dedup.appendToMinhashIndex(indexPath, novel, idCol, textCol,
+          appendId = s"b$batchId")
+        novel.unpersist(blocking = false)
+        idx.unpersist()
+        ()
+      }
+      .start()
+  }
 }

@@ -651,6 +651,32 @@ class OperatorsSpec extends SparkSpec {
       s"missed high-jaccard pairs: ${knee -- lsh.keySet}")
   }
 
+  test("durable minhash index: save + append + load probes like a fresh index") {
+    // the daily production loop: index corpus A, save; accept increment B,
+    // append; a LOADED index probed with batch C must produce exactly the
+    // pairs a fresh in-memory index over A∪B does (hashing is a pure
+    // function of the text, so durability cannot change results)
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val a = docs.filter($"doc_id" % 4 === 2)
+    val b = docs.filter($"doc_id" % 4 === 0)
+    val probe = docs.filter($"doc_id" % 4 === 3)
+    val path = tempDir("mhidx")
+    Dedup.saveMinhashIndex(Dedup.minhashIndex(a, "doc_id", "text"), path)
+    Dedup.appendToMinhashIndex(path, b, "doc_id", "text", appendId = "inc1")
+    // idempotence: a REPLAYED append overwrites its own partition —
+    // the index must not double-count the increment's rows
+    Dedup.appendToMinhashIndex(path, b, "doc_id", "text", appendId = "inc1")
+    val loaded = Dedup.loadMinhashIndex(spark, path)
+    val got = Dedup.minhashPairsAgainstIndex(probe, loaded, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val freshIdx = Dedup.minhashIndex(a.unionAll(b), "doc_id", "text")
+    val fresh = Dedup.minhashPairsAgainstIndex(probe, freshIdx, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    loaded.unpersist(); freshIdx.unpersist()
+    assert(got == fresh)
+    assert(got.nonEmpty)
+  }
+
   test("lsh index probe == cross-side restriction of the full lshPairs run") {
     // hyperplanes are seed-derived, so a vector's buckets are identical
     // whether computed at index-build time or probe time: probing the

@@ -251,6 +251,44 @@ class StreamingSpec extends SparkSpec {
     assert(vwap.map(_._1) == Seq("AAPL", "GOOG"))
   }
 
+  test("incremental dedup stream: later batches dedup against earlier accepts") {
+    implicit val sc = spark.sqlContext
+    val idxPath = tempDir("incidx")
+    val accepted = tempDir("incaccepted")
+    val dupes = tempDir("incdupes")
+    // seed the durable index with a tiny corpus of two docs
+    val seedA = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val seedB = "one two three four five six seven eight nine ten " * 3
+    val corpus = Seq((1L, seedA), (2L, seedB)).toDF("doc_id", "text")
+    graft.operators.Dedup.saveMinhashIndex(
+      graft.operators.Dedup.minhashIndex(corpus, "doc_id", "text"), idxPath)
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.incrementalDedupStream(
+      mem.toDF().toDF("doc_id", "text"), idxPath, accepted, dupes,
+      tempDir("incckpt"))
+    try {
+      // batch 0: one dup of the seed corpus, one novel doc
+      mem.addData((10L, seedA), (11L, "totally fresh content here " * 5))
+      q.processAllAvailable()
+      // batch 1: a dup of the doc ACCEPTED in batch 0 — proves the index
+      // grew mid-stream — plus one more novel doc
+      mem.addData((20L, "totally fresh content here " * 5),
+        (21L, "never seen words entirely distinct " * 5))
+      q.processAllAvailable()
+      val acc = spark.read.parquet(accepted).select($"doc_id")
+        .as[Long].collect().toSet
+      val dup = spark.read.parquet(dupes).select($"doc_id")
+        .as[Long].collect().toSet
+      assert(dup == Set(10L, 20L))
+      assert(acc == Set(11L, 21L))
+      // the index holds seeds + accepted docs only
+      val idx = graft.operators.Dedup.loadMinhashIndex(spark, idxPath)
+      val indexed = idx.sizes.select($"corpus_id").as[Long].collect().toSet
+      idx.unpersist()
+      assert(indexed == Set(1L, 2L, 11L, 21L))
+    } finally q.stop()
+  }
+
   test("sessionization groups events separated by less than the gap") {
     val df = Seq(
       ("u1", new Timestamp(0L)), ("u1", new Timestamp(60 * 1000L)),
