@@ -330,6 +330,102 @@ object SimilaritySearch {
 
   // ------------------------------------------------------------------- IVF
 
+  // ------------------------------------------------------------------- PQ
+
+  /** Product-quantization codebooks (Jégou, Douze & Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the vector
+    * space is split into `m` contiguous subspaces and each gets its own
+    * k-means codebook of `codebookSize` centroids — a vector is then
+    * `m` small codes (bytes at codebookSize ≤ 256) instead of `dim`
+    * floats. At 100 TB this is THE memory lever for ANN: a 768-dim
+    * float corpus is 3 KB/vector; PQ at m=16 is 16 bytes — 200× — so
+    * the scan set fits in executor memory where raw vectors cannot.
+    * Fit on a sample (the codebooks need subspace cluster shape, not
+    * every point); encoding the full corpus is a narrow map.
+    */
+  def fitPqCodebooks(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 8,
+      codebookSize: Int = 256,
+      iters: Int = 5,
+      seed: Long = 42L,
+      fitSampleFraction: Double = 1.0): Array[Array[Array[Double]]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fitDf =
+      if (fitSampleFraction < 1.0) df.sample(fitSampleFraction, seed)
+      else df
+    val dimRow = fitDf.select(size(VectorOps.toDoubles(col(vecCol)))).take(1)
+    require(dimRow.nonEmpty, "cannot fit PQ codebooks on an empty corpus")
+    val dim = dimRow.head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    (0 until m).map { s =>
+      val sub = fitDf.select(col(idCol).as("id"),
+        slice(VectorOps.toDoubles(col(vecCol)), s * subDim + 1, subDim).as("v"))
+      fitCentroids(sub, "id", "v", codebookSize, iters, seed + s)
+    }.toArray
+  }
+
+  /** PQ-encode a corpus: (id, code) where code(s) is the index of the
+    * nearest subspace-s centroid. A narrow codegen'd map (the argmin is
+    * the same fused-dot distance kernel IVF assignment uses); in
+    * production the encoded relation is the stored ANN table and the raw
+    * vectors stay in cold storage for optional exact re-ranking.
+    */
+  def pqEncode(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = df.sparkSession
+    val m = codebooks.length
+    val subDim = codebooks.head.head.length
+    val v = VectorOps.toDoubles(col(vecCol))
+    val code = array((0 until m).map(s =>
+      ivfCell(spark, slice(v, s * subDim + 1, subDim), codebooks(s))): _*)
+    df.select(col(idCol).as("id"), code.as("code"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: the query
+    * stays exact; per subspace a 1×codebookSize lookup table of squared
+    * L2 distances to the query's subvector is computed driver-side and
+    * inlined as a literal array — scoring a vector is then `m`
+    * element_at lookups + adds, STATICALLY UNROLLED (no higher-order
+    * functions: HOFs are CodegenFallback; the unrolled form stays inside
+    * whole-stage codegen). On unit-norm vectors ‖q−v‖² = 2−2cosθ, so the
+    * L2 ranking IS the cosine ranking and `cosine_adc = 1 − dist²/2`.
+    *
+    * @return (id, cosine_adc) top-k by approximate distance
+    */
+  def pqTopK(
+      encoded: DataFrame, // (id, code) from [[pqEncode]]
+      codebooks: Array[Array[Array[Double]]],
+      queryVec: Array[Double],
+      k: Int,
+      excludeId: Option[Long] = None): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val m = codebooks.length
+    val subDim = codebooks.head.head.length
+    require(queryVec.length == m * subDim,
+      s"query dim ${queryVec.length} != $m x $subDim")
+    val tables = codebooks.zipWithIndex.map { case (cb, s) =>
+      val qSub = queryVec.slice(s * subDim, (s + 1) * subDim)
+      cb.map(c => c.zip(qSub).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }
+    val dist2 = (0 until m).map(s =>
+      element_at(planeLit(tables(s)), $"code".getItem(s) + 1))
+      .reduce(_ + _)
+    val base = excludeId.fold(encoded)(id => encoded.filter($"id" =!= id))
+    base
+      .select($"id", round(lit(1.0) - dist2 / 2.0, 4).as("cosine_adc"))
+      .orderBy($"cosine_adc".desc, $"id")
+      .limit(k)
+  }
+
   /** Relative squared-L2 distances from `vec` to each centroid, as one
     * array column: ||v-c||² − ||v||² = ||c||² − 2·v·c — the ||v||² term
     * is constant across centroids, so the argmin is unchanged and each

@@ -397,6 +397,25 @@ object DedupQueries {
       .orderBy($"batch_id", $"corpus_id")
   }
 
+  // q65 — product-quantization ANN (TPAMI'11): the corpus is m=8 one-byte
+  // codes per vector instead of 64 floats (32× memory), queries score via
+  // per-subspace lookup tables statically unrolled into codegen.
+  // Seeded k-means codebooks → rows-only; specs pin planted-clone-first
+  // ordering and recall@10 vs brute force.
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val qv = emb.filter($"vec_id" === 0)
+      .select(VectorOps.toDoubles($"embedding"))
+      .head().getSeq[Double](0).toArray
+    val books = SimilaritySearch.fitPqCodebooks(emb, "vec_id", "embedding",
+      m = 8, codebookSize = 64)
+    SimilaritySearch.pqTopK(
+      SimilaritySearch.pqEncode(emb, "vec_id", "embedding", books),
+      books, qv, k = 10, excludeId = Some(0L))
+      .select($"id".as("vec_id"), $"cosine_adc")
+  }
+
   val defs: Seq[(String, QFn)] = Seq(
     "q43_embedding_neardup" -> (cosinePairs _),
     "q23_dedup_exact" -> (q23 _),
@@ -413,7 +432,8 @@ object DedupQueries {
     "q57_lsh_embedding_clusters" -> (q57 _),
     "q62_incremental_dedup" -> (q62 _),
     "q63_incremental_minhash" -> (q63 _),
-    "q64_incremental_embedding" -> (q64 _))
+    "q64_incremental_embedding" -> (q64 _),
+    "q65_ann_pq" -> (q65 _))
 
   val oracle: Seq[(String, String)] = Seq(
     "q43_embedding_neardup" -> q43Sql,

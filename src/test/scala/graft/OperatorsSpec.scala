@@ -677,6 +677,51 @@ class OperatorsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("pq adc: exact clones of the query achieve the minimal distance and rank first") {
+    // a clone of q encodes to q's own code, and q's code minimizes every
+    // per-subspace table entry — so clones attain the minimum possible
+    // ADC distance and MUST head the top-k
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val qv = emb.filter($"vec_id" === 0)
+      .select(graft.functions.VectorOps.toDoubles($"embedding"))
+      .head().getSeq[Double](0).toArray
+    val clones = Seq(9001L, 9002L, 9003L).toDF("vec_id")
+      .withColumn("embedding", typedLit(qv.toSeq))
+    val corpus = emb.select($"vec_id",
+      graft.functions.VectorOps.toDoubles($"embedding").as("embedding"))
+      .unionAll(clones.select($"vec_id", $"embedding"))
+    val books = SimilaritySearch.fitPqCodebooks(corpus, "vec_id", "embedding",
+      m = 8, codebookSize = 64)
+    val top = SimilaritySearch.pqTopK(
+        SimilaritySearch.pqEncode(corpus, "vec_id", "embedding", books),
+        books, qv, k = 4)
+      .as[(Long, Double)].collect()
+    // 0 and its three clones share the minimal distance; id tiebreak puts
+    // 0 first, then the clones
+    assert(top.map(_._1).toSet == Set(0L, 9001L, 9002L, 9003L),
+      top.mkString(","))
+    assert(top.map(_._2).distinct.size == 1) // identical ADC distance
+  }
+
+  test("pq adc recall@10 vs brute force on real embeddings") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val qv = emb.filter($"vec_id" === 0)
+      .select(graft.functions.VectorOps.toDoubles($"embedding"))
+      .head().getSeq[Double](0).toArray
+    val brute = SimilaritySearch.bruteForceTopK(emb, "vec_id", "embedding",
+        qv, k = 10, excludeId = Some(0L))
+      .select($"vec_id").as[Long].collect().toSet
+    val books = SimilaritySearch.fitPqCodebooks(emb, "vec_id", "embedding",
+      m = 8, codebookSize = 64)
+    val pq = SimilaritySearch.pqTopK(
+        SimilaritySearch.pqEncode(emb, "vec_id", "embedding", books),
+        books, qv, k = 10, excludeId = Some(0L))
+      .select($"id").as[Long].collect().toSet
+    val recall = (brute & pq).size / 10.0
+    info(s"pq recall@10 = $recall")
+    assert(recall >= 0.5, s"recall $recall below floor")
+  }
+
   test("lsh index probe == cross-side restriction of the full lshPairs run") {
     // hyperplanes are seed-derived, so a vector's buckets are identical
     // whether computed at index-build time or probe time: probing the

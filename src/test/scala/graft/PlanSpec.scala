@@ -59,6 +59,29 @@ class PlanSpec extends SparkSpec {
     assert(plan("q60_source_cap").contains("WindowGroupLimit"))
   }
 
+  test("index probe: batch bands broadcast; the corpus index never shuffles") {
+    // the incremental-dedup scale contract: candidate generation must be
+    // a broadcast hash probe of the (tiny) batch bands streaming over the
+    // standing corpus band index — a SortMergeJoin there would shuffle
+    // the corpus index per increment
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, dir, "documents")
+    val idx = graft.operators.Dedup.minhashIndex(
+      docs.filter(col("doc_id") % 8 =!= 7), "doc_id", "text")
+    val probe = graft.operators.Dedup.minhashPairsAgainstIndex(
+      docs.filter(col("doc_id") % 8 === 7), idx, "doc_id", "text",
+      maxBucketSize = 500)
+    val p = probe.queryExecution.executedPlan.toString
+    idx.unpersist()
+    // candidate generation: the (band, bucket) join against the standing
+    // index must be a broadcast probe, never a shuffle of the index
+    assert("BroadcastHashJoin \\[band".r.findFirstIn(p).isDefined, p)
+    assert("(SortMergeJoin|ShuffledHashJoin) \\[band".r.findFirstIn(p).isEmpty, p)
+    // (the exact-verify join MAY sort-merge: it reads only the
+    // semi-join-RESTRICTED corpus shingles — candidate docs, output-
+    // proportional — so a shuffle there does not scale with the corpus)
+  }
+
   test("q17: as-of join plans as one shuffle + window, no join node") {
     val p = plan("q17_asof_join")
     // union-tagged formulation: no join operator of any kind, and exactly
