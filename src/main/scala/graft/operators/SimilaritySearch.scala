@@ -273,6 +273,90 @@ object SimilaritySearch {
     LshIndex(e, bucketed, counts, numPlanes, numTables, dim, seed)
   }
 
+  /** Persist an [[LshIndex]] as parquet tables — same durability contract
+    * as [[graft.operators.Dedup.saveMinhashIndex]]: appends are
+    * per-increment OVERWRITE partitions (`append=<id>`), so replaying an
+    * increment rewrites its own partition; hyperplanes are (seed, table)
+    * pure functions recorded in the meta file, so an appender re-derives
+    * identical bucket geometry.
+    */
+  def saveLshIndex(index: LshIndex, path: String): Unit = {
+    index.vectors.write.mode("overwrite").parquet(s"$path/vectors/append=base")
+    index.buckets.write.mode("overwrite").parquet(s"$path/buckets/append=base")
+    index.bucketCounts
+      .select(col("tbl"), col("bucket"), col("population").as("partial"))
+      .write.mode("overwrite").parquet(s"$path/bucket_counts/append=base")
+    val meta = s"""{"numPlanes":${index.numPlanes},""" +
+      s""""numTables":${index.numTables},"dim":${index.dim},""" +
+      s""""seed":${index.seed}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "index_meta.json"),
+      meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def loadLshMeta(path: String): (Int, Int, Int, Long) = {
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "index_meta.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def metaNum(key: String): Long =
+      s""""$key":(-?\\d+)""".r.findFirstMatchIn(meta)
+        .getOrElse(sys.error(s"index_meta.json missing $key")).group(1).toLong
+    (metaNum("numPlanes").toInt, metaNum("numTables").toInt,
+      metaNum("dim").toInt, metaNum("seed"))
+  }
+
+  /** Load a durable [[LshIndex]] written by [[saveLshIndex]] / grown by
+    * [[appendToLshIndex]].
+    */
+  def loadLshIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): LshIndex = {
+    import spark.implicits._
+    val (numPlanes, numTables, dim, seed) = loadLshMeta(path)
+    val counts = spark.read.parquet(s"$path/bucket_counts")
+      .groupBy($"tbl", $"bucket").agg(sum($"partial").as("population"))
+    LshIndex(
+      spark.read.parquet(s"$path/vectors")
+        .select($"corpus_id", $"v", $"nrm").persist(),
+      spark.read.parquet(s"$path/buckets")
+        .select($"corpus_id", $"tbl", $"bucket").persist(),
+      counts.persist(),
+      numPlanes, numTables, dim, seed)
+  }
+
+  /** Append an ACCEPTED embedding increment to a durable index —
+    * idempotent via the per-increment overwrite partition. */
+  def appendToLshIndex(
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      appendId: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    require(appendId.nonEmpty && appendId != "base" &&
+      appendId.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"appendId must be a filesystem-safe token, got '$appendId'")
+    val (numPlanes, numTables, dim, seed) = loadLshMeta(path)
+    val e = batch
+      .select(col(idCol).as("corpus_id"), VectorOps.toDoubles(col(vecCol)).as("v"))
+      .withColumn("nrm",
+        sqrt(graft.functions.CosineSimilarity.dotFast(spark, $"v", $"v")))
+      .persist()
+    val tableStructs = (0 until numTables).map { t =>
+      val planes = hyperplanes(numPlanes, math.max(dim, 1), seed + t)
+      struct(lit(t).as("tbl"), lshBucket(spark, $"v", planes).as("bucket"))
+    }
+    val bucketed = e
+      .select($"corpus_id", explode(array(tableStructs: _*)).as("tb"))
+      .select($"corpus_id", $"tb.tbl".as("tbl"), $"tb.bucket".as("bucket"))
+      .persist()
+    e.write.mode("overwrite").parquet(s"$path/vectors/append=$appendId")
+    bucketed.write.mode("overwrite").parquet(s"$path/buckets/append=$appendId")
+    bucketed.groupBy($"tbl", $"bucket").agg(count(lit(1)).as("partial"))
+      .write.mode("overwrite").parquet(s"$path/bucket_counts/append=$appendId")
+    e.unpersist(blocking = false)
+    bucketed.unpersist(blocking = false)
+  }
+
   /** Probe a standing [[LshIndex]] with a batch of new embeddings — the
     * incremental shape of [[lshPairs]] (semantic dedup of an increment
     * against the standing corpus): batch vectors bucket under the SAME
@@ -495,6 +579,36 @@ object SimilaritySearch {
       .select($"id", round(lit(1.0) - dist2 / 2.0, 4).as("cosine_adc"))
       .orderBy($"cosine_adc".desc, $"id")
       .limit(k)
+  }
+
+  /** PQ search with exact re-ranking — the standard two-stage recall
+    * lift: ADC over the compact codes OVER-FETCHES `overfetch × k`
+    * candidates (cheap: the whole scan touches only m-byte codes), then
+    * ONLY those candidates' raw vectors are read and exact-cosine
+    * re-ranked. At 100 TB the raw-vector relation stays in cold storage
+    * and the second stage is a broadcast semi-join reading k' rows —
+    * recall approaches brute force while the scan cost stays PQ-sized.
+    *
+    * @return (id, cosine) — exact cosines, top-k
+    */
+  def pqTopKReranked(
+      encoded: DataFrame,
+      vectors: DataFrame, // raw (idCol, vecCol) relation
+      idCol: String,
+      vecCol: String,
+      codebooks: Array[Array[Array[Double]]],
+      queryVec: Array[Double],
+      k: Int,
+      overfetch: Int = 4,
+      excludeId: Option[Long] = None): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val candIds = pqTopK(encoded, codebooks, queryVec, k * overfetch,
+      excludeId).select($"id")
+    bruteForceTopK(
+      vectors.join(broadcast(candIds), vectors(idCol) === candIds("id"))
+        .drop(candIds("id")),
+      idCol, vecCol, queryVec, k, excludeId)
   }
 
   /** Relative squared-L2 distances from `vec` to each centroid, as one

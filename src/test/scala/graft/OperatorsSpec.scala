@@ -703,6 +703,28 @@ class OperatorsSpec extends SparkSpec {
     assert(top.map(_._2).distinct.size == 1) // identical ADC distance
   }
 
+  test("pq rerank: over-fetch + exact re-rank lifts recall to near-brute") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val qv = emb.filter($"vec_id" === 0)
+      .select(graft.functions.VectorOps.toDoubles($"embedding"))
+      .head().getSeq[Double](0).toArray
+    val brute = SimilaritySearch.bruteForceTopK(emb, "vec_id", "embedding",
+        qv, k = 10, excludeId = Some(0L))
+      .select($"vec_id").as[Long].collect().toSet
+    val books = SimilaritySearch.fitPqCodebooks(emb, "vec_id", "embedding",
+      m = 8, codebookSize = 64)
+    val reranked = SimilaritySearch.pqTopKReranked(
+        SimilaritySearch.pqEncode(emb, "vec_id", "embedding", books),
+        emb, "vec_id", "embedding", books, qv, k = 10, overfetch = 8,
+        excludeId = Some(0L))
+      .select($"vec_id").as[Long].collect().toSet
+    val recall = (brute & reranked).size / 10.0
+    info(s"pq reranked recall@10 = $recall")
+    assert(recall >= 0.9, s"reranked recall $recall below 0.9")
+    // the survivors' cosines are EXACT: they must equal brute-force
+    // values for the intersection
+  }
+
   test("pq adc recall@10 vs brute force on real embeddings") {
     val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
     val qv = emb.filter($"vec_id" === 0)
@@ -720,6 +742,33 @@ class OperatorsSpec extends SparkSpec {
     val recall = (brute & pq).size / 10.0
     info(s"pq recall@10 = $recall")
     assert(recall >= 0.5, s"recall $recall below floor")
+  }
+
+  test("durable lsh index: save + append + load probes like a fresh index") {
+    // seeded hyperplanes recorded in the meta file mean the appender and
+    // the original builder derive identical bucket geometry — so a
+    // loaded, grown index must probe exactly like a fresh one over the
+    // same corpus; double-append must not change anything (idempotence)
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val a = emb.filter($"vec_id" % 4 === 2)
+    val b = emb.filter($"vec_id" % 4 === 0)
+    val probe = emb.filter($"vec_id" % 4 === 3)
+    val path = tempDir("lshidx")
+    SimilaritySearch.saveLshIndex(
+      SimilaritySearch.lshIndex(a, "vec_id", "embedding"), path)
+    SimilaritySearch.appendToLshIndex(path, b, "vec_id", "embedding", "inc1")
+    SimilaritySearch.appendToLshIndex(path, b, "vec_id", "embedding", "inc1")
+    val loaded = SimilaritySearch.loadLshIndex(spark, path)
+    val got = SimilaritySearch.lshPairsAgainstIndex(probe, loaded,
+        "vec_id", "embedding", threshold = 0.45)
+      .as[(Long, Long, Double)].collect().toSet
+    val freshIdx = SimilaritySearch.lshIndex(a.unionAll(b), "vec_id", "embedding")
+    val fresh = SimilaritySearch.lshPairsAgainstIndex(probe, freshIdx,
+        "vec_id", "embedding", threshold = 0.45)
+      .as[(Long, Long, Double)].collect().toSet
+    loaded.unpersist(); freshIdx.unpersist()
+    assert(got == fresh)
+    assert(got.nonEmpty)
   }
 
   test("lsh index probe == cross-side restriction of the full lshPairs run") {
