@@ -611,6 +611,102 @@ object SimilaritySearch {
       idCol, vecCol, queryVec, k, excludeId)
   }
 
+  /** IVF+PQ (Jégou et al. TPAMI'11 §IV): the coarse k-means quantizer
+    * partitions the corpus into cells; each vector stores its cell id
+    * plus the PQ code of its RESIDUAL (v − centroid). A query probes
+    * `nprobe` cells and ADC-scores residual codes against its own
+    * per-cell residual — the composition that makes billion-scale ANN
+    * work: the cell id is the table's partition key (a probe reads
+    * nprobe/numCells of the data) and each row is m bytes.
+    */
+  final case class IvfPqIndex private[operators] (
+      encoded: DataFrame, // (id, cell, code)
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]])
+
+  /** Fit coarse centroids + residual codebooks, and encode the corpus.
+    * The residual map uses zip_with (interpreted) — acceptable: encoding
+    * is a one-off narrow pass, unlike the scan-time scoring which stays
+    * codegen'd.
+    */
+  def fitIvfPq(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCells: Int = 16,
+      m: Int = 8,
+      codebookSize: Int = 256,
+      iters: Int = 5,
+      seed: Long = 42L,
+      fitSampleFraction: Double = 1.0): IvfPqIndex = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fitDf =
+      if (fitSampleFraction < 1.0) df.sample(fitSampleFraction, seed) else df
+    val centroids = fitCentroids(fitDf, idCol, vecCol, numCells, iters, seed)
+    val centLit = array(centroids.map(planeLit): _*)
+    val v = VectorOps.toDoubles(col(vecCol))
+    val residuals = df
+      .select(col(idCol).as("id"), v.as("v"),
+        ivfCell(spark, v, centroids).as("cell"))
+      .select($"id", $"cell",
+        zip_with($"v", element_at(centLit, $"cell" + 1),
+          (a, b) => a - b).as("res"))
+    val books = fitPqCodebooks(residuals, "id", "res", m, codebookSize,
+      iters, seed + 1000)
+    val encoded = pqEncode(residuals, "id", "res", books)
+      .join(residuals.select($"id", $"cell"), "id")
+      .select($"id", $"cell", $"code")
+    IvfPqIndex(encoded, centroids, books)
+  }
+
+  /** Probe `nprobe` cells and ADC-score residual codes; optionally
+    * exact-re-rank the over-fetched survivors against raw vectors.
+    * Scoring unions one codegen'd scan per probed cell (each cell has
+    * its own query-residual lookup tables), then takes a global top-k.
+    */
+  def ivfPqTopK(
+      index: IvfPqIndex,
+      queryVec: Array[Double],
+      k: Int,
+      nprobe: Int = 4,
+      excludeId: Option[Long] = None,
+      rerank: Option[(DataFrame, String, String)] = None, // (vectors, idCol, vecCol)
+      overfetch: Int = 4): DataFrame = {
+    val spark = index.encoded.sparkSession
+    import spark.implicits._
+    val m = index.codebooks.length
+    val subDim = index.codebooks.head.head.length
+    val qDists = index.centroids.map(c =>
+      c.zip(queryVec).map { case (a, b) => (a - b) * (a - b) }.sum)
+    val probed = qDists.zipWithIndex.sortBy(_._1).take(nprobe).map(_._2)
+    val fetch = if (rerank.isDefined) k * overfetch else k
+    val base = excludeId.fold(index.encoded)(id =>
+      index.encoded.filter($"id" =!= id))
+    val perCell = probed.map { c =>
+      val qRes = queryVec.zip(index.centroids(c)).map { case (q, ce) => q - ce }
+      val tables = index.codebooks.zipWithIndex.map { case (cb, s) =>
+        val qSub = qRes.slice(s * subDim, (s + 1) * subDim)
+        cb.map(cent => cent.zip(qSub).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+      val dist2 = (0 until m).map(s =>
+        element_at(planeLit(tables(s)), $"code".getItem(s) + 1))
+        .reduce(_ + _)
+      base.filter($"cell" === c).select($"id", dist2.as("dist2"))
+    }
+    val scored = perCell.reduce(_ unionAll _)
+      .orderBy($"dist2".asc, $"id").limit(fetch)
+    rerank match {
+      case Some((vectors, idCol, vecCol)) =>
+        bruteForceTopK(
+          vectors.join(broadcast(scored.select($"id")),
+            vectors(idCol) === scored("id")).drop(scored("id")),
+          idCol, vecCol, queryVec, k, excludeId)
+      case None =>
+        scored.select($"id", round($"dist2", 4).as("dist2_adc"))
+    }
+  }
+
   /** Relative squared-L2 distances from `vec` to each centroid, as one
     * array column: ||v-c||² − ||v||² = ||c||² − 2·v·c — the ||v||² term
     * is constant across centroids, so the argmin is unchanged and each

@@ -419,6 +419,24 @@ object DedupQueries {
       excludeId = Some(0L))
   }
 
+  // q66 — IVF+PQ ANN (TPAMI'11 §IV): coarse cells partition the corpus,
+  // rows store m-byte RESIDUAL codes, a query probes nprobe cells and
+  // ADC-scores only them, then exact re-ranks the over-fetch. The
+  // billion-scale layout: partition pruning × 32× row compression.
+  // Seeded → rows-only; spec pins recall ≥ 0.7 at half the cells probed.
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val qv = emb.filter($"vec_id" === 0)
+      .select(VectorOps.toDoubles($"embedding"))
+      .head().getSeq[Double](0).toArray
+    val idx = SimilaritySearch.fitIvfPq(emb, "vec_id", "embedding",
+      numCells = 8, m = 8, codebookSize = 64)
+    SimilaritySearch.ivfPqTopK(idx, qv, k = 10, nprobe = 4,
+      excludeId = Some(0L),
+      rerank = Some((emb, "vec_id", "embedding")), overfetch = 8)
+  }
+
   val defs: Seq[(String, QFn)] = Seq(
     "q43_embedding_neardup" -> (cosinePairs _),
     "q23_dedup_exact" -> (q23 _),
@@ -436,7 +454,8 @@ object DedupQueries {
     "q62_incremental_dedup" -> (q62 _),
     "q63_incremental_minhash" -> (q63 _),
     "q64_incremental_embedding" -> (q64 _),
-    "q65_ann_pq" -> (q65 _))
+    "q65_ann_pq" -> (q65 _),
+    "q66_ann_ivfpq" -> (q66 _))
 
   val oracle: Seq[(String, String)] = Seq(
     "q43_embedding_neardup" -> q43Sql,

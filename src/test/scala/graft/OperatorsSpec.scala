@@ -725,6 +725,28 @@ class OperatorsSpec extends SparkSpec {
     // values for the intersection
   }
 
+  test("ivf+pq: residual codes + rerank reach brute-force recall") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val qv = emb.filter($"vec_id" === 0)
+      .select(graft.functions.VectorOps.toDoubles($"embedding"))
+      .head().getSeq[Double](0).toArray
+    val brute = SimilaritySearch.bruteForceTopK(emb, "vec_id", "embedding",
+        qv, k = 10, excludeId = Some(0L))
+      .select($"vec_id").as[Long].collect().toSet
+    val idx = SimilaritySearch.fitIvfPq(emb, "vec_id", "embedding",
+      numCells = 8, m = 8, codebookSize = 64)
+    val got = SimilaritySearch.ivfPqTopK(idx, qv, k = 10, nprobe = 4,
+        excludeId = Some(0L),
+        rerank = Some((emb, "vec_id", "embedding")), overfetch = 8)
+      .select($"vec_id").as[Long].collect().toSet
+    val recall = (brute & got).size / 10.0
+    info(s"ivf+pq reranked recall@10 = $recall")
+    // nprobe=4 of 8 cells: scan set halved AND rows are m-byte codes;
+    // recall floor reflects that some true neighbors live outside the
+    // probed cells on weakly-clustered data
+    assert(recall >= 0.7, s"recall $recall below floor")
+  }
+
   test("pq adc recall@10 vs brute force on real embeddings") {
     val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
     val qv = emb.filter($"vec_id" === 0)
