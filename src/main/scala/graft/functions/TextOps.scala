@@ -64,8 +64,13 @@ object TextOps {
     * repetition needs no grouping at all.
     */
   def maxElementFreq(arr: Column): Column = {
+    // Elements are compared via their canonical STRING form so the
+    // string-typed accumulator works for any element type (bigint,
+    // double, ...) — equal values have equal canonical strings, and the
+    // run-length scan only needs SOME total order that groups equals
+    // (lexicographic is as good as numeric for that).
     val stepped = aggregate(
-      array_sort(arr),
+      array_sort(transform(arr, e => e.cast("string"))),
       struct(lit(null).cast("string").as("prev"),
         lit(0L).as("run"), lit(0L).as("best")),
       (acc, x) => {

@@ -58,18 +58,29 @@ object AsOfJoin {
     // The union formulation needs EXACT dtype agreement between the two
     // sides' key/ts columns (unionByName does not coerce, unlike the join
     // operators this replaced) — right columns are cast to the left's
-    // dtypes, which drive the operator's schema. A right value a narrower
-    // left type cannot hold could never equal any left key — but a bare
-    // narrowing cast either WRAPS it into a spurious match (non-ANSI:
-    // long 4294967297 cast to int becomes 1) or THROWS (ANSI, Spark 4's
-    // default). The try_cast round-trip guard (cast to the left type and
-    // back must be the identity; out-of-range → null → dropped) removes
-    // such rows BEFORE the schema-aligning cast below; in-range values
-    // round-trip unchanged, so no genuine match is lost.
+    // dtypes, which drive the operator's schema. One mismatch shape is
+    // dangerous: an INTEGRAL NARROWING (right long → left int), where a
+    // bare cast of an out-of-range value either WRAPS it into a spurious
+    // match (non-ANSI: long 4294967297 cast to int becomes 1) or THROWS
+    // (ANSI). Only for those pairs does the try_cast round-trip guard
+    // apply (cast to the left type and back must be the identity;
+    // out-of-range → null → dropped): in-range integrals round-trip
+    // unchanged, so no genuine match is lost. Lossy-but-valid
+    // conversions (timestamp→date, double→float, non-canonical strings)
+    // deliberately do NOT get the guard — their round trip is not the
+    // identity even for values that legitimately match after the cast,
+    // so guarding them would drop genuine matches; they keep the plain
+    // cast's match-on-converted-value semantics.
+    val intWidth: Map[org.apache.spark.sql.types.DataType, Int] = Map(
+      org.apache.spark.sql.types.ByteType -> 1,
+      org.apache.spark.sql.types.ShortType -> 2,
+      org.apache.spark.sql.types.IntegerType -> 4,
+      org.apache.spark.sql.types.LongType -> 8)
     val roundTripSafe = (keys.map { case (l, r) => (r, l) } :+
         (rightOn -> leftOn))
       .collect { case (r, l)
-          if right.schema(r).dataType != left.schema(l).dataType =>
+          if intWidth.get(right.schema(r).dataType).exists(rw =>
+            intWidth.get(left.schema(l).dataType).exists(_ < rw)) =>
         right(r).try_cast(left.schema(l).dataType)
           .try_cast(right.schema(r).dataType) === right(r)
       }

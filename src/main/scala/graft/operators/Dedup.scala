@@ -75,26 +75,32 @@ object Dedup {
       bands: Int = 8,
       rowsPerBand: Int = 2,
       threshold: Double = 0.5,
-      maxBucketSize: Int = 0): DataFrame = {
+      maxBucketSize: Int = 0,
+      persist: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val numHashes = bands * rowsPerBand
+    // With persist = true (default, corpus-scale runs): the expensive
+    // narrow relations are cached because each is referenced by several
+    // consumers (signature agg, size agg, both verification join sides) —
+    // without the cache each reference re-tokenizes the corpus
+    // (self-joins do NOT share unmaterialized subplans). At cluster scale
+    // this is the persist/checkpoint you would put after the expensive
+    // narrow stage; the blocks die with the session (Bench frees them
+    // between samples). persist = false is for REPEATED small-input calls
+    // (the streaming within-batch pass) where an unreleased cache per
+    // call would leak: bounded recompute instead.
+    def cached(d: DataFrame): DataFrame = if (persist) d.persist() else d
 
     // Exploded (id, shingle-hash) relation: each shingle STRING is hashed
     // exactly once; the numHashes minhash "permutations" re-hash the
     // fixed-width long (xxhash64(i, h)) inside vectorized min() aggregates.
     // One shuffle on id; everything upstream is narrow and codegen'd.
-    // Persisted: referenced by the signature agg, the size agg, and both
-    // sides of the verification join — without persist each reference
-    // re-tokenizes the corpus (self-joins do NOT share unmaterialized
-    // subplans). At cluster scale this is the same persist/checkpoint you
-    // would put after the expensive narrow stage.
-    val shex = df
+    val shex = cached(df
       .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
       .select($"id",
         explode(array_distinct(TextOps.shingles($"toks", shingleLen))).as("sh"))
-      .select($"id", xxhash64($"sh").as("h"))
-      .persist()
+      .select($"id", xxhash64($"sh").as("h")))
 
     val sigCols = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), $"h")).as(s"mh$i"))
@@ -104,9 +110,8 @@ object Dedup {
 
     // Bands carry only (id, band, bucket) — candidate generation shuffles
     // ints, never shingle sets (which at corpus scale dwarf the ids).
-    val banded = sigs.select($"id",
-      posexplode(lshBands($"sig", bands, rowsPerBand)).as(Seq("band", "bucket")))
-      .persist()
+    val banded = cached(sigs.select($"id",
+      posexplode(lshBands($"sig", bands, rowsPerBand)).as(Seq("band", "bucket"))))
 
     val capped =
       if (maxBucketSize > 0) {
@@ -308,8 +313,12 @@ object Dedup {
       rowsPerBand: Int = 2,
       threshold: Double = 0.5,
       maxBucketSize: Int = 0): DataFrame =
+    // persist = false: this one-shot convenience has no release point for
+    // a cached index (the result is lazy); callers probing repeatedly
+    // build a [[minhashIndex]] themselves and release it when done
     minhashPairsAgainstIndex(batch,
-      minhashIndex(corpus, idCol, textCol, shingleLen, bands, rowsPerBand),
+      minhashIndex(corpus, idCol, textCol, shingleLen, bands, rowsPerBand,
+        persist = false),
       idCol, textCol, threshold, maxBucketSize)
 
   /** The standing MinHash index over a corpus: the persisted exploded
@@ -367,22 +376,31 @@ object Dedup {
         posexplode(lshBands($"sig", bands, rowsPerBand)).as(Seq("band", "bucket")))
   }
 
-  /** Build (and persist) the standing [[MinhashIndex]] for a corpus. */
+  /** Build the standing [[MinhashIndex]] for a corpus. With
+    * `persist = true` (default) the relations are cached for reuse across
+    * probes — the caller owns the release ([[MinhashIndex.unpersist]]).
+    * `persist = false` is the ONE-SHOT form: nothing is cached (no
+    * release obligation), at the price of the corpus shingle relation
+    * being recomputed by each of its consumers inside a single probe
+    * plan.
+    */
   def minhashIndex(
       corpus: DataFrame,
       idCol: String,
       textCol: String,
       shingleLen: Int = 3,
       bands: Int = 8,
-      rowsPerBand: Int = 2): MinhashIndex = {
+      rowsPerBand: Int = 2,
+      persist: Boolean = true): MinhashIndex = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cEx = shingleHashRelation(corpus, idCol, "corpus_id", textCol,
-      shingleLen).persist()
-    val cBand = bandRelation(cEx, "corpus_id", bands, rowsPerBand).persist()
-    val cSizes = cEx.groupBy($"corpus_id").agg(count(lit(1)).as("nc")).persist()
-    val cBuckets = cBand.groupBy($"band", $"bucket")
-      .agg(count(lit(1)).as("population")).persist()
+    def cached(df: DataFrame): DataFrame = if (persist) df.persist() else df
+    val cEx = cached(shingleHashRelation(corpus, idCol, "corpus_id", textCol,
+      shingleLen))
+    val cBand = cached(bandRelation(cEx, "corpus_id", bands, rowsPerBand))
+    val cSizes = cached(cEx.groupBy($"corpus_id").agg(count(lit(1)).as("nc")))
+    val cBuckets = cached(cBand.groupBy($"band", $"bucket")
+      .agg(count(lit(1)).as("population")))
     MinhashIndex(cEx, cBand, cSizes, cBuckets, bands, rowsPerBand, shingleLen)
   }
 
@@ -417,18 +435,26 @@ object Dedup {
     * partial bucket counts are re-aggregated on load.
     */
   def loadMinhashIndex(
-      spark: org.apache.spark.sql.SparkSession, path: String): MinhashIndex = {
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      excludeAppends: Seq[String] = Nil): MinhashIndex = {
     import spark.implicits._
     val (numBands, rowsPerBand, shingleLen) = loadIndexMeta(path)
     // the append=<id> partition column is a durability artifact, not part
-    // of the relations — select it away
-    val counts = spark.read.parquet(s"$path/bucket_counts")
+    // of the relations — used only to EXCLUDE the named append partitions
+    // (a replaying increment must not see its own prior partial append),
+    // then selected away. Exclusion is partition pruning: the skipped
+    // appends' files are never read.
+    def part(sub: String): DataFrame = {
+      val df = spark.read.parquet(s"$path/$sub")
+      if (excludeAppends.isEmpty) df
+      else df.filter(!$"append".isin(excludeAppends: _*))
+    }
+    val counts = part("bucket_counts")
       .groupBy($"band", $"bucket").agg(sum($"partial").as("population"))
     MinhashIndex(
-      spark.read.parquet(s"$path/shingles").select($"corpus_id", $"h").persist(),
-      spark.read.parquet(s"$path/bands")
-        .select($"corpus_id", $"band", $"bucket").persist(),
-      spark.read.parquet(s"$path/sizes").select($"corpus_id", $"nc").persist(),
+      part("shingles").select($"corpus_id", $"h").persist(),
+      part("bands").select($"corpus_id", $"band", $"bucket").persist(),
+      part("sizes").select($"corpus_id", $"nc").persist(),
       counts.persist(),
       numBands, rowsPerBand, shingleLen)
   }
@@ -494,8 +520,13 @@ object Dedup {
       maxBucketSize: Int = 0): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
+    // NOT persisted: referenced three times in one plan (banding, sizes,
+    // verification), but an increment is small by definition — the
+    // bounded recompute beats a cached relation with no release path,
+    // which would leak one persisted DataFrame per micro-batch in the
+    // streaming caller.
     val bEx = shingleHashRelation(batch, idCol, "batch_id", textCol,
-      index.shingleLen).persist()
+      index.shingleLen)
     val bBand = bandRelation(bEx, "batch_id", index.numBands, index.rowsPerBand)
     val cBand = index.bands
     val cEx = index.shingleHashes

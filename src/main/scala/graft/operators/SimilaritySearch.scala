@@ -243,6 +243,38 @@ object SimilaritySearch {
     }
   }
 
+  /** (idAs, vAs, nrmAs): vectors as doubles plus their L2 norm — the
+    * common head of every LSH relation. Column names are parameters
+    * because the probe side must not collide with corpus columns in the
+    * verification join.
+    */
+  private def normedVectors(
+      df: DataFrame, idCol: String, vecCol: String,
+      idAs: String, vAs: String, nrmAs: String): DataFrame = {
+    val spark = df.sparkSession
+    df.select(col(idCol).as(idAs), VectorOps.toDoubles(col(vecCol)).as(vAs))
+      .withColumn(nrmAs,
+        sqrt(graft.functions.CosineSimilarity.dotFast(spark, col(vAs), col(vAs))))
+  }
+
+  /** One (idAs, tbl, bucket) row per hash table under the (seed + table)-
+    * derived hyperplanes. Index build, durable append, and probe ALL go
+    * through this one function — they must agree bit-for-bit on bucket
+    * geometry for the durable index to work, so the geometry exists in
+    * exactly one place.
+    */
+  private def hyperplaneBucketRelation(
+      e: DataFrame, idAs: String, vAs: String,
+      numPlanes: Int, numTables: Int, dim: Int, seed: Long): DataFrame = {
+    val spark = e.sparkSession
+    val tableStructs = (0 until numTables).map { t =>
+      val planes = hyperplanes(numPlanes, math.max(dim, 1), seed + t)
+      struct(lit(t).as("tbl"), lshBucket(spark, col(vAs), planes).as("bucket"))
+    }
+    e.select(col(idAs), explode(array(tableStructs: _*)).as("tb"))
+      .select(col(idAs), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
   /** Build (and persist) the standing [[LshIndex]] for a corpus. */
   def lshIndex(
       corpus: DataFrame,
@@ -253,21 +285,12 @@ object SimilaritySearch {
       seed: Long = 42L): LshIndex = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val e = corpus
-      .select(col(idCol).as("corpus_id"), VectorOps.toDoubles(col(vecCol)).as("v"))
-      .withColumn("nrm",
-        sqrt(graft.functions.CosineSimilarity.dotFast(spark, $"v", $"v")))
+    val e = normedVectors(corpus, idCol, vecCol, "corpus_id", "v", "nrm")
       .persist()
     val firstRow = e.select(size($"v")).take(1)
     val dim = if (firstRow.isEmpty) 0 else firstRow.head.getInt(0)
-    val tableStructs = (0 until numTables).map { t =>
-      val planes = hyperplanes(numPlanes, math.max(dim, 1), seed + t)
-      struct(lit(t).as("tbl"), lshBucket(spark, $"v", planes).as("bucket"))
-    }
-    val bucketed = e
-      .select($"corpus_id", explode(array(tableStructs: _*)).as("tb"))
-      .select($"corpus_id", $"tb.tbl".as("tbl"), $"tb.bucket".as("bucket"))
-      .persist()
+    val bucketed = hyperplaneBucketRelation(e, "corpus_id", "v",
+      numPlanes, numTables, dim, seed).persist()
     val counts = bucketed.groupBy($"tbl", $"bucket")
       .agg(count(lit(1)).as("population")).persist()
     LshIndex(e, bucketed, counts, numPlanes, numTables, dim, seed)
@@ -308,16 +331,23 @@ object SimilaritySearch {
     * [[appendToLshIndex]].
     */
   def loadLshIndex(
-      spark: org.apache.spark.sql.SparkSession, path: String): LshIndex = {
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      excludeAppends: Seq[String] = Nil): LshIndex = {
     import spark.implicits._
     val (numPlanes, numTables, dim, seed) = loadLshMeta(path)
-    val counts = spark.read.parquet(s"$path/bucket_counts")
+    // same replay contract as Dedup.loadMinhashIndex: excluding an
+    // append partition prunes its files so a replaying increment never
+    // sees its own prior partial append
+    def part(sub: String): DataFrame = {
+      val df = spark.read.parquet(s"$path/$sub")
+      if (excludeAppends.isEmpty) df
+      else df.filter(!$"append".isin(excludeAppends: _*))
+    }
+    val counts = part("bucket_counts")
       .groupBy($"tbl", $"bucket").agg(sum($"partial").as("population"))
     LshIndex(
-      spark.read.parquet(s"$path/vectors")
-        .select($"corpus_id", $"v", $"nrm").persist(),
-      spark.read.parquet(s"$path/buckets")
-        .select($"corpus_id", $"tbl", $"bucket").persist(),
+      part("vectors").select($"corpus_id", $"v", $"nrm").persist(),
+      part("buckets").select($"corpus_id", $"tbl", $"bucket").persist(),
       counts.persist(),
       numPlanes, numTables, dim, seed)
   }
@@ -336,19 +366,10 @@ object SimilaritySearch {
       appendId.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
       s"appendId must be a filesystem-safe token, got '$appendId'")
     val (numPlanes, numTables, dim, seed) = loadLshMeta(path)
-    val e = batch
-      .select(col(idCol).as("corpus_id"), VectorOps.toDoubles(col(vecCol)).as("v"))
-      .withColumn("nrm",
-        sqrt(graft.functions.CosineSimilarity.dotFast(spark, $"v", $"v")))
+    val e = normedVectors(batch, idCol, vecCol, "corpus_id", "v", "nrm")
       .persist()
-    val tableStructs = (0 until numTables).map { t =>
-      val planes = hyperplanes(numPlanes, math.max(dim, 1), seed + t)
-      struct(lit(t).as("tbl"), lshBucket(spark, $"v", planes).as("bucket"))
-    }
-    val bucketed = e
-      .select($"corpus_id", explode(array(tableStructs: _*)).as("tb"))
-      .select($"corpus_id", $"tb.tbl".as("tbl"), $"tb.bucket".as("bucket"))
-      .persist()
+    val bucketed = hyperplaneBucketRelation(e, "corpus_id", "v",
+      numPlanes, numTables, dim, seed).persist()
     e.write.mode("overwrite").parquet(s"$path/vectors/append=$appendId")
     bucketed.write.mode("overwrite").parquet(s"$path/buckets/append=$appendId")
     bucketed.groupBy($"tbl", $"bucket").agg(count(lit(1)).as("partial"))
@@ -377,19 +398,14 @@ object SimilaritySearch {
       maxBucketSize: Int = 0): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val b = batch
-      .select(col(idCol).as("batch_id"), VectorOps.toDoubles(col(vecCol)).as("bv"))
-      .withColumn("bnrm",
-        sqrt(graft.functions.CosineSimilarity.dotFast(spark, $"bv", $"bv")))
-      .persist()
-    val tableStructs = (0 until index.numTables).map { t =>
-      val planes = hyperplanes(index.numPlanes, math.max(index.dim, 1),
-        index.seed + t)
-      struct(lit(t).as("tbl"), lshBucket(spark, $"bv", planes).as("bucket"))
-    }
-    val bBucketed = b
-      .select($"batch_id", explode(array(tableStructs: _*)).as("tb"))
-      .select($"batch_id", $"tb.tbl".as("tbl"), $"tb.bucket".as("bucket"))
+    // NOT persisted: the batch-derived relation is referenced twice in
+    // one plan (bucketing + verification), and an increment is small by
+    // definition — recomputing it is bounded by batch size, whereas a
+    // persist with no release path leaks one cached relation per
+    // micro-batch in a streaming caller.
+    val b = normedVectors(batch, idCol, vecCol, "batch_id", "bv", "bnrm")
+    val bBucketed = hyperplaneBucketRelation(b, "batch_id", "bv",
+      index.numPlanes, index.numTables, index.dim, index.seed)
     val bCapped =
       if (maxBucketSize > 0) {
         val hot = index.bucketCounts
@@ -534,14 +550,15 @@ object SimilaritySearch {
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+      codebooks: Array[Array[Array[Double]]],
+      carryCols: Seq[String] = Nil): DataFrame = {
     val spark = df.sparkSession
     val m = codebooks.length
     val subDim = codebooks.head.head.length
     val v = VectorOps.toDoubles(col(vecCol))
     val code = array((0 until m).map(s =>
       ivfCell(spark, slice(v, s * subDim + 1, subDim), codebooks(s))): _*)
-    df.select(col(idCol).as("id"), code.as("code"))
+    df.select(col(idCol).as("id") +: carryCols.map(col) :+ code.as("code"): _*)
   }
 
   /** Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: the query
@@ -575,10 +592,14 @@ object SimilaritySearch {
       element_at(planeLit(tables(s)), $"code".getItem(s) + 1))
       .reduce(_ + _)
     val base = excludeId.fold(encoded)(id => encoded.filter($"id" =!= id))
+    // order on the UNROUNDED score (rounding first would resolve near-ties
+    // at the k cutoff by id instead of true ADC distance); round only in
+    // the output projection
     base
-      .select($"id", round(lit(1.0) - dist2 / 2.0, 4).as("cosine_adc"))
-      .orderBy($"cosine_adc".desc, $"id")
+      .select($"id", (lit(1.0) - dist2 / 2.0).as("__s"))
+      .orderBy($"__s".desc, $"id")
       .limit(k)
+      .select($"id", round($"__s", 4).as("cosine_adc"))
   }
 
   /** PQ search with exact re-ranking — the standard two-stage recall
@@ -620,9 +641,12 @@ object SimilaritySearch {
     * nprobe/numCells of the data) and each row is m bytes.
     */
   final case class IvfPqIndex private[operators] (
-      encoded: DataFrame, // (id, cell, code)
+      encoded: DataFrame, // (id, cell, code) — persisted by [[fitIvfPq]]
       centroids: Array[Array[Double]],
-      codebooks: Array[Array[Array[Double]]])
+      codebooks: Array[Array[Array[Double]]]) {
+    /** Release the persisted code relation when done probing. */
+    def unpersist(): Unit = encoded.unpersist(blocking = false)
+  }
 
   /** Fit coarse centroids + residual codebooks, and encode the corpus.
     * The residual map uses zip_with (interpreted) — acceptable: encoding
@@ -646,17 +670,24 @@ object SimilaritySearch {
     val centroids = fitCentroids(fitDf, idCol, vecCol, numCells, iters, seed)
     val centLit = array(centroids.map(planeLit): _*)
     val v = VectorOps.toDoubles(col(vecCol))
+    // Persisted TRANSIENTLY: the residual relation (full-corpus centroid
+    // argmin + subtraction) feeds the codebook fit's sample AND the
+    // encode scan — without the cache each consumer recomputes it from
+    // scratch. `cell` rides through pqEncode's projection (carryCols), so
+    // no corpus-wide join is needed to re-attach a column computed here.
     val residuals = df
       .select(col(idCol).as("id"), v.as("v"),
         ivfCell(spark, v, centroids).as("cell"))
       .select($"id", $"cell",
         zip_with($"v", element_at(centLit, $"cell" + 1),
           (a, b) => a - b).as("res"))
+      .persist()
     val books = fitPqCodebooks(residuals, "id", "res", m, codebookSize,
       iters, seed + 1000)
-    val encoded = pqEncode(residuals, "id", "res", books)
-      .join(residuals.select($"id", $"cell"), "id")
-      .select($"id", $"cell", $"code")
+    val encoded = pqEncode(residuals, "id", "res", books,
+      carryCols = Seq("cell")).persist()
+    encoded.count() // materialize the (m bytes/row) codes ...
+    residuals.unpersist(blocking = false) // ... then free the wide residuals
     IvfPqIndex(encoded, centroids, books)
   }
 

@@ -81,6 +81,35 @@ object DedupQueries {
     df
   }
 
+  // Built indexes (LSH / IVF+PQ) get the same lifecycle treatment as the
+  // pair sets: memoized per (session, dir, kind) so repeated invocations
+  // REUSE one set of persisted relations instead of accumulating a new
+  // set each call, evicted (released) when a new dir is touched or the
+  // session ends. The release thunk unpersists the index's relations.
+  private val indexMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), (Any, () => Unit)]
+
+  private def memoizedIndex[T](key: String, s: SparkSession, dir: String)(
+      build: => (T, () => Unit)): T = indexMemo.synchronized {
+    if (indexEvictionHooked.add(s))
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          indexMemo.filterInPlace { case ((sess, _, _), _) => sess != s }
+          indexEvictionHooked.remove(s)
+        }
+      })
+    indexMemo.keys
+      .filter { case (sess, d, _) => sess == s && d != dir }
+      .foreach { k => indexMemo.remove(k).foreach(_._2()) }
+    indexMemo.getOrElseUpdate((s, dir, key), {
+      val (v, release) = build
+      (v, release)
+    })._1.asInstanceOf[T]
+  }
+  private val indexEvictionHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
   def neardupPairs(s: SparkSession, dir: String): DataFrame =
     memoizedPairs("jaccard", s, dir)(q24(s, dir))
 
@@ -375,10 +404,14 @@ object DedupQueries {
   private def q63(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val all = Tables.load(s, dir, "documents")
-    Dedup.minhashPairsAgainst(
-        all.filter($"doc_id" % 8 === 7),
-        all.filter($"doc_id" % 8 =!= 7),
-        "doc_id", "text", threshold = 0.5)
+    val idx = memoizedIndex[Dedup.MinhashIndex]("minhash", s, dir) {
+      val i = Dedup.minhashIndex(
+        all.filter($"doc_id" % 8 =!= 7), "doc_id", "text")
+      (i, () => i.unpersist())
+    }
+    Dedup.minhashPairsAgainstIndex(
+        all.filter($"doc_id" % 8 === 7), idx, "doc_id", "text",
+        threshold = 0.5)
       .orderBy($"batch_id", $"corpus_id")
   }
 
@@ -389,8 +422,11 @@ object DedupQueries {
   private def q64(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.load(s, dir, "embeddings")
-    val idx = SimilaritySearch.lshIndex(
-      emb.filter($"vec_id" % 8 =!= 7), "vec_id", "embedding")
+    val idx = memoizedIndex[SimilaritySearch.LshIndex]("lsh", s, dir) {
+      val i = SimilaritySearch.lshIndex(
+        emb.filter($"vec_id" % 8 =!= 7), "vec_id", "embedding")
+      (i, () => i.unpersist())
+    }
     SimilaritySearch.lshPairsAgainstIndex(
         emb.filter($"vec_id" % 8 === 7), idx, "vec_id", "embedding",
         threshold = 0.45)
@@ -430,8 +466,11 @@ object DedupQueries {
     val qv = emb.filter($"vec_id" === 0)
       .select(VectorOps.toDoubles($"embedding"))
       .head().getSeq[Double](0).toArray
-    val idx = SimilaritySearch.fitIvfPq(emb, "vec_id", "embedding",
-      numCells = 8, m = 8, codebookSize = 64)
+    val idx = memoizedIndex[SimilaritySearch.IvfPqIndex]("ivfpq", s, dir) {
+      val i = SimilaritySearch.fitIvfPq(emb, "vec_id", "embedding",
+        numCells = 8, m = 8, codebookSize = 64)
+      (i, () => i.unpersist())
+    }
     SimilaritySearch.ivfPqTopK(idx, qv, k = 10, nprobe = 4,
       excludeId = Some(0L),
       rerank = Some((emb, "vec_id", "embedding")), overfetch = 8)

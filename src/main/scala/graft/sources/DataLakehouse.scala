@@ -516,7 +516,10 @@ final class DataLakehouse(
         query(asOfTimestampMs =
           Some(java.sql.Timestamp.valueOf(stamps.head).getTime)).df
       else query().df
-    val stripped = tsRe.replaceAllIn(vRe.replaceAllIn(text, tableName), tableName)
+    // quoteReplacement: a '$' or '\' in the table name must be literal in
+    // the rewritten statement, not a regex group reference
+    val rep = java.util.regex.Matcher.quoteReplacement(tableName)
+    val stripped = tsRe.replaceAllIn(vRe.replaceAllIn(text, rep), rep)
     snapshot.createOrReplaceTempView(tableName)
     spark.sql(stripped)
   }

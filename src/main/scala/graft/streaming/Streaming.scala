@@ -249,17 +249,26 @@ object Streaming {
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
   /** Streaming incremental corpus dedup — the production daily loop as a
-    * stream: each micro-batch of documents probes the DURABLE minhash
-    * index at `indexPath` ([[graft.operators.Dedup.loadMinhashIndex]]),
-    * duplicate docs (near-dup of some indexed doc at `threshold`) land in
-    * `dupesDir/batch=N` (overwrite per batch — idempotent under replay,
-    * the DLQ pattern), and NOVEL docs are appended both to `acceptedDir`
-    * and to the index itself (per-batch overwrite partitions + self-pair
-    * filter, so a replayed batch neither double-counts index rows nor
-    * flags itself as duplicate), and later batches dedup against
-    * everything accepted before them. State lives entirely in the index
-    * tables — a restarted or replaced driver continues from the index on
-    * disk.
+    * stream: each micro-batch of documents is deduplicated in TWO passes:
+    * (1) against the DURABLE minhash index at `indexPath`
+    * ([[graft.operators.Dedup.loadMinhashIndex]]) — docs near-duplicating
+    * anything accepted by an EARLIER batch; (2) within the batch itself —
+    * of each surviving near-dup pair the larger id loses, so a doc is
+    * dropped iff it pairs with any smaller-id survivor (greedy min-id
+    * wins: deterministic, so a replay recomputes the identical split).
+    * Duplicates land in `dupesDir/batch=N`, novel docs in
+    * `acceptedDir/batch=N` and in the index's own `append=bN` partitions
+    * (all per-batch overwrites — the DLQ pattern).
+    *
+    * REPLAY SAFETY: the probe loads the index EXCLUDING this batch's own
+    * append partition. Under redelivery the batch's rows are already
+    * indexed under `append=bN`; without the exclusion every replayed doc
+    * would match its own earlier copy — or its within-batch sibling's
+    * copy, vanishing BOTH docs from the corpus. With it, a replay sees
+    * exactly the pre-batch index, recomputes the same split, and
+    * overwrites the same partitions: fully idempotent. State lives
+    * entirely in the index tables — a restarted or replaced driver
+    * continues from the index on disk.
     *
     * The per-batch index load reads the parquet index fresh (cheap at
     * increment cadence; the relations are lazily scanned by the probe),
@@ -276,35 +285,69 @@ object Streaming {
       textCol: String = "text",
       threshold: Double = 0.5,
       maxBucketSize: Int = 0,
-      triggerMs: Long = 100L): StreamingQuery = {
-    import graft.operators.Dedup
+      triggerMs: Long = 100L): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        import spark.implicits._
-        val idx = Dedup.loadMinhashIndex(spark, indexPath)
-        // self-pair filter: under REPLAY the batch's own rows are already
-        // in the index (same ids) — matching yourself is not duplication
-        val dupIds = Dedup.minhashPairsAgainstIndex(batch, idx, idCol,
-            textCol, threshold, maxBucketSize)
-          .filter(col("batch_id") =!= col("corpus_id"))
-          .select(col("batch_id").as(idCol)).distinct()
-        // tiny relation (ids of this increment's duplicates): broadcast
-        // both the dupes projection and the novel anti join
-        val dupes = batch.join(broadcast(dupIds), idCol)
-        val novel = batch.join(broadcast(dupIds), Seq(idCol), "left_anti")
-          .persist() // read twice: accepted sink + index append
-        dupes.write.mode("overwrite").parquet(s"$dupesDir/batch=$batchId")
-        novel.write.mode("overwrite").parquet(s"$acceptedDir/batch=$batchId")
-        Dedup.appendToMinhashIndex(indexPath, novel, idCol, textCol,
-          appendId = s"b$batchId")
-        novel.unpersist(blocking = false)
-        idx.unpersist()
-        ()
+        processDedupBatch(batch, batchId, indexPath, acceptedDir, dupesDir,
+          idCol, textCol, threshold, maxBucketSize)
       }
       .start()
+
+  /** One micro-batch of [[incrementalDedupStream]] — separated so the
+    * replay contract (same batch, same batchId, twice → identical
+    * accepted/dupes/index state) is directly testable.
+    */
+  private[graft] def processDedupBatch(
+      batch: DataFrame,
+      batchId: Long,
+      indexPath: String,
+      acceptedDir: String,
+      dupesDir: String,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      maxBucketSize: Int): Unit = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    // exclude OUR OWN append partition: a replayed batch must probe
+    // the pre-batch index, not its earlier partial self (see scaladoc)
+    val idx = Dedup.loadMinhashIndex(spark, indexPath,
+      excludeAppends = Seq(s"b$batchId"))
+    val dupIds = {
+      // pass 1: near-dups of the standing corpus
+      val corpusDup = Dedup.minhashPairsAgainstIndex(batch, idx, idCol,
+          textCol, threshold, maxBucketSize)
+        .select(col("batch_id").as(idCol)).distinct()
+      val survivors =
+        batch.join(broadcast(corpusDup), Seq(idCol), "left_anti")
+      // pass 2: within-batch near-dups among the survivors, same hash
+      // family as the index; the larger id of each pair loses.
+      // persist = false: a cached relation per micro-batch would leak
+      val wbDup = Dedup.minhashPairs(survivors, idCol, textCol,
+          idx.shingleLen, idx.numBands, idx.rowsPerBand, threshold,
+          maxBucketSize, persist = false)
+        .select(col("b_id").as(idCol)).distinct()
+      corpusDup.unionByName(wbDup).distinct()
+    }.persist() // read twice (dupes projection + novel anti join)
+    try {
+      val dupes = batch.join(broadcast(dupIds), idCol)
+      val novel = batch.join(broadcast(dupIds), Seq(idCol), "left_anti")
+        .persist() // read twice: accepted sink + index append
+      try {
+        dupes.write.mode("overwrite").parquet(s"$dupesDir/batch=$batchId")
+        novel.write.mode("overwrite")
+          .parquet(s"$acceptedDir/batch=$batchId")
+        Dedup.appendToMinhashIndex(indexPath, novel, idCol, textCol,
+          appendId = s"b$batchId")
+      } finally novel.unpersist(blocking = false)
+    } finally {
+      // in a finally: a failed batch will be retried — leaking the
+      // persisted index relations on every retry is unbounded
+      dupIds.unpersist(blocking = false)
+      idx.unpersist()
+    }
   }
 }

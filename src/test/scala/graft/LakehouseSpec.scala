@@ -421,6 +421,14 @@ class LakehouseSpec extends SparkSpec {
       lake.sql("SELECT * FROM trades FOR VERSION AS OF 0 " +
         "JOIN trades FOR VERSION AS OF 1 USING (symbol)")
     }
+    // a '$' in the table name must be treated as a literal in the
+    // rewrite, not a regex group reference: the call must reach Spark's
+    // own view-name validation (AnalysisException) instead of dying
+    // inside the regex engine with a cryptic group-reference error
+    intercept[org.apache.spark.sql.AnalysisException] {
+      lake.sql("SELECT count(*) c FROM `t$1` FOR VERSION AS OF 0",
+        tableName = "t$1")
+    }
   }
 
   test("batch replay in a REPLACED driver process is a no-op") {

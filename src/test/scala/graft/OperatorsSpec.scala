@@ -538,6 +538,20 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq((1L, Some(11L), Some(1.5))))
   }
 
+  test("as-of join: lossy-but-valid dtype conversions still match") {
+    // the wrap guard applies ONLY to integral narrowings — a right DOUBLE
+    // key against a left FLOAT key converts lossily (0.1 does not
+    // round-trip double->float->double) yet 0.1 cast to float IS the left
+    // key, a genuine match the guard must not drop
+    val l = Seq((1L, 0.1f, 100L)).toDF("l_id", "k", "lts")
+    val r = Seq((11L, 0.1, 50, 1.5)).toDF("r_id", "rk", "rts", "payload")
+    val got = AsOfJoin.backward(l, r, Seq("k" -> "rk"), "lts", "rts",
+        "l_id", "r_id")
+      .select($"l_id", $"r_id", $"payload")
+      .as[(Long, Option[Long], Option[Double])].collect().toSeq
+    assert(got == Seq((1L, Some(11L), Some(1.5))))
+  }
+
   test("winnowPairs: cap is conservative and exact above the corpus max df") {
     // q51's hard-coded [2,64] cap as a parameter, with the q24/q28
     // treatment adapted to winnowing's semantics: dropping a hot
@@ -589,6 +603,17 @@ class OperatorsSpec extends SparkSpec {
       if (a.isEmpty) 0L
       else a.groupBy(identity).values.map(_.size).max.toLong)
     assert(got.toSeq == want)
+  }
+
+  test("maxElementFreq works on non-string element types") {
+    // the canonical-string accumulator makes the contract generic: equal
+    // values have equal canonical strings regardless of element type
+    val longs = Seq(Tuple1(Seq(7L, 2L, 2L, 2L, 30L))).toDF("arr")
+    assert(longs.select(TextOps.maxElementFreq($"arr"))
+      .as[Long].head() == 3L)
+    val doubles = Seq(Tuple1(Seq(1.5, 1.5, 2.25))).toDF("arr")
+    assert(doubles.select(TextOps.maxElementFreq($"arr"))
+      .as[Long].head() == 2L)
   }
 
   test("repetition scoring flags a repeated-phrase doc, passes normal text") {
@@ -675,6 +700,19 @@ class OperatorsSpec extends SparkSpec {
     loaded.unpersist(); freshIdx.unpersist()
     assert(got == fresh)
     assert(got.nonEmpty)
+    // excludeAppends: loading WITHOUT the inc1 partition must equal an
+    // index over A alone — the replay-safety primitive (a replaying
+    // increment excludes its own prior partial append)
+    val excl = Dedup.loadMinhashIndex(spark, path,
+      excludeAppends = Seq("inc1"))
+    val gotExcl = Dedup.minhashPairsAgainstIndex(probe, excl,
+        "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val aIdx = Dedup.minhashIndex(a, "doc_id", "text")
+    val aOnly = Dedup.minhashPairsAgainstIndex(probe, aIdx, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    excl.unpersist(); aIdx.unpersist()
+    assert(gotExcl == aOnly)
   }
 
   test("pq adc: exact clones of the query achieve the minimal distance and rank first") {

@@ -289,6 +289,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental dedup: within-batch near-dups split min-id-wins; replay is idempotent") {
+    val idxPath = tempDir("wbidx")
+    val accepted = tempDir("wbaccepted")
+    val dupes = tempDir("wbdupes")
+    val seedA = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val corpus = Seq((1L, seedA)).toDF("doc_id", "text")
+    graft.operators.Dedup.saveMinhashIndex(
+      graft.operators.Dedup.minhashIndex(corpus, "doc_id", "text"), idxPath)
+    // 10 & 11 are near-identical SIBLINGS (novel vs the corpus); 12 dups
+    // the seed; 13 is novel. Expected: 10 survives (min id), 11 loses the
+    // within-batch pass, 12 loses the corpus pass, 13 accepted.
+    val sib = "fresh sibling content words repeated enough times " * 5
+    val batch = Seq(
+      (10L, sib), (11L, sib + "tail"), (12L, seedA),
+      (13L, "entirely different novel words here " * 5)
+    ).toDF("doc_id", "text")
+    def state(): (Set[Long], Set[Long], Set[Long]) = {
+      val acc = spark.read.parquet(accepted).select($"doc_id")
+        .as[Long].collect().toSet
+      val dup = spark.read.parquet(dupes).select($"doc_id")
+        .as[Long].collect().toSet
+      val idx = graft.operators.Dedup.loadMinhashIndex(spark, idxPath)
+      val indexed = idx.sizes.select($"corpus_id").as[Long].collect().toSet
+      idx.unpersist()
+      (acc, dup, indexed)
+    }
+    Streaming.processDedupBatch(batch, 0L, idxPath, accepted, dupes,
+      "doc_id", "text", threshold = 0.5, maxBucketSize = 0)
+    val first = state()
+    assert(first == (Set(10L, 13L), Set(11L, 12L), Set(1L, 10L, 13L)))
+    // REPLAY: batch 0 redelivered after its append already landed. The
+    // probe excludes append=b0, so 10/11 must not match their own or
+    // their sibling's indexed copies — identical state, no docs lost.
+    Streaming.processDedupBatch(batch, 0L, idxPath, accepted, dupes,
+      "doc_id", "text", threshold = 0.5, maxBucketSize = 0)
+    assert(state() == first)
+  }
+
   test("sessionization groups events separated by less than the gap") {
     val df = Seq(
       ("u1", new Timestamp(0L)), ("u1", new Timestamp(60 * 1000L)),
