@@ -478,9 +478,7 @@ object Dedup {
       appendId: String): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    require(appendId.nonEmpty && appendId != "base" &&
-      appendId.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
-      s"appendId must be a filesystem-safe token, got '$appendId'")
+    requireAppendId(appendId)
     val (numBands, rowsPerBand, shingleLen) = loadIndexMeta(path)
     val bEx = shingleHashRelation(batch, idCol, "corpus_id", textCol,
       shingleLen).persist()
@@ -493,6 +491,45 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/bucket_counts/append=$appendId")
     bEx.unpersist(blocking = false)
     bBand.unpersist(blocking = false)
+  }
+
+  private[operators] def requireAppendId(appendId: String): Unit =
+    require(appendId.nonEmpty && appendId != "base" &&
+      appendId.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"appendId must be a filesystem-safe token, got '$appendId'")
+
+  /** Persist a verified near-dup PAIR SET as a durable parquet table —
+    * the cluster pipeline's second piece of standing state (the first is
+    * the minhash index). Cold cluster formation over a large corpus is
+    * otherwise pairs-rebuild + CC rounds; with the pair table on disk it
+    * is read-parquet + CC rounds — probe-shaped, like everything else in
+    * the incremental loop. Schema passes through unchanged, so the same
+    * table works for (a_id, b_id, jaccard) text pairs and
+    * (a_id, b_id, cosine) embedding pairs.
+    */
+  def savePairs(pairs: DataFrame, path: String): Unit =
+    pairs.write.mode("overwrite").parquet(s"$path/append=base")
+
+  /** Append an increment's pairs (batch-vs-corpus + within-batch) under
+    * an `append=<id>` overwrite partition — same idempotent-replay
+    * contract as [[appendToMinhashIndex]].
+    */
+  def appendPairs(path: String, pairs: DataFrame, appendId: String): Unit = {
+    requireAppendId(appendId)
+    pairs.write.mode("overwrite").parquet(s"$path/append=$appendId")
+  }
+
+  /** Load the durable pair table; `excludeAppends` prunes the named
+    * append partitions (replay safety, as in [[loadMinhashIndex]]).
+    */
+  def loadPairs(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      excludeAppends: Seq[String] = Nil): DataFrame = {
+    val df = spark.read.parquet(path)
+    val pruned =
+      if (excludeAppends.isEmpty) df
+      else df.filter(!col("append").isin(excludeAppends: _*))
+    pruned.drop("append")
   }
 
   private def loadIndexMeta(path: String): (Int, Int, Int) = {

@@ -362,9 +362,7 @@ object SimilaritySearch {
       appendId: String): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    require(appendId.nonEmpty && appendId != "base" &&
-      appendId.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
-      s"appendId must be a filesystem-safe token, got '$appendId'")
+    Dedup.requireAppendId(appendId)
     val (numPlanes, numTables, dim, seed) = loadLshMeta(path)
     val e = normedVectors(batch, idCol, vecCol, "corpus_id", "v", "nrm")
       .persist()

@@ -285,20 +285,28 @@ object Streaming {
       textCol: String = "text",
       threshold: Double = 0.5,
       maxBucketSize: Int = 0,
-      triggerMs: Long = 100L): StreamingQuery =
+      triggerMs: Long = 100L,
+      pairsDir: Option[String] = None): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processDedupBatch(batch, batchId, indexPath, acceptedDir, dupesDir,
-          idCol, textCol, threshold, maxBucketSize)
+          idCol, textCol, threshold, maxBucketSize, pairsDir)
       }
       .start()
 
   /** One micro-batch of [[incrementalDedupStream]] — separated so the
     * replay contract (same batch, same batchId, twice → identical
     * accepted/dupes/index state) is directly testable.
+    *
+    * With `pairsDir` set, the batch's verified pairs (batch-vs-corpus,
+    * oriented (batch, corpus), plus within-batch) are also appended to a
+    * durable [[graft.operators.Dedup.loadPairs]] table under the same
+    * `append=b<batchId>` replay contract — cold cluster formation over
+    * the whole corpus history is then read-parquet + CC rounds, no pairs
+    * rebuild.
     */
   private[graft] def processDedupBatch(
       batch: DataFrame,
@@ -309,29 +317,35 @@ object Streaming {
       idCol: String,
       textCol: String,
       threshold: Double,
-      maxBucketSize: Int): Unit = {
+      maxBucketSize: Int,
+      pairsDir: Option[String] = None): Unit = {
     import graft.operators.Dedup
     val spark = batch.sparkSession
     // exclude OUR OWN append partition: a replayed batch must probe
     // the pre-batch index, not its earlier partial self (see scaladoc)
     val idx = Dedup.loadMinhashIndex(spark, indexPath,
       excludeAppends = Seq(s"b$batchId"))
-    val dupIds = {
-      // pass 1: near-dups of the standing corpus
-      val corpusDup = Dedup.minhashPairsAgainstIndex(batch, idx, idCol,
-          textCol, threshold, maxBucketSize)
-        .select(col("batch_id").as(idCol)).distinct()
-      val survivors =
-        batch.join(broadcast(corpusDup), Seq(idCol), "left_anti")
-      // pass 2: within-batch near-dups among the survivors, same hash
-      // family as the index; the larger id of each pair loses.
-      // persist = false: a cached relation per micro-batch would leak
-      val wbDup = Dedup.minhashPairs(survivors, idCol, textCol,
-          idx.shingleLen, idx.numBands, idx.rowsPerBand, threshold,
-          maxBucketSize, persist = false)
-        .select(col("b_id").as(idCol)).distinct()
-      corpusDup.unionByName(wbDup).distinct()
-    }.persist() // read twice (dupes projection + novel anti join)
+    // when the pair frames feed TWO consumers (dup-id split + durable
+    // pair append) they are persisted for the batch and freed in the
+    // finally; single-consumer (no pairsDir) stays unpersisted
+    def forBatch(df: DataFrame): DataFrame =
+      if (pairsDir.isDefined) df.persist() else df
+    // pass 1: near-dups of the standing corpus
+    val corpusPairs = forBatch(Dedup.minhashPairsAgainstIndex(batch, idx,
+      idCol, textCol, threshold, maxBucketSize))
+    val corpusDup = corpusPairs.select(col("batch_id").as(idCol)).distinct()
+    val survivors =
+      batch.join(broadcast(corpusDup), Seq(idCol), "left_anti")
+    // pass 2: within-batch near-dups among the survivors, same hash
+    // family as the index; the larger id of each pair loses.
+    // persist = false: a cached relation per micro-batch would leak
+    val wbPairs = forBatch(Dedup.minhashPairs(survivors, idCol, textCol,
+      idx.shingleLen, idx.numBands, idx.rowsPerBand, threshold,
+      maxBucketSize, persist = false))
+    val dupIds = corpusDup
+      .unionByName(wbPairs.select(col("b_id").as(idCol)).distinct())
+      .distinct()
+      .persist() // read twice (dupes projection + novel anti join)
     try {
       val dupes = batch.join(broadcast(dupIds), idCol)
       val novel = batch.join(broadcast(dupIds), Seq(idCol), "left_anti")
@@ -342,11 +356,22 @@ object Streaming {
           .parquet(s"$acceptedDir/batch=$batchId")
         Dedup.appendToMinhashIndex(indexPath, novel, idCol, textCol,
           appendId = s"b$batchId")
+        pairsDir.foreach { pd =>
+          Dedup.appendPairs(pd,
+            corpusPairs.select(col("batch_id").as("a_id"),
+              col("corpus_id").as("b_id"), col("jaccard"))
+              .unionByName(wbPairs),
+            appendId = s"b$batchId")
+        }
       } finally novel.unpersist(blocking = false)
     } finally {
       // in a finally: a failed batch will be retried — leaking the
       // persisted index relations on every retry is unbounded
       dupIds.unpersist(blocking = false)
+      if (pairsDir.isDefined) {
+        corpusPairs.unpersist(blocking = false)
+        wbPairs.unpersist(blocking = false)
+      }
       idx.unpersist()
     }
   }

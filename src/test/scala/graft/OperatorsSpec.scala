@@ -715,6 +715,39 @@ class OperatorsSpec extends SparkSpec {
     assert(gotExcl == aOnly)
   }
 
+  test("durable pair table: base + increment appends reproduce the full-run pair set") {
+    // the cluster pipeline's standing state: a base full-run pair set
+    // plus per-increment appends (cross pairs from the index probe +
+    // within-increment pairs) must hold EXACTLY the pairs a full run
+    // over the union corpus produces — so cold cluster formation can
+    // read the table instead of rebuilding pairs
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val a = docs.filter($"doc_id" % 4 === 2)
+    val b = docs.filter($"doc_id" % 4 === 0)
+    val path = tempDir("pairtbl")
+    Dedup.savePairs(
+      Dedup.minhashPairs(a, "doc_id", "text", persist = false), path)
+    val idx = Dedup.minhashIndex(a, "doc_id", "text")
+    val cross = Dedup.minhashPairsAgainstIndex(b, idx, "doc_id", "text")
+      .select($"batch_id".as("a_id"), $"corpus_id".as("b_id"), $"jaccard")
+    val withinB = Dedup.minhashPairs(b, "doc_id", "text", persist = false)
+    Dedup.appendPairs(path, cross.unionByName(withinB), "inc1")
+    // replayed append overwrites its own partition — no double count
+    Dedup.appendPairs(path, cross.unionByName(withinB), "inc1")
+    idx.unpersist()
+    def norm(df: org.apache.spark.sql.DataFrame) = df.select(
+        least($"a_id", $"b_id"), greatest($"a_id", $"b_id"), $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val loaded = norm(Dedup.loadPairs(spark, path))
+    val full = norm(
+      Dedup.minhashPairs(a.unionAll(b), "doc_id", "text", persist = false))
+    assert(loaded == full)
+    assert(loaded.nonEmpty)
+    // excludeAppends prunes the increment back out (replay primitive)
+    assert(norm(Dedup.loadPairs(spark, path, excludeAppends = Seq("inc1")))
+      == norm(Dedup.minhashPairs(a, "doc_id", "text", persist = false)))
+  }
+
   test("pq adc: exact clones of the query achieve the minimal distance and rank first") {
     // a clone of q encodes to q's own code, and q's code minimizes every
     // per-subspace table entry — so clones attain the minimum possible

@@ -305,7 +305,8 @@ class StreamingSpec extends SparkSpec {
       (10L, sib), (11L, sib + "tail"), (12L, seedA),
       (13L, "entirely different novel words here " * 5)
     ).toDF("doc_id", "text")
-    def state(): (Set[Long], Set[Long], Set[Long]) = {
+    val pairsTbl = tempDir("wbpairs")
+    def state(): (Set[Long], Set[Long], Set[Long], Set[(Long, Long)]) = {
       val acc = spark.read.parquet(accepted).select($"doc_id")
         .as[Long].collect().toSet
       val dup = spark.read.parquet(dupes).select($"doc_id")
@@ -313,17 +314,25 @@ class StreamingSpec extends SparkSpec {
       val idx = graft.operators.Dedup.loadMinhashIndex(spark, idxPath)
       val indexed = idx.sizes.select($"corpus_id").as[Long].collect().toSet
       idx.unpersist()
-      (acc, dup, indexed)
+      val pairs = graft.operators.Dedup.loadPairs(spark, pairsTbl)
+        .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+      (acc, dup, indexed, pairs)
     }
     Streaming.processDedupBatch(batch, 0L, idxPath, accepted, dupes,
-      "doc_id", "text", threshold = 0.5, maxBucketSize = 0)
+      "doc_id", "text", threshold = 0.5, maxBucketSize = 0,
+      pairsDir = Some(pairsTbl))
     val first = state()
-    assert(first == (Set(10L, 13L), Set(11L, 12L), Set(1L, 10L, 13L)))
+    assert((first._1, first._2, first._3) ==
+      ((Set(10L, 13L), Set(11L, 12L), Set(1L, 10L, 13L))))
+    // the durable pair table records the corpus match (12, seed 1) and
+    // the within-batch sibling pair (10, 11)
+    assert(first._4 == Set((12L, 1L), (10L, 11L)))
     // REPLAY: batch 0 redelivered after its append already landed. The
     // probe excludes append=b0, so 10/11 must not match their own or
     // their sibling's indexed copies — identical state, no docs lost.
     Streaming.processDedupBatch(batch, 0L, idxPath, accepted, dupes,
-      "doc_id", "text", threshold = 0.5, maxBucketSize = 0)
+      "doc_id", "text", threshold = 0.5, maxBucketSize = 0,
+      pairsDir = Some(pairsTbl))
     assert(state() == first)
   }
 
