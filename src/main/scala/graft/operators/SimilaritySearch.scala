@@ -159,20 +159,22 @@ object SimilaritySearch {
       numPlanes: Int = 4,
       numTables: Int = 8,
       maxBucketSize: Int = 0,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      persist: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // Norms once (n rows), so verification does only the fused dot; the
-    // vectors are persisted because bucketing and BOTH verify joins read
-    // them (self-referencing plans do not share unmaterialized subtrees).
-    val e = df
-      .select(col(idCol).as("id"), VectorOps.toDoubles(col(vecCol)).as("v"))
-      .withColumn("nrm",
-        sqrt(graft.functions.CosineSimilarity.dotFast(spark, $"v", $"v")))
-      .persist()
+    // Norms once (n rows), so verification does only the fused dot. With
+    // persist = true (default, full-corpus runs) the vector and bucket
+    // relations are cached because bucketing and BOTH verify joins read
+    // them (self-referencing plans do not share unmaterialized
+    // subtrees); blocks die with the session. persist = false is for
+    // repeated small-input calls (the streaming within-batch pass) where
+    // an unreleased cache per call would leak.
+    def cached(d: DataFrame): DataFrame = if (persist) d.persist() else d
+    val e = cached(normedVectors(df, idCol, vecCol, "id", "v", "nrm"))
     val firstRow = e.select(size($"v")).take(1)
     if (firstRow.isEmpty) { // empty corpus: no pairs, and no dim to bucket by
-      e.unpersist()
+      if (persist) e.unpersist()
       return e.sparkSession.emptyDataFrame
         .select(lit(0L).as("a_id"), lit(0L).as("b_id"),
           lit(0.0).as("cosine")).limit(0)
@@ -180,14 +182,8 @@ object SimilaritySearch {
     val dim = firstRow.head.getInt(0)
 
     // (id, table, bucket) rows — ints only, numTables per vector.
-    val tableStructs = (0 until numTables).map { t =>
-      val planes = hyperplanes(numPlanes, dim, seed + t)
-      struct(lit(t).as("tbl"), lshBucket(spark, $"v", planes).as("bucket"))
-    }
-    val bucketed = e
-      .select($"id", explode(array(tableStructs: _*)).as("tb"))
-      .select($"id", $"tb.tbl".as("tbl"), $"tb.bucket".as("bucket"))
-      .persist()
+    val bucketed = cached(hyperplaneBucketRelation(e, "id", "v",
+      numPlanes, numTables, dim, seed))
 
     val capped =
       if (maxBucketSize > 0) {

@@ -297,6 +297,38 @@ object Streaming {
       }
       .start()
 
+  /** SEMANTIC incremental dedup as a stream — the embedding twin of
+    * [[incrementalDedupStream]]: micro-batches of (id, vector) rows
+    * probe the durable hyperplane-LSH index at `indexPath`
+    * ([[graft.operators.SimilaritySearch.loadLshIndex]]), near-dups at
+    * cosine >= `threshold` land in `dupesDir/batch=N`, novel vectors are
+    * accepted and appended to the index. Same two-pass split
+    * (corpus probe + within-batch, min-id wins), same replay contract
+    * (the probe excludes the batch's own append partition), same
+    * optional durable pair table.
+    */
+  def incrementalEmbeddingDedupStream(
+      vecs: DataFrame, // streaming (vec_id, embedding, ...)
+      indexPath: String,
+      acceptedDir: String,
+      dupesDir: String,
+      checkpointDir: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      threshold: Double = 0.9,
+      maxBucketSize: Int = 0,
+      triggerMs: Long = 100L,
+      pairsDir: Option[String] = None): StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processEmbeddingDedupBatch(batch, batchId, indexPath, acceptedDir,
+          dupesDir, idCol, vecCol, threshold, maxBucketSize, pairsDir)
+      }
+      .start()
+
   /** One micro-batch of [[incrementalDedupStream]] — separated so the
     * replay contract (same batch, same batchId, twice → identical
     * accepted/dupes/index state) is directly testable.
@@ -325,23 +357,88 @@ object Streaming {
     // the pre-batch index, not its earlier partial self (see scaladoc)
     val idx = Dedup.loadMinhashIndex(spark, indexPath,
       excludeAppends = Seq(s"b$batchId"))
+    runIncrementalDedupBatch(batch, batchId, acceptedDir, dupesDir, idCol,
+      pairsDir,
+      probePairs = Dedup.minhashPairsAgainstIndex(batch, idx, idCol,
+        textCol, threshold, maxBucketSize),
+      withinBatchPairs = survivors =>
+        Dedup.minhashPairs(survivors, idCol, textCol, idx.shingleLen,
+          idx.numBands, idx.rowsPerBand, threshold, maxBucketSize,
+          persist = false),
+      appendIndex = novel => Dedup.appendToMinhashIndex(indexPath, novel,
+        idCol, textCol, appendId = s"b$batchId"),
+      releaseIndex = () => idx.unpersist())
+  }
+
+  /** The embedding twin of [[processDedupBatch]]: one micro-batch of
+    * [[incrementalEmbeddingDedupStream]] — probe the durable
+    * hyperplane-LSH index (excluding this batch's own append), then a
+    * within-batch cosine pass under the SAME seed-derived hyperplanes.
+    */
+  private[graft] def processEmbeddingDedupBatch(
+      batch: DataFrame,
+      batchId: Long,
+      indexPath: String,
+      acceptedDir: String,
+      dupesDir: String,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      maxBucketSize: Int,
+      pairsDir: Option[String] = None): Unit = {
+    import graft.operators.SimilaritySearch
+    val spark = batch.sparkSession
+    val idx = SimilaritySearch.loadLshIndex(spark, indexPath,
+      excludeAppends = Seq(s"b$batchId"))
+    runIncrementalDedupBatch(batch, batchId, acceptedDir, dupesDir, idCol,
+      pairsDir,
+      probePairs = SimilaritySearch.lshPairsAgainstIndex(batch, idx, idCol,
+        vecCol, threshold, maxBucketSize),
+      withinBatchPairs = survivors =>
+        SimilaritySearch.lshPairs(survivors, idCol, vecCol, threshold,
+          idx.numPlanes, idx.numTables, maxBucketSize, idx.seed,
+          persist = false),
+      appendIndex = novel => SimilaritySearch.appendToLshIndex(indexPath,
+        novel, idCol, vecCol, appendId = s"b$batchId"),
+      releaseIndex = () => idx.unpersist())
+  }
+
+  /** The shared micro-batch core of the two incremental dedup streams:
+    * split the batch into duplicates (corpus pass + within-batch pass)
+    * and novel docs, write both, append the novel rows to the index, and
+    * optionally record the verified pairs durably. Everything
+    * modality-specific (how to probe, how to pair within the batch, how
+    * to grow the index) comes in as functions.
+    *
+    * `probePairs` must return (batch_id, corpus_id, score);
+    * `withinBatchPairs` must return (a_id, b_id, score) with a_id < b_id
+    * — the larger id loses.
+    */
+  private def runIncrementalDedupBatch(
+      batch: DataFrame,
+      batchId: Long,
+      acceptedDir: String,
+      dupesDir: String,
+      idCol: String,
+      pairsDir: Option[String],
+      probePairs: => DataFrame,
+      withinBatchPairs: DataFrame => DataFrame,
+      appendIndex: DataFrame => Unit,
+      releaseIndex: () => Unit): Unit = {
+    import graft.operators.Dedup
     // when the pair frames feed TWO consumers (dup-id split + durable
     // pair append) they are persisted for the batch and freed in the
     // finally; single-consumer (no pairsDir) stays unpersisted
     def forBatch(df: DataFrame): DataFrame =
       if (pairsDir.isDefined) df.persist() else df
     // pass 1: near-dups of the standing corpus
-    val corpusPairs = forBatch(Dedup.minhashPairsAgainstIndex(batch, idx,
-      idCol, textCol, threshold, maxBucketSize))
+    val corpusPairs = forBatch(probePairs)
     val corpusDup = corpusPairs.select(col("batch_id").as(idCol)).distinct()
     val survivors =
       batch.join(broadcast(corpusDup), Seq(idCol), "left_anti")
     // pass 2: within-batch near-dups among the survivors, same hash
-    // family as the index; the larger id of each pair loses.
-    // persist = false: a cached relation per micro-batch would leak
-    val wbPairs = forBatch(Dedup.minhashPairs(survivors, idCol, textCol,
-      idx.shingleLen, idx.numBands, idx.rowsPerBand, threshold,
-      maxBucketSize, persist = false))
+    // family as the index; the larger id of each pair loses
+    val wbPairs = forBatch(withinBatchPairs(survivors))
     val dupIds = corpusDup
       .unionByName(wbPairs.select(col("b_id").as(idCol)).distinct())
       .distinct()
@@ -354,12 +451,14 @@ object Streaming {
         dupes.write.mode("overwrite").parquet(s"$dupesDir/batch=$batchId")
         novel.write.mode("overwrite")
           .parquet(s"$acceptedDir/batch=$batchId")
-        Dedup.appendToMinhashIndex(indexPath, novel, idCol, textCol,
-          appendId = s"b$batchId")
+        appendIndex(novel)
         pairsDir.foreach { pd =>
+          // both pair frames carry exactly (a/batch, b/corpus, score);
+          // the score column name (jaccard/cosine) passes through
+          val score = corpusPairs.columns(2)
           Dedup.appendPairs(pd,
             corpusPairs.select(col("batch_id").as("a_id"),
-              col("corpus_id").as("b_id"), col("jaccard"))
+              col("corpus_id").as("b_id"), col(score))
               .unionByName(wbPairs),
             appendId = s"b$batchId")
         }
@@ -372,7 +471,7 @@ object Streaming {
         corpusPairs.unpersist(blocking = false)
         wbPairs.unpersist(blocking = false)
       }
-      idx.unpersist()
+      releaseIndex()
     }
   }
 }

@@ -336,6 +336,85 @@ class StreamingSpec extends SparkSpec {
     assert(state() == first)
   }
 
+  test("incremental embedding dedup: two-pass split and replay, vector twin") {
+    val idxPath = tempDir("vecidx")
+    val accepted = tempDir("vecacc")
+    val dupes = tempDir("vecdup")
+    val pairsTbl = tempDir("vecpairs")
+    import graft.operators.SimilaritySearch
+    // seed corpus: one unit vector along e1
+    val u = Seq(1.0, 0.0, 0.0, 0.0)
+    val corpus = Seq((1L, u)).toDF("vec_id", "embedding")
+    SimilaritySearch.saveLshIndex(
+      SimilaritySearch.lshIndex(corpus, "vec_id", "embedding"), idxPath)
+    // 10 & 11: near-identical SIBLINGS in a novel direction; 12: a scaled
+    // copy of the seed (cosine 1); 13: orthogonal novel. Expected:
+    // 10 survives (min id), 11 loses within-batch, 12 loses the corpus
+    // pass, 13 accepted.
+    val batch = Seq(
+      (10L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (11L, Seq(0.001, 0.9999, 0.0, 0.0)),
+      (12L, Seq(2.0, 0.0, 0.0, 0.0)),
+      (13L, Seq(0.0, 0.0, 1.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    def state(): (Set[Long], Set[Long], Set[Long], Set[(Long, Long)]) = {
+      val acc = spark.read.parquet(accepted).select($"vec_id")
+        .as[Long].collect().toSet
+      val dup = spark.read.parquet(dupes).select($"vec_id")
+        .as[Long].collect().toSet
+      val idx = SimilaritySearch.loadLshIndex(spark, idxPath)
+      val indexed = idx.vectors.select($"corpus_id").as[Long].collect().toSet
+      idx.unpersist()
+      val pairs = graft.operators.Dedup.loadPairs(spark, pairsTbl)
+        .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+      (acc, dup, indexed, pairs)
+    }
+    Streaming.processEmbeddingDedupBatch(batch, 0L, idxPath, accepted,
+      dupes, "vec_id", "embedding", threshold = 0.9, maxBucketSize = 0,
+      pairsDir = Some(pairsTbl))
+    val first = state()
+    assert((first._1, first._2, first._3) ==
+      ((Set(10L, 13L), Set(11L, 12L), Set(1L, 10L, 13L))))
+    assert(first._4 == Set((12L, 1L), (10L, 11L)))
+    // replay: identical state, no vectors lost
+    Streaming.processEmbeddingDedupBatch(batch, 0L, idxPath, accepted,
+      dupes, "vec_id", "embedding", threshold = 0.9, maxBucketSize = 0,
+      pairsDir = Some(pairsTbl))
+    assert(state() == first)
+  }
+
+  test("incremental embedding dedup stream: later batches dedup against earlier accepts") {
+    implicit val sc = spark.sqlContext
+    import graft.operators.SimilaritySearch
+    val idxPath = tempDir("vecsidx")
+    val accepted = tempDir("vecsacc")
+    val dupes = tempDir("vecsdup")
+    val corpus = Seq((1L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    SimilaritySearch.saveLshIndex(
+      SimilaritySearch.lshIndex(corpus, "vec_id", "embedding"), idxPath)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = Streaming.incrementalEmbeddingDedupStream(
+      mem.toDF().toDF("vec_id", "embedding"), idxPath, accepted, dupes,
+      tempDir("vecsckpt"))
+    try {
+      // batch 0: one dup of the seed, one novel direction
+      mem.addData((10L, Seq(3.0, 0.0, 0.0, 0.0)),
+        (11L, Seq(0.0, 1.0, 0.0, 0.0)))
+      q.processAllAvailable()
+      // batch 1: a dup of the vector ACCEPTED in batch 0 — the index
+      // grew mid-stream — plus one more novel direction
+      mem.addData((20L, Seq(0.0, 0.5, 0.0, 0.0)),
+        (21L, Seq(0.0, 0.0, 0.0, 1.0)))
+      q.processAllAvailable()
+      val acc = spark.read.parquet(accepted).select($"vec_id")
+        .as[Long].collect().toSet
+      val dup = spark.read.parquet(dupes).select($"vec_id")
+        .as[Long].collect().toSet
+      assert(dup == Set(10L, 20L))
+      assert(acc == Set(11L, 21L))
+    } finally q.stop()
+  }
+
   test("sessionization groups events separated by less than the gap") {
     val df = Seq(
       ("u1", new Timestamp(0L)), ("u1", new Timestamp(60 * 1000L)),
