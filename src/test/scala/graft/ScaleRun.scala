@@ -157,6 +157,34 @@ object ScaleRun {
       spark.stop(); return
     }
 
+    // Durable pair table: cold CLUSTER formation from the standing pair
+    // table (read parquet + CC rounds) vs the full rebuild (pairs + CC).
+    // The pair table is written once (in production: grown per increment
+    // by the streaming loop); the cold path's cost should be the CC
+    // rounds alone — the claim that made savePairs worth building.
+    if (which == "paircc") {
+      import java.nio.file.Files
+      val path = Files.createTempDirectory("pairtbl").toString
+      val pairs = operators.Dedup.minhashPairs(big, "doc_id", "text",
+        threshold = 0.5, maxBucketSize = 500)
+      operators.Dedup.savePairs(pairs, path) // standing state, untimed
+      val t1 = System.nanoTime()
+      val cold = operators.Dedup.connectedComponents(
+        operators.Dedup.loadPairs(spark, path)).count()
+      val coldS = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val rebuilt = operators.Dedup.connectedComponents(
+        operators.Dedup.minhashPairs(big, "doc_id", "text",
+          threshold = 0.5, maxBucketSize = 500)).count()
+      val rebuildS = (System.nanoTime() - t2) / 1e9
+      println(f"[scale] paircc ${mult}x docs=$n clustered=$cold " +
+        f"coldSecs=$coldS%.1f rebuildClustered=$rebuilt " +
+        f"rebuildSecs=$rebuildS%.1f speedup=${rebuildS / coldS}%.1fx")
+      assert(cold == rebuilt)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+      spark.stop(); return
+    }
+
     // High-diameter CC worst case: ONE chain of mult×100k nodes
     // (diameter = n−1). Min-label propagation moves the min one hop per
     // round — it would need n rounds (a non-starter at any scale); the
