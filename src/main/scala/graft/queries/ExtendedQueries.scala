@@ -445,7 +445,53 @@ object ExtendedQueries {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_type ORDER BY p_type""".stripMargin
 
+  // q67 — sessionization (gaps-and-islands): split each user's event
+  // stream into sessions at >30-minute silences, then aggregate per
+  // session. The batch twin of the streaming tier's session_window (T7)
+  // — and the shape every behavioral/telemetry pipeline needs. Scale
+  // shape: ONE shuffle on user_id serves both windows AND the final
+  // aggregate (same partitioning, Exchange reuse); the session id is a
+  // running sum over the already-sorted partition, so no second sort.
+  // (session_window exists in batch Spark too, but its [start,end)
+  // interval semantics differ from the gap rule and aren't portable to
+  // an oracle; the windowed form is exact and engine-neutral.)
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    t(s, dir, "events")
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("new_s",
+        when($"prev_ts".isNull ||
+          unix_micros($"ts") - unix_micros($"prev_ts") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_no", sum($"new_s").over(w))
+      .groupBy($"user_id", $"session_no")
+      // epoch-µs longs, not raw timestamps: the parquet↔pandas↔DuckDB
+      // dtype bridge is exact for int64 (catalog convention, cf. q13/q17)
+      .agg(min(unix_micros($"ts")).as("session_start"),
+        max(unix_micros($"ts")).as("session_end"),
+        count(lit(1)).as("n_events"), round(sum($"value"), 4).as("sum_value"))
+      .orderBy($"user_id", $"session_start")
+  }
+
+  private val q67Sql =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_no
+      |  FROM g)
+      |SELECT user_id, session_no, min(epoch_us(ts)) AS session_start,
+      |  max(epoch_us(ts)) AS session_end,
+      |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM s GROUP BY user_id, session_no ORDER BY user_id, session_start""".stripMargin
+
   val defs: Seq[(String, QFn)] = Seq(
+    "q67_sessionization" -> (q67 _),
     "q47_scalar_subquery" -> (q47 _),
     "q48_recursive_cte" -> (q48 _),
     "q44_pivot" -> (q44 _),
@@ -467,6 +513,7 @@ object ExtendedQueries {
     "q39_approx_distinct" -> (q39 _))
 
   val oracle: Seq[(String, String)] = Seq(
+    "q67_sessionization" -> q67Sql,
     "q47_scalar_subquery" -> q47Sql,
     "q48_recursive_cte" -> q48Sql,
     "q44_pivot" -> q44Sql,

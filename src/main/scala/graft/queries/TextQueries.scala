@@ -296,7 +296,99 @@ object TextQueries {
       |  (coalesce(uni_frac > 0.3, false) OR coalesce(bi_frac > 0.18, false)) AS repetitive
       |FROM sc ORDER BY doc_id""".stripMargin
 
+  // q68 — TF-IDF keyword extraction: top-3 terms per document by
+  // tf·idf (tf normalized by doc length, idf = ln(N/df)). The classic
+  // relevance/keyword operator for corpus curation and search-index
+  // building. Scale shape: the (doc_id, term) term-frequency relation is
+  // ONE shuffle (word-count with map-side combine); doc lengths reuse it
+  // with a doc_id-partitioned re-aggregation; the document-frequency
+  // side is a term-keyed aggregate whose result (vocabulary-sized, ≪
+  // corpus) BROADCASTS back onto the tf relation; the final top-3 is a
+  // per-doc window on the already-doc-partitioned data. Ranking compares
+  // the ROUNDED score (6 dp) with a term tie-break in both engines, so
+  // cross-engine float noise in ln/÷ cannot flip ranks.
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs(s, dir)
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dlen = tf.groupBy($"doc_id").agg(sum($"tf").as("dlen"))
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs(s, dir).agg(count(lit(1)).as("n"))
+    val scored = tf
+      .join(dlen, "doc_id")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .select($"doc_id", $"term",
+        round($"tf".cast("double") / $"dlen" *
+          log($"n".cast("double") / $"df"), 6).as("tfidf"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term"))
+        .cast("long"))
+      .filter($"rk" <= 3)
+      .select($"doc_id", $"term", $"tfidf", $"rk")
+      .orderBy($"doc_id", $"rk")
+  }
+
+  private val q68Sql =
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, sum(tf) AS dlen FROM tf GROUP BY 1),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    round(CAST(tf.tf AS DOUBLE) / dl.dlen * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+      |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id JOIN df ON tf.term = df.term, n),
+      |rk AS (
+      |  SELECT doc_id, term, tfidf,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+      |  FROM sc)
+      |SELECT doc_id, term, tfidf, rk FROM rk WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin
+
+  // q69 — balanced stratified sample: deterministically downsample every
+  // language stratum to the size of the SMALLEST stratum (class
+  // balancing before training). Selection order within a stratum is the
+  // md5 of the doc id — a pure function of the row, so the sample is
+  // reproducible across runs/engines and stable under repartitioning,
+  // like q58's split. Scale note: the per-stratum rank is a window over
+  // few, huge partitions — the balanced-EXACT form is inherently a
+  // per-stratum global order. At 100 TB, cut by hash THRESHOLD instead
+  // (rate=k/count, q58's shape, no window) and accept ±ε stratum sizes;
+  // this exact form is for the stratum counts that fit a window.
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val k = docs(s, dir).groupBy($"lang").agg(count(lit(1)).as("cnt"))
+      .agg(min($"cnt").as("k"))
+    docs(s, dir)
+      .select($"doc_id", $"lang",
+        md5($"doc_id".cast("string").cast("binary")).as("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"lang").orderBy($"h", $"doc_id")).cast("long"))
+      .crossJoin(broadcast(k))
+      .filter($"rk" <= $"k")
+      .select($"doc_id", $"lang", $"rk")
+      .orderBy($"lang", $"rk")
+  }
+
+  private val q69Sql =
+    """WITH r AS (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents),
+      |k AS (SELECT min(cnt) AS k FROM (SELECT count(*) AS cnt FROM documents GROUP BY lang))
+      |SELECT doc_id, lang, rk FROM r, k WHERE rk <= k.k ORDER BY lang, rk""".stripMargin
+
   val defs: Seq[(String, QFn)] = Seq(
+    "q68_tfidf" -> (q68 _),
+    "q69_stratified_sample" -> (q69 _),
     "q19_top_tokens" -> (q19 _),
     "q20_lang_profile" -> (q20 _),
     "q21_text_quality" -> (q21 _),
@@ -310,6 +402,8 @@ object TextQueries {
     "q61_repetition" -> (q61 _))
 
   val oracle: Seq[(String, String)] = Seq(
+    "q68_tfidf" -> q68Sql,
+    "q69_stratified_sample" -> q69Sql,
     "q19_top_tokens" -> q19Sql,
     "q20_lang_profile" -> q20Sql,
     "q21_text_quality" -> q21Sql,

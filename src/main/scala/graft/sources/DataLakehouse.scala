@@ -184,9 +184,24 @@ final class DataLakehouse(
     */
   def appendDF(df: DataFrame, batchId: Option[String] = None): Long = {
     if (batchId.exists(txnLog.hasBatch)) return 0L
-    val stagingId = UUID.randomUUID().toString
-    val staging = s"$root/_staging/$stagingId"
     val withDate = df.withColumn("date", model.dateKey)
+    val added = stageClusteredWrite(withDate)
+    val (counts, stats) = commitMeta(added)
+    txnLog.commit(added = added, batchId = batchId,
+      schemaJson = Some(withDate.schema.json),
+      rowCounts = counts, fileStats = stats)
+    // leaf partitions touched (all k=v levels, not just the first)
+    added.map(r => r.take(math.max(0, r.lastIndexOf('/')))).distinct.size.toLong
+  }
+
+  /** Cluster (per `clusterOnWrite`/`zorderCols`), write to a staging dir,
+    * publish into the table root; returns the published relative paths.
+    * The caller owns the txn commit — every write path (append, rewrite,
+    * compaction) funnels through here so clustering and file layout stay
+    * uniform.
+    */
+  private def stageClusteredWrite(withDate: DataFrame): Seq[String] = {
+    val staging = s"$root/_staging/${UUID.randomUUID()}"
     val clustered =
       if (clusterOnWrite)
         withDate.repartition(partitionCols.map(col): _*)
@@ -197,13 +212,7 @@ final class DataLakehouse(
         .option("header", format == "csv")
         .option("compression", writeCompression).save(staging)
     }
-    val added = publishStaged(staging)
-    val (counts, stats) = commitMeta(added)
-    txnLog.commit(added = added, batchId = batchId,
-      schemaJson = Some(clustered.schema.json),
-      rowCounts = counts, fileStats = stats)
-    // leaf partitions touched (all k=v levels, not just the first)
-    added.map(r => r.take(math.max(0, r.lastIndexOf('/')))).distinct.size.toLong
+    publishStaged(staging)
   }
 
   /** Register EXISTING data files into the table without rewriting them
@@ -398,34 +407,7 @@ final class DataLakehouse(
     val version = asOfVersion
       .orElse(asOfTimestampMs.map(txnLog.versionAsOf))
       .getOrElse(Long.MaxValue)
-    val allFiles = txnLog.snapshotFiles(version)
-
-    // Partition pruning on the Hive path values (k=v dir levels):
-    // lexicographic compare on the date key == chronological (O2), symbol
-    // equality when `symbol` is a partition column. A key absent from the
-    // layout simply doesn't prune (the residual filter still applies).
-    val startKey = start.map(ts => model.dateKeyOf(ts))
-    val endKey = end.map(ts => model.dateKeyOf(ts))
-    val partitionPruned = allFiles.filter { rel =>
-      val pv = partitionValues(rel)
-      pv.get("date").forall(d =>
-        startKey.forall(d >= _) && endKey.forall(d <= _)) &&
-        symbol.forall(s => pv.get("symbol").forall(_ == s))
-    }
-
-    // FILE pruning from commit-time log statistics (Delta-style,
-    // README.md:131): a file whose recorded (symbol, timestamp) bounds
-    // cannot overlap the predicate is dropped without any footer IO.
-    // Timestamp bounds are µs; query bounds are ms-resolution Timestamps,
-    // widened conservatively. Files without stats always survive.
-    val stats = txnLog.fileStatsAt(version)
-    val pruned = partitionPruned.filter { rel =>
-      stats.get(rel).forall { st =>
-        symbol.forall(s => st.symbolMin <= s && s <= st.symbolMax) &&
-          start.forall(ts => st.tsMaxUs >= ts.getTime * 1000L) &&
-          end.forall(ts => st.tsMinUs <= ts.getTime * 1000L + 999L)
-      }
-    }
+    val pruned = prunedFiles(symbol, start, end, version)
 
     // Commit-time row counts from the log; footer IO only for files from
     // pre-rowCount commits (none in practice).
@@ -476,6 +458,42 @@ final class DataLakehouse(
     QueryResult(filtered, (System.nanoTime() - t0) / 1e6, rowsScanned)
   }
 
+  /** Two-stage file pruning for the lakehouse predicate shape, shared by
+    * `query()` and `deleteRange()`:
+    *
+    * 1. Partition pruning on the Hive path values (k=v dir levels):
+    *    lexicographic compare on the date key == chronological (O2),
+    *    symbol equality when `symbol` is a partition column. A key absent
+    *    from the layout simply doesn't prune (residual filters still
+    *    apply).
+    * 2. FILE pruning from commit-time log statistics (Delta-style,
+    *    README.md:131): a file whose recorded (symbol, timestamp) bounds
+    *    cannot overlap the predicate is dropped without any footer IO.
+    *    Timestamp bounds are µs; query bounds are ms-resolution
+    *    Timestamps, widened conservatively. Files without stats always
+    *    survive.
+    */
+  private def prunedFiles(symbol: Option[String], start: Option[Timestamp],
+      end: Option[Timestamp], version: Long = Long.MaxValue): Seq[String] = {
+    val allFiles = txnLog.snapshotFiles(version)
+    val startKey = start.map(ts => model.dateKeyOf(ts))
+    val endKey = end.map(ts => model.dateKeyOf(ts))
+    val partitionPruned = allFiles.filter { rel =>
+      val pv = partitionValues(rel)
+      pv.get("date").forall(d =>
+        startKey.forall(d >= _) && endKey.forall(d <= _)) &&
+        symbol.forall(s => pv.get("symbol").forall(_ == s))
+    }
+    val stats = txnLog.fileStatsAt(version)
+    partitionPruned.filter { rel =>
+      stats.get(rel).forall { st =>
+        symbol.forall(s => st.symbolMin <= s && s <= st.symbolMax) &&
+          start.forall(ts => st.tsMaxUs >= ts.getTime * 1000L) &&
+          end.forall(ts => st.tsMinUs <= ts.getTime * 1000L + 999L)
+      }
+    }
+  }
+
   private def footerRowCount(rel: String): Long =
     if (rel.endsWith(".csv")) {
       val lines = Files.lines(Paths.get(root, rel))
@@ -524,6 +542,189 @@ final class DataLakehouse(
     spark.sql(stripped)
   }
 
+  // ---------------------------------------------------------- row-level ops
+  //
+  // Copy-on-write DELETE / UPDATE / MERGE (the Delta/Iceberg row-op trio;
+  // the reference is append-only, so this is declared-surface extension —
+  // its README frames the table as a mutable lakehouse, README.md:25,43).
+  // Scale design: only files that CONTAIN an affected row are rewritten —
+  // located with one column-pruned scan over the candidate set (parquet
+  // row-group stats skip within files; log stats can pre-prune the
+  // candidate list for symbol/time predicates) — and the swap publishes as
+  // ONE commit whose `requireLive` check makes concurrent row-ops on the
+  // same file serializable (loser fails loudly, never resurrects rows).
+
+  /** Latest recorded table schema (falls back to the static OHLCV+date). */
+  private def liveSchema: StructType = txnLog.schemaAt()
+    .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+      .asInstanceOf[StructType])
+    .getOrElse(schemaWithDate)
+
+  /** Read a set of live files with per-suffix source dispatch (mixed
+    * parquet/CSV tables read correctly); `basePath` surfaces the Hive
+    * partition columns.
+    */
+  private def readRels(rels: Seq[String], schema: StructType): DataFrame = {
+    val (csvRels, pqRels) = rels.partition(_.endsWith(".csv"))
+    Seq("parquet" -> pqRels, "csv" -> csvRels)
+      .filter(_._2.nonEmpty)
+      .map { case (fmt, rs) =>
+        spark.read.schema(schema).option("basePath", root)
+          .format(fmt).option("header", fmt == "csv")
+          .load(rs.map(r => s"$root/$r"): _*)
+      }
+      .reduce(_.unionByName(_))
+  }
+
+  /** Map `input_file_name()`'s URI back to a root-relative path. The URI
+    * percent-encodes the ON-DISK name (which itself may contain Hive
+    * escapes like `%20`), so exactly one decode recovers the literal
+    * path — never decode twice.
+    */
+  private def relOf(uri: String): String = {
+    val abs =
+      try new java.net.URI(uri).getPath
+      catch { case _: Exception => uri.stripPrefix("file:") }
+    Paths.get(root).toAbsolutePath.normalize
+      .relativize(Paths.get(abs).toAbsolutePath.normalize).toString
+  }
+
+  /** Files among `rels` containing at least one row matching `cond`, with
+    * their match counts — ONE aggregate job over only the condition's
+    * columns (column-pruned scan; row groups whose stats exclude the
+    * predicate are skipped).
+    */
+  private def matchedFiles(rels: Seq[String], schema: StructType,
+      cond: org.apache.spark.sql.Column): Seq[(String, Long)] =
+    if (rels.isEmpty) Nil
+    else readRels(rels, schema)
+      .withColumn("_file", input_file_name())
+      .filter(coalesce(cond, lit(false)))
+      .groupBy(col("_file")).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => relOf(r.getString(0)) -> r.getLong(1)).toSeq
+
+  /** Copy-on-write DELETE: rows where `condition` is TRUE are removed;
+    * NULL keeps the row (SQL three-valued semantics, as in Delta's
+    * `DELETE WHERE`). Only matching files are rewritten; the add/remove
+    * swap is one conflict-checked commit. Returns rows deleted.
+    *
+    * `candidates` optionally narrows the search (e.g. from log-stats
+    * pruning — see [[deleteRange]]); correctness does not depend on it.
+    */
+  def deleteWhere(condition: org.apache.spark.sql.Column,
+      candidates: Option[Seq[String]] = None): Long = {
+    val schema = liveSchema
+    val cands = candidates.getOrElse(txnLog.snapshotFiles())
+    val matches = matchedFiles(cands, schema, condition)
+    if (matches.isEmpty) return 0L
+    val touched = matches.map(_._1)
+    val kept = readRels(touched, schema)
+      .filter(!coalesce(condition, lit(false)))
+    val added = stageClusteredWrite(kept)
+    val (counts, stats) = commitMeta(added)
+    txnLog.commit(added = added, removed = touched,
+      rowCounts = counts, fileStats = stats, requireLive = touched)
+    matches.map(_._2).sum
+  }
+
+  /** DELETE with the lakehouse's native predicate shape: the candidate
+    * file set is pre-pruned by partition values AND commit-time log stats
+    * (same two stages as `query()`), so at 100 TB the matching scan never
+    * lists — let alone reads — files outside the symbol/time slice.
+    */
+  def deleteRange(symbol: Option[String] = None,
+      start: Option[Timestamp] = None,
+      end: Option[Timestamp] = None): Long = {
+    val conds = Seq(
+      symbol.map(s => col("symbol") === s),
+      start.map(ts => col("timestamp") >= lit(ts)),
+      end.map(ts => col("timestamp") <= lit(ts))).flatten
+    require(conds.nonEmpty, "deleteRange needs at least one bound")
+    deleteWhere(conds.reduce(_ && _), Some(prunedFiles(symbol, start, end)))
+  }
+
+  /** Copy-on-write UPDATE: for rows where `condition` is TRUE, each
+    * column in `set` is replaced by its expression — all expressions
+    * evaluated against the OLD row (one `select`, not chained
+    * `withColumn`s, so `set` entries cannot observe each other). The date
+    * partition key is re-derived afterwards, so an UPDATE that moves
+    * `timestamp` across a day boundary migrates the row to its new
+    * partition. Returns rows updated.
+    */
+  def update(condition: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    val schema = liveSchema
+    require(set.nonEmpty, "update needs at least one SET column")
+    require(!set.keySet.exists(partitionCols.contains),
+      s"cannot SET partition column(s) ${partitionCols.mkString(",")} " +
+        "directly — update `timestamp` and the date key re-derives")
+    val unknown = set.keySet.filterNot(schema.fieldNames.contains)
+    require(unknown.isEmpty, s"unknown SET column(s): ${unknown.mkString(",")}")
+    val matches = matchedFiles(txnLog.snapshotFiles(), schema, condition)
+    if (matches.isEmpty) return 0L
+    val touched = matches.map(_._1)
+    val src = readRels(touched, schema)
+    val c = coalesce(condition, lit(false))
+    val projected = src.select(src.columns.map { k =>
+      set.get(k).map(v => when(c, v).otherwise(col(k)).as(k))
+        .getOrElse(col(k))
+    }: _*)
+    val added = stageClusteredWrite(
+      projected.withColumn("date", model.dateKey))
+    val (counts, stats) = commitMeta(added)
+    txnLog.commit(added = added, removed = touched,
+      rowCounts = counts, fileStats = stats, requireLive = touched)
+    matches.map(_._2).sum
+  }
+
+  /** Copy-on-write MERGE (upsert): target rows whose `keys` match a
+    * source row are REPLACED by that source row; source rows matching
+    * nothing are INSERTED. `source` must be unique on `keys` (checked) —
+    * otherwise "the" replacement is ambiguous. Null keys never match
+    * (SQL equality), so null-keyed source rows insert.
+    *
+    * Scale shape: the matching scan and the anti-join both join the
+    * candidate files against the source KEY set only — a merge batch is
+    * normally tiny next to the table, so the planner broadcasts it and
+    * the target never shuffles; files without a matched key are not
+    * rewritten. One conflict-checked commit publishes rewrite + insert
+    * together. Returns (rowsReplaced, rowsInserted).
+    */
+  def merge(source: DataFrame, keys: Seq[String]): (Long, Long) = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val schema = liveSchema
+    val srcKeys = source.select(keys.map(col): _*)
+    require(srcKeys.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).isEmpty,
+      s"merge source must be unique on (${keys.mkString(",")})")
+    val live = txnLog.snapshotFiles()
+    val matches =
+      if (live.isEmpty) Nil
+      else readRels(live, schema)
+        .withColumn("_file", input_file_name())
+        .join(srcKeys, keys, "left_semi")
+        .groupBy(col("_file")).agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => relOf(r.getString(0)) -> r.getLong(1)).toSeq
+    val touched = matches.map(_._1)
+    val sourceWithDate = source.withColumn("date", model.dateKey)
+    val inserted =
+      if (touched.isEmpty) source.count()
+      else source.join(
+        readRels(touched, schema).select(keys.map(col): _*),
+        keys, "left_anti").count()
+    val newData =
+      if (touched.isEmpty) sourceWithDate
+      else readRels(touched, schema).join(srcKeys, keys, "left_anti")
+        .unionByName(sourceWithDate)
+    val added = stageClusteredWrite(newData)
+    val (counts, stats) = commitMeta(added)
+    txnLog.commit(added = added, removed = touched,
+      rowCounts = counts, fileStats = stats, requireLive = touched)
+    (matches.map(_._2).sum, inserted)
+  }
+
   // ------------------------------------------------------------ compaction
 
   /** Compact partitions with more than `maxFilesPerPartition` files into
@@ -548,24 +749,13 @@ final class DataLakehouse(
     val removes = ArrayBuffer.empty[String]
     // Latest recorded schema, not the static one: compacting an evolved
     // table must carry its added columns through the rewrite.
-    val liveSchema = txnLog.schemaAt()
-      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
-        .asInstanceOf[StructType])
-      .getOrElse(schemaWithDate)
+    val schema = liveSchema
     toCompact.foreach { case (_, rels) =>
       val staging = s"$root/_staging/${UUID.randomUUID()}"
       // read each suffix with its own source (a mixed-format partition —
       // addFiles — compacts correctly); the REWRITE normalizes to the
       // table's primary format, so compaction doubles as convert-in-place
-      val (csvRels, pqRels) = rels.partition(_.endsWith(".csv"))
-      val compacted = Seq("parquet" -> pqRels, "csv" -> csvRels)
-        .filter(_._2.nonEmpty)
-        .map { case (fmt, rs) =>
-          spark.read.schema(liveSchema).option("basePath", root)
-            .format(fmt).option("header", fmt == "csv")
-            .load(rs.map(r => s"$root/$r"): _*)
-        }
-        .reduce(_.unionByName(_))
+      val compacted = readRels(rels, schema)
         // RANGE partitioning, not hash: the targetFiles output files get
         // DISJOINT cluster-key ranges (symbol, or z-range), so each file's
         // recorded stats cover a narrow slice and the log-side file

@@ -156,16 +156,38 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
 
   /** Append a commit; returns the committed version. Retries on version
     * collision (optimistic concurrency via exclusive file creation).
+    *
+    * `requireLive`: serializable file-level conflict detection for
+    * copy-on-write row operations (DELETE/UPDATE/MERGE). The listed paths
+    * must still be live in the PREDECESSOR snapshot or the commit throws
+    * [[java.util.ConcurrentModificationException]]. The check is sound
+    * against races because versions are taken by exclusive creation: we
+    * validate against snapshot(v) and then try to BECOME v+1 — if another
+    * writer got there first our link fails and we re-validate against the
+    * new head, so a successful commit's predecessor state is exactly the
+    * one it validated. (Two writers rewriting the SAME file — e.g.
+    * concurrent deletes touching one partition — therefore cannot both
+    * win and silently resurrect deleted rows; the loser must re-plan its
+    * rewrite from the new snapshot.)
     */
   def commit(added: Seq[String], removed: Seq[String] = Nil,
       batchId: Option[String] = None,
       schemaJson: Option[String] = None,
       rowCounts: Map[String, Long] = Map.empty,
-      fileStats: Map[String, FileStat] = Map.empty): Long = {
+      fileStats: Map[String, FileStat] = Map.empty,
+      requireLive: Seq[String] = Nil): Long = {
     Files.createDirectories(logDir)
     var attempt = 0
     while (true) {
       val v = currentVersion() + 1
+      if (requireLive.nonEmpty) {
+        val live = snapshotFiles(v - 1).toSet
+        val gone = requireLive.filterNot(live)
+        if (gone.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"conflicting commit: ${gone.size} file(s) no longer live " +
+              s"at version ${v - 1}, e.g. ${gone.head}")
+      }
       val node: ObjectNode = mapper.createObjectNode()
       node.put("version", v)
       node.put("timestampMs", System.currentTimeMillis())

@@ -97,6 +97,24 @@ class PlanSpec extends SparkSpec {
     assert(plan("q52_promo_revenue").contains("BroadcastHashJoin"))
   }
 
+  test("q67: one hashpartitioning exchange serves both windows and the aggregate") {
+    val p = plan("q67_sessionization")
+    // gaps-and-islands scale contract: the lag window, the running-sum
+    // window, and the per-session aggregate all group on user_id — a
+    // correct plan partitions ONCE (plus the final presentation sort's
+    // range exchange); a second hash exchange would re-shuffle the whole
+    // event stream between window and aggregate
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q68: document-frequency side broadcasts onto the tf relation") {
+    val p = plan("q68_tfidf")
+    // the idf join must broadcast the vocabulary-sized df aggregate —
+    // sort-merging it would shuffle the full (doc,term) relation a
+    // second time on the term key
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("lakehouse query: symbol filter pushes to parquet on clustered files") {
     import java.sql.Timestamp
     val lake = new graft.sources.DataLakehouse(spark, tempDir("planlake"))
