@@ -215,6 +215,112 @@ object Dedup {
       .select($"a_id", $"b_id", round($"jaccard", 4).as("jaccard"))
   }
 
+  /** EXACT n-gram-Jaccard near-dup pairs via PREFIX FILTERING — the
+    * All-Pairs / PPJoin candidate-generation scheme (Bayardo et al.,
+    * "Scaling up all pairs similarity search", WWW 2007; Xiao et al.,
+    * "Efficient similarity joins for near duplicate detection", WWW 2008;
+    * the distributed formulation follows Vernica et al., "Efficient
+    * parallel set-similarity joins using MapReduce", SIGMOD 2010).
+    *
+    * Same result set as uncapped [[jaccardPairs]] (provably — no recall
+    * knob), but candidate generation joins only each document's PREFIX
+    * under a global rarest-first token order instead of its full posting
+    * lists. Two documents x, y with J(x,y) ≥ t share ≥ ⌈t·|x|⌉ tokens, so
+    * if y misses ALL of x's first |x| − ⌈t·|x|⌉ + 1 tokens it cannot reach
+    * the threshold (prefix-filter lemma, Chaudhuri et al. ICDE 2006).
+    * Ordering by ascending document frequency puts boilerplate shingles in
+    * the suffixes — which are never joined on — so the m²-per-hot-shingle
+    * posting-list bomb that [[jaccardPairs]] needs `maxPostingList` for
+    * simply cannot arise here, WITHOUT giving up exactness. Candidates
+    * also pass the length filter t·max(|x|,|y|) ≤ min(|x|,|y|) before
+    * exact verification over the full shingle relation.
+    *
+    * Scale shape: one shuffle on doc_id for the per-doc prefix window
+    * (each window is one document's shingles — bounded by doc length,
+    * never skewed), one shuffle on PREFIX shingle for candidates (df-skew
+    * structurally damped: a shingle in k prefixes of n docs needs k docs
+    * that all rank it in their rarest ~(1−t) fraction), then the
+    * candidate-restricted verification joins of [[jaccardPairs]]'s capped
+    * path. Prefix positions are computed per-document, so no global rank
+    * structure is ever built or broadcast.
+    */
+  def jaccardPairsPrefix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sh = df
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select($"doc_id",
+        explode(array_distinct(TextOps.shingles($"toks", shingleLen))).as("sh"))
+      .persist()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val dfAgg = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+    // Global total order: (df asc, shingle asc) — deterministic, shared by
+    // every document, rarest first. Positions are assigned WITHIN each
+    // document by a window over that order; the prefix-filter lemma needs
+    // positions over the document's FULL token set, so df==1 singletons
+    // keep their slots here (they shorten the effective prefix — pure
+    // win) and are dropped only from the join input below (df==1 cannot
+    // match anything, so dropping them generates no false negatives).
+    val ranked = sh.join(dfAgg, "sh")
+      .withColumn("pos",
+        row_number().over(Window.partitionBy($"doc_id").orderBy($"df", $"sh")))
+      .join(sizes, "doc_id")
+    // ⌈t·n⌉ via an epsilon-guard: fp noise must never ROUND UP an exact
+    // integer t·n (that would shorten the prefix — the unsound direction);
+    // overshooting downward only lengthens it (more candidates, still
+    // exact).
+    val prefix = ranked
+      .filter($"pos" <= $"n" - ceil($"n" * threshold - 1e-9) + 1)
+      .filter($"df" > 1)
+      .select($"doc_id", $"sh", $"n")
+      .persist()
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id" &&
+          // length filter: J ≤ min/max, so t·max ≤ min is necessary
+          greatest($"a.n", $"b.n") * threshold <= least($"a.n", $"b.n") + 1e-9)
+      .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
+      .agg(count(lit(1)).as("hits"))
+      .select($"a_id", $"b_id")
+    verifyJaccardCandidates(cand, sh, sizes, threshold)
+  }
+
+  /** Exact-verification tail shared by the candidate-generation schemes:
+    * recount |x∩y| over the FULL shingle relation restricted to candidate
+    * pairs, attach sizes, filter on exact Jaccard. Candidates broadcast —
+    * they are the post-filter survivors (bounded by the true pair count ×
+    * a small factor), not the quadratic candidate space; at sizes where
+    * even that overflows, drop the hint and let AQE pick the join.
+    */
+  private def verifyJaccardCandidates(
+      cand: DataFrame,
+      sh: DataFrame,
+      sizes: DataFrame,
+      threshold: Double): DataFrame = {
+    val spark = cand.sparkSession
+    import spark.implicits._
+    broadcast(cand)
+      .join(sh.select($"doc_id".as("a_id"), $"sh"), "a_id")
+      // equi-join on BOTH (b_id, sh): each surviving row IS one shared
+      // shingle (see jaccardPairs' capped path)
+      .join(sh.select($"doc_id".as("b_id"), $"sh"), Seq("b_id", "sh"))
+      .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("inter"))
+      .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), "a_id")
+      .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), "b_id")
+      .withColumn("jaccard",
+        $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
+      .filter($"jaccard" >= threshold)
+      .select($"a_id", $"b_id", round($"jaccard", 4).as("jaccard"))
+  }
+
   /** Incremental near-dup detection: EXACT n-gram-Jaccard pairs between a
     * NEW batch and an existing corpus — the production shape of dedup at
     * 100 TB. A daily increment is deduped against the standing corpus in

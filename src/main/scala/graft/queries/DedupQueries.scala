@@ -197,6 +197,18 @@ object DedupQueries {
       |FROM documents JOIN embeddings ON doc_id = vec_id
       |ORDER BY doc_id""".stripMargin
 
+  // q70 — the SAME exact pair set as q24, via prefix filtering (All-Pairs
+  // / PPJoin candidate generation): no hashing, no recall knob, so it
+  // shares q24's oracle verbatim. This is the exact-dedup form that
+  // survives boilerplate-heavy corpora without q24's maxPostingList
+  // escape hatch — hot shingles sort to the suffixes and never join.
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.jaccardPairsPrefix(Tables.load(s, dir, "documents"), "doc_id",
+        "text", shingleLen = 3, threshold = 0.5)
+      .orderBy($"a_id", $"b_id")
+  }
+
   // q27 — MinHash+LSH near-dup candidates, exact-Jaccard verified.
   // xxhash64-based → no portable SQL oracle; rows-only check. Correctness
   // is pinned by the spec comparing it against q24's exact pair set.
@@ -494,13 +506,16 @@ object DedupQueries {
     "q63_incremental_minhash" -> (q63 _),
     "q64_incremental_embedding" -> (q64 _),
     "q65_ann_pq" -> (q65 _),
-    "q66_ann_ivfpq" -> (q66 _))
+    "q66_ann_ivfpq" -> (q66 _),
+    "q70_jaccard_prefix" -> (q70 _))
 
   val oracle: Seq[(String, String)] = Seq(
     "q43_embedding_neardup" -> q43Sql,
     "q62_incremental_dedup" -> q62Sql,
     "q23_dedup_exact" -> q23Sql,
     "q24_neardup_jaccard" -> q24Sql,
+    // q70 is exact by construction — it shares q24's oracle SQL verbatim
+    "q70_jaccard_prefix" -> q24Sql,
     "q25_cosine_topk" -> q25Sql,
     "q26_multimodal_join" -> q26Sql,
     "q54_dedup_clusters" -> q54Sql,

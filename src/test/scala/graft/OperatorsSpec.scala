@@ -334,6 +334,55 @@ class OperatorsSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("jaccardPairsPrefix == jaccardPairs on sf0.01 (exact, values included)") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val full = Dedup.jaccardPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val pref = Dedup.jaccardPairsPrefix(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pref == full)
+    assert(full.nonEmpty)
+  }
+
+  test("jaccardPairsPrefix: boilerplate-only pairs excluded by order, not cap") {
+    // the corpus that forces jaccardPairs to choose between a skew bomb
+    // and a recall-losing cap: 10 templates sharing hot boilerplate. The
+    // prefix join never touches the hot shingles (they sort last), yet
+    // the result is EXACT at the threshold — template pairs genuinely
+    // above it survive, the near-dup pair keeps its exact value
+    val boiler = "this content is provided as is without any warranty of fitness"
+    val a = (1 to 30).map(i => s"w$i").mkString(" ")
+    val b = (1 to 28).map(i => s"w$i").mkString(" ") + " x y"
+    val rows = Seq((1L, a), (2L, b)) ++
+      (10L to 19L).map(i => (i, s"unique$i stuff number$i " + boiler))
+    val df = rows.toDF("doc_id", "text")
+    for (t <- Seq(0.1, 0.5)) {
+      val exact = Dedup.jaccardPairs(df, "doc_id", "text", threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      val pref = Dedup.jaccardPairsPrefix(df, "doc_id", "text", threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pref == exact, s"threshold $t")
+    }
+  }
+
+  test("jaccardPairsPrefix: exact at the threshold boundary (t*n integral)") {
+    // two 8-token docs → 6 shingles each, sharing exactly their first 3:
+    // J = 3/(6+6-3) = 1/3 EXACTLY at t = 1/3, and t·n = 2 is integral —
+    // an fp error rounding ceil(t*n) UP would shorten the prefix and
+    // drop this boundary pair
+    val d1 = "a b c d e f g h"    // abc bcd cde def efg fgh
+    val d2 = "a b c d e p q r"    // abc bcd cde dep epq pqr → inter 3
+    val d3 = "zz yy xx ww vv uu tt ss" // no overlap
+    val df = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val t = 1.0 / 3.0
+    val exact = Dedup.jaccardPairs(df, "doc_id", "text", threshold = t)
+      .as[(Long, Long, Double)].collect().toSet
+    val pref = Dedup.jaccardPairsPrefix(df, "doc_id", "text", threshold = t)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.map(p => (p._1, p._2)) == Set((1L, 2L))) // boundary pair
+    assert(pref == exact)
+  }
+
   test("jaccardPairs: posting-list cap preserves the pair set on clean data") {
     val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
     val uncapped = Dedup.jaccardPairs(docs, "doc_id", "text")
