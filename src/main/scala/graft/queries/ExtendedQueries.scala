@@ -490,8 +490,39 @@ object ExtendedQueries {
       |  count(*) AS n_events, round(sum(value), 4) AS sum_value
       |FROM s GROUP BY user_id, session_no ORDER BY user_id, session_start""".stripMargin
 
+  // q71 — trailing TIME-interval window (W4's value-frame twin): per
+  // user, aggregate everything in the last 10 minutes BY TIMESTAMP, not
+  // by row count — the frame a rate limiter / rolling-exposure monitor
+  // actually means. rangeBetween on epoch-µs: value-based bounds, so
+  // ties are peers (identical frame for equal ts) and the result is
+  // deterministic without a tie-break INSIDE the frame; row order is
+  // still totally keyed for the oracle compare. Same scale shape as
+  // q14: one user_id shuffle, one sort, codegen'd running frame.
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+      .rangeBetween(-600000000L, 0L)
+    t(s, dir, "events")
+      .filter($"user_id" < 20)
+      .withColumn("n_10m", count(lit(1)).over(w))
+      .withColumn("sum_10m", round(sum($"value").over(w), 4))
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+        $"n_10m", $"sum_10m")
+      .orderBy($"user_id", $"ts_us", $"event_id")
+  }
+
+  private val q71Sql =
+    """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |  count(*) OVER w AS n_10m,
+      |  round(sum(value) OVER w, 4) AS sum_10m
+      |FROM events WHERE user_id < 20
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, ts_us, event_id""".stripMargin
+
   val defs: Seq[(String, QFn)] = Seq(
     "q67_sessionization" -> (q67 _),
+    "q71_time_range_window" -> (q71 _),
     "q47_scalar_subquery" -> (q47 _),
     "q48_recursive_cte" -> (q48 _),
     "q44_pivot" -> (q44 _),
@@ -514,6 +545,7 @@ object ExtendedQueries {
 
   val oracle: Seq[(String, String)] = Seq(
     "q67_sessionization" -> q67Sql,
+    "q71_time_range_window" -> q71Sql,
     "q47_scalar_subquery" -> q47Sql,
     "q48_recursive_cte" -> q48Sql,
     "q44_pivot" -> q44Sql,

@@ -44,7 +44,10 @@ final class DataLakehouse(
     val format: String = "parquet",
     val codec: String = "zstd",
     val partitionCols: Seq[String] = Seq("date"),
-    val zorderCols: Seq[String] = Seq.empty) {
+    val zorderCols: Seq[String] = Seq.empty,
+    val bloomCols: Seq[String] = Seq.empty,
+    val bloomFpp: Double = 0.01,
+    val bloomMaxBits: Int = 1 << 22) {
 
   require(format == "parquet" || format == "csv",
     s"unsupported format: $format") // S1-S4: parquet primary, CSV fallback
@@ -186,10 +189,10 @@ final class DataLakehouse(
     if (batchId.exists(txnLog.hasBatch)) return 0L
     val withDate = df.withColumn("date", model.dateKey)
     val added = stageClusteredWrite(withDate)
-    val (counts, stats) = commitMeta(added)
+    val (counts, stats, blooms) = commitMeta(added)
     txnLog.commit(added = added, batchId = batchId,
       schemaJson = Some(withDate.schema.json),
-      rowCounts = counts, fileStats = stats)
+      rowCounts = counts, fileStats = stats, blooms = blooms)
     // leaf partitions touched (all k=v levels, not just the first)
     added.map(r => r.take(math.max(0, r.lastIndexOf('/')))).distinct.size.toLong
   }
@@ -232,8 +235,9 @@ final class DataLakehouse(
       require(r.startsWith(s"${partitionCols.head}="),
         s"not under a ${partitionCols.head}= partition: $r")
     }
-    val (counts, stats) = commitMeta(rels)
-    txnLog.commit(added = rels, rowCounts = counts, fileStats = stats)
+    val (counts, stats, blooms) = commitMeta(rels)
+    txnLog.commit(added = rels, rowCounts = counts, fileStats = stats,
+      blooms = blooms)
   }
 
   /** Per-file metadata for freshly published files — row counts AND
@@ -246,14 +250,25 @@ final class DataLakehouse(
     * treats absent as unskippable).
     */
   private def commitMeta(rels: Seq[String])
-      : (Map[String, Long], Map[String, TxnLog.FileStat]) = {
+      : (Map[String, Long], Map[String, TxnLog.FileStat],
+         Map[String, Map[String, TxnLog.Bloom]]) = {
     import java.util.stream.Collectors
     val metas = rels.asJava.parallelStream()
       .collect(Collectors.toMap(
         (r: String) => r, (r: String) => fileMeta(r)))
       .asScala
-    (metas.map { case (k, v) => k -> v._1 }.toMap,
-      metas.flatMap { case (k, v) => v._2.map(k -> _) }.toMap)
+    val counts = metas.map { case (k, v) => k -> v._1 }.toMap
+    // Blooms ride every staged-write commit (append, compaction, row-op
+    // rewrite), so rewritten files keep their skipping power. CSV files
+    // get none (no cheap one-pass typed scan) — absence means "read it".
+    val blooms =
+      if (bloomCols.isEmpty) Map.empty[String, Map[String, TxnLog.Bloom]]
+      else BloomSkipping.build(spark, root,
+        rels.filterNot(_.endsWith(".csv")), bloomCols, counts,
+        bloomFpp, bloomMaxBits)
+    (counts,
+      metas.flatMap { case (k, v) => v._2.map(k -> _) }.toMap,
+      blooms)
   }
 
   private def fileMeta(rel: String): (Long, Option[TxnLog.FileStat]) =
@@ -402,12 +417,14 @@ final class DataLakehouse(
       end: Option[Timestamp] = None,
       asOfVersion: Option[Long] = None,
       asOfTimestampMs: Option[Long] = None,
-      mergeSchema: Boolean = false): QueryResult = {
+      mergeSchema: Boolean = false,
+      eq: Map[String, Any] = Map.empty): QueryResult = {
     val t0 = System.nanoTime()
+    require(eq.values.forall(_ != null), "eq lookup values must be non-null")
     val version = asOfVersion
       .orElse(asOfTimestampMs.map(txnLog.versionAsOf))
       .getOrElse(Long.MaxValue)
-    val pruned = prunedFiles(symbol, start, end, version)
+    val pruned = prunedFiles(symbol, start, end, version, eq)
 
     // Commit-time row counts from the log; footer IO only for files from
     // pre-rowCount commits (none in practice).
@@ -447,11 +464,11 @@ final class DataLakehouse(
           versionSchema)
       else sides.reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
 
-    val filtered = Seq(
+    val filtered = (Seq(
       symbol.map(s => col("symbol") === s),
       start.map(ts => col("timestamp") >= lit(ts)),
       end.map(ts => col("timestamp") <= lit(ts)))
-      .flatten
+      .flatten ++ eq.map { case (c, v) => col(c) === lit(v) })
       .foldLeft(base)((df, cond) => df.filter(cond))
       .orderBy(col("timestamp"), col("symbol"))
 
@@ -472,9 +489,16 @@ final class DataLakehouse(
     *    Timestamp bounds are µs; query bounds are ms-resolution
     *    Timestamps, widened conservatively. Files without stats always
     *    survive.
+    * 3. BLOOM pruning for `eq` equality lookups ([[BloomSkipping]]): a
+    *    file whose commit-time filter says "definitely absent" for any
+    *    looked-up value is dropped. Files or columns without a filter
+    *    always survive; the residual `col === v` filter in `query()`
+    *    keeps results exact either way, so the filters only ever save
+    *    IO, never change answers.
     */
   private def prunedFiles(symbol: Option[String], start: Option[Timestamp],
-      end: Option[Timestamp], version: Long = Long.MaxValue): Seq[String] = {
+      end: Option[Timestamp], version: Long = Long.MaxValue,
+      eq: Map[String, Any] = Map.empty): Seq[String] = {
     val allFiles = txnLog.snapshotFiles(version)
     val startKey = start.map(ts => model.dateKeyOf(ts))
     val endKey = end.map(ts => model.dateKeyOf(ts))
@@ -485,11 +509,21 @@ final class DataLakehouse(
         symbol.forall(s => pv.get("symbol").forall(_ == s))
     }
     val stats = txnLog.fileStatsAt(version)
-    partitionPruned.filter { rel =>
+    val statsPruned = partitionPruned.filter { rel =>
       stats.get(rel).forall { st =>
         symbol.forall(s => st.symbolMin <= s && s <= st.symbolMax) &&
           start.forall(ts => st.tsMaxUs >= ts.getTime * 1000L) &&
           end.forall(ts => st.tsMinUs <= ts.getTime * 1000L + 999L)
+      }
+    }
+    if (eq.isEmpty) statsPruned
+    else {
+      val blooms = txnLog.bloomsAt(version)
+      statsPruned.filter { rel =>
+        val byCol = blooms.getOrElse(rel, Map.empty)
+        eq.forall { case (c, v) =>
+          byCol.get(c).forall(BloomSkipping.mightContain(_, v))
+        }
       }
     }
   }
@@ -622,9 +656,10 @@ final class DataLakehouse(
     val kept = readRels(touched, schema)
       .filter(!coalesce(condition, lit(false)))
     val added = stageClusteredWrite(kept)
-    val (counts, stats) = commitMeta(added)
+    val (counts, stats, blooms) = commitMeta(added)
     txnLog.commit(added = added, removed = touched,
-      rowCounts = counts, fileStats = stats, requireLive = touched)
+      rowCounts = counts, fileStats = stats, blooms = blooms,
+      requireLive = touched)
     matches.map(_._2).sum
   }
 
@@ -672,9 +707,10 @@ final class DataLakehouse(
     }: _*)
     val added = stageClusteredWrite(
       projected.withColumn("date", model.dateKey))
-    val (counts, stats) = commitMeta(added)
+    val (counts, stats, blooms) = commitMeta(added)
     txnLog.commit(added = added, removed = touched,
-      rowCounts = counts, fileStats = stats, requireLive = touched)
+      rowCounts = counts, fileStats = stats, blooms = blooms,
+      requireLive = touched)
     matches.map(_._2).sum
   }
 
@@ -719,9 +755,10 @@ final class DataLakehouse(
       else readRels(touched, schema).join(srcKeys, keys, "left_anti")
         .unionByName(sourceWithDate)
     val added = stageClusteredWrite(newData)
-    val (counts, stats) = commitMeta(added)
+    val (counts, stats, blooms) = commitMeta(added)
     txnLog.commit(added = added, removed = touched,
-      rowCounts = counts, fileStats = stats, requireLive = touched)
+      rowCounts = counts, fileStats = stats, blooms = blooms,
+      requireLive = touched)
     (matches.map(_._2).sum, inserted)
   }
 
@@ -776,9 +813,9 @@ final class DataLakehouse(
       adds ++= publishStaged(staging)
       removes ++= rels
     }
-    val (counts, stats) = commitMeta(adds.toSeq)
+    val (counts, stats, blooms) = commitMeta(adds.toSeq)
     txnLog.commit(added = adds.toSeq, removed = removes.toSeq,
-      rowCounts = counts, fileStats = stats)
+      rowCounts = counts, fileStats = stats, blooms = blooms)
   }
 
   /** Physically delete files no longer referenced by the latest snapshot

@@ -37,6 +37,20 @@ object TxnLog {
     */
   final case class FileStat(
       symbolMin: String, symbolMax: String, tsMinUs: Long, tsMaxUs: Long)
+
+  /** Per-file Bloom filter over one column's values, recorded at commit
+    * time — the log-side NEEDLE statistics. Min/max bounds prune range
+    * predicates on CLUSTERED columns; a Bloom filter prunes EQUALITY
+    * lookups on high-cardinality columns with no layout correlation at
+    * all (find one order id across a date-partitioned year: bounds
+    * can't exclude anything, the Bloom excludes almost everything).
+    * `m` bits / `k` hashes; bits are the dense filter, base64. `dt` is
+    * the catalog type the values were hashed AS at write time — a lookup
+    * against a since-evolved column type must not consult a filter built
+    * over differently-hashed values (that would false-negative and prune
+    * a file that contains the value).
+    */
+  final case class Bloom(m: Int, k: Int, dt: String, bitsB64: String)
 }
 
 final class TxnLog(root: String, checkpointInterval: Int = 10) {
@@ -63,7 +77,7 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
   private[graft] val listCalls =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
-  import TxnLog.FileStat
+  import TxnLog.{Bloom, FileStat}
 
   final case class Commit(
       version: Long,
@@ -73,7 +87,8 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       batchId: Option[String],
       schemaJson: Option[String] = None,
       rowCounts: Map[String, Long] = Map.empty,
-      fileStats: Map[String, FileStat] = Map.empty)
+      fileStats: Map[String, FileStat] = Map.empty,
+      blooms: Map[String, Map[String, Bloom]] = Map.empty)
 
   private def versionPath(v: Long): Path = logDir.resolve(f"v$v%08d.json")
 
@@ -132,8 +147,34 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       Option(node.get("batchId")).filter(!_.isNull).map(_.asText()),
       Option(node.get("schemaJson")).filter(!_.isNull).map(_.asText()),
       counts,
-      readStats(node))
+      readStats(node),
+      readBlooms(node))
   }
+
+  private def readBlooms(node: JsonNode): Map[String, Map[String, Bloom]] =
+    Option(node.get("blooms")).map { bs =>
+      bs.fields().asScala.map { e =>
+        e.getKey -> e.getValue.fields().asScala.map { ce =>
+          val v = ce.getValue
+          ce.getKey -> Bloom(v.get("m").asInt(), v.get("k").asInt(),
+            v.get("t").asText(), v.get("b").asText())
+        }.toMap
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  private def writeBlooms(node: ObjectNode,
+      blooms: Map[String, Map[String, Bloom]]): Unit =
+    if (blooms.nonEmpty) {
+      val bs: ObjectNode = node.putObject("blooms")
+      blooms.foreach { case (rel, byCol) =>
+        val fo = bs.putObject(rel)
+        byCol.foreach { case (c, bl) =>
+          val o = fo.putObject(c)
+          o.put("m", bl.m); o.put("k", bl.k)
+          o.put("t", bl.dt); o.put("b", bl.bitsB64)
+        }
+      }
+    }
 
   private def readStats(node: JsonNode): Map[String, FileStat] =
     Option(node.get("fileStats")).map { fs =>
@@ -175,6 +216,7 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       schemaJson: Option[String] = None,
       rowCounts: Map[String, Long] = Map.empty,
       fileStats: Map[String, FileStat] = Map.empty,
+      blooms: Map[String, Map[String, Bloom]] = Map.empty,
       requireLive: Seq[String] = Nil): Long = {
     Files.createDirectories(logDir)
     var attempt = 0
@@ -200,6 +242,7 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
         rowCounts.foreach { case (k, n) => rc.put(k, n) }
       }
       writeStats(node, fileStats)
+      writeBlooms(node, blooms)
       val tmp = Files.createTempFile(logDir, ".commit", ".tmp")
       Files.write(tmp, mapper.writerWithDefaultPrettyPrinter()
         .writeValueAsString(node).getBytes(StandardCharsets.UTF_8))
@@ -301,7 +344,8 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
 
   private final case class Checkpoint(version: Long, files: Seq[String],
       schemaJson: Option[String], rowCounts: Option[Map[String, Long]],
-      fileStats: Map[String, FileStat])
+      fileStats: Map[String, FileStat],
+      blooms: Map[String, Map[String, Bloom]])
 
   /** Checkpoints carry the full derived read state — live files, newest
     * schema, per-file row counts — so EVERY per-query log resolution
@@ -322,6 +366,7 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       val rc: ObjectNode = node.putObject("rowCounts")
       rowCountsAt(v).foreach { case (k, n) => if (live(k)) rc.put(k, n) }
       writeStats(node, fileStatsAt(v).view.filterKeys(live).toMap)
+      writeBlooms(node, bloomsAt(v).view.filterKeys(live).toMap)
       val tmp = Files.createTempFile(logDir, ".ckpt", ".tmp")
       Files.write(tmp, mapper.writeValueAsString(node)
         .getBytes(StandardCharsets.UTF_8))
@@ -381,7 +426,8 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
         node.get("files").elements().asScala.map(_.asText()).toSeq,
         Option(node.get("schemaJson")).filter(!_.isNull).map(_.asText()),
         counts,
-        readStats(node)))
+        readStats(node),
+        readBlooms(node)))
     }
   }
 
@@ -471,6 +517,24 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       case None =>
         (0L to upTo).map(read)
           .foldLeft(Map.empty[String, FileStat])((m, c) => m ++ c.fileStats)
+    }
+  }
+
+  /** Per-file column Bloom filters for the live set at `version`,
+    * checkpoint-seeded like [[fileStatsAt]]. Files committed without
+    * blooms are simply absent — callers must treat absence as
+    * "might contain" (never prune on a missing filter).
+    */
+  def bloomsAt(version: Long = Long.MaxValue)
+      : Map[String, Map[String, Bloom]] = {
+    val upTo = math.min(currentVersion(), version)
+    latestCheckpoint(upTo) match {
+      case Some(ck) =>
+        (ck.version + 1 to upTo).map(read)
+          .foldLeft(ck.blooms)((m, c) => m ++ c.blooms)
+      case None =>
+        (0L to upTo).map(read)
+          .foldLeft(Map.empty[String, Map[String, Bloom]])((m, c) => m ++ c.blooms)
     }
   }
 }
