@@ -520,7 +520,121 @@ object ExtendedQueries {
       |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, ts_us, event_id""".stripMargin
 
+  // q73 — ordered funnel analysis (view → click → purchase): for each
+  // user, the first 'view', the first 'click' strictly AFTER that view,
+  // and the first 'purchase' strictly after that click; report how many
+  // users survive each stage. The event-sequence operator every product
+  // analytics suite ships (and the reason events carry (user_id, ts,
+  // event_type)). Scale shape: ONE shuffle on user_id, then three
+  // stacked unbounded-frame Window mins over the SAME partitioning
+  // (Exchange reused, no sort needed for whole-partition frames), a
+  // per-user dedup on that partitioning, and a 1-row global aggregate
+  // unpivoted with stack() — the events relation never shuffles twice.
+  // Conditional-min chaining (tb uses ta, tc uses tb) is the standard
+  // trick for "first B after A" without a self-join per stage.
+  private def q73(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+    t(s, dir, "events")
+      .withColumn("ta", min(when($"event_type" === "view", $"ts")).over(w))
+      .withColumn("tb", min(when($"event_type" === "click" && $"ts" > $"ta", $"ts")).over(w))
+      .withColumn("tc", min(when($"event_type" === "purchase" && $"ts" > $"tb", $"ts")).over(w))
+      .groupBy($"user_id")
+      .agg(max($"ta").as("ta"), max($"tb").as("tb"), max($"tc").as("tc"))
+      .agg(count($"ta").as("s1"), count($"tb").as("s2"), count($"tc").as("s3"))
+      .select(expr(
+        "stack(3, 1, 'view', s1, 2, 'click', s2, 3, 'purchase', s3) AS (step, stage, users)"))
+      .orderBy($"step")
+  }
+
+  private val q73Sql =
+    """WITH a AS (
+      |  SELECT user_id, min(ts) AS ta FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |b AS (
+      |  SELECT e.user_id, min(e.ts) AS tb FROM events e
+      |  JOIN a ON e.user_id = a.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > a.ta GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS tc FROM events e
+      |  JOIN b ON e.user_id = b.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > b.tb GROUP BY 1)
+      |SELECT CAST(1 AS INTEGER) AS step, 'view' AS stage, (SELECT count(*) FROM a) AS users
+      |UNION ALL SELECT CAST(2 AS INTEGER), 'click', (SELECT count(*) FROM b)
+      |UNION ALL SELECT CAST(3 AS INTEGER), 'purchase', (SELECT count(*) FROM c)
+      |ORDER BY step""".stripMargin
+
+  // q74 — weekly cohort retention: users cohorted by the week of their
+  // FIRST event; for each (cohort_week, week_offset) cell, how many of
+  // that cohort were active that many weeks later — the retention
+  // triangle behind every growth dashboard. All bucketing is integer
+  // division on epoch-µs (`div` truncates, `//` floors; identical on
+  // the non-negative epochs here), so the cells are bit-exact across
+  // engines with no calendar/timezone semantics in play. Scale shape:
+  // one shuffle on user_id for the first-event window, then a
+  // (cohort, offset)-keyed count-distinct — at 100 TB the distinct is
+  // the expensive part; swap in approx_count_distinct per cell if ±2%
+  // is acceptable (q39's documented trade).
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+    t(s, dir, "events")
+      .select($"user_id",
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .withColumn("fday", min($"day").over(w))
+      .select($"user_id", expr("fday div 7").as("cohort_week"),
+        expr("(day - fday) div 7").as("week_offset"))
+      .groupBy($"cohort_week", $"week_offset")
+      .agg(countDistinct($"user_id").as("active_users"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
+  private val q74Sql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |    min(epoch_us(ts) // 86400000000) OVER (PARTITION BY user_id) AS fday
+      |  FROM events)
+      |SELECT fday // 7 AS cohort_week, (day - fday) // 7 AS week_offset,
+      |  count(DISTINCT user_id) AS active_users
+      |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // q77 — equi-width histogram profiling (the data-profiling primitive
+  // behind ANALYZE/drift monitoring): bucket l_extendedprice into 20
+  // equal-width bins over its observed [min, max], count + mass share
+  // per bin. Bin edges come from a 1-row global aggregate that
+  // BROADCASTS back (two passes over the column, both scan-speed,
+  // map-side-combined — the classic two-pass histogram; at 100 TB both
+  // passes are embarrassingly parallel and the histogram itself is 20
+  // rows). Bin index is floor((x-min)/w) on doubles clamped to [0,19];
+  // identical IEEE arithmetic both engines.
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bounds = t(s, dir, "lineitem")
+      .agg(min($"l_extendedprice").as("lo"), max($"l_extendedprice").as("hi"))
+    t(s, dir, "lineitem")
+      .crossJoin(broadcast(bounds))
+      .select(least(floor(($"l_extendedprice" - $"lo") /
+        (($"hi" - $"lo") / lit(20.0))), lit(19L)).cast("long").as("bin"),
+        $"l_extendedprice", $"lo", $"hi")
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("cnt"),
+        round(min($"l_extendedprice"), 2).as("bin_min"),
+        round(max($"l_extendedprice"), 2).as("bin_max"))
+      .orderBy($"bin")
+  }
+
+  private val q77Sql =
+    """WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem)
+      |SELECT CAST(least(floor((l_extendedprice - lo) / ((hi - lo) / 20.0)), 19) AS BIGINT) AS bin,
+      |  count(*) AS cnt,
+      |  round(min(l_extendedprice), 2) AS bin_min,
+      |  round(max(l_extendedprice), 2) AS bin_max
+      |FROM lineitem, b GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[(String, QFn)] = Seq(
+    "q77_histogram" -> (q77 _),
+    "q73_funnel" -> (q73 _),
+    "q74_retention" -> (q74 _),
     "q67_sessionization" -> (q67 _),
     "q71_time_range_window" -> (q71 _),
     "q47_scalar_subquery" -> (q47 _),
@@ -544,6 +658,9 @@ object ExtendedQueries {
     "q39_approx_distinct" -> (q39 _))
 
   val oracle: Seq[(String, String)] = Seq(
+    "q77_histogram" -> q77Sql,
+    "q73_funnel" -> q73Sql,
+    "q74_retention" -> q74Sql,
     "q67_sessionization" -> q67Sql,
     "q71_time_range_window" -> q71Sql,
     "q47_scalar_subquery" -> q47Sql,

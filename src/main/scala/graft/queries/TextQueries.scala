@@ -386,7 +386,168 @@ object TextQueries {
       |k AS (SELECT min(cnt) AS k FROM (SELECT count(*) AS cnt FROM documents GROUP BY lang))
       |SELECT doc_id, lang, rk FROM r, k WHERE rk <= k.k ORDER BY lang, rk""".stripMargin
 
+  // q72 — BM25 ranked retrieval (Robertson/Spärck Jones; the scoring
+  // function behind Lucene/Elasticsearch defaults): score every document
+  // against a fixed query term set and return the top-20. Extends q68's
+  // tf/df/dlen relations with the saturating BM25 term weight
+  // (k1=1.2, b=0.75, idf = ln(1+(N-df+0.5)/(df+0.5))). Scale shape: the
+  // only corpus-wide shuffle is the (doc_id, term) word-count; the tf
+  // relation is filtered to the QUERY terms before any join, so the
+  // scored relation is |query|×|matching docs|, tiny; df/avgdl sides are
+  // vocabulary-/scalar-sized BROADCASTs; final top-20 is a
+  // TakeOrderedAndProject, no global sort materialized. Per-term
+  // contributions are rounded to 6 dp and summed as DECIMAL so the
+  // per-doc sum is order-independent (float sums are not associative;
+  // Spark and DuckDB would otherwise disagree in the last ulp).
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val terms = Seq("spark", "query", "fast")
+    val tk = docs(s, dir)
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("term"))
+    val tf = tk.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    val st = dl.agg(count(lit(1)).as("n"), avg($"dl").as("avgdl"))
+    val qtf = tf.filter($"term".isin(terms: _*))
+    val dfq = qtf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      ($"n".cast("double") - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+    val denom = $"tf".cast("double") +
+      lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * ($"dl".cast("double") / $"avgdl"))
+    qtf
+      .join(dl, "doc_id")
+      .join(broadcast(dfq), "term")
+      .crossJoin(broadcast(st))
+      .select($"doc_id",
+        round(idf * ($"tf".cast("double") * lit(2.2)) / denom, 6)
+          .cast("decimal(18,6)").as("contrib"))
+      .groupBy($"doc_id")
+      .agg(round(sum($"contrib").cast("double"), 4).as("bm25"))
+      .orderBy($"bm25".desc, $"doc_id")
+      .limit(20)
+  }
+
+  private val q72Sql =
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+      |st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+      |qt AS (SELECT doc_id, term, tf FROM tf WHERE term IN ('spark', 'query', 'fast')),
+      |dfq AS (SELECT term, count(*) AS df FROM qt GROUP BY 1),
+      |sc AS (
+      |  SELECT qt.doc_id,
+      |    CAST(round(
+      |      ln(1.0 + (CAST(st.n AS DOUBLE) - dfq.df + 0.5) / (dfq.df + 0.5))
+      |        * (CAST(qt.tf AS DOUBLE) * 2.2)
+      |        / (CAST(qt.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl.dl AS DOUBLE) / st.avgdl))),
+      |      6) AS DECIMAL(18,6)) AS contrib
+      |  FROM qt JOIN dl ON qt.doc_id = dl.doc_id JOIN dfq ON qt.term = dfq.term, st)
+      |SELECT doc_id, round(CAST(sum(contrib) AS DOUBLE), 4) AS bm25
+      |FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
+  // q75 — temperature-based source resampling (the data-mixing operator
+  // behind multilingual/multi-source pre-training recipes, cf. the
+  // alpha-sampling in mBERT/XLM-R and DoReMi-style reweighting): flatten
+  // the per-source size distribution to cnt^alpha (alpha=0.5) by
+  // DOWNSAMPLING every source to k_s = ceil(sqrt(cnt_s * cnt_min)) —
+  // the smallest source keeps everything, the largest keeps
+  // sqrt(cnt_min/cnt_max) of itself, and relative sizes after sampling
+  // follow the tempered distribution exactly. Selection within a source
+  // is ordered by md5(doc_id) (q58/q69's pure-function-of-the-row
+  // pattern): reproducible across runs, engines, partitionings, and
+  // stable under corpus growth. sqrt/ceil are IEEE-exact in both
+  // engines, so k_s is identical. Scale note: like q69, the per-source
+  // rank is a window over few, huge strata; at 100 TB cut by hash
+  // THRESHOLD (rate = k_s/cnt_s, no window) and accept ±ε source sizes.
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val c = docs(s, dir).groupBy($"source").agg(count(lit(1)).as("cnt"))
+    val mn = c.agg(min($"cnt").as("mn"))
+    val k = c.crossJoin(broadcast(mn))
+      .select($"source",
+        ceil(sqrt(($"cnt" * $"mn").cast("double"))).cast("long").as("k"))
+    docs(s, dir)
+      .select($"doc_id", $"source",
+        md5($"doc_id".cast("string").cast("binary")).as("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"source").orderBy($"h", $"doc_id")).cast("long"))
+      .join(broadcast(k), "source")
+      .filter($"rk" <= $"k")
+      .select($"doc_id", $"source")
+      .orderBy($"source", $"doc_id")
+  }
+
+  private val q75Sql =
+    """WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY 1),
+      |m AS (SELECT min(cnt) AS mn FROM c),
+      |k AS (SELECT source, CAST(ceil(sqrt(CAST(cnt * mn AS DOUBLE))) AS BIGINT) AS k FROM c, m),
+      |r AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |SELECT doc_id, r.source AS source FROM r JOIN k ON r.source = k.source
+      |WHERE rk <= k.k ORDER BY r.source, doc_id""".stripMargin
+
+  // q76 — unigram LM log-probability scoring (the CCNet-style perplexity
+  // quality signal, Wenzek et al. 2020, with the LM reduced to the
+  // corpus's own unigram distribution — self-contained and exactly
+  // reproducible): score(doc) = (Σ_t ln P(t)) / len(doc), P(t) =
+  // corpus_count(t) / corpus_tokens. Low scores = rare-token-heavy docs
+  // (gibberish, boilerplate code, non-language); the standard filter
+  // keeps a score band. Scale shape: ONE (doc, term) shuffle builds tf;
+  // the unigram table is vocabulary-sized and BROADCASTS back (the LM is
+  // a lookup table — exactly how a real KenLM filter deploys: model
+  // broadcast, corpus streams); per-term contributions are tf-weighted,
+  // rounded, and DECIMAL-summed per doc so the float sum is
+  // order-independent cross-engine (q72's trick). Flag = score below a
+  // fixed threshold (-6.2 nats/token on this corpus).
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = docs(s, dir)
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val uni = tf.groupBy($"term").agg(sum($"tf").as("cnt"))
+    val tot = uni.agg(sum($"cnt").as("tot"))
+    tf
+      .join(broadcast(uni), "term")
+      .crossJoin(broadcast(tot))
+      .select($"doc_id", $"tf",
+        round($"tf".cast("double") *
+          log($"cnt".cast("double") / $"tot"), 6)
+          .cast("decimal(18,6)").as("contrib"))
+      .groupBy($"doc_id")
+      // divide as DOUBLE (exact decimal sum → exact double cast → IEEE
+      // division): decimal÷long result scale rules differ across engines
+      .agg(round(sum($"contrib").cast("double") /
+        sum($"tf").cast("double"), 4).as("logprob_per_token"))
+      .withColumn("flagged", ($"logprob_per_token" < -6.2).cast("boolean"))
+      .orderBy($"doc_id")
+  }
+
+  private val q76Sql =
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+      |uni AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1),
+      |tot AS (SELECT sum(cnt) AS tot FROM uni),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.tf,
+      |    CAST(round(CAST(tf.tf AS DOUBLE) * ln(CAST(uni.cnt AS DOUBLE) / tot.tot), 6)
+      |      AS DECIMAL(18,6)) AS contrib
+      |  FROM tf JOIN uni ON tf.term = uni.term, tot)
+      |SELECT doc_id,
+      |  round(CAST(sum(contrib) AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 4) AS logprob_per_token,
+      |  CAST(round(CAST(sum(contrib) AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 4) < -6.2 AS BOOLEAN) AS flagged
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Seq[(String, QFn)] = Seq(
+    "q76_unigram_logprob" -> (q76 _),
+    "q72_bm25" -> (q72 _),
+    "q75_source_temperature" -> (q75 _),
     "q68_tfidf" -> (q68 _),
     "q69_stratified_sample" -> (q69 _),
     "q19_top_tokens" -> (q19 _),
@@ -402,6 +563,9 @@ object TextQueries {
     "q61_repetition" -> (q61 _))
 
   val oracle: Seq[(String, String)] = Seq(
+    "q76_unigram_logprob" -> q76Sql,
+    "q72_bm25" -> q72Sql,
+    "q75_source_temperature" -> q75Sql,
     "q68_tfidf" -> q68Sql,
     "q69_stratified_sample" -> q69Sql,
     "q19_top_tokens" -> q19Sql,

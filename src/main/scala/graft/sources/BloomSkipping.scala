@@ -68,8 +68,10 @@ object BloomSkipping {
     val dtOf = present.map(c =>
       c -> reader.schema(c).dataType).toMap
 
-    // part-file basenames carry a UUID — globally unique, so they key the
-    // join back to rels without touching URI-escaping of partition dirs
+    // file basenames are UUID-uniqued at publish time (publishStaged), so
+    // they key the join back to rels without touching URI-escaping of
+    // partition dirs; the require guards addFiles-registered external
+    // files, whose names the lakehouse does not control
     val baseOf = rels.map(r => r.substring(r.lastIndexOf('/') + 1) -> r).toMap
     require(baseOf.size == rels.size, "duplicate file basenames in commit")
     val perFile = rels.map { r =>

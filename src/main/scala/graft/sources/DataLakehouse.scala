@@ -389,10 +389,19 @@ final class DataLakehouse(
         && Files.isRegularFile(p))
     val rels = files.map { f =>
       val rel = stagingPath.relativize(f).toString
-      val target = Paths.get(root, rel)
+      // Re-basename with a fresh UUID at publish: Spark's dynamic
+      // partitioning reuses part-NNNNN-jobUUID per TASK, so one task
+      // writing several partition dirs emits the SAME basename in each —
+      // and bloom/stat bookkeeping keys files by basename (globally
+      // unique basenames sidestep URI-escaping of partition dir values
+      // when joining against input_file_name()).
+      val dir = Option(Paths.get(rel).getParent).map(_.toString + "/").getOrElse("")
+      val suffix = rel.substring(rel.lastIndexOf('.')) // ".parquet" | ".csv"
+      val unique = s"${dir}part-${UUID.randomUUID()}$suffix"
+      val target = Paths.get(root, unique)
       Files.createDirectories(target.getParent)
       Files.move(f, target, StandardCopyOption.ATOMIC_MOVE)
-      rel
+      unique
     }
     deleteRecursively(stagingPath)
     rels
@@ -835,6 +844,79 @@ final class DataLakehouse(
     val dead = dataFiles.filterNot(p => live.contains(rootPath.relativize(p).toString))
     dead.foreach(Files.deleteIfExists(_))
     dead.size.toLong
+  }
+
+  /** Commit history as a DataFrame (Delta's DESCRIBE HISTORY): one row
+    * per version with its wall-clock time, file and row deltas, and the
+    * operation shape inferred from the delta (append / rewrite / schema
+    * — a rewrite is any commit that both adds and removes). The audit
+    * surface operators actually query ("what rewrote this table last
+    * night?"), derived purely from the txn log — no data IO. Row counts
+    * come from each commit's own recorded per-file counts, so history
+    * cost is O(commits read), independent of table size.
+    */
+  def history(): DataFrame = {
+    import spark.implicits._
+    txnLog.commits().map { c =>
+      val op =
+        if (c.added.nonEmpty && c.removed.nonEmpty) "rewrite"
+        else if (c.added.nonEmpty) "append"
+        else if (c.removed.nonEmpty) "remove"
+        else "metadata"
+      (c.version, new Timestamp(c.timestampMs), op,
+        c.added.size.toLong, c.removed.size.toLong,
+        c.added.flatMap(c.rowCounts.get).sum,
+        c.batchId, c.schemaJson.isDefined)
+    }.toDF("version", "commit_ts", "operation", "files_added",
+      "files_removed", "rows_added", "batch_id", "schema_change")
+      .orderBy($"version".desc)
+  }
+
+  /** FSCK-style integrity audit of the live snapshot (the repair tool a
+    * 100-TB lake needs against silent storage failures): re-open every
+    * live file's footer and diff it against the txn log's commit-time
+    * record. Catches vanished files, truncated/corrupted objects
+    * (parquet's footer-at-end makes any truncation unreadable), and
+    * swapped files (same name, different contents → row-count or stats
+    * drift). Footer IO only — no data pages are read — parallel across
+    * files like `commitMeta`, and the file list is txn-log-resident like
+    * every metadata op, so cost is O(live files), not O(bytes).
+    *
+    * Returns one row per live file, ordered by path:
+    * (file, status ∈ ok|missing|unreadable|row_count_mismatch|
+    * stats_mismatch, expected_rows, actual_rows). `stats_mismatch`
+    * compares recomputed (symbol, ts) bounds against the recorded ones
+    * only when bounds were recorded for the file.
+    */
+  def verifyIntegrity(): DataFrame = {
+    import java.util.stream.Collectors
+    import spark.implicits._
+    val live = txnLog.snapshotFiles()
+    val counts = txnLog.rowCountsAt()
+    val stats = txnLog.fileStatsAt()
+    def audit(rel: String): (String, String, Option[Long], Option[Long]) = {
+      val expected = counts.get(rel)
+      if (!Files.isRegularFile(Paths.get(root, rel)))
+        return (rel, "missing", expected, None)
+      val meta =
+        try Some(fileMeta(rel))
+        catch { case scala.util.control.NonFatal(_) => None }
+      meta match {
+        case None => (rel, "unreadable", expected, None)
+        case Some((actualRows, recomputed)) =>
+          if (expected.exists(_ != actualRows))
+            (rel, "row_count_mismatch", expected, Some(actualRows))
+          else if (stats.get(rel).exists(rec => !recomputed.contains(rec)))
+            (rel, "stats_mismatch", expected, Some(actualRows))
+          else (rel, "ok", expected, Some(actualRows))
+      }
+    }
+    val rows = live.asJava.parallelStream()
+      .map[(String, String, Option[Long], Option[Long])](audit(_))
+      .collect(Collectors.toList[(String, String, Option[Long], Option[Long])])
+      .asScala.toSeq
+    rows.toDF("file", "status", "expected_rows", "actual_rows")
+      .orderBy($"file")
   }
 
   /** Partition keys present in the current snapshot, sorted (S5/O2):

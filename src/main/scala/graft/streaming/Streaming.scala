@@ -237,6 +237,104 @@ object Streaming {
         s"q.qts >= t.ts - INTERVAL $maxLag AND q.qts <= t.ts"))
   }
 
+  /** Streaming as-of quote enrichment (J5 as a stream — the flagship
+    * market-data pipeline shape: tag every trade with the newest quote at
+    * or before it). Two cooperating streams over DURABLE state:
+    * [[quoteStateStream]] reduces each quote micro-batch to its
+    * per-symbol latest row and appends it to the quote-state table at
+    * `stateDir` (per-batch overwrite partitions — replay-idempotent, the
+    * DLQ/index pattern), and [[asOfEnrichStream]] joins each trade
+    * micro-batch against that table with the batch
+    * [[graft.operators.AsOfJoin]], writing `outDir/batch=N` (overwrite —
+    * idempotent under replay).
+    *
+    * Semantics: a trade is enriched as-of the quotes that have ARRIVED
+    * when its batch runs — the standard low-latency enrichment contract;
+    * a quote arriving later never retroactively upgrades an emitted
+    * trade. Because the state table keeps the per-symbol newest quote of
+    * EACH batch (not only the global newest), a late trade still finds a
+    * quote at-or-before its own timestamp at batch granularity. State
+    * growth is O(symbols × quote batches) rows — compact by re-saving
+    * the per-symbol latest as a fresh `append=base` when batch count
+    * grows large. State lives entirely on disk: a replaced driver
+    * continues from the table.
+    *
+    * Quote schema: (qsymbol, qts, qid, bid, ask) — qid is a unique quote
+    * sequence number (the as-of tie-breaker); trade schema must carry a
+    * unique `trade_id` (AsOfJoin's leftId) and (symbol, ts). Before any
+    * quote state exists, trades are emitted with null quote columns.
+    */
+  def quoteStateStream(
+      quotes: DataFrame,
+      stateDir: String,
+      checkpointDir: String,
+      triggerMs: Long = 100L): StreamingQuery =
+    quotes.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processQuoteStateBatch(batch, batchId, stateDir)
+      }
+      .start()
+
+  /** Trade-side half of the streaming as-of enrichment — see
+    * [[quoteStateStream]].
+    */
+  def asOfEnrichStream(
+      trades: DataFrame,
+      stateDir: String,
+      outDir: String,
+      checkpointDir: String,
+      triggerMs: Long = 100L): StreamingQuery =
+    trades.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processEnrichBatch(batch, batchId, stateDir, outDir)
+      }
+      .start()
+
+  /** One quote micro-batch: keep only the per-symbol newest quote (a
+    * symbols-sized window reduction — state grows by at most one row per
+    * symbol per batch) and overwrite this batch's own state partition.
+    */
+  private[graft] def processQuoteStateBatch(
+      batch: DataFrame, batchId: Long, stateDir: String): Unit = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qsymbol")).orderBy(col("qts").desc, col("qid").desc)
+    batch.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1).drop("_rk")
+      .write.mode("overwrite").parquet(s"$stateDir/append=b$batchId")
+  }
+
+  /** One trade micro-batch: as-of join against the arrived quote state
+    * (absent state → null-quoted trades, same columns) and overwrite this
+    * batch's output partition.
+    */
+  private[graft] def processEnrichBatch(
+      batch: DataFrame, batchId: Long, stateDir: String, outDir: String): Unit = {
+    val spark = batch.sparkSession
+    val state =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(stateDir)))
+        Some(spark.read.parquet(stateDir).drop("append"))
+      else None
+    val enriched = state match {
+      case Some(quotes) =>
+        graft.operators.AsOfJoin.backward(batch, quotes,
+          keys = Seq("symbol" -> "qsymbol"), leftOn = "ts", rightOn = "qts",
+          leftId = "trade_id", tieBreaker = "qid")
+      case None =>
+        batch.select(batch.columns.map(col) :+
+          lit(null).cast("timestamp").as("qts") :+
+          lit(null).cast("long").as("qid") :+
+          lit(null).cast("double").as("bid") :+
+          lit(null).cast("double").as("ask"): _*)
+    }
+    enriched.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+  }
+
   /** Streaming dedup within the watermark horizon (T5: README.md:41's
     * dedup gate, stateful form).
     */

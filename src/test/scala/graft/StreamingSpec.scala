@@ -16,6 +16,10 @@ class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
   private case class Tick(ts: Timestamp, symbol: String, price: Double, volume: Long)
+  private case class Quote(qsymbol: String, qts: Timestamp, qid: Long,
+      bid: Double, ask: Double)
+  private case class Trade(trade_id: Long, symbol: String, ts: Timestamp,
+      price: Double)
 
   private def tick(sec: Int, sym: String, p: Double, v: Long) =
     Tick(new Timestamp(1718445600000L + sec * 1000L), sym, p, v)
@@ -97,6 +101,75 @@ class StreamingSpec extends SparkSpec {
         .as[(String, Double, Double)].collect().toSet
       assert(rows == Set(("AAPL", 100.0, 99.0)))
     } finally q.stop()
+  }
+
+  test("streaming as-of enrichment: trades pick up the newest arrived quote") {
+    implicit val sc = spark.sqlContext
+    val stateDir = tempDir("asof-state")
+    val outDir = tempDir("asof-out")
+    val memQ = MemoryStream[Quote]
+    val memT = MemoryStream[Trade]
+    val t0 = 1718445600000L
+    val qs = Streaming.quoteStateStream(memQ.toDF(), stateDir,
+      tempDir("asof-qckpt"), triggerMs = 50)
+    val ts = Streaming.asOfEnrichStream(memT.toDF(), stateDir, outDir,
+      tempDir("asof-tckpt"), triggerMs = 50)
+    try {
+      // quote batch 1: AAPL 99/101 at t=0, then 100/102 at t=10s (newest
+      // of the batch — only it enters the state), GOOG 50/51 at t=0
+      memQ.addData(
+        Quote("AAPL", new Timestamp(t0), 1L, 99.0, 101.0),
+        Quote("AAPL", new Timestamp(t0 + 10000L), 2L, 100.0, 102.0),
+        Quote("GOOG", new Timestamp(t0), 3L, 50.0, 51.0))
+      qs.processAllAvailable()
+      // trades at t=30s: each joins its symbol's newest arrived quote
+      memT.addData(
+        Trade(1L, "AAPL", new Timestamp(t0 + 30000L), 101.5),
+        Trade(2L, "GOOG", new Timestamp(t0 + 30000L), 50.5),
+        Trade(3L, "MSFT", new Timestamp(t0 + 30000L), 10.0)) // no quote
+      ts.processAllAvailable()
+      val out1 = spark.read.parquet(outDir).drop("batch")
+        .select($"trade_id", $"qid", $"bid", $"ask")
+        .as[(Long, Option[Long], Option[Double], Option[Double])]
+        .collect().map { case (k, v2, v3, v4) => k -> ((v2, v3, v4)) }.toMap
+      assert(out1(1L) == ((Some(2L), Some(100.0), Some(102.0))))
+      assert(out1(2L) == ((Some(3L), Some(50.0), Some(51.0))))
+      assert(out1(3L) == ((None, None, None))) // unquoted symbol: nulls
+      // quote batch 2: newer AAPL quote arrives; a later trade uses it,
+      // while an EARLIER-ts trade still resolves as-of its own time
+      // against the per-batch retained history
+      memQ.addData(Quote("AAPL", new Timestamp(t0 + 60000L), 4L, 110.0, 112.0))
+      qs.processAllAvailable()
+      memT.addData(
+        Trade(4L, "AAPL", new Timestamp(t0 + 90000L), 111.0),
+        Trade(5L, "AAPL", new Timestamp(t0 + 20000L), 101.0)) // late trade
+      ts.processAllAvailable()
+      val out2 = spark.read.parquet(outDir).drop("batch")
+        .select($"trade_id", $"qid").as[(Long, Option[Long])].collect().toMap
+      assert(out2(4L) == Some(4L)) // newest quote
+      assert(out2(5L) == Some(2L)) // as-of 20s: batch-1's retained quote
+    } finally { qs.stop(); ts.stop() }
+  }
+
+  test("as-of enrichment batch is idempotent under replay") {
+    val stateDir = tempDir("asofr-state")
+    val outDir = tempDir("asofr-out")
+    val t0 = 1718445600000L
+    val quotes = Seq(
+      ("AAPL", new Timestamp(t0), 1L, 99.0, 101.0),
+      ("AAPL", new Timestamp(t0 + 10000L), 2L, 100.0, 102.0))
+      .toDF("qsymbol", "qts", "qid", "bid", "ask")
+    val trades = Seq((1L, "AAPL", new Timestamp(t0 + 30000L), 101.5))
+      .toDF("trade_id", "symbol", "ts", "price")
+    Streaming.processQuoteStateBatch(quotes, 0L, stateDir)
+    Streaming.processQuoteStateBatch(quotes, 0L, stateDir) // replay
+    // state holds ONE row (per-symbol newest), not an accumulation
+    assert(spark.read.parquet(stateDir).count() == 1)
+    Streaming.processEnrichBatch(trades, 0L, stateDir, outDir)
+    val first = spark.read.parquet(outDir).collect().toSeq
+    Streaming.processEnrichBatch(trades, 0L, stateDir, outDir) // replay
+    val second = spark.read.parquet(outDir).collect().toSeq
+    assert(first == second && first.size == 1)
   }
 
   test("checkpointed restart: processed files skipped, new files ingested once") {
