@@ -1,0 +1,89 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.sources.{DataLakehouse, IncrementalView}
+
+/** Incrementally maintained (symbol, date) rollup over the lakehouse:
+  * the refresh cursor is the txn-log version; appends merge partials,
+  * removals force a rebuild, and at every point the view must equal a
+  * full recompute from the current snapshot.
+  */
+class IncrementalViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def bar(day: Int, i: Int, sym: String): OhlcvBar = OhlcvBar(
+    symbol = sym,
+    timestamp = new Timestamp(
+      ts("2024-06-10 09:30:00").getTime + day * 86400000L + i * 60000L),
+    open = 150.0 + i, high = 155.0 + i, low = 149.0 - (i % 3),
+    close = 153.0 + i, volume = 1000L + 10L * i,
+    asset_class = AssetClass.Equity)
+
+  /** Ground truth: the same rollup recomputed from the full snapshot. */
+  private def recompute(lake: DataLakehouse) = {
+    import org.apache.spark.sql.functions._
+    lake.query().df
+      .groupBy($"symbol", $"date")
+      .agg(count(lit(1)).as("n_bars"),
+        sum($"volume").as("total_volume"),
+        when(sum($"volume") > 0L,
+          round(sum($"close" * $"volume") / sum($"volume"), 6)).as("vwap"),
+        min($"low").as("lo"), max($"high").as("hi"))
+      .orderBy($"symbol", $"date")
+  }
+
+  private def assertMatchesFull(lake: DataLakehouse, viewDir: String): Unit = {
+    val got = IncrementalView.read(spark, viewDir).collect().toSeq
+    val want = recompute(lake).collect().toSeq
+    assert(got == want, s"view=$got\nfull=$want")
+  }
+
+  test("initial refresh, incremental appends, and idempotent no-op") {
+    val lake = new DataLakehouse(spark, tempDir("mv-lake"), batchSize = 1000)
+    val viewDir = tempDir("mv-view")
+    lake.ingestBatch((0 until 20).map(i => bar(i % 2, i, "AAPL")))
+    val s1 = IncrementalView.refresh(lake, viewDir)
+    assert(s1.mode == "initial" && s1.toVersion == 0L)
+    assertMatchesFull(lake, viewDir)
+
+    // append-only delta: must take the incremental path and still match
+    lake.ingestBatch((20 until 35).map(i => bar(i % 3, i, "GOOG")))
+    lake.ingestBatch((35 until 40).map(i => bar(0, i, "AAPL")))
+    val s2 = IncrementalView.refresh(lake, viewDir)
+    assert(s2.mode == "incremental", s2)
+    assert(s2.deltaFiles > 0 && s2.fromVersion == 0L && s2.toVersion == 2L)
+    assertMatchesFull(lake, viewDir)
+
+    // already current: no-op, cursor unchanged
+    val s3 = IncrementalView.refresh(lake, viewDir)
+    assert(s3.mode == "noop" && s3.toVersion == s2.toVersion)
+    assertMatchesFull(lake, viewDir)
+  }
+
+  test("a removal commit (compaction) forces a rebuild that still matches") {
+    val lake = new DataLakehouse(spark, tempDir("mv-lake2"), batchSize = 1000)
+    val viewDir = tempDir("mv-view2")
+    lake.ingestBatch((0 until 10).map(i => bar(0, i, "AAPL")))
+    IncrementalView.refresh(lake, viewDir)
+    lake.ingestBatch((10 until 20).map(i => bar(0, i, "AAPL")))
+    lake.compact() // adds AND removes → partials can't be un-merged
+    val s = IncrementalView.refresh(lake, viewDir)
+    assert(s.mode == "rebuild", s)
+    assertMatchesFull(lake, viewDir)
+  }
+
+  test("row-level delete invalidates folded state via rebuild") {
+    val lake = new DataLakehouse(spark, tempDir("mv-lake3"), batchSize = 1000)
+    val viewDir = tempDir("mv-view3")
+    lake.ingestBatch((0 until 10).map(i => bar(0, i, "AAPL")))
+    IncrementalView.refresh(lake, viewDir)
+    import org.apache.spark.sql.functions.col
+    lake.deleteWhere(col("volume") >= 1050L) // drops half the rows
+    val s = IncrementalView.refresh(lake, viewDir)
+    assert(s.mode == "rebuild", s)
+    assertMatchesFull(lake, viewDir)
+  }
+}

@@ -115,6 +115,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q72: BM25 broadcasts df/avgdl and plans the top-20 as true top-k") {
+    val p = plan("q72_bm25")
+    // retrieval scale contract: the vocabulary-sized df side and the
+    // 1-row avgdl side broadcast (no corpus re-shuffle on term), and the
+    // final top-20 is TakeOrderedAndProject, never a global sort
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q73: the three funnel stages share one user_id exchange, no self-joins") {
+    val p = plan("q73_funnel")
+    // chained conditional window mins: one hash exchange on user_id
+    // serves all three stage columns AND the per-user dedup — the
+    // join-per-stage formulation would shuffle events three more times
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q77: histogram bounds broadcast; both passes stay scan-shaped") {
+    val p = plan("q77_histogram")
+    // two-pass histogram: the 1-row bounds aggregate must come back as a
+    // broadcast (nested-loop over one row), never by shuffling the fact
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("lakehouse query: symbol filter pushes to parquet on clustered files") {
     import java.sql.Timestamp
     val lake = new graft.sources.DataLakehouse(spark, tempDir("planlake"))
