@@ -90,6 +90,52 @@ object ScaleRun {
       spark.stop(); return
     }
 
+    // Materialized-view refresh at scale: a mult×2M-row fact table with a
+    // standing (symbol, date) rollup; a fresh 200k-row increment is folded
+    // in by IncrementalView.refresh (reads ONLY the new files, merges
+    // keyed partials) vs the full rebuild the removal path takes. The
+    // incremental cost must track the INCREMENT, not the table — the
+    // property that keeps a 100-TB summary table current on a cadence.
+    if (which == "mv") {
+      import java.nio.file.Files
+      val rows = mult * 2000000L
+      val root = Files.createTempDirectory("scalemv").toString
+      val viewDir = Files.createTempDirectory("scalemv-view").toString
+      val lake = new sources.DataLakehouse(spark, root)
+      def bars(n: Long, offset: Long) = {
+        val cents = pmod(col("id") * 37L, lit(100)).cast("double") / 100.0
+        spark.range(n).select(
+          concat(lit("SYM"), pmod(col("id") + offset, lit(100))).as("symbol"),
+          timestamp_millis(lit(1718409600000L) +
+            pmod(col("id") + offset, lit(10)) * 86400000L +
+            ((col("id") + offset) / 10).cast("long")).as("timestamp"),
+          (lit(100.0) + pmod(col("id"), lit(50)) + cents).as("open"),
+          (lit(160.0) + pmod(col("id"), lit(50)) + cents).as("high"),
+          (lit(90.0) + pmod(col("id"), lit(50)) + cents).as("low"),
+          (lit(120.0) + pmod(col("id"), lit(50)) + cents).as("close"),
+          (lit(1000L) + col("id")).as("volume"),
+          lit("equity").as("asset_class"))
+      }
+      lake.appendDF(bars(rows, 0L))
+      sources.IncrementalView.refresh(lake, viewDir) // standing state
+      lake.appendDF(bars(200000L, rows))             // the daily increment
+      val tInc = System.nanoTime()
+      val sInc = sources.IncrementalView.refresh(lake, viewDir)
+      val incS = (System.nanoTime() - tInc) / 1e9
+      assert(sInc.mode == "incremental", sInc)
+      // full rebuild of the same final state (fresh view dir)
+      val viewDir2 = Files.createTempDirectory("scalemv-view2").toString
+      val tFull = System.nanoTime()
+      sources.IncrementalView.refresh(lake, viewDir2)
+      val fullS = (System.nanoTime() - tFull) / 1e9
+      val viewRows = sources.IncrementalView.read(spark, viewDir).count()
+      println(f"[scale] mv ${mult}x rows=$rows increment=200000 " +
+        f"viewKeys=$viewRows incRefresh=$incS%.1f fullRebuild=$fullS%.1f " +
+        f"speedup=${fullS / incS}%.1fx")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      spark.stop(); return
+    }
+
     // Incremental dedup at scale: a fresh 5k-doc increment (one clone
     // batch) deduped against the mult× standing corpus, vs re-running
     // the full self-join over corpus∪batch. The incremental form's cost
