@@ -544,7 +544,31 @@ object TextQueries {
       |  CAST(round(CAST(sum(contrib) AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 4) < -6.2 AS BOOLEAN) AS flagged
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // q78 — heavy hitters (Misra-Gries mergeable summaries): the top-20
+  // tokens by the m-counter sketch. At the catalog's corpus size
+  // m=65536 exceeds the vocabulary, no partition ever evicts, and the
+  // sketch is EXACT (err_bound 0) — hash-matching the oracle's true
+  // counts; HeavyHittersSpec separately pins the small-m sandwich
+  // bounds (merged <= true <= merged + Σd_p) and planted-heavy recall
+  // under adversarial skew. Scale shape: one mapPartitions pass, then a
+  // metadata-sized (<= partitions×m rows) summary shuffle — the
+  // frequent-items answer at 100 TB without a vocabulary-sized shuffle.
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.HeavyHitters
+    val toks = docs(s, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+    HeavyHitters.topK(toks, "word", k = 20, m = 1 << 16)
+  }
+
+  private val q78Sql =
+    """SELECT w AS word, count(*) AS est_count, CAST(0 AS BIGINT) AS err_bound
+      |FROM (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS w
+      |  FROM documents)
+      |GROUP BY w ORDER BY est_count DESC, word LIMIT 20""".stripMargin
+
   val defs: Seq[(String, QFn)] = Seq(
+    "q78_heavy_hitters" -> (q78 _),
     "q76_unigram_logprob" -> (q76 _),
     "q72_bm25" -> (q72 _),
     "q75_source_temperature" -> (q75 _),
@@ -563,6 +587,7 @@ object TextQueries {
     "q61_repetition" -> (q61 _))
 
   val oracle: Seq[(String, String)] = Seq(
+    "q78_heavy_hitters" -> q78Sql,
     "q76_unigram_logprob" -> q76Sql,
     "q72_bm25" -> q72Sql,
     "q75_source_temperature" -> q75Sql,

@@ -309,6 +309,49 @@ object Streaming {
       .write.mode("overwrite").parquet(s"$stateDir/append=b$batchId")
   }
 
+  /** Compact the quote-state table to ONE row per symbol (the global
+    * newest quote), written as a fresh `append=base` partition; the
+    * per-batch append partitions are then removed. Run when batch count
+    * has grown the state past what probe-time pruning should pay for.
+    * Tradeoff (documented on [[quoteStateStream]]): compaction forfeits
+    * the per-batch HISTORY, so late trades older than the compaction
+    * point resolve to the newest retained quote at-or-before them —
+    * current-trade enrichment is unchanged. Crash-safe: `append=base` is
+    * written BEFORE old partitions are removed, and every retained base
+    * row also exists in some append partition until the removes happen,
+    * so a reader never sees less state than before.
+    */
+  def compactQuoteState(spark: SparkSession, stateDir: String): Long = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(stateDir)
+    if (!Files.isDirectory(root)) return 0L
+    import scala.jdk.CollectionConverters._
+    val olds = {
+      val s = Files.list(root)
+      try s.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("append="))
+        .filterNot(_.getFileName.toString == "append=base").toList
+      finally s.close()
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qsymbol")).orderBy(col("qts").desc, col("qid").desc)
+    val latest = spark.read.parquet(stateDir).drop("append")
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1).drop("_rk")
+      .persist() // materialize fully before any source partition vanishes
+    val n = latest.count()
+    latest.write.mode("overwrite").parquet(s"$stateDir/append=base")
+    latest.unpersist(blocking = false)
+    olds.foreach { dir =>
+      val files = Files.walk(dir)
+      try files.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally files.close()
+    }
+    n
+  }
+
   /** One trade micro-batch: as-of join against the arrived quote state
     * (absent state → null-quoted trades, same columns) and overwrite this
     * batch's output partition.

@@ -172,6 +172,40 @@ class StreamingSpec extends SparkSpec {
     assert(first == second && first.size == 1)
   }
 
+  test("quote-state compaction keeps one newest row per symbol; enrichment of current trades unchanged") {
+    val stateDir = tempDir("asofc-state")
+    val outDir = tempDir("asofc-out")
+    val t0 = 1718445600000L
+    // three quote batches; AAPL advances each time, GOOG only in the first
+    Streaming.processQuoteStateBatch(Seq(
+      ("AAPL", new Timestamp(t0), 1L, 99.0, 101.0),
+      ("GOOG", new Timestamp(t0), 2L, 50.0, 51.0))
+      .toDF("qsymbol", "qts", "qid", "bid", "ask"), 0L, stateDir)
+    Streaming.processQuoteStateBatch(Seq(
+      ("AAPL", new Timestamp(t0 + 10000L), 3L, 100.0, 102.0))
+      .toDF("qsymbol", "qts", "qid", "bid", "ask"), 1L, stateDir)
+    Streaming.processQuoteStateBatch(Seq(
+      ("AAPL", new Timestamp(t0 + 20000L), 4L, 101.0, 103.0))
+      .toDF("qsymbol", "qts", "qid", "bid", "ask"), 2L, stateDir)
+    assert(spark.read.parquet(stateDir).count() == 4) // 3 AAPL + 1 GOOG
+    val kept = Streaming.compactQuoteState(spark, stateDir)
+    assert(kept == 2L)
+    val state = spark.read.parquet(stateDir)
+    assert(state.count() == 2)
+    assert(state.select("append").distinct().as[String].collect().toSeq == Seq("base"))
+    // current trades enrich identically to pre-compaction state
+    val trades = Seq((1L, "AAPL", new Timestamp(t0 + 30000L), 101.5),
+      (2L, "GOOG", new Timestamp(t0 + 30000L), 50.5))
+      .toDF("trade_id", "symbol", "ts", "price")
+    Streaming.processEnrichBatch(trades, 0L, stateDir, outDir)
+    val out = spark.read.parquet(outDir).select($"trade_id", $"qid")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 4L, 2L -> 2L))
+    // idempotent: compacting again is a no-op shape (still 2 rows, base only)
+    assert(Streaming.compactQuoteState(spark, stateDir) == 2L)
+    assert(spark.read.parquet(stateDir).count() == 2)
+  }
+
   test("checkpointed restart: processed files skipped, new files ingested once") {
     val lake = new DataLakehouse(spark, tempDir("rlake"))
     val src = tempDir("rsrc")
