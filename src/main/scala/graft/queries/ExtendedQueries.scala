@@ -631,7 +631,73 @@ object ExtendedQueries {
       |  round(max(l_extendedprice), 2) AS bin_max
       |FROM lineitem, b GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // q79 — realized volatility (the quant risk metric: per-entity daily
+  // sum of squared log returns, Andersen/Bollerslev realized-variance
+  // estimator). Returns are WITHIN-day (the overnight gap is not a
+  // return); each squared log return is rounded to 8 dp and summed as
+  // DECIMAL so the per-day sum is order-independent across engines
+  // (q72's trick — float sums are not associative). Scale shape: ONE
+  // (user, day)-keyed shuffle serves the lag window and the aggregate
+  // (same partitioning), exactly q67's Exchange-reuse contract.
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"value",
+        expr("unix_micros(ts) div 86400000000").as("day"))
+    val w = Window.partitionBy($"user_id", $"day").orderBy($"ts", $"event_id")
+    base
+      .withColumn("prev", lag($"value", 1).over(w))
+      .filter($"prev".isNotNull)
+      .select($"user_id", $"day",
+        round(pow(log($"value" / $"prev"), 2), 8)
+          .cast("decimal(18,8)").as("r2"))
+      .groupBy($"user_id", $"day")
+      .agg(count(lit(1)).as("n_returns"),
+        round(sum($"r2").cast("double"), 4).as("realized_var"))
+      .orderBy($"user_id", $"day")
+  }
+
+  private val q79Sql =
+    """WITH r AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, value,
+      |    lag(value) OVER (PARTITION BY user_id, epoch_us(ts) // 86400000000
+      |      ORDER BY ts, event_id) AS prev
+      |  FROM events)
+      |SELECT user_id, day, count(*) AS n_returns,
+      |  round(CAST(sum(CAST(round(pow(ln(value / prev), 2), 8) AS DECIMAL(18,8))) AS DOUBLE), 4) AS realized_var
+      |FROM r WHERE prev IS NOT NULL
+      |GROUP BY user_id, day ORDER BY user_id, day""".stripMargin
+
+  // q80 — maximum drawdown (peak-to-trough loss over a running maximum):
+  // the other canonical risk metric. The running peak is a cumulative
+  // window max — codegen'd, one shuffle on the entity key; drawdown is a
+  // pure row-local expression on (peak, value), so the result is
+  // bit-deterministic across engines with no summation at all. Output
+  // rounded to 6 dp with a total key order.
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("peak", max($"value").over(w))
+      .select($"user_id", (($"peak" - $"value") / $"peak").as("dd"))
+      .groupBy($"user_id")
+      .agg(round(max($"dd"), 6).as("max_drawdown"))
+      .orderBy($"user_id")
+  }
+
+  private val q80Sql =
+    """WITH p AS (
+      |  SELECT user_id, value,
+      |    max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      |  FROM events)
+      |SELECT user_id, round(max((peak - value) / peak), 6) AS max_drawdown
+      |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val defs: Seq[(String, QFn)] = Seq(
+    "q79_realized_vol" -> (q79 _),
+    "q80_drawdown" -> (q80 _),
     "q77_histogram" -> (q77 _),
     "q73_funnel" -> (q73 _),
     "q74_retention" -> (q74 _),
@@ -658,6 +724,8 @@ object ExtendedQueries {
     "q39_approx_distinct" -> (q39 _))
 
   val oracle: Seq[(String, String)] = Seq(
+    "q79_realized_vol" -> q79Sql,
+    "q80_drawdown" -> q80Sql,
     "q77_histogram" -> q77Sql,
     "q73_funnel" -> q73Sql,
     "q74_retention" -> q74Sql,
