@@ -695,7 +695,67 @@ object ExtendedQueries {
       |SELECT user_id, round(max((peak - value) / peak), 6) AS max_drawdown
       |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // q81 — regression aggregates (regr_slope / regr_intercept / regr_r2
+  // per group, the OLAP least-squares family) computed INTEGER-EXACT:
+  // x = whole seconds since the corpus start (int), y = value in cents
+  // (int), and every moment (n, Σx, Σy, Σxy, Σx², Σy²) is an exact
+  // integer sum carried as DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) —
+  // the normal-equation numerators and denominators are therefore
+  // bit-identical integers in both engines, and the ONLY float ops are
+  // the final divisions. The naive float formulation differs across
+  // engines in summation order; built-in regr_* functions differ in
+  // accumulation scheme — this shape is the portable one. Scale: a
+  // plain 6-moment map-side-combined aggregate, one shuffle on the
+  // group key, broadcast 1-row origin.
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val origin = t(s, dir, "events")
+      .agg(min(unix_micros($"ts")).as("t0"))
+    val moments = t(s, dir, "events")
+      .crossJoin(broadcast(origin))
+      .select($"event_type",
+        expr("(unix_micros(ts) - t0) div 1000000").cast("decimal(38,0)").as("x"),
+        round($"value" * 100, 0).cast("decimal(38,0)").as("y"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"),
+        sum($"x" * $"x").as("sxx"),
+        sum($"y" * $"y").as("syy"))
+    moments.select($"event_type", $"n".cast("long").as("n"),
+      round(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+        ($"n" * $"sxx" - $"sx" * $"sx").cast("double"), 8).as("slope_cents_per_s"),
+      round(($"sy".cast("double") -
+        (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          ($"n" * $"sxx" - $"sx" * $"sx").cast("double")) * $"sx".cast("double")) /
+        $"n".cast("double"), 4).as("intercept_cents"),
+      round((($"n" * $"sxy" - $"sx" * $"sy").cast("double") *
+        ($"n" * $"sxy" - $"sx" * $"sy").cast("double")) /
+        (($"n" * $"sxx" - $"sx" * $"sx").cast("double") *
+          ($"n" * $"syy" - $"sy" * $"sy").cast("double")), 6).as("r2"))
+      .orderBy($"event_type")
+  }
+
+  private val q81Sql =
+    """WITH o AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+      |m AS (
+      |  SELECT event_type,
+      |    count(*) AS n,
+      |    sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+      |    sum(x*x) AS sxx, sum(y*y) AS syy
+      |  FROM (SELECT event_type,
+      |          (epoch_us(ts) - t0) // 1000000 AS x,
+      |          CAST(round(value * 100, 0) AS BIGINT) AS y
+      |        FROM events, o)
+      |  GROUP BY event_type)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      |  round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 8) AS slope_cents_per_s,
+      |  round((CAST(sy AS DOUBLE) - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4) AS intercept_cents,
+      |  round((CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)) / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS r2
+      |FROM m ORDER BY event_type""".stripMargin
+
   val defs: Seq[(String, QFn)] = Seq(
+    "q81_regression" -> (q81 _),
     "q79_realized_vol" -> (q79 _),
     "q80_drawdown" -> (q80 _),
     "q77_histogram" -> (q77 _),
@@ -724,6 +784,7 @@ object ExtendedQueries {
     "q39_approx_distinct" -> (q39 _))
 
   val oracle: Seq[(String, String)] = Seq(
+    "q81_regression" -> q81Sql,
     "q79_realized_vol" -> q79Sql,
     "q80_drawdown" -> q80Sql,
     "q77_histogram" -> q77Sql,

@@ -567,7 +567,42 @@ object TextQueries {
       |  FROM documents)
       |GROUP BY w ORDER BY est_count DESC, word LIMIT 20""".stripMargin
 
+  // q82 — deterministic WEIGHTED sampling without replacement
+  // (Efraimidis-Spirakis A-ES, IPL 2006): each doc draws a uniform
+  // u ∈ (0,1) from md5(doc_id) — pure function of the row, like
+  // q58/q69/q75 — and the top-k by key ln(u)/w (order-equivalent to
+  // u^(1/w)) is a weight-proportional sample: here longer documents
+  // (w = n_chars) are proportionally likelier, the standard
+  // size-biased curation draw. Engine-portable arithmetic: the 48-bit
+  // hex prefix parses to the SAME exact integer in both engines
+  // (conv base-16 / '0x' cast), u's division and ln are IEEE, and the
+  // ordering tie-breaks on doc_id. Scale shape: a narrow per-row map +
+  // TakeOrderedAndProject top-k — no shuffle beyond the k-row merge;
+  // the no-window form of weighted sampling at 100 TB.
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bits = conv(substring(
+      md5($"doc_id".cast("string").cast("binary")), 1, 12), 16, 10)
+      .cast("double")
+    val u = (bits + lit(1.0)) / lit(281474976710657.0) // (2^48 + 1)
+    docs(s, dir)
+      .select($"doc_id", $"source", $"n_chars",
+        (log(u) / $"n_chars").as("key"))
+      .orderBy($"key".desc, $"doc_id")
+      .limit(20)
+      .select($"doc_id", $"source", $"n_chars")
+  }
+
+  private val q82Sql =
+    """SELECT doc_id, source, n_chars FROM (
+      |  SELECT doc_id, source, n_chars,
+      |    ln((CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 1.0)
+      |       / 281474976710657.0) / n_chars AS key
+      |  FROM documents)
+      |ORDER BY key DESC, doc_id LIMIT 20""".stripMargin
+
   val defs: Seq[(String, QFn)] = Seq(
+    "q82_weighted_sample" -> (q82 _),
     "q78_heavy_hitters" -> (q78 _),
     "q76_unigram_logprob" -> (q76 _),
     "q72_bm25" -> (q72 _),
@@ -587,6 +622,7 @@ object TextQueries {
     "q61_repetition" -> (q61 _))
 
   val oracle: Seq[(String, String)] = Seq(
+    "q82_weighted_sample" -> q82Sql,
     "q78_heavy_hitters" -> q78Sql,
     "q76_unigram_logprob" -> q76Sql,
     "q72_bm25" -> q72Sql,
