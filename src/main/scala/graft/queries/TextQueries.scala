@@ -567,6 +567,96 @@ object TextQueries {
       |  FROM documents)
       |GROUP BY w ORDER BY est_count DESC, word LIMIT 20""".stripMargin
 
+  // q83 — BPE-style adjacent-pair statistics (Sennrich ACL'16, the
+  // first merge step of byte-pair-encoding tokenizer training): count
+  // every adjacent CHARACTER pair, weighted by word frequency. The
+  // scale shape is the one real BPE trainers use: collapse the corpus
+  // to its VOCABULARY first (one word-count aggregate — Zipf-bounded,
+  // orders of magnitude smaller than the token stream), then expand
+  // pairs over distinct words only and weight by freq. Pair expansion
+  // thus costs O(vocab · word_len), not O(corpus tokens); at 100 TB
+  // the second stage is metadata-sized. Integer counts throughout.
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = docs(s, dir)
+      .select(explode(TextOps.tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+    vocab.filter(length($"w") >= 2)
+      .select($"freq", $"w",
+        explode(sequence(lit(1), length($"w") - 1)).as("i"))
+      .select($"w".substr($"i", lit(2)).as("pair"), $"freq")
+      .groupBy($"pair").agg(sum($"freq").cast("long").as("pair_count"))
+      .orderBy($"pair_count".desc, $"pair")
+      .limit(20)
+  }
+
+  private val q83Sql =
+    """WITH tk AS (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS w
+      |  FROM documents),
+      |v AS (SELECT w, count(*) AS freq FROM tk GROUP BY 1),
+      |p AS (SELECT substring(w, CAST(i AS INT), 2) AS pair, freq
+      |      FROM v, unnest(range(1, length(w))) t(i)
+      |      WHERE length(w) >= 2)
+      |SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+      |FROM p GROUP BY 1 ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin
+
+  // q84 — PMI collocation mining (Church & Hanks, CL 1990): pointwise
+  // mutual information ln(p(a,b) / (p(a)p(b))) over adjacent word
+  // bigrams, the standard phrase-detection signal (word2vec's phrase
+  // pass, quality heuristics). Every count (c_ab, c_a, c_b, N_uni,
+  // N_bi) is an exact integer; numerator/denominator products are
+  // carried as DECIMAL(38,0)/HUGEINT so both engines form the SAME
+  // exact integers, and the only float ops are the final cast-divide
+  // and one ln (rounded to 6dp, the q76 contract). min-count 5 prunes
+  // the noise tail. Scale: bigram and unigram counts are map-side
+  // combined vocabulary-sized aggregates; the two c_a/c_b lookups join
+  // on word keys (broadcastable when the vocab fits, shuffle otherwise)
+  // and the totals are a 1-row broadcast.
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = docs(s, dir).select(TextOps.tokens($"text").as("t"))
+    val totals = toks.agg(
+      sum(size($"t")).as("n_uni"),
+      sum(greatest(size($"t") - 1, lit(0))).as("n_bi"))
+    val uni = toks.select(explode($"t").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    val bi = toks.select(explode(TextOps.shingles($"t", 2)).as("b"))
+      .groupBy($"b").agg(count(lit(1)).as("cab"))
+      .filter($"cab" >= 5)
+    bi
+      .withColumn("wa", split($"b", " ")(0))
+      .withColumn("wb", split($"b", " ")(1))
+      .join(uni.select($"w".as("wa"), $"c".as("ca")), "wa")
+      .join(uni.select($"w".as("wb"), $"c".as("cb")), "wb")
+      .crossJoin(broadcast(totals))
+      .select($"b".as("bigram"), $"cab".cast("long").as("pair_count"),
+        round(log(
+          ($"cab".cast("decimal(38,0)") * $"n_uni" * $"n_uni").cast("double") /
+          ($"n_bi".cast("decimal(38,0)") * $"ca" * $"cb").cast("double")), 6)
+          .as("pmi"))
+      .orderBy($"pmi".desc, $"bigram")
+      .limit(20)
+  }
+
+  private val q84Sql =
+    """WITH tk AS (
+      |  SELECT list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+      |  FROM documents),
+      |tot AS (SELECT sum(len(t)) AS n_uni, sum(greatest(len(t) - 1, 0)) AS n_bi FROM tk),
+      |u AS (SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM tk) GROUP BY 1),
+      |bc AS (SELECT b, count(*) AS cab FROM (
+      |    SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS b
+      |    FROM tk WHERE len(t) >= 2)
+      |  GROUP BY 1 HAVING count(*) >= 5)
+      |SELECT b AS bigram, CAST(cab AS BIGINT) AS pair_count,
+      |  round(ln(CAST(CAST(cab AS HUGEINT) * n_uni * n_uni AS DOUBLE)
+      |         / CAST(CAST(n_bi AS HUGEINT) * ca.c * cb.c AS DOUBLE)), 6) AS pmi
+      |FROM bc CROSS JOIN tot
+      |JOIN u ca ON ca.w = string_split(b, ' ')[1]
+      |JOIN u cb ON cb.w = string_split(b, ' ')[2]
+      |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin
+
   // q82 — deterministic WEIGHTED sampling without replacement
   // (Efraimidis-Spirakis A-ES, IPL 2006): each doc draws a uniform
   // u ∈ (0,1) from md5(doc_id) — pure function of the row, like
@@ -603,6 +693,8 @@ object TextQueries {
 
   val defs: Seq[(String, QFn)] = Seq(
     "q82_weighted_sample" -> (q82 _),
+    "q83_bpe_pairs" -> (q83 _),
+    "q84_pmi_collocations" -> (q84 _),
     "q78_heavy_hitters" -> (q78 _),
     "q76_unigram_logprob" -> (q76 _),
     "q72_bm25" -> (q72 _),
@@ -623,6 +715,8 @@ object TextQueries {
 
   val oracle: Seq[(String, String)] = Seq(
     "q82_weighted_sample" -> q82Sql,
+    "q83_bpe_pairs" -> q83Sql,
+    "q84_pmi_collocations" -> q84Sql,
     "q78_heavy_hitters" -> q78Sql,
     "q76_unigram_logprob" -> q76Sql,
     "q72_bm25" -> q72Sql,
