@@ -872,6 +872,76 @@ final class DataLakehouse(
       .orderBy($"version".desc)
   }
 
+  /** Batch change-data-feed (the batch twin of the S15 CDC stream; the
+    * Delta CDF / `table_changes(v1, v2)` analog): net ROW-level changes
+    * between snapshot `fromVersion` (exclusive) and `toVersion`
+    * (inclusive), as the data columns plus `_change_type` ∈
+    * insert|delete. An update surfaces as its delete+insert pair.
+    *
+    * Cost model — the whole point at 100 TB:
+    *   - The changed FILE sets come from the log alone (O(commits
+    *     read)); a file added and removed within the range cancels
+    *     before any IO.
+    *   - Pure-append ranges (the overwhelmingly common case) read ONLY
+    *     the net-added files and touch nothing of the old snapshot —
+    *     `result.inputFiles` is exactly the added set (spec-pinned).
+    *   - Ranges containing rewrites (compaction, row ops) read only the
+    *     net-touched files on BOTH sides and diff them as multisets via
+    *     one ±1-weighted aggregate — never a self-join, never the
+    *     untouched remainder of the table. A pure compaction therefore
+    *     costs its own files and yields ZERO rows (no row changed).
+    *
+    * Rows are read with the schema recorded at `toVersion`; files from
+    * pre-evolution commits surface later-added columns as null, matching
+    * `query(mergeSchema)` semantics. Net multiplicity is exact: a row
+    * occurring 3× in removed files and 1× in added files yields 2
+    * `delete` copies (sequence-replicated from the signed count).
+    */
+  def changes(fromVersion: Long, toVersion: Long = Long.MaxValue): DataFrame = {
+    val hi = math.min(toVersion, txnLog.currentVersion())
+    require(fromVersion <= hi,
+      s"changes($fromVersion, $toVersion): from must be <= resolved to=$hi")
+    val cs = txnLog.commits(hi).filter(_.version > fromVersion)
+    val added = cs.flatMap(_.added)
+    val removed = cs.flatMap(_.removed)
+    val (addedSet, removedSet) = (added.toSet, removed.toSet)
+    val netAdded = added.filterNot(removedSet)
+    val netRemoved = removed.filterNot(addedSet)
+
+    val schema = txnLog.schemaAt(hi)
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[StructType])
+      .getOrElse(schemaWithDate)
+    def readRels(rels: Seq[String]): DataFrame = {
+      val (csvRels, pqRels) = rels.partition(_.endsWith(".csv"))
+      val sides = Seq("parquet" -> pqRels, "csv" -> csvRels)
+        .filter(_._2.nonEmpty).map { case (fmt, rs) =>
+          spark.read.schema(schema).option("basePath", root).format(fmt)
+            .option("header", fmt == "csv")
+            .load(rs.map(rel => s"$root/$rel"): _*)
+        }
+      if (sides.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else sides.reduce(_.unionByName(_))
+    }
+
+    if (netRemoved.isEmpty)
+      readRels(netAdded).withColumn("_change_type", lit("insert"))
+    else {
+      val cols = schema.fieldNames.toSeq
+      val signed = readRels(netAdded).withColumn("_w", lit(1L))
+        .unionByName(readRels(netRemoved).withColumn("_w", lit(-1L)))
+      signed.groupBy(cols.map(col): _*)
+        .agg(sum(col("_w")).as("_delta"))
+        .filter(col("_delta") =!= 0L)
+        .withColumn("_n", explode(expr("sequence(1, abs(_delta))")))
+        .withColumn("_change_type",
+          when(col("_delta") > 0, "insert").otherwise("delete"))
+        .select(cols.map(col) :+ col("_change_type"): _*)
+    }
+  }
+
   /** FSCK-style integrity audit of the live snapshot (the repair tool a
     * 100-TB lake needs against silent storage failures): re-open every
     * live file's footer and diff it against the txn log's commit-time
