@@ -44,6 +44,20 @@ object Bench {
     spark.sharedState.cacheManager.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
+    // Force reference processing so ContextCleaner actually CLEANS:
+    // shuffle files, broadcast blocks, and BlockManager metadata are
+    // released via weak references, which fire only when the driver GC
+    // collects the dead ShuffleDependency/Broadcast objects. With an
+    // 8 GB heap and sub-second queries the old gen never fills, no
+    // major GC runs, and an 84-query × 3-repeat catalog accumulates
+    // every shuffle of the run in the shared local[*] JVM — measured
+    // here as queries late in catalog order degrading 3-20× (q67+ in
+    // run order, warm twins worst) with near-zero reported GC time.
+    // One System.gc() per sample (~100 ms, OUTSIDE the timed window)
+    // keeps executor-side state flat for the whole run; the session
+    // also shortens spark.cleaner.periodicGC.interval as a safety net
+    // (its 30 min default never fires inside a bench).
+    System.gc()
   }
 
   /** Time one materialization; None on failure (a failed attempt's
@@ -76,6 +90,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
