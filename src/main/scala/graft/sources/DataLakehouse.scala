@@ -942,6 +942,54 @@ final class DataLakehouse(
     }
   }
 
+  /** RESTORE TABLE ... TO VERSION AS OF `version` (Delta RESTORE parity):
+    * rewind the LIVE state — file set and schema — to an earlier
+    * snapshot, as ONE new conflict-checked commit. History is preserved
+    * (a restore never deletes log entries), so the restore itself is
+    * time-travelable and re-restorable; only `vacuum()` can make a
+    * target unrecoverable, and that case fails loudly here before any
+    * commit is written.
+    *
+    * Cost model: pure metadata — file sets, schema, and the re-added
+    * files' row counts / column bounds / blooms all come from the log's
+    * own historical record (no data IO, no footer reads, no rewrite).
+    * O(commits read) regardless of table size, like [[history]].
+    *
+    * Concurrency: `requireLive` on the files this restore removes makes
+    * it serializable with row ops — if a concurrent writer rewrote one
+    * of them between our snapshot read and the commit, the commit fails
+    * (ConcurrentModificationException) instead of silently resurrecting
+    * rows the other writer deleted.
+    *
+    * Returns the new version, or -1 if the live state already equals the
+    * target snapshot (no commit written).
+    */
+  def restore(version: Long): Long = {
+    val cur = txnLog.currentVersion()
+    require(version >= 0 && version <= cur,
+      s"restore($version): version must be in [0, $cur]")
+    val target = txnLog.snapshotFiles(version)
+    val current = txnLog.snapshotFiles()
+    val (targetSet, currentSet) = (target.toSet, current.toSet)
+    val reAdd = target.filterNot(currentSet)
+    val drop = current.filterNot(targetSet)
+    val targetSchema = txnLog.schemaAt(version)
+    if (reAdd.isEmpty && drop.isEmpty && targetSchema == txnLog.schemaAt())
+      return -1L
+    val vacuumed = reAdd.filterNot(r => Files.isRegularFile(Paths.get(root, r)))
+    if (vacuumed.nonEmpty)
+      sys.error(s"restore($version): ${vacuumed.size} file(s) of the target " +
+        s"snapshot were vacuumed and cannot be restored, e.g. ${vacuumed.head}")
+    val reAddSet = reAdd.toSet
+    txnLog.commit(
+      added = reAdd, removed = drop,
+      schemaJson = targetSchema,
+      rowCounts = txnLog.rowCountsAt(version).view.filterKeys(reAddSet).toMap,
+      fileStats = txnLog.fileStatsAt(version).view.filterKeys(reAddSet).toMap,
+      blooms = txnLog.bloomsAt(version).view.filterKeys(reAddSet).toMap,
+      requireLive = drop)
+  }
+
   /** FSCK-style integrity audit of the live snapshot (the repair tool a
     * 100-TB lake needs against silent storage failures): re-open every
     * live file's footer and diff it against the txn log's commit-time

@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.DataLakehouse
+
+/** RESTORE TO VERSION AS OF (Delta RESTORE parity). Pins the contracts
+  * that distinguish a restore from a blind re-append:
+  *
+  *  1. state equivalence — post-restore reads (rows AND schema) equal the
+  *     target snapshot exactly;
+  *  2. metadata-only — no data file is written, moved, or rewritten; the
+  *     restore commit re-references the historical files and carries
+  *     their historical row counts (so `rowsScanned` accounting and
+  *     file pruning keep working without footer IO);
+  *  3. history preserved — the pre-restore snapshot is still
+  *     time-travelable, and the restore itself can be restored away;
+  *  4. vacuum safety — a target whose files were vacuumed fails loudly
+  *     BEFORE any commit is written.
+  */
+class RestoreSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def bar(sym: String, t: String, close: Double = 153.0): OhlcvBar =
+    OhlcvBar(symbol = sym, timestamp = ts(t),
+      open = 150.0, high = 155.0, low = 149.0, close = close,
+      volume = 1000L, asset_class = AssetClass.Equity)
+
+  private def dataFiles(root: String): Set[String] = {
+    val rootPath = Paths.get(root)
+    val s = Files.walk(rootPath)
+    try s.iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .map(p => rootPath.relativize(p).toString)
+      .filterNot(r => r.startsWith("_staging") || r.startsWith("_dlq"))
+      .toSet
+    finally s.close()
+  }
+
+  test("restore rewinds rows to the target snapshot without touching data files") {
+    val root = tempDir("restore")
+    val lake = new DataLakehouse(spark, root)
+    lake.ingestBatch(Seq(
+      bar("AAPL", "2024-06-15 09:30:00"), bar("GOOGL", "2024-06-15 09:30:00")))
+    val v1 = lake.txnLog.currentVersion()
+    lake.ingestBatch(Seq(bar("AAPL", "2024-06-16 09:30:00")))
+    val deleted = lake.deleteWhere(col("symbol") === "GOOGL")
+    assert(deleted == 1)
+    assert(lake.query().df.count() == 2)
+
+    val filesBefore = dataFiles(root)
+    val v = lake.restore(v1)
+    assert(v == lake.txnLog.currentVersion())
+
+    // state equivalence with snapshot(v1)
+    val now = lake.query().df.select("symbol", "timestamp").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1))).toSet
+    val then_ = lake.query(asOfVersion = Some(v1)).df
+      .select("symbol", "timestamp").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1))).toSet
+    assert(now == then_)
+    assert(now.map(_._1) == Set("AAPL", "GOOGL"))
+
+    // metadata-only: the restore wrote ZERO new data files
+    assert(dataFiles(root) == filesBefore)
+
+    // historical row counts carried: scan accounting for a full read
+    // matches actual rows without footer IO
+    assert(lake.query().totalRowsScanned == 2)
+  }
+
+  test("restore preserves history: pre-restore snapshot stays travelable and restorable") {
+    val lake = new DataLakehouse(spark, tempDir("restore-hist"))
+    lake.ingestBatch(Seq(bar("AAPL", "2024-06-15 09:30:00")))
+    val v1 = lake.txnLog.currentVersion()
+    lake.ingestBatch(Seq(bar("MSFT", "2024-06-16 09:30:00")))
+    val v2 = lake.txnLog.currentVersion()
+
+    lake.restore(v1)
+    assert(lake.query().df.count() == 1)
+    // the richer pre-restore snapshot is still there
+    assert(lake.query(asOfVersion = Some(v2)).df.count() == 2)
+    // and restoring "forward" to it undoes the restore
+    lake.restore(v2)
+    assert(lake.query().df.count() == 2)
+    // idempotence: restoring to the state we're already at is a no-op
+    assert(lake.restore(v2) == -1L)
+  }
+
+  test("restore rewinds schema evolution") {
+    val lake = new DataLakehouse(spark, tempDir("restore-schema"))
+    lake.ingestBatch(Seq(bar("AAPL", "2024-06-15 09:30:00")))
+    val v1 = lake.txnLog.currentVersion()
+    // evolve: append a frame with an extra column
+    val evolved = lake.query().df.withColumn("venue", lit("XNAS"))
+      .withColumn("symbol", lit("MSFT")).drop("date")
+    lake.appendDF(evolved)
+    assert(lake.query().df.columns.contains("venue"))
+
+    lake.restore(v1)
+    assert(!lake.query().df.columns.contains("venue"))
+    assert(lake.query().df.count() == 1)
+  }
+
+  test("restore to a vacuumed snapshot fails loudly before committing") {
+    val lake = new DataLakehouse(spark, tempDir("restore-vacuum"))
+    lake.ingestBatch(Seq(bar("AAPL", "2024-06-15 09:30:00")))
+    val v1 = lake.txnLog.currentVersion()
+    // compact rewrites the partition; vacuum then deletes v1's file
+    lake.ingestBatch(Seq(bar("AAPL", "2024-06-15 10:30:00")))
+    lake.compact(maxFilesPerPartition = 1)
+    assert(lake.vacuum() > 0)
+    val verBefore = lake.txnLog.currentVersion()
+    val e = intercept[RuntimeException] { lake.restore(v1) }
+    assert(e.getMessage.contains("vacuumed"))
+    // no partial commit was written; live state untouched
+    assert(lake.txnLog.currentVersion() == verBefore)
+    assert(lake.query().df.count() == 2)
+  }
+}
