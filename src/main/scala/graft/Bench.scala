@@ -103,6 +103,11 @@ object Bench {
     // inside timedRun, OUTSIDE the timed window, so cache-heavy queries
     // aren't billed for their own unpersist and nothing leaks into the
     // next repeat or the next query)
+    // A query all of whose repeats fail must be LOUD in the artifact
+    // (round-5 lesson: q79's sf0.1 crash silently dropped it from the
+    // totals while correctness at sf0.01 stayed green) — collect names
+    // here and emit them as a "failed" array in the summary JSON.
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val coldRuns = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => nameFilter.forall(name.contains) }
       .flatMap { case (name, fn) =>
@@ -110,7 +115,7 @@ object Bench {
           timedRun(spark, name)(
             fn(spark, sfDir).write.format("noop").mode("overwrite").save())
         }
-        if (samples.isEmpty) None // all repeats failed: logged, not timed
+        if (samples.isEmpty) { failed += name; None }
         else Some((name, median(samples.map(_._1)), median(samples.map(_._2))))
       }
     val results = coldRuns.map { case (n, sec, _) => n -> sec }
@@ -134,7 +139,7 @@ object Bench {
             System.err.println(s"[bench] ${name}_warm priming failed: ${e.getMessage}")
             false
           }
-        if (!primed) None
+        if (!primed) { failed += s"${name}_warm"; None }
         else {
           val times = (0 until repeats).flatMap { _ =>
             // no freeAllBlocks between warm repeats — the warm memo IS
@@ -148,7 +153,8 @@ object Bench {
               }
             if (ok) Some((System.nanoTime() - t0) / 1e9) else None
           }
-          if (times.isEmpty) None else Some(s"${name}_warm" -> median(times))
+          if (times.isEmpty) { failed += s"${name}_warm"; None }
+          else Some(s"${name}_warm" -> median(times))
         }
       }
     freeAllBlocks(spark)
@@ -171,7 +177,12 @@ object Bench {
     // inflate the round-over-round total), ratios are not seconds
     val total = results.map(_._2).sum +
       lakeMetrics.filterNot(_._1 == "storage_csv_over_parquet").map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gcs,"sf":"$sfDir"}""")
+    val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Field order matters: the driver's artifact capture is
+    // TAIL-bounded, so the per-query wall-time map must be the LAST
+    // field on the line (round 5 lost every wall time to a trailing
+    // gc_sec map — the artifact recorded GC seconds as latencies).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedArr,"gc_sec":$gcs,"queries":$qs}""")
     spark.stop()
   }
 

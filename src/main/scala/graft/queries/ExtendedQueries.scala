@@ -636,7 +636,12 @@ object ExtendedQueries {
   // estimator). Returns are WITHIN-day (the overnight gap is not a
   // return); each squared log return is rounded to 8 dp and summed as
   // DECIMAL so the per-day sum is order-independent across engines
-  // (q72's trick — float sums are not associative). Scale shape: ONE
+  // (q72's trick — float sums are not associative). A non-positive
+  // price has no log return, so pairs touching a zero value are
+  // dropped AFTER the lag (the zero row still separates its
+  // neighbours) — this is both the correct semantics and the guard
+  // that keeps ANSI mode from raising DIVIDE_BY_ZERO on zero-valued
+  // rows (present at sf0.1 but not sf0.01). Scale shape: ONE
   // (user, day)-keyed shuffle serves the lag window and the aggregate
   // (same partitioning), exactly q67's Exchange-reuse contract.
   private def q79(s: SparkSession, dir: String): DataFrame = {
@@ -647,7 +652,7 @@ object ExtendedQueries {
     val w = Window.partitionBy($"user_id", $"day").orderBy($"ts", $"event_id")
     base
       .withColumn("prev", lag($"value", 1).over(w))
-      .filter($"prev".isNotNull)
+      .filter($"prev".isNotNull && $"value" > 0 && $"prev" > 0)
       .select($"user_id", $"day",
         round(pow(log($"value" / $"prev"), 2), 8)
           .cast("decimal(18,8)").as("r2"))
@@ -665,7 +670,7 @@ object ExtendedQueries {
       |  FROM events)
       |SELECT user_id, day, count(*) AS n_returns,
       |  round(CAST(sum(CAST(round(pow(ln(value / prev), 2), 8) AS DECIMAL(18,8))) AS DOUBLE), 4) AS realized_var
-      |FROM r WHERE prev IS NOT NULL
+      |FROM r WHERE prev IS NOT NULL AND value > 0 AND prev > 0
       |GROUP BY user_id, day ORDER BY user_id, day""".stripMargin
 
   // q80 — maximum drawdown (peak-to-trough loss over a running maximum):
@@ -673,14 +678,20 @@ object ExtendedQueries {
   // window max — codegen'd, one shuffle on the entity key; drawdown is a
   // pure row-local expression on (peak, value), so the result is
   // bit-deterministic across engines with no summation at all. Output
-  // rounded to 6 dp with a total key order.
+  // rounded to 6 dp with a total key order. A zero peak (the entity's
+  // prices so far are all zero) has no defined drawdown — guard it to
+  // 0.0 in both engines; without the guard ANSI mode raises
+  // DIVIDE_BY_ZERO whenever an entity's FIRST price is 0 (value = 0
+  // rows exist at sf0.1; data-dependent, same class of bug as q79).
   private def q80(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "events")
       .withColumn("peak", max($"value").over(w))
-      .select($"user_id", (($"peak" - $"value") / $"peak").as("dd"))
+      .select($"user_id",
+        when($"peak" > 0, ($"peak" - $"value") / $"peak")
+          .otherwise(lit(0.0)).as("dd"))
       .groupBy($"user_id")
       .agg(round(max($"dd"), 6).as("max_drawdown"))
       .orderBy($"user_id")
@@ -692,7 +703,7 @@ object ExtendedQueries {
       |    max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
       |  FROM events)
-      |SELECT user_id, round(max((peak - value) / peak), 6) AS max_drawdown
+      |SELECT user_id, round(max(CASE WHEN peak > 0 THEN (peak - value) / peak ELSE 0.0 END), 6) AS max_drawdown
       |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // q81 — regression aggregates (regr_slope / regr_intercept / regr_r2

@@ -25,6 +25,49 @@ class CatalogSmokeSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("q79/q80 survive zero-valued prices (sf0.1 ANSI DIVIDE_BY_ZERO regression)") {
+    // Round-5 verdict: sf0.1 has value=0 rows that sf0.01 lacks, so the
+    // log-return division crashed ONLY at bench scale while the sf0.01
+    // oracle stayed green. Pin the guard against a fixture that contains
+    // the hazard: a zero mid-series (q79 lag pairs) and a zero FIRST
+    // price (q80 zero running peak).
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("zeroval").toString
+    val rows = Seq(
+      // user 1: 100 -> 0 -> 110 -> 121 within one day; only the
+      // 110->121 pair is a valid log return
+      (1L, 1L, 1000000000000L, "view", 100.0, "{}"),
+      (2L, 1L, 2000000000000L, "view", 0.0, "{}"),
+      (3L, 1L, 3000000000000L, "view", 110.0, "{}"),
+      (4L, 1L, 4000000000000L, "view", 121.0, "{}"),
+      // user 2: first price zero -> running peak 0 on row 1 (q80 hazard)
+      (5L, 2L, 1000000000000L, "view", 0.0, "{}"),
+      (6L, 2L, 2000000000000L, "view", 50.0, "{}"),
+      (7L, 2L, 3000000000000L, "view", 25.0, "{}"))
+    spark.createDataFrame(rows)
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val vol = SparkEntry.queries("q79_realized_vol")(spark, dir).collect()
+    // pairs touching the zeros drop; one valid return per user survives:
+    // user 1 log(121/110)^2, user 2 log(25/50)^2
+    assert(vol.length == 2)
+    val byUser = vol.map(r => r.getAs[Long]("user_id") ->
+      (r.getAs[Long]("n_returns"), r.getAs[Double]("realized_var"))).toMap
+    def expectedVar(a: Double, b: Double): Double = {
+      val r2 = math.round(math.pow(math.log(b / a), 2) * 1e8) / 1e8
+      math.round(r2 * 1e4) / 1e4.toDouble
+    }
+    assert(byUser(1L) == ((1L, expectedVar(110.0, 121.0))))
+    assert(byUser(2L) == ((1L, expectedVar(50.0, 25.0))))
+
+    val dd = SparkEntry.queries("q80_drawdown")(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("max_drawdown")).toMap
+    assert(dd(1L) == 1.0) // price hits 0 from peak 100: a full (100%) drawdown
+    assert(dd(2L) == 0.5) // peak 50 -> trough 25; the zero-PEAK row is guarded to 0
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("pair-set memo is scoped to one dir: switching dirs releases the persist") {
     // VERDICT r4 #5: a multi-dir catalog sweep must not accumulate every
     // dir's persisted pair sets in executor storage
