@@ -243,6 +243,16 @@ object Dedup {
     * candidate-restricted verification joins of [[jaccardPairs]]'s capped
     * path. Prefix positions are computed per-document, so no global rank
     * structure is ever built or broadcast.
+    *
+    * When to use which (measured at sf0.1, round 6): on a CLEAN corpus
+    * the uncapped [[jaccardPairs]] wins slightly (5.3 s vs 5.9 s here) —
+    * its posting-list join computes intersections in the candidate pass,
+    * while this form pays df-ranking plus a separate verification tail.
+    * On a boilerplate-heavy corpus the ordering inverts hard:
+    * [[jaccardPairs]]'s hot posting lists expand quadratically (and its
+    * `maxPostingList` escape hatch costs recall), whereas prefixes here
+    * exclude hot shingles BY ORDER with exactness intact. Reach for this
+    * form exactly when you would otherwise need `maxPostingList`.
     */
   def jaccardPairsPrefix(
       df: DataFrame,
@@ -262,6 +272,9 @@ object Dedup {
       .persist()
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val dfAgg = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+    // (shingle, df) attached once, persisted: the ranked/prefix path and
+    // the verification tail both consume it
+    val withDf = sh.join(dfAgg, "sh").persist()
     // Global total order: (df asc, shingle asc) — deterministic, shared by
     // every document, rarest first. Positions are assigned WITHIN each
     // document by a window over that order; the prefix-filter lemma needs
@@ -269,10 +282,16 @@ object Dedup {
     // keep their slots here (they shorten the effective prefix — pure
     // win) and are dropped only from the join input below (df==1 cannot
     // match anything, so dropping them generates no false negatives).
-    val ranked = sh.join(dfAgg, "sh")
+    // Doc size rides the SAME per-doc window partitioning as the position
+    // (count over the unordered frame) instead of joining `sizes` back in
+    // — that join re-shuffled the whole ranked relation on doc_id for a
+    // value the window already has in hand. `sizes` still serves the
+    // verification tail, where it joins only candidate-sized relations.
+    val docW = Window.partitionBy($"doc_id")
+    val ranked = withDf
+      .withColumn("n", count(lit(1)).over(docW))
       .withColumn("pos",
-        row_number().over(Window.partitionBy($"doc_id").orderBy($"df", $"sh")))
-      .join(sizes, "doc_id")
+        row_number().over(docW.orderBy($"df", $"sh")))
     // ⌈t·n⌉ via an epsilon-guard: fp noise must never ROUND UP an exact
     // integer t·n (that would shorten the prefix — the unsound direction);
     // overshooting downward only lengthens it (more candidates, still
@@ -290,7 +309,13 @@ object Dedup {
       .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
       .agg(count(lit(1)).as("hits"))
       .select($"a_id", $"b_id")
-    verifyJaccardCandidates(cand, sh, sizes, threshold)
+    // Verification counts intersections over df>1 shingles ONLY: a df==1
+    // shingle lives in exactly one document, so it contributes zero to
+    // every |x∩y| — dropping singletons (the bulk of a clean corpus's
+    // shingles) is provably count-preserving, while `sizes` stays over
+    // the FULL sets so the jaccard denominator is exact.
+    verifyJaccardCandidates(
+      cand, withDf.filter($"df" > 1).select($"doc_id", $"sh"), sizes, threshold)
   }
 
   /** Exact-verification tail shared by the candidate-generation schemes:
@@ -781,6 +806,15 @@ object Dedup {
     * shallow, but one boilerplate chain is all it takes to stall the
     * propagation form at scale.
     *
+    * Hybrid finish: once the (monotonically contracting) edge set fits
+    * under `driverFinishEdges`, the remaining rounds collapse into ONE
+    * bounded collect + driver union-find — distributed iteration exists
+    * to shrink the problem, and paying scheduler/shuffle overhead per
+    * round to converge a few-MB edge list is waste at any scale. The
+    * default bound (2M edges ≈ 32 MB of longs) matches the repo's
+    * documented driver-state budget (PQ codebook sample); pass 0 to
+    * force pure distributed iteration (specs pinning round counts do).
+    *
     * @param pairs (srcCol, dstCol) undirected edges
     * @return (id, component) — component = min node id reachable
     */
@@ -788,8 +822,10 @@ object Dedup {
       pairs: DataFrame,
       srcCol: String = "a_id",
       dstCol: String = "b_id",
-      maxIter: Int = 50): DataFrame =
-    connectedComponentsStarWithRounds(pairs, srcCol, dstCol, maxIter)._1
+      maxIter: Int = 50,
+      driverFinishEdges: Long = 2000000L): DataFrame =
+    connectedComponentsStarWithRounds(
+      pairs, srcCol, dstCol, maxIter, driverFinishEdges)._1
 
   /** Large-star/small-star CC with the round count exposed (spec hook:
     * the chain-graph case must converge in ~half the label-prop rounds).
@@ -816,7 +852,8 @@ object Dedup {
       pairs: DataFrame,
       srcCol: String = "a_id",
       dstCol: String = "b_id",
-      maxIter: Int = 50): (DataFrame, Int) = {
+      maxIter: Int = 50,
+      driverFinishEdges: Long = 2000000L): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val raw = pairs.select(col(srcCol).as("a"), col(dstCol).as("b"))
@@ -831,10 +868,15 @@ object Dedup {
       val bidir = e.select($"a".as("u"), $"b".as("v"))
         .union(e.select($"b".as("u"), $"a".as("v")))
       val mins = bidir.groupBy($"u").agg(min($"v").as("mn"))
+      // no distinct here: of each canonical edge's two bidir rows exactly
+      // one passes v > u, so the pre-distinct output is ≤ |e| rows — a
+      // whole shuffle per round bought only bounded duplicate removal
+      // (smallStar's min-agg is duplicate-insensitive and the round
+      // output gets the one distinct that set semantics actually need)
       bidir.join(mins, "u")
         .filter($"v" > $"u")
         .select($"v".as("a"), least($"mn", $"u").as("b"))
-        .filter($"a" =!= $"b").distinct()
+        .filter($"a" =!= $"b")
     }
     def smallStar(e: DataFrame): DataFrame = {
       // canonical rows already orient u = larger endpoint; both output
@@ -856,18 +898,75 @@ object Dedup {
       (r.getLong(0), r.getDecimal(1))
     }
 
+    // Driver union-find over a bounded edge list: parent pointers always
+    // run larger -> smaller (unions attach the larger root under the
+    // smaller), so each tree's root IS the minimum id of its component —
+    // identical labeling to the star fixpoint. Integral ids only (every
+    // catalog caller uses long ids); other types iterate distributed.
+    val idType = canon.schema("a").dataType
+    val integralIds = idType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    def driverUnionFind(e: DataFrame): DataFrame = {
+      val edges = e.select($"a".cast("long"), $"b".cast("long"))
+        .as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val mapping = edges.iterator
+        .flatMap { case (a, b) => Iterator(a, b) }.toSet.iterator
+        .map((id: Long) => (id, find(id))).toSeq
+      val slices = math.max(1, mapping.length / 500000)
+      spark.createDataset(spark.sparkContext.parallelize(mapping, slices))
+        .toDF("id", "__c")
+        .select($"id".cast(idType).as("id"), $"__c".cast(idType).as("__c"))
+    }
+
     var prev = checksum(canon)
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIter) {
+    var hybridLabels: Option[DataFrame] = None
+    // opt-in per-round profile (System.property graft.cc.profile=1):
+    // rounds are the whole cost of cluster queries, so regressions need
+    // per-phase visibility without a debugger
+    val profile = sys.props.get("graft.cc.profile").contains("1")
+    while (hybridLabels.isEmpty && !converged && iter < maxIter) {
+      if (integralIds && driverFinishEdges > 0 && prev._1 <= driverFinishEdges) {
+        val mapping = driverUnionFind(canon)
+        freeLocalCheckpoint(canon)
+        hybridLabels = Some(nodes.join(mapping, Seq("id"), "left")
+          .select($"id", coalesce($"__c", $"id").as("component")))
+        if (profile) System.err.println(
+          s"[cc] driver-finish at round $iter edges=${prev._1}")
+      } else {
       // checkpoint the large-star intermediate: smallStar references it
       // twice (min agg + join) — unmaterialized it would evaluate the
-      // whole large-star plan per reference; blocks freed as soon as
-      // the round's output is materialized
+      // whole large-star plan per reference. The round output checkpoints
+      // LAZILY: the checksum action materializes it, so a round costs two
+      // jobs (ls + checksum), not three. ls blocks are freed only AFTER
+      // that materialization — a truncated-lineage checkpoint cannot be
+      // recomputed, so unpersisting it while `next` is still un-built
+      // would lose the round.
+      val t0 = System.nanoTime()
       val ls = largeStar(canon).localCheckpoint()
-      val next = smallStar(ls).localCheckpoint()
-      freeLocalCheckpoint(ls)
+      val t1 = System.nanoTime()
+      val next = smallStar(ls).localCheckpoint(false)
       val sum = checksum(next)
+      val t2 = System.nanoTime()
+      freeLocalCheckpoint(ls)
       if (sum == prev &&
           next.except(canon).isEmpty && canon.except(next).isEmpty)
         converged = true
@@ -875,15 +974,23 @@ object Dedup {
       freeLocalCheckpoint(canon)
       canon = next
       iter += 1
+      if (profile) System.err.println(
+        f"[cc] round $iter ls=${(t1 - t0) / 1e9}%.3fs ss+sum=${(t2 - t1) / 1e9}%.3fs" +
+          f" edges=${sum._1} converged=$converged")
+      }
     }
-    if (!converged) sys.error(
-      s"connectedComponents (star) did not converge in $maxIter rounds")
-    // depth-1 forest: non-roots carry (id -> componentMin); roots (and
-    // self-pair-only nodes) label themselves
-    val mapping = canon.groupBy($"a".as("id")).agg(min($"b").as("__c"))
-    val labels = nodes.join(mapping, Seq("id"), "left")
-      .select($"id", coalesce($"__c", $"id").as("component"))
-    (labels, iter)
+    hybridLabels match {
+      case Some(labels) => (labels, iter)
+      case None =>
+        if (!converged) sys.error(
+          s"connectedComponents (star) did not converge in $maxIter rounds")
+        // depth-1 forest: non-roots carry (id -> componentMin); roots (and
+        // self-pair-only nodes) label themselves
+        val mapping = canon.groupBy($"a".as("id")).agg(min($"b").as("__c"))
+        val labels = nodes.join(mapping, Seq("id"), "left")
+          .select($"id", coalesce($"__c", $"id").as("component"))
+        (labels, iter)
+    }
   }
 
   /** Min-label propagation CC — the simple O(diameter)-round variant,

@@ -540,19 +540,24 @@ class OperatorsSpec extends SparkSpec {
     assert(Dedup.connectedComponentsLabelProp(empty).count() == 0)
   }
 
-  test("star CC == label-prop CC on a random graph") {
+  test("star CC == label-prop CC on a random graph (hybrid and distributed)") {
     val rng = new scala.util.Random(23)
     val n = 80
     val edges = (0 until 120)
       .map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
       .filter { case (a, b) => a != b }.distinct
     val df = edges.toDF("a_id", "b_id")
-    val star = Dedup.connectedComponents(df)
+    // default path: hybrid (driver union-find finish under the bound)
+    val hybrid = Dedup.connectedComponents(df)
+      .as[(Long, Long)].collect().toMap
+    // forced distributed star iteration must label identically
+    val distributed = Dedup.connectedComponents(df, driverFinishEdges = 0L)
       .as[(Long, Long)].collect().toMap
     val prop = Dedup.connectedComponentsLabelProp(df)
       .as[(Long, Long)].collect().toMap
-    assert(star == prop)
-    assert(star.nonEmpty)
+    assert(hybrid == prop)
+    assert(distributed == prop)
+    assert(hybrid.nonEmpty)
   }
 
   test("star CC collapses a chain in far fewer rounds than label-prop") {
@@ -561,8 +566,10 @@ class OperatorsSpec extends SparkSpec {
     // the running min, collapsing the chain logarithmically — the
     // high-diameter worst case a boilerplate chain forms at corpus scale
     val chain = (1L until 24L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    // driverFinishEdges = 0: pin the DISTRIBUTED round count (the hybrid
+    // driver finish would short-circuit a 23-edge chain at round 0)
     val (starLabels, starRounds) =
-      Dedup.connectedComponentsStarWithRounds(chain)
+      Dedup.connectedComponentsStarWithRounds(chain, driverFinishEdges = 0L)
     val (propLabels, propRounds) =
       Dedup.connectedComponentsLabelPropWithRounds(chain)
     val want = (1L to 24L).map(_ -> 1L).toMap

@@ -241,8 +241,11 @@ object ScaleRun {
       val chain = spark.range(1L, nNodes)
         .select($"id".as("a_id"), ($"id" + 1L).as("b_id"))
       val t0 = System.nanoTime()
+      // driverFinishEdges = 0: this case EXISTS to evidence the
+      // distributed round count, so the hybrid driver finish is off
       val (labels, rounds) =
-        operators.Dedup.connectedComponentsStarWithRounds(chain)
+        operators.Dedup.connectedComponentsStarWithRounds(chain,
+          driverFinishEdges = 0L)
       val comps = labels.agg(
         countDistinct($"component"), count(lit(1))).head()
       val dt = (System.nanoTime() - t0) / 1e9
@@ -276,6 +279,16 @@ object ScaleRun {
         val pairs = operators.Dedup.minhashPairs(big, "doc_id", "text",
           threshold = 0.5, maxBucketSize = 500)
         operators.Dedup.connectedComponents(pairs).count()
+      case "ccprofile" =>
+        // q55's exact shape: star-CC over the sf0.1 cosine pair set,
+        // with -Dgraft.cc.profile=1 round timings on stderr
+        val p = queries.DedupQueries.cosinePairs(spark, "/root/testdata/sf0.1")
+        p.count() // pair build outside the timer: rounds are the target
+        val t = System.nanoTime()
+        val cc = operators.Dedup.connectedComponents(p)
+        val rows = cc.count()
+        println(f"[scale] ccprofile rows=$rows ccSecs=${(System.nanoTime() - t) / 1e9}%.2f")
+        rows
       case _ =>
         operators.Dedup.simhashPairs(big, "doc_id", "text",
           maxHamming = 3, maxBucketSize = 500).count()
