@@ -68,6 +68,58 @@ class CatalogSmokeSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("q42 fingerprints == HOF twin on the full sf0.01 gate corpus") {
+    // q42 is rows-only in the oracle gate (xxhash64 has no DuckDB
+    // equivalent), so its machine check is a second independent Scala
+    // implementation: the interpreted HOF fingerprint must produce the
+    // SAME sketch as the codegen'd native expression for every gate doc.
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextOps
+    import spark.implicits._
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val cmp = docs.select(
+      TextOps.fingerprint($"text", 8, 16).as("hof"),
+      graft.functions.NgramFingerprint.fingerprintFast(spark, $"text", 8, 16)
+        .as("fast"))
+    assert(cmp.filter(not($"hof" === $"fast")).count() == 0)
+  }
+
+  test("q51 winnowing pair set == independent driver-side rebuild at sf0.01") {
+    // Same rationale as q42: no SQL oracle exists for xxhash64 winnowing,
+    // so rebuild q51's ENTIRE pair pipeline independently — HOF winnow
+    // fingerprints (interpreted, not the window form) and driver-side
+    // Scala posting lists (no Spark joins) — and require set equality
+    // including the shared_fps counts, on the gate corpus itself.
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextOps
+    import spark.implicits._
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val hofFps: Map[Long, Set[Long]] = docs
+      .select($"doc_id", TextOps.winnow($"text", 8, 8).as("fp"))
+      .as[(Long, Seq[Long])].collect()
+      .map { case (id, fp) => id -> fp.toSet }.toMap
+    val posting = scala.collection.mutable.HashMap.empty[Long, List[Long]]
+    hofFps.foreach { case (id, fps) =>
+      fps.foreach(fp => posting(fp) = id :: posting.getOrElse(fp, Nil))
+    }
+    val shared = scala.collection.mutable.HashMap.empty[(Long, Long), Int]
+    posting.values.foreach { ids =>
+      // q51's df window [2, 64]: singletons can't pair, hot fps are capped
+      if (ids.size > 1 && ids.size <= 64) {
+        val s = ids.sorted
+        for (i <- s.indices; j <- (i + 1) until s.size)
+          shared((s(i), s(j))) = shared.getOrElse((s(i), s(j)), 0) + 1
+      }
+    }
+    val want = shared.collect {
+      case (pair, n) if n >= 3 => (pair._1, pair._2, n.toLong)
+    }.toSet
+    val got = SparkEntry.queries("q51_winnowing")(spark, "/root/testdata/sf0.01")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want,
+      s"q51 mismatch: got ${got.size} pairs, independent rebuild ${want.size}")
+  }
+
   test("pair-set memo is scoped to one dir: switching dirs releases the persist") {
     // VERDICT r4 #5: a multi-dir catalog sweep must not accumulate every
     // dir's persisted pair sets in executor storage
