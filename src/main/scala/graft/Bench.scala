@@ -161,8 +161,10 @@ object Bench {
 
     // Lakehouse-path metrics mirroring BASELINE.md's headline numbers:
     // bulk ingest throughput and the pruned single-symbol filter query.
+    // A "lake" name filter runs ONLY these (paired-ratio reruns).
     val lakeMetrics =
-      if (nameFilter.isEmpty) benchLakehouseMedian(spark, repeats)
+      if (nameFilter.forall("lake_metrics".contains))
+        benchLakehouseMedian(spark, repeats)
       else Seq.empty
     val qs = (results ++ warmResults ++ lakeMetrics)
       .map { case (k, v) => "\"" + k + "\":" + v }
@@ -202,6 +204,14 @@ object Bench {
 
   /** Ingest 200k bars across 20 symbols × 10 days, then run the pruned
     * single-symbol + date-range query (BASELINE.md rows 1 and 8).
+    *
+    * Every symbol trades on EVERY day (day index cycles on i/20, symbol
+    * on i%20): rounds 1-5 derived the day from i%10, which is fully
+    * determined by i%20 — so SYM7 existed only on day 7 and the "pruned
+    * filter" timed an empty result (pure metadata, no scan). The pruned
+    * query must return real rows to be an honest numerator, and the
+    * table partitions by (date, symbol) so the prune actually lands on
+    * exactly the queried files — partition by what you filter on.
     */
   private def benchLakehouse(
       spark: SparkSession,
@@ -209,13 +219,14 @@ object Bench {
     import java.sql.Timestamp
     import graft.sources.DataLakehouse
     val root = java.nio.file.Files.createTempDirectory("benchlake").toString
-    val lake = new DataLakehouse(spark, root)
+    val lake = new DataLakehouse(spark, root,
+      partitionCols = Seq("date", "symbol"))
     val n = 200000
     val bars = (0 until n).map { i =>
       OhlcvBar(
         symbol = s"SYM${i % 20}",
-        timestamp = new Timestamp(1718409600000L + (i % 10) * 86400000L +
-          (i / 10) * 1000L),
+        timestamp = new Timestamp(1718409600000L + ((i / 20) % 10) * 86400000L +
+          (i / 200) * 1000L),
         open = 100 + (i % 50), high = 160 + (i % 50), low = 90 + (i % 50),
         close = 120 + (i % 50), volume = 1000L + i,
         asset_class = AssetClass.Equity)
@@ -223,6 +234,16 @@ object Bench {
     val t0 = System.nanoTime()
     lake.ingestBatch(bars)
     val ingestSec = (System.nanoTime() - t0) / 1e9
+
+    // Untimed metadata warmup on a DIFFERENT symbol: the txn-log parse
+    // (commits -> caches) is a one-time per-process cost that would
+    // otherwise bill ONLY the pruned query (the full scan, running
+    // later, would inherit warm caches) — both timed queries should
+    // measure query work, not who went first.
+    lake.query(symbol = Some("SYM3"),
+      start = Some(new Timestamp(1718496000000L)),
+      end = Some(new Timestamp(1718582400000L)))
+      .df.write.format("noop").mode("overwrite").save()
 
     val t1 = System.nanoTime()
     val qr = lake.query(
@@ -242,8 +263,9 @@ object Bench {
     val cents = pmod(col("id") * 37L, lit(100)).cast("double") / 100.0
     val df2m = spark.range(2000000).select(
       concat(lit("SYM"), pmod(col("id"), lit(20))).as("symbol"),
-      timestamp_millis(lit(1718409600000L) + pmod(col("id"), lit(10)) * 86400000L
-        + (col("id") / 10).cast("long")).as("timestamp"),
+      timestamp_millis(lit(1718409600000L)
+        + pmod(floor(col("id") / 20).cast("long"), lit(10)) * 86400000L
+        + (col("id") / 200).cast("long")).as("timestamp"),
       (lit(100.0) + pmod(col("id"), lit(50)) + cents).as("open"),
       (lit(160.0) + pmod(col("id"), lit(50)) + cents).as("high"),
       (lit(90.0) + pmod(col("id"), lit(50)) + cents).as("low"),

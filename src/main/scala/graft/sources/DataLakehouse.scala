@@ -98,6 +98,12 @@ final class DataLakehouse(
   private val buffer = ArrayBuffer.empty[OhlcvBar]
   private var totalErrors: Long = 0L
 
+  // Pruned reads at or below this many scanned rows sort in ONE task
+  // instead of a sampled range shuffle (see query()): 1M OHLCV rows is
+  // ~150 MB — comfortably one task's work, far below where a distributed
+  // sort starts paying for itself.
+  private val SmallSortRows = 1L * 1000 * 1000
+
   private val schemaWithDate: StructType =
     model.ohlcvSchema.add("date", StringType, nullable = true)
 
@@ -473,13 +479,25 @@ final class DataLakehouse(
           versionSchema)
       else sides.reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
 
-    val filtered = (Seq(
+    val unsorted = (Seq(
       symbol.map(s => col("symbol") === s),
       start.map(ts => col("timestamp") >= lit(ts)),
       end.map(ts => col("timestamp") <= lit(ts)))
       .flatten ++ eq.map { case (c, v) => col(c) === lit(v) })
       .foldLeft(base)((df, cond) => df.filter(cond))
-      .orderBy(col("timestamp"), col("symbol"))
+    // Sort strategy picked from table METADATA (recorded row counts of
+    // the pruned file set — an upper bound on result rows): a global
+    // orderBy costs a range-partitioning sampling job + a shuffle, pure
+    // overhead when the pruned result fits one task. Small reads sort in
+    // a single partition (one job, no sampling, no exchange); anything
+    // above the bound keeps the distributed sort — the gate is what a
+    // cost-based planner would do with the same statistics, and it can
+    // only engage when pruning already bounded the data.
+    val filtered =
+      if (rowsScanned <= SmallSortRows)
+        unsorted.coalesce(1)
+          .sortWithinPartitions(col("timestamp"), col("symbol"))
+      else unsorted.orderBy(col("timestamp"), col("symbol"))
 
     QueryResult(filtered, (System.nanoTime() - t0) / 1e6, rowsScanned)
   }

@@ -71,6 +71,20 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
   private val cachedCkpt =
     new java.util.concurrent.atomic.AtomicLong(-2L)
 
+  // Parsed commit/checkpoint caches. Both file kinds are IMMUTABLE once
+  // published (exclusive-create via hard-link of a fully-written temp
+  // file; vacuum reclaims data files only), so a parse result keyed by
+  // version can never go stale — the cache turns the per-query metadata
+  // replays (snapshotFiles + fileStatsAt + rowCountsAt + schemaAt, each
+  // a checkpoint-seeded tail walk) from repeated JSON reads into map
+  // hits. Bounded: blooms make parsed commits non-trivial, so the cache
+  // clears wholesale past a size far above any checkpoint-seeded tail.
+  private val commitCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Commit]()
+  private val ckptCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Checkpoint]()
+  private val MaxCachedCommits = 1024
+
   /** Listing calls actually issued — instrumentation for the cost spec
     * (commit cost must stay flat in log length).
     */
@@ -132,6 +146,15 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
   }
 
   private def read(v: Long): Commit = {
+    val cached = commitCache.get(v)
+    if (cached != null) return cached
+    if (commitCache.size() >= MaxCachedCommits) commitCache.clear()
+    val c = readUncached(v)
+    commitCache.put(v, c)
+    c
+  }
+
+  private def readUncached(v: Long): Commit = {
     val node = mapper.readTree(Files.readAllBytes(versionPath(v)))
     def arr(name: String): Seq[String] =
       Option(node.get(name)).map(_.elements().asScala.map(_.asText()).toSeq)
@@ -417,18 +440,20 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
         if (k > 0) k else -1L
       }
     if (best < 0) None
-    else {
-      val node = mapper.readTree(Files.readAllBytes(checkpointPath(best)))
+    else Some({
+      if (ckptCache.size() >= 64) ckptCache.clear()
+      ckptCache.computeIfAbsent(best, { b =>
+      val node = mapper.readTree(Files.readAllBytes(checkpointPath(b)))
       val counts = Option(node.get("rowCounts")).map { rc =>
         rc.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
       }
-      Some(Checkpoint(best,
+      Checkpoint(b,
         node.get("files").elements().asScala.map(_.asText()).toSeq,
         Option(node.get("schemaJson")).filter(!_.isNull).map(_.asText()),
         counts,
         readStats(node),
-        readBlooms(node)))
-    }
+        readBlooms(node))
+    })})
   }
 
   /** Live file list (relative paths) at a version (default: latest).
