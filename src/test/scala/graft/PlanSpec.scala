@@ -47,6 +47,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q48: orders aggregate to month counts BELOW the spine join") {
+    // VERDICT r5 #8: the month-spine left join must consume the ~80-row
+    // per-month aggregate, never the raw fact relation keyed by a
+    // derived string — at 100 TB that is a broadcastable summary vs the
+    // whole fact table through an Exchange. The aggregate-below-join
+    // shape shows as a HashAggregate on the join's RIGHT (build) side;
+    // the spine side then broadcasts or joins against <= 100 rows.
+    val p = plan("q48_recursive_cte")
+    val joinIdx = p.indexOf("Join")
+    val aggIdx = p.indexOf("HashAggregate", joinIdx)
+    assert(joinIdx >= 0 && aggIdx > joinIdx,
+      s"no aggregate below the spine join:\n$p")
+    // and no aggregate ABOVE the join keyed by month (the old shape
+    // grouped the joined 150k rows post-join)
+    assert(!p.substring(0, joinIdx).contains("HashAggregate"),
+      s"aggregate still sits above the spine join:\n$p")
+  }
+
   test("q37: per-group top-k inserts a WindowGroupLimit before the shuffle") {
     // Spark 3.5+ pushes rank<=k filters into partial WindowGroupLimit on
     // the map side — the property that makes per-group top-k scale.
