@@ -848,6 +848,14 @@ final class DataLakehouse(
   /** Physically delete files no longer referenced by the latest snapshot
     * (post-compaction cleanup; time travel older than the vacuum horizon is
     * sacrificed, as in Delta's VACUUM).
+    *
+    * RESTORE race (ADVICE r5): a file dead in this vacuum's snapshot can
+    * be re-added by a concurrent restore() before the unlink. Liveness
+    * is therefore re-checked against the CURRENT head immediately before
+    * deleting — a file must be dead in both views to be reclaimed. The
+    * residual window between that check and the unlink is closed from
+    * the other side: restore() re-verifies its re-added files after its
+    * commit and compensates loudly if one was lost (see there).
     */
   def vacuum(): Long = {
     val live = txnLog.snapshotFiles().toSet
@@ -860,8 +868,13 @@ final class DataLakehouse(
       .filterNot(p => p.startsWith(rootPath.resolve("_dlq")) ||
         p.startsWith(rootPath.resolve("_staging")))
     val dead = dataFiles.filterNot(p => live.contains(rootPath.relativize(p).toString))
-    dead.foreach(Files.deleteIfExists(_))
-    dead.size.toLong
+    if (dead.isEmpty) return 0L
+    // second liveness view, read AFTER the dead list was computed: spares
+    // anything a concurrent commit (restore's re-adds) made live again
+    val liveNow = txnLog.snapshotFiles().toSet
+    val stillDead = dead.filterNot(p => liveNow.contains(rootPath.relativize(p).toString))
+    stillDead.foreach(Files.deleteIfExists(_))
+    stillDead.size.toLong
   }
 
   /** Commit history as a DataFrame (Delta's DESCRIBE HISTORY): one row
@@ -876,11 +889,15 @@ final class DataLakehouse(
   def history(): DataFrame = {
     import spark.implicits._
     txnLog.commits().map { c =>
-      val op =
+      // explicit tag wins (RESTORE records one — Delta audit parity:
+      // "what rewound this table?"); the delta-inferred shape is the
+      // fallback for commits written before tags existed
+      val op = c.op.getOrElse {
         if (c.added.nonEmpty && c.removed.nonEmpty) "rewrite"
         else if (c.added.nonEmpty) "append"
         else if (c.removed.nonEmpty) "remove"
         else "metadata"
+      }
       (c.version, new Timestamp(c.timestampMs), op,
         c.added.size.toLong, c.removed.size.toLong,
         c.added.flatMap(c.rowCounts.get).sum,
@@ -973,11 +990,29 @@ final class DataLakehouse(
     * own historical record (no data IO, no footer reads, no rewrite).
     * O(commits read) regardless of table size, like [[history]].
     *
-    * Concurrency: `requireLive` on the files this restore removes makes
-    * it serializable with row ops — if a concurrent writer rewrote one
-    * of them between our snapshot read and the commit, the commit fails
-    * (ConcurrentModificationException) instead of silently resurrecting
-    * rows the other writer deleted.
+    * Concurrency — WRITE-SERIALIZABLE, not snapshot-serializable
+    * (ADVICE r5, documented precisely): `requireLive` on the files this
+    * restore REMOVES makes it serializable with row ops — if a
+    * concurrent writer rewrote one of them between our snapshot read
+    * and the commit, the commit fails (ConcurrentModificationException)
+    * instead of silently resurrecting rows the other writer deleted. A
+    * concurrent APPEND of new files, however, survives: post-restore
+    * state = target snapshot + concurrently-added files (and when
+    * `drop` is empty there is nothing to conflict on at all). This is
+    * the useful semantics — a restore should not destroy a racing
+    * ingest's data — and matches Delta's WriteSerializable level, where
+    * blind appends commute with concurrent operations.
+    *
+    * vacuum() race: the pre-commit existence check cannot exclude a
+    * vacuum that deletes a re-added target file in the
+    * check-then-commit window (vacuum reads liveness from the PREVIOUS
+    * head, where these files are dead). The guard is therefore
+    * re-verified AFTER the commit succeeds: if any re-added file is
+    * gone, a compensating commit (op=restore-failed) removes the
+    * missing files from the live set again and the restore throws —
+    * loud, and the table never stays on a snapshot referencing missing
+    * files. vacuum() double-checks liveness right before each unlink
+    * (see there), so the pair converges from both sides.
     *
     * Returns the new version, or -1 if the live state already equals the
     * target snapshot (no commit written).
@@ -999,13 +1034,35 @@ final class DataLakehouse(
       sys.error(s"restore($version): ${vacuumed.size} file(s) of the target " +
         s"snapshot were vacuumed and cannot be restored, e.g. ${vacuumed.head}")
     val reAddSet = reAdd.toSet
-    txnLog.commit(
+    val v = txnLog.commit(
       added = reAdd, removed = drop,
       schemaJson = targetSchema,
       rowCounts = txnLog.rowCountsAt(version).view.filterKeys(reAddSet).toMap,
       fileStats = txnLog.fileStatsAt(version).view.filterKeys(reAddSet).toMap,
       blooms = txnLog.bloomsAt(version).view.filterKeys(reAddSet).toMap,
-      requireLive = drop)
+      requireLive = drop,
+      op = Some("restore"))
+    postRestoreVerify(version, v, reAdd)
+    v
+  }
+
+  /** TOCTOU guard for [[restore]] (see its scaladoc): a vacuum racing
+    * the window between restore's existence check and its commit (or a
+    * commit retry) can have unlinked a re-added file. Called after the
+    * restore commit is published; on loss, a compensating commit
+    * removes the casualties from the live set again and the restore
+    * fails loudly — the table never stays on a snapshot referencing
+    * missing files.
+    */
+  private[graft] def postRestoreVerify(
+      target: Long, committed: Long, reAdd: Seq[String]): Unit = {
+    val lost = reAdd.filterNot(r => Files.isRegularFile(Paths.get(root, r)))
+    if (lost.nonEmpty) {
+      txnLog.commit(added = Nil, removed = lost, op = Some("restore-failed"))
+      sys.error(s"restore($target): ${lost.size} restored file(s) were " +
+        s"vacuumed concurrently (e.g. ${lost.head}); the restore commit " +
+        s"$committed was compensated — re-run restore against a live target")
+    }
   }
 
   /** FSCK-style integrity audit of the live snapshot (the repair tool a

@@ -102,7 +102,11 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       schemaJson: Option[String] = None,
       rowCounts: Map[String, Long] = Map.empty,
       fileStats: Map[String, FileStat] = Map.empty,
-      blooms: Map[String, Map[String, Bloom]] = Map.empty)
+      blooms: Map[String, Map[String, Bloom]] = Map.empty,
+      // explicit operation tag (e.g. "restore") — ADVICE r5: without it
+      // history() can only INFER the op from the file delta, and a
+      // restore is indistinguishable from a generic rewrite in an audit
+      op: Option[String] = None)
 
   private def versionPath(v: Long): Path = logDir.resolve(f"v$v%08d.json")
 
@@ -171,7 +175,8 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       Option(node.get("schemaJson")).filter(!_.isNull).map(_.asText()),
       counts,
       readStats(node),
-      readBlooms(node))
+      readBlooms(node),
+      Option(node.get("op")).filter(!_.isNull).map(_.asText()))
   }
 
   private def readBlooms(node: JsonNode): Map[String, Map[String, Bloom]] =
@@ -240,7 +245,8 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       rowCounts: Map[String, Long] = Map.empty,
       fileStats: Map[String, FileStat] = Map.empty,
       blooms: Map[String, Map[String, Bloom]] = Map.empty,
-      requireLive: Seq[String] = Nil): Long = {
+      requireLive: Seq[String] = Nil,
+      op: Option[String] = None): Long = {
     Files.createDirectories(logDir)
     var attempt = 0
     while (true) {
@@ -260,6 +266,7 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       val r: ArrayNode = node.putArray("removed"); removed.foreach(r.add)
       batchId.foreach { b => node.put("batchId", b); knownBatches.add(b) }
       schemaJson.foreach(node.put("schemaJson", _))
+      op.foreach(node.put("op", _))
       if (rowCounts.nonEmpty) {
         val rc: ObjectNode = node.putObject("rowCounts")
         rowCounts.foreach { case (k, n) => rc.put(k, n) }

@@ -108,6 +108,53 @@ class RestoreSpec extends SparkSpec {
     assert(lake.query().df.count() == 1)
   }
 
+  test("history labels restore commits with an explicit operation tag") {
+    // ADVICE r5: delta-inferred ops cannot distinguish a restore from a
+    // generic rewrite — the audit question "what rewound this table?"
+    // needs the explicit tag
+    val lake = new DataLakehouse(spark, tempDir("restore-op"))
+    lake.ingestBatch(Seq(bar("AAPL", "2024-06-15 09:30:00")))
+    val v1 = lake.txnLog.currentVersion()
+    lake.ingestBatch(Seq(bar("MSFT", "2024-06-16 09:30:00")))
+    val v = lake.restore(v1)
+    val ops = lake.history().select("version", "operation").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ops(v) == "restore")
+    assert(ops.values.count(_ == "restore") == 1) // appends keep their label
+  }
+
+  test("post-commit TOCTOU verification compensates a vacuumed re-add loudly") {
+    // ADVICE r5 TOCTOU: a vacuum can win the window between restore's
+    // pre-commit existence check and its commit. The guard is the
+    // post-commit verification — drive it directly with a re-added file
+    // that vanished after "commit": it must write a compensating commit
+    // removing the casualty and throw, leaving every file of the final
+    // live set present on disk.
+    val root = tempDir("restore-toctou")
+    val lake = new DataLakehouse(spark, root)
+    lake.ingestBatch(Seq(bar("AAPL", "2024-06-15 09:30:00")))
+    val v1 = lake.txnLog.currentVersion()
+    lake.ingestBatch(Seq(bar("AAPL", "2024-06-15 10:30:00")))
+    lake.compact(maxFilesPerPartition = 1)
+    lake.restore(v1) // live set = v1's file, as a real restore would leave it
+    val reAdded = lake.txnLog.snapshotFiles()
+    Files.delete(Paths.get(root, reAdded.head)) // the "vacuum" wins the race
+    val verBefore = lake.txnLog.currentVersion()
+    val e = intercept[RuntimeException] {
+      lake.postRestoreVerify(v1, verBefore, reAdded)
+    }
+    assert(e.getMessage.contains("vacuumed concurrently"))
+    // exactly one compensating commit, tagged, removing the casualty
+    val comp = lake.history().select("version", "operation", "files_removed")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(comp.count(_._2 == "restore-failed") == 1)
+    assert(comp.find(_._1 == verBefore + 1).exists(c =>
+      c._2 == "restore-failed" && c._3 == 1))
+    // the table never stays on a snapshot referencing missing files
+    val live = lake.txnLog.snapshotFiles()
+    assert(live.forall(r => Files.isRegularFile(Paths.get(root, r))))
+  }
+
   test("restore to a vacuumed snapshot fails loudly before committing") {
     val lake = new DataLakehouse(spark, tempDir("restore-vacuum"))
     lake.ingestBatch(Seq(bar("AAPL", "2024-06-15 09:30:00")))
