@@ -773,7 +773,109 @@ object ExtendedQueries {
       |  round((CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)) / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS r2
       |FROM m ORDER BY event_type""".stripMargin
 
+  // q85 — PII redaction (privacy scrubbing: the compliance pass every
+  // LLM training pipeline runs before tokenization). The synthetic
+  // corpus carries no real PII, so the query synthesizes a deterministic
+  // audit-log line per event — email, IPv4, card number, all pure
+  // functions of the row — and redacts it with the regex classes a real
+  // scrubber uses. Patterns stay inside the Java-regex/RE2 common subset
+  // (no lookarounds, no backreferences) for engine parity. Scale shape:
+  // a narrow per-row codegen'd map (format_string + regexp_replace
+  // chain) with NO shuffle — at 100 TB this is scan → map → write with
+  // full column pruning; the only wide op is the final presentation sort.
+  private val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val piiIp = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val piiCard = "\\b\\d{4}-\\d{4}-\\d{4}-\\d{4}\\b"
+
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = format_string(
+      "user %d <u%d@ex%d.example.com> from 10.%d.%d.%d did %s",
+      $"user_id", $"user_id", pmod($"user_id", lit(7L)),
+      pmod($"event_id", lit(256L)), pmod($"user_id", lit(256L)),
+      pmod($"event_id" * 7, lit(256L)), $"event_type")
+    val card = when(pmod($"event_id", lit(3L)) === 0,
+      format_string(" card 4111-2222-3333-%04d", pmod($"event_id", lit(10000L))))
+      .otherwise(lit(""))
+    val cc = when(pmod($"user_id", lit(5L)) === 0,
+      format_string(" cc admin%d@corp.example.org", pmod($"user_id", lit(100L))))
+      .otherwise(lit(""))
+    t(s, dir, "events")
+      .where($"event_type" === "error")
+      .select($"event_id", concat(base, card, cc).as("line"))
+      .select($"event_id",
+        regexp_replace(regexp_replace(regexp_replace($"line",
+          piiEmail, "[EMAIL]"), piiIp, "[IP]"), piiCard, "[CARD]")
+          .as("redacted"),
+        (regexp_count($"line", lit(piiEmail)) +
+          regexp_count($"line", lit(piiIp)) +
+          regexp_count($"line", lit(piiCard))).cast("long").as("n_pii"))
+      .orderBy($"event_id")
+  }
+
+  private val q85Sql =
+    """WITH lines AS (
+      |  SELECT event_id,
+      |    printf('user %d <u%d@ex%d.example.com> from 10.%d.%d.%d did %s',
+      |      user_id, user_id, user_id % 7, event_id % 256, user_id % 256,
+      |      (event_id * 7) % 256, event_type)
+      |    || CASE WHEN event_id % 3 = 0
+      |            THEN printf(' card 4111-2222-3333-%04d', event_id % 10000)
+      |            ELSE '' END
+      |    || CASE WHEN user_id % 5 = 0
+      |            THEN printf(' cc admin%d@corp.example.org', user_id % 100)
+      |            ELSE '' END AS line
+      |  FROM events WHERE event_type = 'error')
+      |SELECT event_id,
+      |  regexp_replace(regexp_replace(regexp_replace(line,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+      |    '\b\d{4}-\d{4}-\d{4}-\d{4}\b', '[CARD]', 'g') AS redacted,
+      |  CAST(len(regexp_extract_all(line, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+      |     + len(regexp_extract_all(line, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+      |     + len(regexp_extract_all(line, '\b\d{4}-\d{4}-\d{4}-\d{4}\b'))
+      |    AS BIGINT) AS n_pii
+      |FROM lines ORDER BY event_id""".stripMargin
+
+  // q87 — robust outlier detection via median/MAD (the quality gate that
+  // survives heavy-tailed data where mean/stddev z-scores drown): flag
+  // events whose |value − median| exceeds 3 scaled MADs of their
+  // event_type. Two grouped exact medians (one for the center, one for
+  // the deviations) + two BROADCAST joins of the 5-row stats relation —
+  // the fact table shuffles only for the grouped percentiles. The
+  // medians are exact (the oracle pin); at 100 TB swap them for
+  // approx_percentile / a t-digest sketch with the same downstream
+  // algebra. 1.4826 is the normal-consistency constant (MAD → σ).
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val med = ev.groupBy($"event_type").agg(median($"value").as("med"))
+    val mad = ev.join(broadcast(med), "event_type")
+      .groupBy($"event_type")
+      .agg(median(abs($"value" - $"med")).as("mad"), max($"med").as("med"))
+    ev.join(broadcast(mad), "event_type")
+      .where(abs($"value" - $"med") > lit(3.0 * 1.4826) * $"mad")
+      .select($"event_id", $"event_type", $"value",
+        round(($"value" - $"med") / (lit(1.4826) * $"mad"), 4).as("z"))
+      .orderBy($"event_id")
+  }
+
+  private val q87Sql =
+    """WITH med AS (
+      |  SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+      |mad AS (
+      |  SELECT e.event_type, median(abs(e.value - m.med)) AS mad,
+      |         max(m.med) AS med
+      |  FROM events e JOIN med m USING (event_type) GROUP BY 1)
+      |SELECT e.event_id, e.event_type, e.value,
+      |  round((e.value - m.med) / (1.4826 * m.mad), 4) AS z
+      |FROM events e JOIN mad m USING (event_type)
+      |WHERE abs(e.value - m.med) > (3 * 1.4826) * m.mad
+      |ORDER BY e.event_id""".stripMargin
+
   val defs: Seq[(String, QFn)] = Seq(
+    "q85_pii_redact" -> (q85 _),
+    "q87_mad_outliers" -> (q87 _),
     "q81_regression" -> (q81 _),
     "q79_realized_vol" -> (q79 _),
     "q80_drawdown" -> (q80 _),
@@ -803,6 +905,8 @@ object ExtendedQueries {
     "q39_approx_distinct" -> (q39 _))
 
   val oracle: Seq[(String, String)] = Seq(
+    "q85_pii_redact" -> q85Sql,
+    "q87_mad_outliers" -> q87Sql,
     "q81_regression" -> q81Sql,
     "q79_realized_vol" -> q79Sql,
     "q80_drawdown" -> q80Sql,

@@ -691,7 +691,105 @@ object TextQueries {
       |  FROM documents)
       |ORDER BY key DESC, doc_id LIMIT 20""".stripMargin
 
+  // q86 — substring-level duplication ratio (exact-substring dedup à la
+  // "Deduplicating Training Data Makes Language Models Better", Lee et
+  // al., ACL 2022 — their suffix-array pass, re-expressed as a
+  // distributed shingle-df join): for every document, the fraction of
+  // its 8-token shingles that also occur in ANOTHER document. Unlike
+  // doc-level dedup (q23/q24), this catches boilerplate spans pasted
+  // into otherwise-unique documents — the dominant duplication mode in
+  // web corpora. Plan: tokenize → explode shingles → groupBy(shingle)
+  // countDistinct(doc) → join back on the SAME key (the exchange
+  // inserted for the aggregate is reused for the join side) → per-doc
+  // ratio. The shingle strings themselves are the join key here because
+  // that is what DuckDB can oracle; the 100 TB variant keys on
+  // xxhash64(shingle) (8-byte keys, ~10× narrower shuffle) with the
+  // string form as its correctness pin — same trade as q24 vs q27.
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = docs(s, dir)
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .where(size($"toks") >= 8)
+    val sh = toks
+      .select($"doc_id", explode(TextOps.shingles($"toks", 8)).as("sh"))
+    val df = sh.groupBy($"sh").agg(countDistinct($"doc_id").as("df"))
+    sh.join(df, "sh")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"df" > 1, 1L).otherwise(0L)).as("dup_shingles"))
+      .withColumn("dup_ratio",
+        round($"dup_shingles" * lit(1.0) / $"n_shingles", 4))
+      .orderBy($"doc_id")
+  }
+
+  private val q86Sql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS l
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    unnest([array_to_string(l[i:i+7], ' ')
+      |            FOR i IN generate_series(1, len(l) - 7)]) AS sh
+      |  FROM d WHERE len(l) >= 8),
+      |df AS (SELECT sh, count(DISTINCT doc_id) AS df FROM sh GROUP BY 1)
+      |SELECT s.doc_id, count(*) AS n_shingles,
+      |  CAST(sum(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_shingles,
+      |  round(CAST(sum(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS BIGINT) * 1.0
+      |        / count(*), 4) AS dup_ratio
+      |FROM sh s JOIN df USING (sh)
+      |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
+  // q88 — dataset profiling (the schema-drift / data-quality summary a
+  // lakehouse emits per ingest): per column, distinct count, null
+  // fraction, and Shannon entropy of the value distribution. ONE pass
+  // over the table: explode each row into (col, value) pairs, one
+  // groupBy(col, value) count, then a vocab-sized groupBy(col) computes
+  // the profile — entropy via the algebraic identity
+  // H = log2(T) − Σ c·log2(c) / T, which needs no per-value p=c/T
+  // column and folds into the same aggregate. At 100 TB the (col,value)
+  // relation is the only wide data; columns with unbounded cardinality
+  // (IDs) would switch to HLL distinct + top-k sketch, the same
+  // downstream shape.
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = docs(s, dir).select(explode(array(
+        struct(lit("lang").as("col"), $"lang".cast("string").as("v")),
+        struct(lit("source").as("col"), $"source".cast("string").as("v")),
+        struct(lit("n_chars").as("col"), $"n_chars".cast("string").as("v"))
+      )).as("p"))
+      .select($"p.col".as("col"), $"p.v".as("v"))
+    val counts = pairs.groupBy($"col", $"v").agg(count(lit(1)).as("c"))
+    val nn = when($"v".isNotNull, $"c").otherwise(lit(0L))
+    counts.groupBy($"col")
+      .agg(
+        count(when($"v".isNotNull, lit(1))).as("n_distinct"),
+        round(sum(when($"v".isNull, $"c").otherwise(lit(0L))).cast("double") /
+          sum($"c"), 4).as("null_frac"),
+        round(log2(sum(nn)) -
+          sum(when($"v".isNotNull, $"c" * log2($"c")).otherwise(lit(0.0))) /
+            sum(nn), 4).as("entropy"))
+      .orderBy($"col")
+  }
+
+  private val q88Sql =
+    """WITH pairs AS (
+      |  SELECT 'lang' AS col, CAST(lang AS VARCHAR) AS v FROM documents
+      |  UNION ALL SELECT 'source', CAST(source AS VARCHAR) FROM documents
+      |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents),
+      |counts AS (SELECT col, v, count(*) AS c FROM pairs GROUP BY 1, 2)
+      |SELECT col,
+      |  CAST(count(CASE WHEN v IS NOT NULL THEN 1 END) AS BIGINT) AS n_distinct,
+      |  round(CAST(sum(CASE WHEN v IS NULL THEN c ELSE 0 END) AS DOUBLE)
+      |        / sum(c), 4) AS null_frac,
+      |  round(log2(sum(CASE WHEN v IS NOT NULL THEN c ELSE 0 END))
+      |        - sum(CASE WHEN v IS NOT NULL THEN c * log2(c) ELSE 0 END)
+      |          / sum(CASE WHEN v IS NOT NULL THEN c ELSE 0 END), 4) AS entropy
+      |FROM counts GROUP BY col ORDER BY col""".stripMargin
+
   val defs: Seq[(String, QFn)] = Seq(
+    "q86_dup_spans" -> (q86 _),
+    "q88_column_profile" -> (q88 _),
     "q82_weighted_sample" -> (q82 _),
     "q83_bpe_pairs" -> (q83 _),
     "q84_pmi_collocations" -> (q84 _),
@@ -714,6 +812,8 @@ object TextQueries {
     "q61_repetition" -> (q61 _))
 
   val oracle: Seq[(String, String)] = Seq(
+    "q86_dup_spans" -> q86Sql,
+    "q88_column_profile" -> q88Sql,
     "q82_weighted_sample" -> q82Sql,
     "q83_bpe_pairs" -> q83Sql,
     "q84_pmi_collocations" -> q84Sql,
