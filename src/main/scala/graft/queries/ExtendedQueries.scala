@@ -873,7 +873,115 @@ object ExtendedQueries {
       |WHERE abs(e.value - m.med) > (3 * 1.4826) * m.mad
       |ORDER BY e.event_id""".stripMargin
 
+  // q89 — Bollinger bands (the canonical mean-reversion indicator: N-bar
+  // moving average ± k·σ, John Bollinger 1980s): per-user bands over the
+  // purchase-price series, N=10, k=2. Portability shape (q81's trick):
+  // prices become integer CENTS, and the window sums Σy and Σy² are
+  // exact BIGINT window aggregates in both engines — so mean and
+  // variance come from the ALGEBRAIC identity n·Σy² − (Σy)² on exact
+  // integers (order-independent; a float window sum would depend on each
+  // engine's frame accumulation scheme), and the only float ops are the
+  // final sqrt/divide, identical IEEE both sides. Only full windows
+  // (n = N) emit — a 5-bar "10-bar band" is not a band. Scale: ONE
+  // shuffle on the entity key serves all three window aggregates (same
+  // frame, same Exchange); the frame is O(1) running state per row.
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-9, Window.currentRow)
+    t(s, dir, "events")
+      .where($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value",
+        round($"value" * 100, 0).cast("long").as("y"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sy", sum($"y").over(w))
+      .withColumn("syy", sum($"y" * $"y").over(w))
+      .where($"n" === 10)
+      .withColumn("sigma", sqrt((lit(10.0) * $"syy" - $"sy" * $"sy")) / 1000.0)
+      .select($"event_id", $"user_id", $"value",
+        round($"sy" / 1000.0, 4).as("sma"),
+        round($"sy" / 1000.0 + $"sigma" * 2.0, 4).as("upper_band"),
+        round($"sy" / 1000.0 - $"sigma" * 2.0, 4).as("lower_band"),
+        round(when(lit(10L) * $"syy" - $"sy" * $"sy" > 0,
+          ($"value" - ($"sy" / 1000.0 - $"sigma" * 2.0)) / ($"sigma" * 4.0))
+          .otherwise(lit(0.5)), 4).as("pct_b"))
+      .orderBy($"event_id")
+  }
+
+  private val q89Sql =
+    """WITH b AS (
+      |  SELECT event_id, user_id, value,
+      |    count(*) OVER w AS n,
+      |    sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS sy,
+      |    sum(CAST(round(value * 100, 0) AS BIGINT) * CAST(round(value * 100, 0) AS BIGINT)) OVER w AS syy
+      |  FROM events WHERE event_type = 'purchase'
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+      |s AS (
+      |  SELECT event_id, user_id, value, sy, syy,
+      |    sqrt(10.0 * syy - sy * sy) / 1000.0 AS sigma
+      |  FROM b WHERE n = 10)
+      |SELECT event_id, user_id, value,
+      |  round(sy / 1000.0, 4) AS sma,
+      |  round(sy / 1000.0 + 2.0 * sigma, 4) AS upper_band,
+      |  round(sy / 1000.0 - 2.0 * sigma, 4) AS lower_band,
+      |  round(CASE WHEN 10 * syy - sy * sy > 0
+      |             THEN (value - (sy / 1000.0 - 2.0 * sigma)) / (4.0 * sigma)
+      |             ELSE 0.5 END, 4) AS pct_b
+      |FROM s ORDER BY event_id""".stripMargin
+
+  // q90 — EWMA (exponentially weighted moving average, the other classic
+  // smoother: RiskMetrics vol, MACD's building block). The textbook form
+  // is recursive (ewma_t = α·x_t + (1−α)·ewma_{t−1}) — inexpressible as
+  // a window function and sequential at 100 TB. The deployed shape is
+  // the TRUNCATED kernel: weights (1−α)^i decay below 1% of the window
+  // mass after K terms, so ewma_t ≈ Σ_{i<K} w_i·x_{t−i} / Σw_i — a pure
+  // K-lag window expression, O(K) per row, embarrassingly parallel.
+  // Engine portability: the float weights are pre-scaled to exact
+  // integers (round(w_i·1e8)) in ONE place (Scala), and both the
+  // DataFrame and the oracle SQL are generated from that same table —
+  // every product/sum below is exact BIGINT arithmetic; the single
+  // float divide at the end is IEEE-identical. K=8, span 8 (α=2/9).
+  private val ewmaWeights: Seq[Long] =
+    (0 until 8).map(i => math.round(math.pow(7.0 / 9.0, i) * 1e8))
+
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val terms = ewmaWeights.zipWithIndex.map { case (wt, i) =>
+      if (i == 0) lit(wt) * $"y" else lit(wt) * lag($"y", i).over(w)
+    }
+    t(s, dir, "events")
+      .where($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value",
+        round($"value" * 100, 0).cast("long").as("y"))
+      .withColumn("num", terms.reduce(_ + _))
+      .where($"num".isNotNull)
+      .select($"event_id", $"user_id", $"value",
+        round($"num" / (ewmaWeights.sum * 100.0), 4).as("ewma"))
+      .orderBy($"event_id")
+  }
+
+  private val q90Sql = {
+    val terms = ewmaWeights.zipWithIndex.map { case (wt, i) =>
+      if (i == 0) s"$wt * y" else s"$wt * lag(y, $i) OVER w"
+    }.mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT event_id, user_id, ts, value,
+       |    CAST(round(value * 100, 0) AS BIGINT) AS y
+       |  FROM events WHERE event_type = 'purchase'),
+       |l AS (
+       |  SELECT event_id, user_id, value, ($terms) AS num
+       |  FROM b
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT event_id, user_id, value,
+       |  round(num / (${ewmaWeights.sum} * 100.0), 4) AS ewma
+       |FROM l WHERE num IS NOT NULL ORDER BY event_id""".stripMargin
+  }
+
   val defs: Seq[(String, QFn)] = Seq(
+    "q89_bollinger" -> (q89 _),
+    "q90_ewma" -> (q90 _),
     "q85_pii_redact" -> (q85 _),
     "q87_mad_outliers" -> (q87 _),
     "q81_regression" -> (q81 _),
@@ -905,6 +1013,8 @@ object ExtendedQueries {
     "q39_approx_distinct" -> (q39 _))
 
   val oracle: Seq[(String, String)] = Seq(
+    "q89_bollinger" -> q89Sql,
+    "q90_ewma" -> q90Sql,
     "q85_pii_redact" -> q85Sql,
     "q87_mad_outliers" -> q87Sql,
     "q81_regression" -> q81Sql,

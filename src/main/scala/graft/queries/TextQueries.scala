@@ -787,7 +787,92 @@ object TextQueries {
       |          / sum(CASE WHEN v IS NOT NULL THEN c ELSE 0 END), 4) AS entropy
       |FROM counts GROUP BY col ORDER BY col""".stripMargin
 
+  // q91 — overlapping document chunking (the RAG / context-window prep
+  // pass: fixed-size windows with stride overlap so no span is lost at a
+  // boundary). Chunk size C=200 chars, stride S=150 (50-char overlap);
+  // starts at 0, S, 2S, … — n_chunks = 1 + ceil(max(len−C,0)/S), all
+  // INTEGER arithmetic ((x+S−1) div S, no float ceil) so both engines
+  // compute identical chunk grids. Each chunk row carries its md5 prefix
+  // as the content pin — the oracle hashes every chunk byte-for-byte.
+  // Scale shape: explode(sequence) is a codegen'd generator — scan →
+  // generate → map, NO shuffle except the presentation sort; chunk
+  // count is data-proportional (Σ len/S), never materializing the
+  // corpus twice. substring/length/md5 are char/UTF-8-identical in
+  // both engines.
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id", $"text",
+        expr("1 + (greatest(length(text) - 200, 0) + 149) div 150").as("n_chunks"))
+      .select($"doc_id", explode(sequence(lit(0), $"n_chunks" - 1)).as("i"), $"text")
+      .select($"doc_id", $"i".cast("long").as("chunk_idx"),
+        expr("substring(text, i * 150 + 1, 200)").as("chunk"))
+      .select($"doc_id", $"chunk_idx",
+        length($"chunk").cast("long").as("chunk_len"),
+        substring(md5($"chunk".cast("binary")), 1, 16).as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  private val q91Sql =
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |    1 + (greatest(length(text) - 200, 0) + 149) // 150 AS n_chunks
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, i AS chunk_idx,
+      |    substr(text, CAST(i * 150 + 1 AS BIGINT), 200) AS chunk
+      |  FROM d, unnest(range(n_chunks)) t(i))
+      |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      |  CAST(length(chunk) AS BIGINT) AS chunk_len,
+      |  substr(md5(chunk), 1, 16) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // q92 — sequence packing (the pretraining batch-prep pass: concatenate
+  // documents in a deterministic order and cut at a fixed token budget,
+  // so every training sequence is full — GPT-style "concat then split").
+  // Order is md5(doc_id) (q58's engine-portable determinism), budget
+  // B=2000 chars (chars proxy tokens; same algebra with a token count).
+  // A doc belongs to the pack where its FIRST char lands:
+  // pack = (cumsum − len) div B over the running concatenation. The
+  // 100 TB shape is built in, not bolted on: a single global cumsum
+  // would serialize, so the corpus first splits into 16 INDEPENDENT
+  // streams by the md5 prefix nibble and each stream packs itself —
+  // (bucket, pack_id) is the sequence key, each bucket's window is an
+  // independent partition of one shuffle, and 1000 executors pack 1000
+  // streams with zero coordination. All-integer arithmetic.
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"bucket").orderBy($"h", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, dir)
+      .select($"doc_id", $"n_chars",
+        md5($"doc_id".cast("string").cast("binary")).as("h"))
+      .withColumn("bucket", substring($"h", 1, 1))
+      .withColumn("cum", sum($"n_chars").over(w))
+      .withColumn("pack_id", expr("(cum - n_chars) div 2000"))
+      .groupBy($"bucket", $"pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"))
+      .orderBy($"bucket", $"pack_id")
+  }
+
+  private val q92Sql =
+    """WITH d AS (
+      |  SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h,
+      |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket
+      |  FROM documents),
+      |c AS (
+      |  SELECT bucket, doc_id, n_chars,
+      |    sum(n_chars) OVER (PARTITION BY bucket ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM d)
+      |SELECT bucket, CAST((cum - n_chars) // 2000 AS BIGINT) AS pack_id,
+      |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val defs: Seq[(String, QFn)] = Seq(
+    "q91_chunking" -> (q91 _),
+    "q92_packing" -> (q92 _),
     "q86_dup_spans" -> (q86 _),
     "q88_column_profile" -> (q88 _),
     "q82_weighted_sample" -> (q82 _),
@@ -812,6 +897,8 @@ object TextQueries {
     "q61_repetition" -> (q61 _))
 
   val oracle: Seq[(String, String)] = Seq(
+    "q91_chunking" -> q91Sql,
+    "q92_packing" -> q92Sql,
     "q86_dup_spans" -> q86Sql,
     "q88_column_profile" -> q88Sql,
     "q82_weighted_sample" -> q82Sql,

@@ -120,6 +120,97 @@ class CatalogSmokeSpec extends SparkSpec {
       s"q51 mismatch: got ${got.size} pairs, independent rebuild ${want.size}")
   }
 
+  test("q89/q90 collapse correctly on a constant price series") {
+    // A flat series has zero variance: the Bollinger bands must collapse
+    // onto the SMA with pct_b guarded to 0.5 (no division blow-up), and
+    // the truncated-kernel EWMA of a constant must be the constant
+    // itself (the integer-scaled weights divide back out exactly).
+    import org.apache.spark.sql.functions._
+    val dir = tempDir("flatseries")
+    val rows = (1 to 15).map(i =>
+      (i.toLong, 1L, i * 1000000000000L, "purchase", 25.5, "{}"))
+    spark.createDataFrame(rows)
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val boll = SparkEntry.queries("q89_bollinger")(spark, dir).collect()
+    assert(boll.length == 6) // 15 rows, full 10-row windows start at row 10
+    boll.foreach { r =>
+      assert(r.getAs[Double]("sma") == 25.5)
+      assert(r.getAs[Double]("upper_band") == 25.5)
+      assert(r.getAs[Double]("lower_band") == 25.5)
+      assert(r.getAs[Double]("pct_b") == 0.5)
+    }
+    val ewma = SparkEntry.queries("q90_ewma")(spark, dir).collect()
+    assert(ewma.length == 8) // full 8-lag kernels start at row 8
+    ewma.foreach(r => assert(r.getAs[Double]("ewma") == 25.5))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("q91 chunk grid == independent Scala substring rebuild") {
+    // Chunks must tile the document: stride-offset substrings of size C,
+    // last chunk shorter, nothing dropped past the end. Rebuild every
+    // (len, md5) from plain Scala string ops and require equality.
+    import org.apache.spark.sql.functions._
+    val dir = tempDir("chunkfix")
+    val texts = Seq(
+      1L -> "a" * 48,                      // single short chunk
+      2L -> ("abc" * 184),                 // 552 chars -> 4 chunks
+      3L -> (1 to 70).map(i => s"w$i").mkString(" "), // irregular length
+      4L -> "x" * 200,                     // exactly one full chunk
+      5L -> "y" * 350)                     // extra = 150: boundary multiple
+    spark.createDataFrame(texts.map { case (id, t) =>
+      (id, t, "en", "web", t.length.toLong) })
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val want = texts.flatMap { case (id, t) =>
+      val extra = math.max(t.length - 200, 0)
+      val n = 1 + (extra + 149) / 150
+      (0 until n).map { i =>
+        val chunk = t.drop(i * 150).take(200)
+        (id, i.toLong, chunk.length.toLong, md5hex(chunk))
+      }
+    }.toSet
+    import spark.implicits._
+    val got = SparkEntry.queries("q91_chunking")(spark, dir)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got == want)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("q92 pack assignment == independent Scala cumsum rebuild at sf0.001") {
+    // Packing is concat-then-cut per md5-nibble stream: rebuild the
+    // assignment with a plain Scala fold (no Spark windows) on the gate
+    // corpus and require identical (bucket, pack, n_docs, chars) rows.
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = docs.toSeq
+      .map { case (id, nc) => (md5hex(id.toString), id, nc) }
+      .groupBy(_._1.head).toSeq
+      .flatMap { case (bucket, ds) =>
+        var cum = 0L
+        ds.sortBy(d => (d._1, d._2)).map { case (_, id, nc) =>
+          cum += nc
+          (bucket.toString, (cum - nc) / 2000, id, nc)
+        }
+      }
+      .groupBy(p => (p._1, p._2))
+      .map { case ((b, p), xs) =>
+        (b, p, xs.size.toLong, xs.map(_._4).sum)
+      }.toSet
+    val got = SparkEntry.queries("q92_packing")(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("pair-set memo is scoped to one dir: switching dirs releases the persist") {
     // VERDICT r4 #5: a multi-dir catalog sweep must not accumulate every
     // dir's persisted pair sets in executor storage
