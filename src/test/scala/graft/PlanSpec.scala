@@ -160,6 +160,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q89/q90: one entity-key exchange serves every window term, no joins") {
+    // Bollinger's three frame aggregates (n, Σy, Σy²) and EWMA's eight
+    // lag terms all partition on user_id — a correct plan shuffles the
+    // event stream ONCE; a second hash exchange would mean the window
+    // columns were computed in separate passes
+    for (q <- Seq("q89_bollinger", "q90_ewma")) {
+      val p = plan(q)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"$q:\n$p")
+      assert(!p.contains("Join"), s"$q:\n$p")
+    }
+  }
+
+  test("q91: chunking is a pure generator pipeline — zero hash exchanges") {
+    // the RAG-chunking scale contract: scan → explode(sequence) → map,
+    // chunk rows never shuffle (the only exchange is the presentation
+    // sort's range partitioning) — any hashpartitioning here would mean
+    // the corpus is being re-keyed just to tile substrings
+    val p = plan("q91_chunking")
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q92: one bucket exchange serves the packing window AND the pack aggregate") {
+    // concat-then-cut packs per md5-nibble stream: the running cumsum
+    // window partitions on bucket and the (bucket, pack_id) aggregate's
+    // clustering is satisfied by that same hashpartitioning(bucket) —
+    // re-shuffling between window and groupBy would double the corpus
+    // movement for no redistribution gain
+    val p = plan("q92_packing")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("lakehouse query: symbol filter pushes to parquet on clustered files") {
     import java.sql.Timestamp
     val lake = new graft.sources.DataLakehouse(spark, tempDir("planlake"))
