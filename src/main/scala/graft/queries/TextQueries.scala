@@ -870,9 +870,125 @@ object TextQueries {
       |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // q93 — Gopher quality rules (Rae et al. 2021, appendix A1.1 — the
+  // canonical heuristic pre-filter; q61 covers the paper's REPETITION
+  // rules, this is the rest): word-count bounds [50, 100k], mean word
+  // length [3, 10], symbol-to-word ratio (#/ellipsis) < 0.1, ≥80% of
+  // words containing an alphabetic char, ≥2 canonical English function
+  // words present. Every metric is a ratio of exact integers (token
+  // counts, char sums) with one float divide at the end — cross-engine
+  // deterministic under the q76 rounding contract. On the synthetic
+  // corpus the stopword rule dominates the verdict (its vocabulary
+  // carries only "the" from the canonical list) — the per-rule columns
+  // are emitted so the oracle pins each rule, not just the conjunction.
+  // Scale: pure per-row map over the scan, NO shuffle — the 100 TB
+  // shape is scan → score → write, same class as q85.
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    docs(s, dir)
+      .select($"doc_id", $"text",
+        expr("filter(split(text, '\\\\s+'), w -> w != '')").as("words"))
+      .select($"doc_id",
+        size($"words").cast("long").as("n_words"),
+        expr("aggregate(words, 0L, (a, w) -> a + length(w))").as("sum_len"),
+        expr("size(filter(words, w -> w rlike '[A-Za-z]'))").cast("long")
+          .as("alpha_words"),
+        stop.map(t => array_contains($"words", t).cast("long")).reduce(_ + _)
+          .as("stop_hits"),
+        ((length($"text") - length(expr("replace(text, '#', '')"))) +
+          expr("(length(text) - length(replace(text, '...', ''))) div 3"))
+          .cast("long").as("symbols"))
+      .where($"n_words" > 0)
+      .select($"doc_id", $"n_words",
+        round($"sum_len".cast("double") / $"n_words", 4).as("mean_word_len"),
+        round($"alpha_words".cast("double") / $"n_words", 4).as("alpha_frac"),
+        round($"symbols".cast("double") / $"n_words", 4).as("symbol_ratio"),
+        $"stop_hits",
+        ($"n_words" >= 50 && $"n_words" <= 100000).as("wc_ok"),
+        ($"n_words" >= 50 && $"n_words" <= 100000 &&
+          $"sum_len".cast("double") / $"n_words" >= 3.0 &&
+          $"sum_len".cast("double") / $"n_words" <= 10.0 &&
+          $"symbols".cast("double") / $"n_words" < 0.1 &&
+          $"alpha_words".cast("double") / $"n_words" >= 0.8 &&
+          $"stop_hits" >= 2).as("gopher_pass"))
+      .orderBy($"doc_id")
+  }
+
+  private val q93Sql =
+    """WITH w AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(words) AS BIGINT) AS n_words,
+      |    CAST(coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS BIGINT) AS sum_len,
+      |    CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+      |    CAST(list_contains(words, 'the') AS BIGINT) + CAST(list_contains(words, 'be') AS BIGINT)
+      |      + CAST(list_contains(words, 'to') AS BIGINT) + CAST(list_contains(words, 'of') AS BIGINT)
+      |      + CAST(list_contains(words, 'and') AS BIGINT) + CAST(list_contains(words, 'that') AS BIGINT)
+      |      + CAST(list_contains(words, 'have') AS BIGINT) + CAST(list_contains(words, 'with') AS BIGINT)
+      |      AS stop_hits,
+      |    CAST((length(text) - length(replace(text, '#', '')))
+      |      + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS symbols
+      |  FROM w)
+      |SELECT doc_id, n_words,
+      |  round(CAST(sum_len AS DOUBLE) / n_words, 4) AS mean_word_len,
+      |  round(CAST(alpha_words AS DOUBLE) / n_words, 4) AS alpha_frac,
+      |  round(CAST(symbols AS DOUBLE) / n_words, 4) AS symbol_ratio,
+      |  stop_hits,
+      |  n_words BETWEEN 50 AND 100000 AS wc_ok,
+      |  (n_words BETWEEN 50 AND 100000)
+      |    AND CAST(sum_len AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0
+      |    AND CAST(symbols AS DOUBLE) / n_words < 0.1
+      |    AND CAST(alpha_words AS DOUBLE) / n_words >= 0.8
+      |    AND stop_hits >= 2 AS gopher_pass
+      |FROM m WHERE n_words > 0 ORDER BY doc_id""".stripMargin
+
+  // q94 — BPE tokenizer-apply (Sennrich ACL'16; the real tokenize pass
+  // q41's regex proxy stands in for): learn 50 merges, encode the corpus,
+  // count tokens per doc. NO oracle SQL exists (the merge loop is
+  // iterative) — rows-only for the driver; BpeSpec pins round-trip
+  // losslessness, merge monotonicity, planted-collapse, and determinism.
+  // The 100 TB shape is the whole point: BPE state is VOCABULARY-sized,
+  // so (1) one word-count aggregate (Zipf-bounded, top-64k freq cap
+  // keeps the driver bounded on open vocabularies — same budget class as
+  // the PQ codebook sample), (2) merges learn driver-side over that
+  // vocab, (3) each DISTINCT word encodes ONCE and the (word, n_tokens)
+  // table broadcast-joins back onto the exploded corpus — the corpus
+  // never runs a merge loop, and the per-doc pass is one shuffle on
+  // doc_id. Out-of-vocab words (possible only under the cap) fall back
+  // to character tokens via coalesce(n_toks, length(word)).
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dw = docs(s, dir)
+      .select($"doc_id",
+        explode(expr("filter(split(text, '\\\\s+'), w -> w != '')")).as("word"))
+    val vocab = dw.groupBy($"word").agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"word").limit(65536)
+      .as[(String, Long)].collect().toSeq
+    val ranks = graft.functions.Bpe.learnMerges(vocab, 50).zipWithIndex.toMap
+    val enc = vocab.map { case (w, _) =>
+      (w, graft.functions.Bpe.encode(w, ranks).length.toLong)
+    }
+    val encDf = s.createDataFrame(enc).toDF("word", "n_toks")
+    dw.join(broadcast(encDf), Seq("word"), "left")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(coalesce($"n_toks", length($"word").cast("long"))).as("n_tokens"),
+        sum(length($"word").cast("long")).as("n_chars"))
+      .select($"doc_id", $"n_words", $"n_tokens",
+        round($"n_chars".cast("double") / $"n_tokens", 4).as("chars_per_token"))
+      .orderBy($"doc_id")
+  }
+
   val defs: Seq[(String, QFn)] = Seq(
     "q91_chunking" -> (q91 _),
     "q92_packing" -> (q92 _),
+    "q93_gopher_rules" -> (q93 _),
+    "q94_bpe_tokenize" -> (q94 _),
     "q86_dup_spans" -> (q86 _),
     "q88_column_profile" -> (q88 _),
     "q82_weighted_sample" -> (q82 _),
@@ -899,6 +1015,7 @@ object TextQueries {
   val oracle: Seq[(String, String)] = Seq(
     "q91_chunking" -> q91Sql,
     "q92_packing" -> q92Sql,
+    "q93_gopher_rules" -> q93Sql,
     "q86_dup_spans" -> q86Sql,
     "q88_column_profile" -> q88Sql,
     "q82_weighted_sample" -> q82Sql,
