@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, DedupQueries, ExtendedQueries, TextQueries}
+import graft.queries.{CoreQueries, DedupQueries, ExtendedQueries, SeriesQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,12 +23,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (CoreQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++
-      ExtendedQueries.defs).toMap
+      ExtendedQueries.defs ++ SeriesQueries.defs).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     (CoreQueries.oracle ++ TextQueries.oracle ++ DedupQueries.oracle ++
-      ExtendedQueries.oracle).toMap
+      ExtendedQueries.oracle ++ SeriesQueries.oracle).toMap
 }
