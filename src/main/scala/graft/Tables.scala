@@ -5,14 +5,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Test-data table loader for the driver's synthetic star schema
   * (TESTDATA.md). One parquet file per table under the given sf dir.
   *
-  * `events.ts` is stored as parquet timestamp[ns]; Spark's TimestampType is
-  * µs-precision and Spark 4.x refuses TIMESTAMP(NANOS) outright
-  * (PARQUET_TYPE_ILLEGAL) unless `spark.sql.legacy.parquet.nanosAsLong` is
-  * set, which reads the column as a raw epoch-ns Long (SURVEY.md §7.4 — same
-  * ns-vs-µs boundary as the reference's TickData, README.md:72-74). We keep
-  * the raw ns as `ts_ns` and derive a µs-floor `ts` TimestampType column —
-  * matching DuckDB's `epoch_us` floor on TIMESTAMP_NS, so oracle queries
-  * compare identically.
+  * `events.ts` has been generated with TWO physical encodings across
+  * testdata regenerations, and the loader handles both by branching on the
+  * READ dtype (the round-6 regen silently flipped ns→µs and broke every
+  * events query — never assume the footer again):
+  *
+  *  - parquet `timestamp[ns]`: Spark's TimestampType is µs-precision and
+  *    Spark 4.x refuses TIMESTAMP(NANOS) outright (PARQUET_TYPE_ILLEGAL)
+  *    unless `spark.sql.legacy.parquet.nanosAsLong` is set, which reads the
+  *    column as a raw epoch-ns Long (SURVEY.md §7.4 — same ns-vs-µs boundary
+  *    as the reference's TickData, README.md:72-74).
+  *  - parquet `timestamp[us]` (current testdata): read natively as
+  *    TimestampType. `inferTimestampNTZ` is disabled so isAdjustedToUTC=false
+  *    files land as TimestampType too, making `unix_micros(ts)` return the
+  *    stored epoch-µs independent of the session timezone.
+  *
+  * Either way the loaded frame exposes the SAME three columns — `ts_ns`
+  * (epoch-ns Long, full engine-side fidelity), `ts_us` (epoch-µs Long, the
+  * portable oracle resolution: DuckDB floors timestamp[ns] to µs on read),
+  * and `ts` (µs TimestampType) — so every downstream query is
+  * encoding-agnostic.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -21,15 +33,33 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      import org.apache.spark.sql.functions.{expr, timestamp_micros}
+      import org.apache.spark.sql.functions.{col, expr, lit, timestamp_micros, unix_micros}
+      import org.apache.spark.sql.types.{LongType, TimestampType}
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // DuckDB 1.0 truncates parquet timestamp[ns] to µs TIMESTAMP on read,
-      // so epoch-µs (`ts_us`) is the portable event-time resolution for
-      // oracle queries; `ts_ns` keeps full fidelity for engine-side use.
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts_us", expr("ts_ns div 1000"))
-        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      val prepared = raw.schema("ts").dataType match {
+        case LongType => // timestamp[ns] read as raw epoch-ns Long
+          raw.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts_us", expr("ts_ns div 1000"))
+            .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+        case TimestampType => // timestamp[us] read natively
+          // `ts` stays the RAW parquet column — a range predicate on it
+          // pushes to the scan (PushedFilters), which a predicate on the
+          // derived ts_ns/ts_us expressions never would. Queries that
+          // want row-group skipping on event time must filter on `ts`.
+          raw.withColumn("ts_us", unix_micros(col("ts")))
+            .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+        case other =>
+          sys.error(
+            s"events.ts read as unsupported dtype $other — testdata drift? " +
+              "The loader handles parquet timestamp[ns] (via nanosAsLong → Long) " +
+              "and timestamp[us] (TimestampType). Extend Tables.load for the new encoding.")
+      }
+      // canonical column order regardless of encoding: the raw schema with
+      // `ts` in place, then ts_ns, ts_us appended
+      prepared.select(
+        raw.columns.map(col).toIndexedSeq ++ Seq(col("ts_ns"), col("ts_us")): _*)
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

@@ -18,13 +18,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Crash-absence must be impossible in the gate artifact (round-6 lesson:
+    // 31 analysis-error queries simply VANISHED from CORRECTNESS instead of
+    // failing it). Every `queries` key gets exactly one outcome: a parquet
+    // dir on success, or an entry in errors.json naming the exception —
+    // DataFrame CONSTRUCTION is inside the try, so eager analysis errors
+    // (e.g. a dtype drift in testdata) are recorded, not swallowed.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => nameFilter.forall(name.contains) }
       .foreach { case (name, fn) =>
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(500)}"
+          errors(name) = msg
+          System.err.println(s"[verify] $name FAILED: $msg")
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -43,6 +52,10 @@ object Verify {
       .filter { case (k, _) => nameFilter.forall(k.contains) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

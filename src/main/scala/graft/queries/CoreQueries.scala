@@ -83,14 +83,16 @@ object CoreQueries {
   private def q03(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "events")
-      // range filter on the RAW ns column: a predicate on derived
-      // `ts_us` (ts_ns div 1000) cannot be pushed to the parquet scan,
-      // while this equivalent plain-column range is (verified in plan:
-      // PushedFilters gets both bounds). µs-range [a,b) == ns-range
-      // [a*1000, b*1000) exactly, for positive epochs.
+      // range filter on the RAW `ts` column (current testdata: parquet
+      // timestamp[us] read natively): a predicate on the derived
+      // ts_ns/ts_us expressions cannot be pushed to the parquet scan,
+      // while this plain-column range is (verified in plan: PushedFilters
+      // gets both bounds). The timestamp_micros(literal)s constant-fold
+      // to timestamp literals; µs-range [a,b) == the old ns-range
+      // [a*1000, b*1000) exactly, since `ts` is the µs floor.
       .filter($"event_type" === "purchase" &&
-        $"ts_ns" >= lit(1704844800000000000L) && // 2024-01-10T00:00Z
-        $"ts_ns" < lit(1705708800000000000L))    // 2024-01-20T00:00Z
+        $"ts" >= timestamp_micros(lit(1704844800000000L)) && // 2024-01-10T00:00Z
+        $"ts" < timestamp_micros(lit(1705708800000000L)))    // 2024-01-20T00:00Z
       .select($"event_id", $"ts_us", $"user_id", round($"value", 4).as("value"))
       .orderBy($"event_id")
   }

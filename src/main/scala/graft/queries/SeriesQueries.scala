@@ -104,18 +104,23 @@ object SeriesQueries {
       ws.zipWithIndex.map { case (wt, i) =>
         if (i == 0) lit(wt) * col else lit(wt) * lag(col, i).over(w)
       }.reduce(_ + _)
+    // Window expressions are projected BEFORE the filter (a window fn is
+    // illegal inside a Filter condition) — same shape as the oracle SQL's
+    // `deep`/`deepm` columns.
     val macd = t(s, dir, "events")
       .select($"event_id", $"user_id", $"ts",
         round($"value" * 100, 0).cast("long").as("y"))
       .withColumn("numf", kernelTerms(fastW, $"y"))
       .withColumn("nums", kernelTerms(slowW, $"y"))
-      .where(lag($"y", slowW.size - 1).over(w).isNotNull)
+      .withColumn("deep", lag($"y", slowW.size - 1).over(w))
+      .where($"deep".isNotNull)
       .select($"event_id", $"user_id", $"ts",
         round($"numf" / (fastW.sum * 100.0) - $"nums" / (slowW.sum * 100.0), 6)
           .as("macd"))
     macd
       .withColumn("signum", kernelTerms(sigW, $"macd"))
-      .where(lag($"macd", sigW.size - 1).over(w).isNotNull)
+      .withColumn("deepm", lag($"macd", sigW.size - 1).over(w))
+      .where($"deepm".isNotNull)
       .select($"event_id", $"user_id", $"macd",
         round($"signum" / sigW.sum.toDouble, 6).as("signal"))
       .withColumn("histogram", round($"macd" - $"signal", 6))

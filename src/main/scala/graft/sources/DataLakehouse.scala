@@ -1017,7 +1017,16 @@ final class DataLakehouse(
     * Returns the new version, or -1 if the live state already equals the
     * target snapshot (no commit written).
     */
-  def restore(version: Long): Long = {
+  def restore(version: Long): Long = restoreImpl(version, () => ())
+
+  /** [[restore]] with a test seam: `beforeCommit` runs between the
+    * snapshot read / pre-commit existence check and the commit attempt —
+    * exactly the race window the scaladoc above reasons about — so
+    * TxnSafetySpec can interleave a concurrent append / rewrite / vacuum
+    * deterministically through the GENUINE restore path (no replicated
+    * commit logic in the spec).
+    */
+  private[graft] def restoreImpl(version: Long, beforeCommit: () => Unit): Long = {
     val cur = txnLog.currentVersion()
     require(version >= 0 && version <= cur,
       s"restore($version): version must be in [0, $cur]")
@@ -1034,6 +1043,7 @@ final class DataLakehouse(
       sys.error(s"restore($version): ${vacuumed.size} file(s) of the target " +
         s"snapshot were vacuumed and cannot be restored, e.g. ${vacuumed.head}")
     val reAddSet = reAdd.toSet
+    beforeCommit()
     val v = txnLog.commit(
       added = reAdd, removed = drop,
       schemaJson = targetSchema,

@@ -25,6 +25,26 @@ class CatalogSmokeSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("testdata drift tripwire: events.ts is an encoding Tables.load handles") {
+    // Round-6 postmortem: the driver regenerated /root/testdata mid-round
+    // and events.ts silently flipped parquet timestamp[ns] -> timestamp[us],
+    // crashing 31 catalog queries. This test reads the RAW footer dtype (no
+    // loader normalization) so the NEXT regen diagnoses itself in one line.
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    assert(raw == LongType || raw == TimestampType,
+      s"events.ts now reads as $raw — the driver regenerated testdata with a " +
+        "NEW timestamp encoding. Extend Tables.load's dtype branch (it handles " +
+        "timestamp[ns]->Long via nanosAsLong and timestamp[us]->TimestampType).")
+    // And the normalized contract every query depends on:
+    val loaded = Tables.load(spark, sfDir, "events")
+    assert(loaded.schema("ts_ns").dataType == LongType)
+    assert(loaded.schema("ts_us").dataType == LongType)
+    assert(loaded.schema("ts").dataType == TimestampType)
+  }
+
   test("q79/q80 survive zero-valued prices (sf0.1 ANSI DIVIDE_BY_ZERO regression)") {
     // Round-5 verdict: sf0.1 has value=0 rows that sf0.01 lacks, so the
     // log-return division crashed ONLY at bench scale while the sf0.01
@@ -118,6 +138,32 @@ class CatalogSmokeSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == want,
       s"q51 mismatch: got ${got.size} pairs, independent rebuild ${want.size}")
+  }
+
+  test("q49 approx percentiles within the GK rank-error bound of exact (sf0.01)") {
+    // q49 is rows-only in the driver gate (sketch results are
+    // engine-specific), so its machine check is the sketch's own
+    // guarantee: Spark's approx_percentile is a Greenwald-Khanna summary
+    // with rank error <= n/accuracy. For each group, the approx p-th
+    // value must lie between the EXACT order statistics at ranks
+    // floor((p-eps)n) and ceil((p+eps)n), eps = 1/accuracy — a bound
+    // that stays valid at any sf, unlike pinning exact equality (which
+    // only holds while n < accuracy).
+    val approx = SparkEntry.queries("q49_percentiles_approx")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val byGroup = Tables.load(spark, "/root/testdata/sf0.01", "orders")
+      .select("o_orderpriority", "o_totalprice").collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rs) => g -> rs.map(_.getDouble(1)).sorted }
+    assert(approx.keySet == byGroup.keySet)
+    val eps = 1.0 / 10000 // the accuracy parameter q49 passes
+    for ((g, sorted) <- byGroup; (p, got) <- Seq(0.5 -> approx(g)._1, 0.9 -> approx(g)._2)) {
+      val n = sorted.length
+      val lo = sorted(math.max(0, math.floor((p - eps) * n).toInt - 1))
+      val hi = sorted(math.min(n - 1, math.ceil((p + eps) * n).toInt))
+      assert(got >= lo - 1e-4 && got <= hi + 1e-4, // 1e-4 = q49's output rounding
+        s"$g p$p: approx $got outside exact rank band [$lo, $hi] (n=$n)")
+    }
   }
 
   test("q89/q90 collapse correctly on a constant price series") {

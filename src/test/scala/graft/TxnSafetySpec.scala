@@ -44,6 +44,81 @@ class TxnSafetySpec extends SparkSpec {
     assert(check.snapshotFiles().toSet == expected)
   }
 
+  // --- restore() concurrency: the WriteSerializable contract ----------
+  // (ADVICE r5/r6 low items, closed with real-race specs: the hook runs a
+  // CONCURRENT writer inside restore's own snapshot-read→commit window.)
+
+  private def raceBar(sym: String, t: String): OhlcvBar =
+    OhlcvBar(symbol = sym, timestamp = Timestamp.valueOf(t),
+      open = 150.0, high = 155.0, low = 149.0, close = 153.0,
+      volume = 1000L, asset_class = AssetClass.Equity)
+
+  test("restore survives a concurrent blind append (WriteSerializable)") {
+    // Delta's WriteSerializable level: blind appends commute. A restore
+    // must NOT destroy a racing ingest's data — post-restore state =
+    // target snapshot + concurrently-added files.
+    val root = tempDir("restore-append-race")
+    val lake = new DataLakehouse(spark, root)
+    lake.ingestBatch(Seq(raceBar("AAPL", "2024-06-15 09:30:00")))
+    val v1 = lake.txnLog.currentVersion()
+    lake.ingestBatch(Seq(raceBar("MSFT", "2024-06-16 09:30:00")))
+    val sibling = new DataLakehouse(spark, root) // concurrent writer
+    val v = lake.restoreImpl(v1, () =>
+      sibling.ingestBatch(Seq(raceBar("GOOG", "2024-06-17 09:30:00"))))
+    assert(v == lake.txnLog.currentVersion())
+    val syms = lake.query().df.select("symbol").collect().map(_.getString(0)).toSet
+    assert(syms == Set("AAPL", "GOOG"), // MSFT rewound, racing GOOG survives
+      s"post-restore live set must be target + concurrent append, got $syms")
+  }
+
+  test("restore conflicts with a concurrent rewrite of a dropped file") {
+    // The serializable side of the contract: if a concurrent writer
+    // rewrote a file this restore REMOVES (requireLive), committing would
+    // silently resurrect rows the other writer deleted — the commit must
+    // fail instead, and leave no restore commit behind.
+    val root = tempDir("restore-rewrite-race")
+    val lake = new DataLakehouse(spark, root)
+    lake.ingestBatch(Seq(raceBar("AAPL", "2024-06-15 09:30:00")))
+    val v1 = lake.txnLog.currentVersion()
+    lake.ingestBatch(Seq(raceBar("MSFT", "2024-06-16 09:30:00")))
+    val sibling = new DataLakehouse(spark, root)
+    val verBefore = lake.txnLog.currentVersion()
+    intercept[java.util.ConcurrentModificationException] {
+      // the rewrite touches MSFT's file — a member of restore's drop set
+      lake.restoreImpl(v1, () => {
+        assert(sibling.deleteWhere(col("symbol") === "MSFT") == 1)
+      })
+    }
+    // no restore commit: head is the sibling's delete, nothing more
+    val ops = lake.history().select("operation").collect().map(_.getString(0))
+    assert(!ops.contains("restore"))
+    assert(lake.txnLog.currentVersion() == verBefore + 1) // the delete only
+  }
+
+  test("restore vs concurrent vacuum: TOCTOU compensation through the real path") {
+    // RestoreSpec drives postRestoreVerify directly; this runs the ACTUAL
+    // race — vacuum unlinks the re-add targets inside restore's window
+    // (they are dead at the current head, so vacuum reclaims them) — and
+    // asserts the documented convergence: compensating commit + loud throw,
+    // final live set fully present on disk.
+    val root = tempDir("restore-vacuum-race")
+    val lake = new DataLakehouse(spark, root)
+    lake.ingestBatch(Seq(raceBar("AAPL", "2024-06-15 09:30:00")))
+    val v1 = lake.txnLog.currentVersion()
+    lake.ingestBatch(Seq(raceBar("AAPL", "2024-06-15 10:30:00")))
+    lake.compact(maxFilesPerPartition = 1) // v1's file is now dead
+    val sibling = new DataLakehouse(spark, root)
+    val e = intercept[RuntimeException] {
+      lake.restoreImpl(v1, () => assert(sibling.vacuum() > 0))
+    }
+    assert(e.getMessage.contains("vacuumed concurrently"))
+    val ops = lake.history().select("operation").collect().map(_.getString(0))
+    assert(ops.count(_ == "restore-failed") == 1)
+    val live = lake.txnLog.snapshotFiles()
+    assert(live.forall(r => java.nio.file.Files.isRegularFile(
+      java.nio.file.Paths.get(root, r))))
+  }
+
   test("batch ids are visible across TxnLog instances (cross-process exactly-once)") {
     val root = tempDir("txnbatch")
     val a = new TxnLog(root)
