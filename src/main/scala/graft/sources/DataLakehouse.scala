@@ -866,7 +866,8 @@ final class DataLakehouse(
       .filter(p => (p.toString.endsWith(".parquet") || p.toString.endsWith(".csv"))
         && Files.isRegularFile(p))
       .filterNot(p => p.startsWith(rootPath.resolve("_dlq")) ||
-        p.startsWith(rootPath.resolve("_staging")))
+        p.startsWith(rootPath.resolve("_staging")) ||
+        p.startsWith(rootPath.resolve("_evicted"))) // ring-admission audit trail
     val dead = dataFiles.filterNot(p => live.contains(rootPath.relativize(p).toString))
     if (dead.isEmpty) return 0L
     // second liveness view, read AFTER the dead list was computed: spares
@@ -1073,6 +1074,69 @@ final class DataLakehouse(
         s"vacuumed concurrently (e.g. ${lost.head}); the restore commit " +
         s"$committed was compensated — re-run restore against a live target")
     }
+  }
+
+  /** SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE` analog): a
+    * new independent table at `targetRoot` referencing this table's data
+    * files at `version` (default: current) WITHOUT copying a data byte.
+    *
+    * Mechanics: every live file of the source snapshot is HARD-LINKED
+    * under the same relative path in the target root (the local-FS
+    * equivalent of an object-store manifest reference — correct here
+    * because published data files are immutable by construction: row ops
+    * and compaction always REWRITE into new files, never in place), and
+    * one v0 commit in the target's own txn log records the file list
+    * with the source's commit-time row counts, (symbol, ts) bounds, and
+    * bloom filters — so pruning and scan accounting work on the clone
+    * with zero footer IO. Cost: O(live files) metadata, zero data bytes.
+    * At 100 TB this is the dev/test-branch primitive: a full-table
+    * sandbox in seconds.
+    *
+    * Independence (both directions, spec-pinned):
+    *  - writes/row-ops/compaction on either side land in that side's own
+    *    new files and txn log — the other side's snapshot never moves;
+    *  - `vacuum()` on the source cannot break the clone: unlinking the
+    *    source path only drops one link, the clone's link keeps the
+    *    inode alive (and vice versa).
+    *
+    * The DLQ and staging dirs are not cloned (operational state, not
+    * table state). Hard-link-less filesystems fall back to a real copy —
+    * semantics identical, cost O(bytes). Cloning a vacuumed historical
+    * version fails loudly on the first missing file, like [[restore]].
+    */
+  def cloneTo(targetRoot: String,
+      version: Long = Long.MaxValue): DataLakehouse = {
+    val v = math.min(version, txnLog.currentVersion())
+    val live = txnLog.snapshotFiles(v)
+    val (rootPath, tgt) = (Paths.get(root), Paths.get(targetRoot))
+    require(!Files.exists(tgt) || {
+      val s = Files.list(tgt); try !s.iterator().hasNext finally s.close()
+    }, s"cloneTo($targetRoot): target exists and is not empty")
+    live.foreach { rel =>
+      val src = rootPath.resolve(rel)
+      if (!Files.isRegularFile(src))
+        sys.error(s"cloneTo($targetRoot): source file $rel of snapshot $v " +
+          "is missing (vacuumed?) — clone a live version")
+      val dst = tgt.resolve(rel)
+      Files.createDirectories(dst.getParent)
+      try Files.createLink(dst, src)
+      catch { // same portability fallback as publishStaged
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          Files.copy(src, dst, StandardCopyOption.COPY_ATTRIBUTES)
+      }
+    }
+    val liveSet = live.toSet
+    val clone = new DataLakehouse(spark, targetRoot, batchSize,
+      clusterOnWrite, format, codec, partitionCols, zorderCols,
+      bloomCols, bloomFpp, bloomMaxBits)
+    clone.txnLog.commit(
+      added = live,
+      schemaJson = txnLog.schemaAt(v),
+      rowCounts = txnLog.rowCountsAt(v).view.filterKeys(liveSet).toMap,
+      fileStats = txnLog.fileStatsAt(v).view.filterKeys(liveSet).toMap,
+      blooms = txnLog.bloomsAt(v).view.filterKeys(liveSet).toMap,
+      op = Some("clone"))
+    clone
   }
 
   /** FSCK-style integrity audit of the live snapshot (the repair tool a

@@ -59,6 +59,18 @@ object Streaming {
     * replayed micro-batch rewrites the same rows instead of appending
     * duplicates — deadLetterCount stays stable across replays even when
     * the previous attempt crashed mid-write.
+    *
+    * Ring-buffer admission (`maxEventsPerTrigger`, the reference's
+    * declared 1M-event ring buffer, README.md:36-37): when a micro-batch
+    * carries more events than the cap, only the NEWEST `cap` events (by
+    * bar timestamp) are admitted and the oldest are EVICTED — the
+    * overwrite-oldest semantics of a bounded ring when the producer
+    * outruns the consumer. Unlike a real ring's silent overwrite, every
+    * evicted row is recorded to `_evicted/batch=<streamId>-<batchId>`
+    * (same per-batch overwrite idempotence as the DLQ) so the loss is
+    * observable and repairable — silent data loss is the ring's hazard,
+    * not its point. The file caps bound batch BYTES; the event cap
+    * bounds batch ROWS; they compose (files admit, ring evicts).
     */
   def ingestStream(
       lake: DataLakehouse,
@@ -67,9 +79,12 @@ object Streaming {
       streamId: String = "ingest",
       triggerMs: Long = 100L,
       maxFilesPerTrigger: Option[Int] = None,
-      maxBytesPerTrigger: Option[Long] = None): StreamingQuery = {
+      maxBytesPerTrigger: Option[Long] = None,
+      maxEventsPerTrigger: Option[Long] = None): StreamingQuery = {
     require(maxFilesPerTrigger.isEmpty || maxBytesPerTrigger.isEmpty,
       "maxFilesPerTrigger and maxBytesPerTrigger are mutually exclusive")
+    require(maxEventsPerTrigger.forall(_ > 0),
+      "maxEventsPerTrigger must be positive")
     val reader = lake.spark.readStream
       .schema(model.ohlcvSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
@@ -80,16 +95,56 @@ object Streaming {
       .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val valid = batch.filter(model.barValid)
-        val invalid = batch.filter(!model.barValid)
-        if (!invalid.isEmpty)
-          invalid.withColumn("_rejected_at", current_timestamp())
-            .write.mode("overwrite")
-            .parquet(s"${lake.root}/_dlq/batch=$streamId-$batchId")
-        lake.appendDF(valid, batchId = Some(s"$streamId-$batchId"))
-        ()
+        processIngestBatch(lake, batch, batchId, streamId, maxEventsPerTrigger)
       }
       .start()
+  }
+
+  /** One ingest micro-batch: ring admission → validation/DLQ → one
+    * txn-log commit. Extracted from [[ingestStream]]'s foreachBatch so
+    * specs can drive a batch (and its replay) deterministically.
+    */
+  private[graft] def processIngestBatch(
+      lake: DataLakehouse,
+      batch: DataFrame,
+      batchId: Long,
+      streamId: String,
+      maxEventsPerTrigger: Option[Long]): Unit = {
+    val admitted = maxEventsPerTrigger match {
+      case Some(cap) if batch.count() > cap =>
+        // newest-wins ring semantics; xxhash64 over the full row breaks
+        // equal-timestamp ties deterministically, so a replayed batch
+        // admits the IDENTICAL row set (exactly-once composes)
+        val allCols = batch.columns.map(col)
+        val ranked = batch.orderBy(
+          col("timestamp").desc, xxhash64(allCols.toIndexedSeq: _*))
+        val keep = ranked.limit(cap.toInt)
+        val evicted = ranked.exceptAll(keep)
+        evicted.withColumn("_evicted_at", current_timestamp())
+          .write.mode("overwrite")
+          .parquet(s"${lake.root}/_evicted/batch=$streamId-$batchId")
+        keep
+      case _ => batch
+    }
+    val valid = admitted.filter(model.barValid)
+    val invalid = admitted.filter(!model.barValid)
+    if (!invalid.isEmpty)
+      invalid.withColumn("_rejected_at", current_timestamp())
+        .write.mode("overwrite")
+        .parquet(s"${lake.root}/_dlq/batch=$streamId-$batchId")
+    lake.appendDF(valid, batchId = Some(s"$streamId-$batchId"))
+    ()
+  }
+
+  /** Rows evicted by ring-buffer admission across all batches (the
+    * observability counter [[ingestStream]]'s `maxEventsPerTrigger`
+    * scaladoc promises — the ring's data loss, made auditable).
+    */
+  def evictedCount(lake: DataLakehouse): Long = {
+    val dir = java.nio.file.Paths.get(lake.root, "_evicted")
+    if (java.nio.file.Files.isDirectory(dir))
+      lake.spark.read.parquet(s"${lake.root}/_evicted").count()
+    else 0L
   }
 
   /** Tick → OHLCV bar resampling (T3, the streaming twin of batch A7):

@@ -91,6 +91,43 @@ class StreamingSafetySpec extends SparkSpec {
     assert(lake.txnLog.commits().count(_.batchId.exists(_.startsWith("b-"))) == 4)
   }
 
+  test("ring admission: newest events win, evictions are recorded, replay is stable") {
+    // S9's ring-buffer semantics (the reference's declared 1M-event cap):
+    // a micro-batch over the cap admits only the NEWEST cap events; the
+    // evicted oldest land in _evicted (per-batch overwrite), and a
+    // replayed batch reproduces the identical admit/evict split.
+    val lake = new DataLakehouse(spark, tempDir("ringlake"))
+    def mkBatch = spark.createDataset((0 until 10).map { i =>
+      OhlcvBar(s"SYM$i", Timestamp.valueOf(s"2024-06-15 10:${10 + i}:00"),
+        150, 155, 149, 153, 1000L + i, AssetClass.Equity)
+    }).toDF()
+    Streaming.processIngestBatch(lake, mkBatch, 0L, "ring", Some(6L))
+    // newest 6 by bar timestamp admitted; oldest 4 evicted
+    val admitted = lake.query().df.select("symbol").collect()
+      .map(_.getString(0)).toSet
+    assert(admitted == (4 until 10).map(i => s"SYM$i").toSet)
+    assert(Streaming.evictedCount(lake) == 4)
+    val evictedSyms = spark.read.parquet(s"${lake.root}/_evicted")
+      .select("symbol").collect().map(_.getString(0)).toSet
+    assert(evictedSyms == (0 until 4).map(i => s"SYM$i").toSet)
+
+    // replay: same batch id → lake append no-ops, eviction dir overwrites
+    Streaming.processIngestBatch(lake, mkBatch, 0L, "ring", Some(6L))
+    assert(lake.query().count == 6)
+    assert(Streaming.evictedCount(lake) == 4)
+    assert(lake.txnLog.commits().count(_.batchId.exists(_.startsWith("ring-"))) == 1)
+
+    // a vacuum must not reclaim the eviction audit trail
+    assert(lake.vacuum() == 0L)
+    assert(Streaming.evictedCount(lake) == 4)
+
+    // under-cap batches pass through untouched (no _evicted write)
+    val lake2 = new DataLakehouse(spark, tempDir("ringlake2"))
+    Streaming.processIngestBatch(lake2, mkBatch.limit(3), 0L, "ring", Some(6L))
+    assert(lake2.query().count == 3)
+    assert(Streaming.evictedCount(lake2) == 0)
+  }
+
   test("maxBytesPerTrigger bounds each micro-batch by byte size") {
     val lake = new DataLakehouse(spark, tempDir("bytelake"))
     val src = tempDir("bytesrc")
