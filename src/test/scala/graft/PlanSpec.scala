@@ -174,6 +174,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q95-q98: each series query shuffles the event stream exactly once") {
+    // the SeriesQueries scale contract: ONE shuffle on the entity key
+    // serves every window/aggregate stage — RSI's count+2 sums share a
+    // frame; MACD's second (signal) window pass rides the first pass's
+    // user_id partitioning; LOCF is one running-state window; TWAP's
+    // lead() window and (user, day) aggregate share hashpartitioning.
+    // A second hash exchange on any of these means the stream is being
+    // re-keyed between stages — the cost that compounds at 100 TB.
+    for (q <- Seq("q95_rsi", "q96_macd", "q97_forward_fill", "q98_twap")) {
+      val p = plan(q)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"$q:\n$p")
+      assert(!p.contains("Join"), s"$q:\n$p")
+    }
+  }
+
   test("q91: chunking is a pure generator pipeline — zero hash exchanges") {
     // the RAG-chunking scale contract: scan → explode(sequence) → map,
     // chunk rows never shuffle (the only exchange is the presentation
