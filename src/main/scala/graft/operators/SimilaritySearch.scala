@@ -834,4 +834,79 @@ object SimilaritySearch {
       celled.filter(col("__cell").isInCollection(probed)),
       idCol, vecCol, queryVec, k, excludeId)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication of an embedding corpus via k-means-cell-bucketed
+    * cosine pairs — the published recipe for pruning web-scale training
+    * sets, and the cell-bucketed sibling of the LSH-bucketed
+    * [[lshPairs]] path.
+    *
+    * Pipeline: fit coarse centroids (on a sample at scale —
+    * `fitSampleFraction`), assign every vector its nearest cell (narrow
+    * codegen'd map), generate candidate pairs ONLY within a cell,
+    * verify with exact cosine ≥ `threshold`, connect pairs into
+    * duplicate groups, and within each group KEEP the member with the
+    * LOWEST cosine to its cell centroid — the paper's keeper rule
+    * (retain the cluster's diverse frontier, evict the redundant core).
+    * Ties break by id, so the output is deterministic.
+    *
+    * Scale shape: the all-pairs loop is confined to cells (k scales
+    * with the corpus as n/targetCellSize, keeping per-cell work
+    * bounded); cross-cell near-dups are missed BY DESIGN — that is
+    * SemDeDup's approximation, traded for linear-in-corpus candidate
+    * generation. The celled relation is deliberately NOT persisted:
+    * assignment is a bounded narrow recompute per branch (three
+    * passes), which beats a leaked cache in a long-lived session; a
+    * steady-state pipeline should materialize the cell id as a column.
+    *
+    * @return one row per vector:
+    *         (id, cell, dup_group, centroid_sim, keep) — `dup_group`
+    *         is the group's min member id (singletons: own id),
+    *         `keep` marks the group's sole survivor.
+    */
+  def semDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numCells: Int = 16,
+      iters: Int = 5,
+      fitSampleFraction: Double = 1.0,
+      seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold: $threshold")
+    val fitDf =
+      if (fitSampleFraction < 1.0) df.sample(fitSampleFraction, seed)
+      else df
+    val centroids = fitCentroids(fitDf, idCol, vecCol, numCells, iters, seed)
+    val centArr = array(centroids.map(planeLit): _*)
+    val celled = df.select(
+        col(idCol).cast("long").as("id"),
+        VectorOps.toDoubles(col(vecCol)).as("v"))
+      .withColumn("cell", ivfCell(spark, $"v", centroids))
+    // within-cell exact-cosine pairs (per-vector norms computed once,
+    // the q43 contract: the pair loop does only the fused dot)
+    val normed = celled.withColumn("nrm",
+      sqrt(graft.functions.CosineSimilarity.dotFast(spark, $"v", $"v")))
+    val a = normed.select($"cell", $"id".as("a_id"), $"v".as("a_v"), $"nrm".as("a_n"))
+    val b = normed.select($"cell", $"id".as("b_id"), $"v".as("b_v"), $"nrm".as("b_n"))
+    val pairs = a.join(b, Seq("cell"))
+      .where($"a_id" < $"b_id")
+      .where(graft.functions.CosineSimilarity.dotFast(spark, $"a_v", $"b_v") /
+        ($"a_n" * $"b_n") >= lit(threshold))
+      .select($"a_id", $"b_id")
+    val comps = Dedup.connectedComponents(pairs) // (id, component)
+    val labeled = celled
+      .withColumn("cent_sim", graft.functions.CosineSimilarity.cosineFast(
+        spark, $"v", element_at(centArr, $"cell" + 1)))
+      .join(comps, Seq("id"), "left")
+      .withColumn("dup_group", coalesce($"component", $"id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"dup_group").orderBy($"cent_sim".asc, $"id".asc)
+    labeled
+      .withColumn("keep", row_number().over(w) === 1)
+      .select($"id", $"cell", $"dup_group",
+        round($"cent_sim", 6).as("centroid_sim"), $"keep")
+  }
 }

@@ -488,6 +488,23 @@ object DedupQueries {
       rerank = Some((emb, "vec_id", "embedding")), overfetch = 8)
   }
 
+  // q99 — SemDeDup (D-family capstone): k-means-cell-bucketed semantic
+  // dedup with the paper's farthest-from-centroid keeper rule
+  // (SimilaritySearch.semDedup scaladoc). Rows-only in the driver gate
+  // (k-means init + xxhash64 seeding are engine-specific); the machine
+  // check is SemDedupSpec: planted-clone eviction, keeper rule against
+  // an independent driver-side rebuild, determinism across runs, and
+  // the q43-containment property at matched thresholds.
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    SimilaritySearch.semDedup(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.35, numCells = 8)
+      .select($"id".as("vec_id"), $"cell", $"dup_group",
+        $"centroid_sim", $"keep")
+      .orderBy($"vec_id")
+  }
+
   val defs: Seq[(String, QFn)] = Seq(
     "q43_embedding_neardup" -> (cosinePairs _),
     "q23_dedup_exact" -> (q23 _),
@@ -507,7 +524,8 @@ object DedupQueries {
     "q64_incremental_embedding" -> (q64 _),
     "q65_ann_pq" -> (q65 _),
     "q66_ann_ivfpq" -> (q66 _),
-    "q70_jaccard_prefix" -> (q70 _))
+    "q70_jaccard_prefix" -> (q70 _),
+    "q99_semdedup" -> (q99 _))
 
   val oracle: Seq[(String, String)] = Seq(
     "q43_embedding_neardup" -> q43Sql,

@@ -90,6 +90,58 @@ object ScaleRun {
       spark.stop(); return
     }
 
+    // Shallow-clone at scale: a mult×2M-row lake (multi-file, compacted,
+    // stats-carrying) cloned via cloneTo — the wall must be O(live
+    // files) metadata, with ZERO data bytes written, and the clone's
+    // pruned query must hit the carried log stats exactly like the
+    // source's (no footer re-derivation). The contrast number is a full
+    // physical copy of the same bytes.
+    if (which == "clone") {
+      import java.nio.file.Files
+      val rows = mult * 2000000L
+      val root = Files.createTempDirectory("scaleclone").toString
+      val lake = new sources.DataLakehouse(spark, root)
+      val cents = pmod(col("id") * 37L, lit(100)).cast("double") / 100.0
+      lake.appendDF(spark.range(rows).select(
+        concat(lit("SYM"), pmod(col("id"), lit(100))).as("symbol"),
+        timestamp_millis(lit(1718409600000L) +
+          pmod(col("id"), lit(10)) * 86400000L +
+          (col("id") / 10).cast("long")).as("timestamp"),
+        (lit(100.0) + pmod(col("id"), lit(50)) + cents).as("open"),
+        (lit(160.0) + pmod(col("id"), lit(50)) + cents).as("high"),
+        (lit(90.0) + pmod(col("id"), lit(50)) + cents).as("low"),
+        (lit(120.0) + pmod(col("id"), lit(50)) + cents).as("close"),
+        (lit(1000L) + col("id")).as("volume"),
+        lit("equity").as("asset_class")))
+      lake.compact(maxFilesPerPartition = 0, targetFiles = 16)
+      val nFiles = lake.txnLog.snapshotFiles().size
+      val tgt = Files.createTempDirectory("scaleclone-tgt").toString + "/t"
+      val tClone = System.nanoTime()
+      val clone = lake.cloneTo(tgt)
+      val cloneS = (System.nanoTime() - tClone) / 1e9
+      // contrast: byte copy of the same live set
+      val copyDir = Files.createTempDirectory("scaleclone-copy").toString
+      val tCopy = System.nanoTime()
+      lake.txnLog.snapshotFiles().foreach { rel =>
+        val dst = java.nio.file.Paths.get(copyDir, rel)
+        Files.createDirectories(dst.getParent)
+        Files.copy(java.nio.file.Paths.get(root, rel), dst)
+      }
+      val copyS = (System.nanoTime() - tCopy) / 1e9
+      val tQ = System.nanoTime()
+      val qr = clone.query(symbol = Some("SYM42"),
+        start = Some(new java.sql.Timestamp(1718496000000L)),
+        end = Some(new java.sql.Timestamp(1718582399000L)))
+      qr.df.write.format("noop").mode("overwrite").save()
+      val queryS = (System.nanoTime() - tQ) / 1e9
+      println(f"[scale] clone ${mult}x rows=$rows files=$nFiles " +
+        f"clone=$cloneS%.2fs fullCopy=$copyS%.1fs " +
+        f"clonePrunedQuery=$queryS%.2fs rowsScanned=${qr.totalRowsScanned}")
+      Seq(root, tgt, copyDir).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+      spark.stop(); return
+    }
+
     // Materialized-view refresh at scale: a mult×2M-row fact table with a
     // standing (symbol, date) rollup; a fresh 200k-row increment is folded
     // in by IncrementalView.refresh (reads ONLY the new files, merges
