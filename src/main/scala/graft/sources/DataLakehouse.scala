@@ -194,6 +194,7 @@ final class DataLakehouse(
   def appendDF(df: DataFrame, batchId: Option[String] = None): Long = {
     if (batchId.exists(txnLog.hasBatch)) return 0L
     val withDate = df.withColumn("date", model.dateKey)
+    enforceConstraints(withDate, "append")
     val added = stageClusteredWrite(withDate)
     val (counts, stats, blooms) = commitMeta(added)
     txnLog.commit(added = added, batchId = batchId,
@@ -222,6 +223,70 @@ final class DataLakehouse(
         .option("compression", writeCompression).save(staging)
     }
     publishStaged(staging)
+  }
+
+  // ------------------------------------------------------------ constraints
+
+  /** Current table CHECK constraints (name -> SQL predicate). */
+  def constraints: Map[String, String] =
+    txnLog.constraintsAt().map(TxnLog.decodeConstraints).getOrElse(Map.empty)
+
+  /** `ALTER TABLE ADD CONSTRAINT name CHECK (exprSql)` (Delta parity):
+    * validates that EVERY existing row satisfies the predicate (one
+    * full-table aggregate — the price Delta pays too; at 100 TB this is
+    * the one-off scan that buys per-append enforcement forever after),
+    * then records the updated constraint map in one metadata commit.
+    * From then on every append/update/merge batch is checked and a
+    * violating write fails ATOMICALLY (no partial commit — the check
+    * runs before any file is staged). SQL semantics: NULL passes (like
+    * SQL CHECK); violation means the predicate evaluates to FALSE.
+    */
+  def addConstraint(name: String, exprSql: String): Long = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"constraint name must be [A-Za-z0-9_]+: $name")
+    val cur = constraints
+    require(!cur.contains(name), s"constraint $name already exists")
+    val existing = query().df
+    // resolve the expression against the CURRENT schema now (a typo
+    // must fail here, not on the next append) and scan for violations
+    val bad = existing.filter(!coalesce(expr(exprSql), lit(true))).count()
+    if (bad > 0)
+      throw new IllegalStateException(
+        s"cannot add constraint $name: $bad existing row(s) violate ($exprSql)")
+    txnLog.commit(added = Nil, op = Some("add-constraint"),
+      constraintsJson = Some(TxnLog.encodeConstraints(cur + (name -> exprSql))))
+  }
+
+  /** `ALTER TABLE DROP CONSTRAINT name`. */
+  def dropConstraint(name: String): Long = {
+    val cur = constraints
+    require(cur.contains(name), s"no such constraint: $name")
+    txnLog.commit(added = Nil, op = Some("drop-constraint"),
+      constraintsJson = Some(TxnLog.encodeConstraints(cur - name)))
+  }
+
+  /** Reject `df` if any row violates a table constraint — ONE aggregate
+    * pass over the increment computing every constraint's violation
+    * count together (not a pass per constraint), run BEFORE any file is
+    * staged so a failed write leaves no trace. Applied to the rows a
+    * write introduces: the full batch on append, the rewritten file
+    * contents on update/merge (a superset of the changed rows — already-
+    * live rows re-checked there were validated when first written or by
+    * addConstraint's table scan, so re-checking is redundant but sound).
+    */
+  private def enforceConstraints(df: DataFrame, opName: String): Unit = {
+    val cs = constraints.toSeq.sortBy(_._1)
+    if (cs.isEmpty) return
+    val counts = cs.map { case (n, sql) =>
+      sum(when(!coalesce(expr(sql), lit(true)), 1L).otherwise(0L)).as(n)
+    }
+    val row = df.agg(counts.head, counts.tail: _*).collect()(0)
+    cs.zipWithIndex.foreach { case ((n, sql), i) =>
+      val bad = if (row.isNullAt(i)) 0L else row.getLong(i) // null = empty df
+      if (bad > 0)
+        throw new IllegalStateException(
+          s"$opName rejected: $bad row(s) violate constraint $n ($sql)")
+    }
   }
 
   /** Register EXISTING data files into the table without rewriting them
@@ -732,8 +797,9 @@ final class DataLakehouse(
       set.get(k).map(v => when(c, v).otherwise(col(k)).as(k))
         .getOrElse(col(k))
     }: _*)
-    val added = stageClusteredWrite(
-      projected.withColumn("date", model.dateKey))
+    val rewritten = projected.withColumn("date", model.dateKey)
+    enforceConstraints(rewritten, "update")
+    val added = stageClusteredWrite(rewritten)
     val (counts, stats, blooms) = commitMeta(added)
     txnLog.commit(added = added, removed = touched,
       rowCounts = counts, fileStats = stats, blooms = blooms,
@@ -781,6 +847,7 @@ final class DataLakehouse(
       if (touched.isEmpty) sourceWithDate
       else readRels(touched, schema).join(srcKeys, keys, "left_anti")
         .unionByName(sourceWithDate)
+    enforceConstraints(sourceWithDate, "merge") // the introduced rows
     val added = stageClusteredWrite(newData)
     val (counts, stats, blooms) = commitMeta(added)
     txnLog.commit(added = added, removed = touched,
@@ -1037,7 +1104,9 @@ final class DataLakehouse(
     val reAdd = target.filterNot(currentSet)
     val drop = current.filterNot(targetSet)
     val targetSchema = txnLog.schemaAt(version)
-    if (reAdd.isEmpty && drop.isEmpty && targetSchema == txnLog.schemaAt())
+    def cmap(o: Option[String]) = o.map(TxnLog.decodeConstraints).getOrElse(Map.empty)
+    if (reAdd.isEmpty && drop.isEmpty && targetSchema == txnLog.schemaAt() &&
+        cmap(txnLog.constraintsAt(version)) == cmap(txnLog.constraintsAt()))
       return -1L
     val vacuumed = reAdd.filterNot(r => Files.isRegularFile(Paths.get(root, r)))
     if (vacuumed.nonEmpty)
@@ -1052,7 +1121,13 @@ final class DataLakehouse(
       fileStats = txnLog.fileStatsAt(version).view.filterKeys(reAddSet).toMap,
       blooms = txnLog.bloomsAt(version).view.filterKeys(reAddSet).toMap,
       requireLive = drop,
-      op = Some("restore"))
+      op = Some("restore"),
+      // constraints rewind with the rest of the table state; the empty
+      // map is encoded EXPLICITLY — a None here would mean "no change"
+      // under the newest-at-or-below resolver and leak current
+      // constraints into the restored state
+      constraintsJson = Some(txnLog.constraintsAt(version)
+        .getOrElse(TxnLog.encodeConstraints(Map.empty))))
     postRestoreVerify(version, v, reAdd)
     v
   }
@@ -1135,7 +1210,8 @@ final class DataLakehouse(
       rowCounts = txnLog.rowCountsAt(v).view.filterKeys(liveSet).toMap,
       fileStats = txnLog.fileStatsAt(v).view.filterKeys(liveSet).toMap,
       blooms = txnLog.bloomsAt(v).view.filterKeys(liveSet).toMap,
-      op = Some("clone"))
+      op = Some("clone"),
+      constraintsJson = txnLog.constraintsAt(v)) // CHECK constraints ride too
     clone
   }
 

@@ -51,6 +51,22 @@ object TxnLog {
     * a file that contains the value).
     */
   final case class Bloom(m: Int, k: Int, dt: String, bitsB64: String)
+
+  /** JSON codec for the constraint map (name -> SQL predicate), shared
+    * by writers and readers of `constraintsJson` so the wire form has
+    * exactly one definition.
+    */
+  def encodeConstraints(m: Map[String, String]): String = {
+    val mapper = new ObjectMapper()
+    val node = mapper.createObjectNode()
+    m.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+    mapper.writeValueAsString(node)
+  }
+
+  def decodeConstraints(s: String): Map[String, String] = {
+    val node = new ObjectMapper().readTree(s)
+    node.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+  }
 }
 
 final class TxnLog(root: String, checkpointInterval: Int = 10) {
@@ -106,7 +122,12 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       // explicit operation tag (e.g. "restore") — ADVICE r5: without it
       // history() can only INFER the op from the file delta, and a
       // restore is indistinguishable from a generic rewrite in an audit
-      op: Option[String] = None)
+      op: Option[String] = None,
+      // FULL table-constraint map (name -> SQL predicate) as of this
+      // commit, recorded by constraint-changing commits only; resolved
+      // like schemaJson (newest-at-or-below wins) — the set is tiny, so
+      // full-map-per-change beats replaying add/drop deltas
+      constraintsJson: Option[String] = None)
 
   private def versionPath(v: Long): Path = logDir.resolve(f"v$v%08d.json")
 
@@ -176,7 +197,8 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       counts,
       readStats(node),
       readBlooms(node),
-      Option(node.get("op")).filter(!_.isNull).map(_.asText()))
+      Option(node.get("op")).filter(!_.isNull).map(_.asText()),
+      Option(node.get("constraintsJson")).filter(!_.isNull).map(_.asText()))
   }
 
   private def readBlooms(node: JsonNode): Map[String, Map[String, Bloom]] =
@@ -246,7 +268,8 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       fileStats: Map[String, FileStat] = Map.empty,
       blooms: Map[String, Map[String, Bloom]] = Map.empty,
       requireLive: Seq[String] = Nil,
-      op: Option[String] = None): Long = {
+      op: Option[String] = None,
+      constraintsJson: Option[String] = None): Long = {
     Files.createDirectories(logDir)
     var attempt = 0
     while (true) {
@@ -267,6 +290,7 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       batchId.foreach { b => node.put("batchId", b); knownBatches.add(b) }
       schemaJson.foreach(node.put("schemaJson", _))
       op.foreach(node.put("op", _))
+      constraintsJson.foreach(node.put("constraintsJson", _))
       if (rowCounts.nonEmpty) {
         val rc: ObjectNode = node.putObject("rowCounts")
         rowCounts.foreach { case (k, n) => rc.put(k, n) }
@@ -375,7 +399,8 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
   private final case class Checkpoint(version: Long, files: Seq[String],
       schemaJson: Option[String], rowCounts: Option[Map[String, Long]],
       fileStats: Map[String, FileStat],
-      blooms: Map[String, Map[String, Bloom]])
+      blooms: Map[String, Map[String, Bloom]],
+      constraintsJson: Option[String])
 
   /** Checkpoints carry the full derived read state — live files, newest
     * schema, per-file row counts — so EVERY per-query log resolution
@@ -392,6 +417,7 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       val a: ArrayNode = node.putArray("files")
       files.foreach(a.add)
       schemaAt(v).foreach(node.put("schemaJson", _))
+      constraintsAt(v).foreach(node.put("constraintsJson", _))
       val live = files.toSet
       val rc: ObjectNode = node.putObject("rowCounts")
       rowCountsAt(v).foreach { case (k, n) => if (live(k)) rc.put(k, n) }
@@ -459,7 +485,8 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
         Option(node.get("schemaJson")).filter(!_.isNull).map(_.asText()),
         counts,
         readStats(node),
-        readBlooms(node))
+        readBlooms(node),
+        Option(node.get("constraintsJson")).filter(!_.isNull).map(_.asText()))
     })})
   }
 
@@ -515,6 +542,21 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
     (upTo to from by -1).iterator.map(read).flatMap(_.schemaJson)
       .nextOption()
       .orElse(ck.flatMap(_.schemaJson))
+  }
+
+  /** Table CHECK-constraint map (JSON of name -> SQL predicate) as of
+    * `version` — resolved exactly like [[schemaAt]]: the newest
+    * constraint-map recorded at or below the version, checkpoint-seeded.
+    * Time-travel reads therefore see the constraints their snapshot was
+    * written under.
+    */
+  def constraintsAt(version: Long = Long.MaxValue): Option[String] = {
+    val upTo = math.min(currentVersion(), version)
+    val ck = latestCheckpoint(upTo)
+    val from = ck.map(_.version + 1).getOrElse(0L)
+    (upTo to from by -1).iterator.map(read).flatMap(_.constraintsJson)
+      .nextOption()
+      .orElse(ck.flatMap(_.constraintsJson))
   }
 
   /** Per-file row counts recorded at commit time for the live file set at

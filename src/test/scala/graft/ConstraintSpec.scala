@@ -1,0 +1,134 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{DataLakehouse, TxnLog}
+
+/** Table CHECK constraints (Delta `ALTER TABLE ADD CONSTRAINT` parity):
+  * log-persisted, enforced atomically on every write path, carried by
+  * clone, rewound by restore.
+  */
+class ConstraintSpec extends SparkSpec {
+
+  private def bar(sym: String, t: String, close: Double = 153.0,
+      volume: Long = 1000L): OhlcvBar =
+    OhlcvBar(symbol = sym, timestamp = Timestamp.valueOf(t),
+      open = 150.0, high = math.max(155.0, close), low = 149.0,
+      close = close, volume = volume, asset_class = AssetClass.Equity)
+
+  test("add/enforce/drop lifecycle; violating append fails atomically") {
+    val lake = new DataLakehouse(spark, tempDir("constr"))
+    lake.ingestBatch(Seq(bar("AAPL", "2024-06-15 09:30:00")))
+    lake.addConstraint("positive_close", "close > 0")
+    lake.addConstraint("sane_volume", "volume < 1000000")
+    assert(lake.constraints.keySet == Set("positive_close", "sane_volume"))
+
+    // valid append passes
+    lake.appendDF(lake.query().df.drop("date")
+      .withColumn("symbol", lit("GOOG")))
+    assert(lake.query().df.count() == 2)
+
+    // violating append fails BEFORE anything is staged or committed
+    val verBefore = lake.txnLog.currentVersion()
+    val badDf = lake.query().df.drop("date")
+      .withColumn("symbol", lit("BAD")).withColumn("close", lit(-5.0))
+    val e = intercept[IllegalStateException] { lake.appendDF(badDf) }
+    assert(e.getMessage.contains("positive_close"))
+    assert(lake.txnLog.currentVersion() == verBefore) // no partial commit
+    assert(lake.query().df.count() == 2)
+
+    // NULL passes (SQL CHECK semantics)
+    lake.appendDF(lake.query().df.drop("date").limit(1)
+      .withColumn("symbol", lit("NULLC"))
+      .withColumn("close", lit(null).cast("double")))
+    assert(lake.query().df.count() == 3)
+
+    // drop re-opens the gate (badDf carries the 2-row snapshot it was
+    // built from, so the table grows 3 -> 5)
+    lake.dropConstraint("positive_close")
+    assert(lake.constraints.keySet == Set("sane_volume"))
+    lake.appendDF(badDf)
+    assert(lake.query().df.count() == 5)
+    intercept[IllegalArgumentException] { lake.dropConstraint("positive_close") }
+  }
+
+  test("addConstraint validates existing rows and rejects unresolvable expressions") {
+    val lake = new DataLakehouse(spark, tempDir("constr-val"))
+    // a NEGATIVE-close bar that still satisfies the P5 ingest invariants
+    // (close within [low, high]) — barValid has no positivity rule, so
+    // this lands in the table and must block the constraint
+    lake.ingestBatch(Seq(OhlcvBar("AAPL",
+      Timestamp.valueOf("2024-06-15 09:30:00"),
+      open = -2.0, high = 0.0, low = -5.0, close = -1.0,
+      volume = 1000L, asset_class = AssetClass.Equity)))
+    assert(lake.query().df.count() == 1)
+    // existing violation -> refused, nothing recorded
+    val e = intercept[IllegalStateException] {
+      lake.addConstraint("positive_close", "close > 0")
+    }
+    assert(e.getMessage.contains("1 existing row"))
+    assert(lake.constraints.isEmpty)
+    // a typo'd column must fail AT ADD TIME, not on the next append
+    intercept[Exception] { lake.addConstraint("typo", "no_such_col > 0") }
+    assert(lake.constraints.isEmpty)
+  }
+
+  test("constraints enforce on UPDATE and MERGE write paths") {
+    val lake = new DataLakehouse(spark, tempDir("constr-rowops"))
+    lake.ingestBatch(Seq(bar("AAPL", "2024-06-15 09:30:00")))
+    lake.addConstraint("positive_close", "close > 0")
+    intercept[IllegalStateException] {
+      lake.update(col("symbol") === "AAPL", Map("close" -> lit(-9.0)))
+    }
+    assert(lake.query().df.select("close").collect().head.getDouble(0) == 153.0)
+    intercept[IllegalStateException] {
+      lake.merge(
+        spark.createDataset(Seq(bar("MSFT", "2024-06-16 09:30:00")))(
+          org.apache.spark.sql.Encoders.product[OhlcvBar])
+          .toDF().withColumn("close", lit(-2.0)),
+        Seq("symbol", "timestamp"))
+    }
+    assert(lake.query().df.count() == 1)
+  }
+
+  test("constraints persist across instances and survive checkpoints") {
+    val root = tempDir("constr-persist")
+    val lake = new DataLakehouse(spark, root)
+    lake.ingestBatch(Seq(bar("AAPL", "2024-06-15 09:30:00")))
+    lake.addConstraint("positive_close", "close > 0")
+    // push past a checkpoint boundary (interval 10) with appends
+    (0 until 12).foreach { i =>
+      lake.appendDF(lake.query().df.drop("date").limit(1)
+        .withColumn("symbol", lit(s"S$i")))
+    }
+    // a COLD instance resolves constraints from checkpoint + tail
+    val cold = new DataLakehouse(spark, root)
+    assert(cold.constraints == Map("positive_close" -> "close > 0"))
+    intercept[IllegalStateException] {
+      cold.appendDF(cold.query().df.drop("date").limit(1)
+        .withColumn("close", lit(-1.0)))
+    }
+  }
+
+  test("clone carries constraints; restore rewinds them") {
+    val lake = new DataLakehouse(spark, tempDir("constr-clone"))
+    lake.ingestBatch(Seq(bar("AAPL", "2024-06-15 09:30:00")))
+    val vNoConstraints = lake.txnLog.currentVersion()
+    lake.addConstraint("positive_close", "close > 0")
+
+    val clone = lake.cloneTo(tempDir("constr-clone-tgt") + "/t")
+    assert(clone.constraints == Map("positive_close" -> "close > 0"))
+    intercept[IllegalStateException] {
+      clone.appendDF(clone.query().df.drop("date").withColumn("close", lit(-1.0)))
+    }
+
+    // restore to the pre-constraint version rewinds the map...
+    lake.restore(vNoConstraints)
+    assert(lake.constraints.isEmpty)
+    // ...and restoring forward brings it back
+    lake.restore(vNoConstraints + 1)
+    assert(lake.constraints == Map("positive_close" -> "close > 0"))
+  }
+}
