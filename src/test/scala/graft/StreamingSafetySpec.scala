@@ -128,6 +128,26 @@ class StreamingSafetySpec extends SparkSpec {
     assert(Streaming.evictedCount(lake2) == 0)
   }
 
+  test("ring admission end-to-end: ingestStream caps a real micro-batch") {
+    val lake = new DataLakehouse(spark, tempDir("ringe2e"))
+    val src = tempDir("ringe2esrc")
+    spark.createDataset((0 until 10).map { i =>
+      OhlcvBar(s"SYM$i", Timestamp.valueOf(s"2024-06-15 10:${10 + i}:00"),
+        150, 155, 149, 153, 1000L + i, AssetClass.Equity)
+    }).toDF().coalesce(1).write.mode("overwrite").parquet(src)
+    val q = Streaming.ingestStream(lake, src, tempDir("ringe2eckpt"),
+      streamId = "re", maxEventsPerTrigger = Some(6L))
+    try q.processAllAvailable() finally q.stop()
+    assert(lake.query().count == 6)
+    assert(lake.query().df.select("symbol").collect().map(_.getString(0)).toSet
+      == (4 until 10).map(i => s"SYM$i").toSet) // newest admitted
+    assert(Streaming.evictedCount(lake) == 4)
+    intercept[IllegalArgumentException] {
+      Streaming.ingestStream(lake, src, tempDir("ringe2eckpt2"),
+        maxEventsPerTrigger = Some(0L))
+    }
+  }
+
   test("maxBytesPerTrigger bounds each micro-batch by byte size") {
     val lake = new DataLakehouse(spark, tempDir("bytelake"))
     val src = tempDir("bytesrc")
