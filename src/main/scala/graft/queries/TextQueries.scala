@@ -212,6 +212,44 @@ object TextQueries {
       |WHERE doc_id >= 20
       |GROUP BY doc_id HAVING count(*) >= 3 ORDER BY doc_id""".stripMargin
 
+  // q100 — exact 13-gram decontamination (the GPT-3 appendix-C /
+  // PaLM standard: a training doc is contaminated if it shares ANY
+  // exact 13-token n-gram with an eval document — stricter than q59's
+  // >=3-shared-3-gram heuristic, and the two coexist the way real
+  // pipelines run both a cheap recall-heavy pass and the strict exact
+  // rule). Same 100 TB shape as q59: the benchmark (bench_id, 13-gram)
+  // relation broadcasts, the corpus streams map-side — no corpus
+  // shuffle on the shingle key; per contaminated doc we report how many
+  // distinct 13-grams matched and the earliest benchmark doc hit
+  // (the audit columns a decontam report needs).
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def sh(df: DataFrame, idAs: String) = df
+      .select(col("doc_id").as(idAs), TextOps.tokens($"text").as("toks"))
+      .select(col(idAs),
+        explode(array_distinct(TextOps.shingles($"toks", 13))).as("sh"))
+    val all = docs(s, dir)
+    val bench = sh(all.filter($"doc_id" < 20), "bench_id")
+    sh(all.filter($"doc_id" >= 20), "doc_id")
+      .join(broadcast(bench), "sh")
+      .groupBy($"doc_id")
+      .agg(countDistinct($"sh").as("matched_13grams"),
+        min($"bench_id").as("first_bench_id"))
+      .orderBy($"doc_id")
+  }
+
+  private val q100Sql =
+    """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') ws
+      |  FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, list_aggregate(ws[i:i+12], 'string_agg', ' ') AS s
+      |  FROM w, unnest(range(1, len(ws) - 11)) t(i)),
+      |bench AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id < 20)
+      |SELECT sh.doc_id, count(DISTINCT sh.s) AS matched_13grams,
+      |  min(bench_id) AS first_bench_id
+      |FROM sh JOIN bench USING (s)
+      |WHERE sh.doc_id >= 20
+      |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
+
   // q60 — per-source quota sampling (source balancing): cap each
   // source's contribution at K docs, selected by deterministic md5
   // order — reproducible like q58's split, and no source can flood the
@@ -1009,6 +1047,7 @@ object TextQueries {
     "q51_winnowing" -> (q51 _),
     "q58_deterministic_split" -> (q58 _),
     "q59_decontamination" -> (q59 _),
+    "q100_exact_decontam" -> (q100 _),
     "q60_source_cap" -> (q60 _),
     "q61_repetition" -> (q61 _))
 
@@ -1034,6 +1073,7 @@ object TextQueries {
     "q41_token_counting" -> q41Sql,
     "q58_deterministic_split" -> q58Sql,
     "q59_decontamination" -> q59Sql,
+    "q100_exact_decontam" -> q100Sql,
     "q60_source_cap" -> q60Sql,
     "q61_repetition" -> q61Sql)
 }

@@ -40,13 +40,16 @@ class PlanSpec extends SparkSpec {
     assert(plan("q25_cosine_topk").contains("TakeOrderedAndProject"))
   }
 
-  test("q59: the benchmark shingle set broadcasts; the corpus never shuffles on shingle") {
-    val p = plan("q59_decontamination")
-    // decontamination's scale contract: benchmark side broadcast, corpus
-    // side streamed — a SortMergeJoin here would shuffle the full corpus
-    // shingle relation on the shingle key
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("SortMergeJoin"), p)
+  test("q59/q100: the benchmark shingle set broadcasts; the corpus never shuffles on shingle") {
+    // decontamination's scale contract (both the 3-gram heuristic and
+    // the exact-13-gram standard): benchmark side broadcast, corpus
+    // side streamed — a SortMergeJoin here would shuffle the full
+    // corpus shingle relation on the shingle key
+    for (q <- Seq("q59_decontamination", "q100_exact_decontam")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q:\n$p")
+    }
   }
 
   test("q48: orders aggregate to month counts BELOW the spine join") {
