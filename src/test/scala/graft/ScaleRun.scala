@@ -90,6 +90,28 @@ object ScaleRun {
       spark.stop(); return
     }
 
+    // SemDeDup at scale: the clone-stressed embedding corpus (every
+    // vector with mult−1 exact clones — clones share the same k-means
+    // cell, the bucket-stress worst case exactly like lshpairs). Cells
+    // scaled by the same log2 law as LSH planes so per-cell population
+    // stays bounded; wall must stay near-linear in the corpus while the
+    // output (clone groups) grows with it. The exact q43 formulation at
+    // these sizes would be an O(n²/2) cosine loop; the cell-bucketed
+    // path never materializes it.
+    if (which == "semdedup") {
+      bigEmb.count() // materialize outside the timer
+      val nVec = bigEmb.count()
+      val cells = math.max(16, (nVec / 1250L).toInt) // ~1250 vectors/cell
+      val t0 = System.nanoTime()
+      val out = operators.SimilaritySearch.semDedup(
+        bigEmb, "vec_id", "embedding", threshold = 0.95, numCells = cells)
+      val kept = out.filter(col("keep")).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] semdedup ${mult}x vectors=$nVec cells=$cells " +
+        f"kept=$kept evicted=${nVec - kept} in $secs%.1f s")
+      spark.stop(); return
+    }
+
     // Shallow-clone at scale: a mult×2M-row lake (multi-file, compacted,
     // stats-carrying) cloned via cloneTo — the wall must be O(live
     // files) metadata, with ZERO data bytes written, and the clone's
