@@ -244,7 +244,8 @@ final class DataLakehouse(
   def addConstraint(name: String, exprSql: String): Long = {
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
       s"constraint name must be [A-Za-z0-9_]+: $name")
-    val cur = constraints
+    val before = txnLog.constraintsAt() // raw form for the DDL conflict check
+    val cur = before.map(TxnLog.decodeConstraints).getOrElse(Map.empty)
     require(!cur.contains(name), s"constraint $name already exists")
     val existing = query().df
     // resolve the expression against the CURRENT schema now (a typo
@@ -253,16 +254,22 @@ final class DataLakehouse(
     if (bad > 0)
       throw new IllegalStateException(
         s"cannot add constraint $name: $bad existing row(s) violate ($exprSql)")
+    // expectedConstraints makes racing DDL loud instead of last-writer-
+    // wins: two concurrent addConstraints would otherwise both read the
+    // same base map and the second commit would silently drop the first
     txnLog.commit(added = Nil, op = Some("add-constraint"),
-      constraintsJson = Some(TxnLog.encodeConstraints(cur + (name -> exprSql))))
+      constraintsJson = Some(TxnLog.encodeConstraints(cur + (name -> exprSql))),
+      expectedConstraints = Some(before))
   }
 
   /** `ALTER TABLE DROP CONSTRAINT name`. */
   def dropConstraint(name: String): Long = {
-    val cur = constraints
+    val before = txnLog.constraintsAt()
+    val cur = before.map(TxnLog.decodeConstraints).getOrElse(Map.empty)
     require(cur.contains(name), s"no such constraint: $name")
     txnLog.commit(added = Nil, op = Some("drop-constraint"),
-      constraintsJson = Some(TxnLog.encodeConstraints(cur - name)))
+      constraintsJson = Some(TxnLog.encodeConstraints(cur - name)),
+      expectedConstraints = Some(before))
   }
 
   /** Reject `df` if any row violates a table constraint — ONE aggregate

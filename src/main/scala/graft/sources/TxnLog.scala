@@ -269,7 +269,14 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       blooms: Map[String, Map[String, Bloom]] = Map.empty,
       requireLive: Seq[String] = Nil,
       op: Option[String] = None,
-      constraintsJson: Option[String] = None): Long = {
+      constraintsJson: Option[String] = None,
+      // Some(expected): the PREDECESSOR snapshot's constraintsJson must
+      // equal `expected` or the commit throws — read-modify-write DDL
+      // (add/dropConstraint) is serializable like requireLive makes row
+      // ops: validated inside the exclusive-create retry loop, so the
+      // winner's predecessor state is exactly what it validated and a
+      // racing DDL can never be silently clobbered
+      expectedConstraints: Option[Option[String]] = None): Long = {
     Files.createDirectories(logDir)
     var attempt = 0
     while (true) {
@@ -281,6 +288,13 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
           throw new java.util.ConcurrentModificationException(
             s"conflicting commit: ${gone.size} file(s) no longer live " +
               s"at version ${v - 1}, e.g. ${gone.head}")
+      }
+      expectedConstraints.foreach { expected =>
+        val actual = constraintsAt(v - 1)
+        if (actual != expected)
+          throw new java.util.ConcurrentModificationException(
+            s"conflicting constraint DDL: predecessor version ${v - 1} " +
+              s"carries $actual, expected $expected — re-read and retry")
       }
       val node: ObjectNode = mapper.createObjectNode()
       node.put("version", v)

@@ -83,8 +83,8 @@ object Streaming {
       maxEventsPerTrigger: Option[Long] = None): StreamingQuery = {
     require(maxFilesPerTrigger.isEmpty || maxBytesPerTrigger.isEmpty,
       "maxFilesPerTrigger and maxBytesPerTrigger are mutually exclusive")
-    require(maxEventsPerTrigger.forall(_ > 0),
-      "maxEventsPerTrigger must be positive")
+    require(maxEventsPerTrigger.forall(c => c > 0 && c <= Int.MaxValue),
+      "maxEventsPerTrigger must be in (0, Int.MaxValue] — limit() takes an Int")
     val reader = lake.spark.readStream
       .schema(model.ohlcvSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
@@ -110,6 +110,8 @@ object Streaming {
       batchId: Long,
       streamId: String,
       maxEventsPerTrigger: Option[Long]): Unit = {
+    require(maxEventsPerTrigger.forall(c => c > 0 && c <= Int.MaxValue),
+      s"maxEventsPerTrigger out of (0, Int.MaxValue]: $maxEventsPerTrigger")
     val admitted = maxEventsPerTrigger match {
       case Some(cap) if batch.count() > cap =>
         // newest-wins ring semantics; xxhash64 over the full row breaks

@@ -112,6 +112,27 @@ class ConstraintSpec extends SparkSpec {
     }
   }
 
+  test("racing constraint DDL is loud, never last-writer-wins") {
+    // two writers race ALTER TABLE: both read the same base map; the
+    // loser's commit must throw (predecessor constraint state no longer
+    // matches what it validated) instead of silently dropping the
+    // winner's constraint. Driven at the TxnLog primitive: the stale
+    // expectedConstraints IS addConstraint's read-modify-write window.
+    val root = tempDir("constr-race")
+    val lake = new DataLakehouse(spark, root)
+    lake.ingestBatch(Seq(bar("AAPL", "2024-06-15 09:30:00")))
+    val stale = lake.txnLog.constraintsAt() // both writers read this
+    lake.addConstraint("positive_close", "close > 0") // writer 1 wins
+    intercept[java.util.ConcurrentModificationException] {
+      lake.txnLog.commit(added = Nil, op = Some("add-constraint"),
+        constraintsJson = Some(TxnLog.encodeConstraints(
+          Map("sane_volume" -> "volume < 1000000"))),
+        expectedConstraints = Some(stale)) // writer 2, stale base
+    }
+    // the winner's constraint survived
+    assert(lake.constraints == Map("positive_close" -> "close > 0"))
+  }
+
   test("clone carries constraints; restore rewinds them") {
     val lake = new DataLakehouse(spark, tempDir("constr-clone"))
     lake.ingestBatch(Seq(bar("AAPL", "2024-06-15 09:30:00")))
