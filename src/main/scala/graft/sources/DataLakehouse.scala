@@ -654,6 +654,19 @@ final class DataLakehouse(
     */
   def sql(text: String, tableName: String = "trades"): DataFrame = {
     val t = java.util.regex.Pattern.quote(tableName)
+    // ALTER TABLE constraint DDL (S21's SQL surface) is intercepted
+    // before Spark parses — the table is a temp view, outside the
+    // v2-catalog path where Spark's native ALTER TABLE applies. Greedy
+    // CHECK(...) capture: the predicate may itself contain parens.
+    val addCRe =
+      s"(?i)^\\s*ALTER\\s+TABLE\\s+$t\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*$$".r
+    val dropCRe =
+      s"(?i)^\\s*ALTER\\s+TABLE\\s+$t\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*$$".r
+    text match {
+      case addCRe(name, exprSql) => addConstraint(name, exprSql); return spark.emptyDataFrame
+      case dropCRe(name) => dropConstraint(name); return spark.emptyDataFrame
+      case _ => ()
+    }
     val vRe = s"(?i)\\b$t\\s+FOR\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)".r
     val tsRe = s"(?i)\\b$t\\s+FOR\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'".r
     val versions = vRe.findAllMatchIn(text).map(_.group(1).toLong).toSeq.distinct

@@ -112,6 +112,24 @@ class ConstraintSpec extends SparkSpec {
     }
   }
 
+  test("SQL surface: ALTER TABLE ADD/DROP CONSTRAINT through lake.sql") {
+    val lake = new DataLakehouse(spark, tempDir("constr-sql"))
+    lake.ingestBatch(Seq(bar("AAPL", "2024-06-15 09:30:00")))
+    lake.sql("ALTER TABLE trades ADD CONSTRAINT positive_close CHECK (close > 0)")
+    assert(lake.constraints == Map("positive_close" -> "close > 0"))
+    // parenthesized predicate survives the greedy capture
+    lake.sql(
+      "ALTER TABLE trades ADD CONSTRAINT sane CHECK ((volume >= 0) AND (high >= low))")
+    assert(lake.constraints("sane") == "(volume >= 0) AND (high >= low)")
+    intercept[IllegalStateException] {
+      lake.appendDF(lake.query().df.drop("date").withColumn("close", lit(-1.0)))
+    }
+    lake.sql("ALTER TABLE trades DROP CONSTRAINT positive_close")
+    assert(lake.constraints.keySet == Set("sane"))
+    // non-DDL statements still reach Spark SQL unchanged
+    assert(lake.sql("SELECT count(*) AS n FROM trades").collect()(0).getLong(0) == 1L)
+  }
+
   test("racing constraint DDL is loud, never last-writer-wins") {
     // two writers race ALTER TABLE: both read the same base map; the
     // loser's commit must throw (predecessor constraint state no longer
