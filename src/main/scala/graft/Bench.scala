@@ -125,8 +125,13 @@ object Bench {
     // above clear caches per repeat, billing each of them for the WHOLE
     // shared pipeline rebuild; the _warm twins below time them against a
     // warm memo — the steady-state cost a resident pipeline actually pays.
+    // q63-q66 memoize their standing indexes per (session, dir): warm =
+    // the steady-state probe/ADC cost a resident pipeline pays, vs cold
+    // which re-bills the one-off index/codebook fit every time
     val warmQueries = Seq("q46_edit_distance", "q54_dedup_clusters",
-      "q55_embedding_clusters", "q57_lsh_embedding_clusters")
+      "q55_embedding_clusters", "q57_lsh_embedding_clusters",
+      "q63_incremental_minhash", "q64_incremental_embedding",
+      "q65_ann_pq", "q66_ann_ivfpq")
     val warmResults = warmQueries
       .filter(name => nameFilter.forall(name.contains))
       .flatMap(name => SparkEntry.queries.get(name).map(name -> _))

@@ -640,6 +640,17 @@ object SimilaritySearch {
       codebooks: Array[Array[Array[Double]]]) {
     /** Release the persisted code relation when done probing. */
     def unpersist(): Unit = encoded.unpersist(blocking = false)
+
+    /** Self-heal the cache: a long-lived session (or a bench harness's
+      * cold-isolation teardown) may have unpersisted the code relation
+      * out from under a memoized index — re-mark it so the next action
+      * rebuilds the cache instead of recomputing the encode per probe.
+      */
+    def ensureCached(): this.type = {
+      if (encoded.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        encoded.persist()
+      this
+    }
   }
 
   /** Fit coarse centroids + residual codebooks, and encode the corpus.
