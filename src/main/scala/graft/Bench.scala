@@ -60,6 +60,29 @@ object Bench {
     System.gc()
   }
 
+  /** Between WARM repeats: release per-run garbage while keeping the
+    * memoized relations hot. Warm twins deliberately skip freeAllBlocks
+    * (the warm memo IS the measurement), but connected-components output
+    * is `localCheckpoint`ed per run — across priming + repeats those
+    * RDDs and the dead shuffles behind them accumulate unbounded in the
+    * shared JVM, and r7 measured q57's warm twin at 4× its own COLD run
+    * because of it. localCheckpoint blocks are per-run by construction
+    * (their lineage is truncated; no memo references them), so dropping
+    * exactly those — plus a GC so ContextCleaner processes the dead
+    * shuffle/broadcast weak refs — resets the JVM without touching the
+    * CacheManager-registered memo frames (pair sets, ANN indexes).
+    */
+  private def freeNonMemoBlocks(spark: SparkSession): Unit = {
+    // isCheckpointed (public; the LocalRDDCheckpointData variant is
+    // private[spark]) is true exactly for materialized checkpoint RDDs —
+    // the block-holding garbage — and false for CacheManager-registered
+    // column-buffer RDDs, so the memo frames are spared
+    spark.sparkContext.getPersistentRDDs.values
+      .filter(_.isCheckpointed)
+      .foreach(_.unpersist(blocking = false))
+    System.gc()
+  }
+
   /** Time one materialization; None on failure (a failed attempt's
     * elapsed time must not pollute the median). Returns (sec, gcSec).
     */
@@ -83,7 +106,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
-    val nameFilter = args.headOption
+    // comma-separated substrings, any-match ("q51,q70" runs both) —
+    // forensics runs need the whole pipeline family, not one query
+    val nameFilter: Option[Seq[String]] =
+      args.headOption.map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+    def keep(name: String): Boolean = nameFilter.forall(_.exists(name.contains))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -109,7 +136,7 @@ object Bench {
     // here and emit them as a "failed" array in the summary JSON.
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val coldRuns = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => nameFilter.forall(name.contains) }
+      .filter { case (name, _) => keep(name) }
       .flatMap { case (name, fn) =>
         val samples = (0 until repeats).flatMap { _ =>
           timedRun(spark, name)(
@@ -133,7 +160,7 @@ object Bench {
       "q63_incremental_minhash", "q64_incremental_embedding",
       "q65_ann_pq", "q66_ann_ivfpq")
     val warmResults = warmQueries
-      .filter(name => nameFilter.forall(name.contains))
+      .filter(keep)
       .flatMap(name => SparkEntry.queries.get(name).map(name -> _))
       .flatMap { case (name, fn) =>
         // the priming run warms the memo; if IT fails the query is
@@ -148,7 +175,10 @@ object Bench {
         else {
           val times = (0 until repeats).flatMap { _ =>
             // no freeAllBlocks between warm repeats — the warm memo IS
-            // the measurement; time directly
+            // the measurement — but per-run garbage (localCheckpoint
+            // RDDs, dead shuffles) must not compound across repeats;
+            // released OUTSIDE the timed window
+            freeNonMemoBlocks(spark)
             val t0 = System.nanoTime()
             val ok =
               try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -168,8 +198,7 @@ object Bench {
     // bulk ingest throughput and the pruned single-symbol filter query.
     // A "lake" name filter runs ONLY these (paired-ratio reruns).
     val lakeMetrics =
-      if (nameFilter.forall("lake_metrics".contains))
-        benchLakehouseMedian(spark, repeats)
+      if (keep("lake_metrics")) benchLakehouseMedian(spark, repeats)
       else Seq.empty
     // total sums cold SECONDS only — warm twins are supplementary
     // measurements of the same queries (double-counting them would
@@ -206,10 +235,26 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedArr,"gc_sec":$g,"queries":$q}"""
     }
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
+    // Anchor the full record to the repo root (the dir holding build.sbt,
+    // walking up from the JVM's cwd), not the cwd itself — sbt forks and
+    // driver invocations differ in cwd, and a relative write can silently
+    // diverge from the checked-in BENCH_FULL.json the round commits.
+    // SPARK_GRAFT_BENCH_OUT overrides; the resolved path is echoed.
+    val fullPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse {
+        val cwd = java.nio.file.Paths.get(
+          sys.props.getOrElse("user.dir", ".")).toAbsolutePath
+        Iterator.iterate(cwd)(_.getParent).takeWhile(_ != null)
+          .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+          .getOrElse(cwd)
+          .resolve("BENCH_FULL.json")
+      }
+    try {
+      java.nio.file.Files.writeString(fullPath, fullJson + "\n")
+      System.err.println(s"[bench] full record: $fullPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] $fullPath write failed: ${e.getMessage}")
     }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","failed":$failedArr,"gc_sec":$gcs,"queries":$qs}""")
     spark.stop()

@@ -35,9 +35,32 @@ object Tables {
     if (name == "events") {
       import org.apache.spark.sql.functions.{col, expr, lit, timestamp_micros, unix_micros}
       import org.apache.spark.sql.types.{LongType, TimestampType}
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // The two dtype confs are needed only during SCHEMA INFERENCE of
+      // this one read (`spark.read.parquet` resolves the footer eagerly);
+      // leaving them flipped session-wide silently changes dtype
+      // semantics for every other parquet read (unrelated ns columns →
+      // raw Long; NTZ inference off everywhere). So: set, read, restore.
+      // Exception: when the footer IS timestamp[ns], the scan consults
+      // nanosAsLong again at EXECUTION, so the confs must stay for the
+      // session — a documented side effect of the legacy-ns path only
+      // (fixture data today; current testdata is µs).
+      val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+      val ntzKey = "spark.sql.parquet.inferTimestampNTZ.enabled"
+      val prevNanos = spark.conf.getOption(nanosKey)
+      val prevNtz = spark.conf.getOption(ntzKey)
+      spark.conf.set(nanosKey, "true")
+      spark.conf.set(ntzKey, "false")
       val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      if (raw.schema("ts").dataType != LongType) {
+        // µs path: execution reads TIMESTAMP(MICROS) against the already-
+        // resolved TimestampType plan — neither conf is consulted again
+        // (Spark's reader accepts NTZ-physical → LTZ-catalyst; only the
+        // reverse direction throws). Restore the pre-call state.
+        def restore(key: String, prev: Option[String]): Unit =
+          prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+        restore(nanosKey, prevNanos)
+        restore(ntzKey, prevNtz)
+      }
       val prepared = raw.schema("ts").dataType match {
         case LongType => // timestamp[ns] read as raw epoch-ns Long
           raw.withColumnRenamed("ts", "ts_ns")

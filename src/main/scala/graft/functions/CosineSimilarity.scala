@@ -110,11 +110,22 @@ object CosineSimilarity {
   private val dotName = "graft_dot"
 
   /** Register in the session's function registry (also exposes the
-    * function to SQL text as `graft_cosine(a, b)`).
+    * function to SQL text as `graft_cosine(a, b)`). Idempotent: a
+    * re-registration is skipped when the name already resolves —
+    * `createOrReplaceTempFunction` logs a replacement WARN per call,
+    * and the catalog invokes this once per query construction, which
+    * polluted every bench/verify stderr tail with hundreds of lines.
     */
+  private def registerOnce(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+  }
+
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      fnName, exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    registerOnce(spark, fnName, exprs => CosineSimilarity(exprs(0), exprs(1)))
 
   /** Column API: fused cosine similarity (inputs cast to array<double>). */
   def cosineFast(spark: SparkSession, a: Column, b: Column): Column = {
@@ -124,8 +135,7 @@ object CosineSimilarity {
 
   /** Column API: fused dot product (inputs cast to array<double>). */
   def dotFast(spark: SparkSession, a: Column, b: Column): Column = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      dotName, exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    registerOnce(spark, dotName, exprs => DotProduct(exprs(0), exprs(1)))
     call_function(dotName, a.cast("array<double>"), b.cast("array<double>"))
   }
 }

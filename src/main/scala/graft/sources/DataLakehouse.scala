@@ -194,12 +194,16 @@ final class DataLakehouse(
   def appendDF(df: DataFrame, batchId: Option[String] = None): Long = {
     if (batchId.exists(txnLog.hasBatch)) return 0L
     val withDate = df.withColumn("date", model.dateKey)
-    enforceConstraints(withDate, "append")
+    val expected = txnLog.constraintsAt()
+    enforceConstraints(withDate, "append", expected)
     val added = stageClusteredWrite(withDate)
     val (counts, stats, blooms) = commitMeta(added)
-    txnLog.commit(added = added, batchId = batchId,
-      schemaJson = Some(withDate.schema.json),
-      rowCounts = counts, fileStats = stats, blooms = blooms)
+    commitValidated(withDate, "append", expected) { exp =>
+      txnLog.commit(added = added, batchId = batchId,
+        schemaJson = Some(withDate.schema.json),
+        rowCounts = counts, fileStats = stats, blooms = blooms,
+        expectedConstraints = Some(exp))
+    }
     // leaf partitions touched (all k=v levels, not just the first)
     added.map(r => r.take(math.max(0, r.lastIndexOf('/')))).distinct.size.toLong
   }
@@ -280,9 +284,18 @@ final class DataLakehouse(
     * contents on update/merge (a superset of the changed rows — already-
     * live rows re-checked there were validated when first written or by
     * addConstraint's table scan, so re-checking is redundant but sound).
+    *
+    * `raw` is the txn-log constraint snapshot the batch is validated
+    * against — the SAME value the caller threads into its commit as
+    * `expectedConstraints`, which closes the validate→commit TOCTOU
+    * window: a constraint added concurrently (whose full-table scan ran
+    * before this write's files were live) fails the commit loudly
+    * instead of letting violating rows slip past both checks.
     */
-  private def enforceConstraints(df: DataFrame, opName: String): Unit = {
-    val cs = constraints.toSeq.sortBy(_._1)
+  private def enforceConstraints(df: DataFrame, opName: String,
+      raw: Option[String]): Unit = {
+    val cs = raw.map(TxnLog.decodeConstraints).getOrElse(Map.empty)
+      .toSeq.sortBy(_._1)
     if (cs.isEmpty) return
     val counts = cs.map { case (n, sql) =>
       sum(when(!coalesce(expr(sql), lit(true)), 1L).otherwise(0L)).as(n)
@@ -294,6 +307,41 @@ final class DataLakehouse(
         throw new IllegalStateException(
           s"$opName rejected: $bad row(s) violate constraint $n ($sql)")
     }
+  }
+
+  /** Test seam for the validate→commit race window of data-path writes
+    * (the restoreImpl beforeCommit pattern): invoked once, immediately
+    * before the first commit attempt of append/update/merge.
+    */
+  private[graft] var beforeDataCommit: () => Unit = () => ()
+
+  /** Commit a constraint-validated data write with its validation
+    * snapshot threaded as `expectedConstraints` — the Delta-style
+    * metadata-conflict check for the data path. When a constraint DDL
+    * lands between this write's validation and its commit, the commit
+    * throws [[TxnLog.ConstraintConflictException]]; the batch is then
+    * RE-validated against the new map and the commit retried, so a
+    * concurrent `ADD CONSTRAINT` can never be bypassed (violating rows
+    * fail the re-validation loudly) and a batch that satisfies the new
+    * map commits without bothering the caller. requireLive conflicts
+    * propagate unchanged — a row-op loser must re-plan its rewrite, not
+    * retry it.
+    */
+  private def commitValidated(validated: DataFrame, opName: String,
+      firstExpected: Option[String])(
+      doCommit: Option[String] => Long): Long = {
+    var expected = firstExpected
+    beforeDataCommit()
+    while (true) {
+      try return doCommit(expected)
+      catch { case e: TxnLog.ConstraintConflictException =>
+        val now = txnLog.constraintsAt()
+        if (now == expected) throw e // no actual change: don't spin
+        expected = now
+        enforceConstraints(validated, opName, expected)
+      }
+    }
+    -1L // unreachable
   }
 
   /** Register EXISTING data files into the table without rewriting them
@@ -818,12 +866,16 @@ final class DataLakehouse(
         .getOrElse(col(k))
     }: _*)
     val rewritten = projected.withColumn("date", model.dateKey)
-    enforceConstraints(rewritten, "update")
+    val expected = txnLog.constraintsAt()
+    enforceConstraints(rewritten, "update", expected)
     val added = stageClusteredWrite(rewritten)
     val (counts, stats, blooms) = commitMeta(added)
-    txnLog.commit(added = added, removed = touched,
-      rowCounts = counts, fileStats = stats, blooms = blooms,
-      requireLive = touched)
+    commitValidated(rewritten, "update", expected) { exp =>
+      txnLog.commit(added = added, removed = touched,
+        rowCounts = counts, fileStats = stats, blooms = blooms,
+        requireLive = touched,
+        expectedConstraints = Some(exp))
+    }
     matches.map(_._2).sum
   }
 
@@ -867,12 +919,16 @@ final class DataLakehouse(
       if (touched.isEmpty) sourceWithDate
       else readRels(touched, schema).join(srcKeys, keys, "left_anti")
         .unionByName(sourceWithDate)
-    enforceConstraints(sourceWithDate, "merge") // the introduced rows
+    val expected = txnLog.constraintsAt()
+    enforceConstraints(sourceWithDate, "merge", expected) // the introduced rows
     val added = stageClusteredWrite(newData)
     val (counts, stats, blooms) = commitMeta(added)
-    txnLog.commit(added = added, removed = touched,
-      rowCounts = counts, fileStats = stats, blooms = blooms,
-      requireLive = touched)
+    commitValidated(sourceWithDate, "merge", expected) { exp =>
+      txnLog.commit(added = added, removed = touched,
+        rowCounts = counts, fileStats = stats, blooms = blooms,
+        requireLive = touched,
+        expectedConstraints = Some(exp))
+    }
     (matches.map(_._2).sum, inserted)
   }
 

@@ -29,6 +29,17 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
   * commits — straightforward here because snapshots are pure folds.
   */
 object TxnLog {
+  /** The `expectedConstraints` check failed: the predecessor snapshot
+    * carries a different constraint map than the committer validated
+    * against. A subclass of the requireLive conflict so existing
+    * "concurrent modification" handling still catches it, but DISTINCT
+    * so data-path writers can re-validate their batch against the new
+    * map and retry, while row-op (requireLive) conflicts — which need a
+    * re-planned rewrite, not a retry — stay fatal.
+    */
+  final class ConstraintConflictException(msg: String)
+    extends java.util.ConcurrentModificationException(msg)
+
   /** Per-file clustering-column bounds recorded at commit time — the
     * log-side statistics that let `query()` prune FILES without opening
     * a single footer (the Delta-style skipping the reference describes:
@@ -292,7 +303,7 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       expectedConstraints.foreach { expected =>
         val actual = constraintsAt(v - 1)
         if (actual != expected)
-          throw new java.util.ConcurrentModificationException(
+          throw new TxnLog.ConstraintConflictException(
             s"conflicting constraint DDL: predecessor version ${v - 1} " +
               s"carries $actual, expected $expected — re-read and retry")
       }

@@ -100,6 +100,74 @@ object Streaming {
       .start()
   }
 
+  /** LIVE-feed ingest (S9's last leg): the reference's architecture
+    * feeds the ring buffer from a WebSocket/FIX market-data connection
+    * (README.md architecture diagram, ~line 36). True egress is
+    * unavailable in this environment, so the honest in-sandbox twin is
+    * Spark's built-in `socket` source on localhost — a PUSH feed the
+    * engine cannot rewind, exactly the operational contract of a live
+    * connection — driven through the SAME parse → ring-admission →
+    * validate/DLQ → txn-commit micro-batch path as file ingest
+    * ([[processIngestBatch]]). [[FeedReplayServer]] is the in-process
+    * feed: a localhost server replaying bars as CSV lines.
+    *
+    * Delivery semantics, stated precisely: the socket source keeps no
+    * offsets (a live feed has none to keep), so a crash between receive
+    * and commit loses those rows — at-most-once, inherent to any
+    * non-replayable feed. Everything RECEIVED is still exactly-once
+    * downstream: per-batch idempotent commits (T6) dedupe foreachBatch
+    * retries, and malformed lines parse to nulls, fail `barValid`, and
+    * land in the DLQ rather than vanishing. Gap detection over committed
+    * bars (W1/q13) is the batch-side audit for the lost-window case.
+    */
+  def ingestSocketStream(
+      lake: DataLakehouse,
+      host: String,
+      port: Int,
+      checkpointDir: String,
+      streamId: String = "socket",
+      triggerMs: Long = 100L,
+      maxEventsPerTrigger: Option[Long] = None): StreamingQuery = {
+    val lines = lake.spark.readStream
+      .format("socket").option("host", host).option("port", port)
+      .load()
+    parseFeedLines(lines).writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processIngestBatch(lake, batch, batchId, streamId, maxEventsPerTrigger)
+      }
+      .start()
+  }
+
+  /** Wire format of the feed twin: one CSV line per bar,
+    * `symbol,epochMillis,open,high,low,close,volume,asset_class`.
+    * Parsed PERMISSIVE: a malformed field yields null, which
+    * [[processIngestBatch]] routes to the DLQ via the barValid check.
+    */
+  private[graft] def parseFeedLines(lines: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val wire = StructType(Seq(
+      StructField("symbol", StringType),
+      StructField("ts_ms", LongType),
+      StructField("open", DoubleType),
+      StructField("high", DoubleType),
+      StructField("low", DoubleType),
+      StructField("close", DoubleType),
+      StructField("volume", LongType),
+      StructField("asset_class", StringType)))
+    lines
+      .select(from_csv(col("value"), wire,
+        Map("mode" -> "PERMISSIVE")).as("r"))
+      .select(col("r.symbol").as("symbol"),
+        timestamp_millis(col("r.ts_ms")).as("timestamp"),
+        col("r.open").as("open"), col("r.high").as("high"),
+        col("r.low").as("low"), col("r.close").as("close"),
+        col("r.volume").as("volume"),
+        col("r.asset_class").as("asset_class"))
+  }
+
   /** One ingest micro-batch: ring admission → validation/DLQ → one
     * txn-log commit. Extracted from [[ingestStream]]'s foreachBatch so
     * specs can drive a batch (and its replay) deterministically.
@@ -112,30 +180,56 @@ object Streaming {
       maxEventsPerTrigger: Option[Long]): Unit = {
     require(maxEventsPerTrigger.forall(c => c > 0 && c <= Int.MaxValue),
       s"maxEventsPerTrigger out of (0, Int.MaxValue]: $maxEventsPerTrigger")
-    val admitted = maxEventsPerTrigger match {
+    val evictDir = s"${lake.root}/_evicted/batch=$streamId-$batchId"
+    val (admitted, ranked) = maxEventsPerTrigger match {
       case Some(cap) if batch.count() > cap =>
         // newest-wins ring semantics; xxhash64 over the full row breaks
         // equal-timestamp ties deterministically, so a replayed batch
-        // admits the IDENTICAL row set (exactly-once composes)
+        // admits the IDENTICAL row set (exactly-once composes). ONE
+        // row_number ranking pass splits keep/evict (the former
+        // sort+limit then exceptAll re-sorted the batch twice more);
+        // the no-partition window is bounded because file/byte admission
+        // caps the batch before the ring sees it.
         val allCols = batch.columns.map(col)
-        val ranked = batch.orderBy(
+        val w = org.apache.spark.sql.expressions.Window.orderBy(
           col("timestamp").desc, xxhash64(allCols.toIndexedSeq: _*))
-        val keep = ranked.limit(cap.toInt)
-        val evicted = ranked.exceptAll(keep)
-        evicted.withColumn("_evicted_at", current_timestamp())
-          .write.mode("overwrite")
-          .parquet(s"${lake.root}/_evicted/batch=$streamId-$batchId")
-        keep
-      case _ => batch
+        val r = batch.withColumn("_rk", row_number().over(w)).persist()
+        r.filter(col("_rk") > cap).drop("_rk")
+          .withColumn("_evicted_at", current_timestamp())
+          .write.mode("overwrite").parquet(evictDir)
+        (r.filter(col("_rk") <= cap.toInt).drop("_rk"), Some(r))
+      case _ =>
+        // a REPLAYED batch that is no longer over the cap (cap raised,
+        // source shrank, cap removed) must clear the previous attempt's
+        // _evicted dir, or evictedCount counts rows that were in fact
+        // admitted this time
+        deleteDirIfExists(evictDir)
+        (batch, None)
     }
-    val valid = admitted.filter(model.barValid)
-    val invalid = admitted.filter(!model.barValid)
-    if (!invalid.isEmpty)
-      invalid.withColumn("_rejected_at", current_timestamp())
-        .write.mode("overwrite")
-        .parquet(s"${lake.root}/_dlq/batch=$streamId-$batchId")
-    lake.appendDF(valid, batchId = Some(s"$streamId-$batchId"))
-    ()
+    try {
+      // coalesce: a row with NULL constraint fields (e.g. a malformed
+      // feed line parsed permissively) must land in the DLQ — with bare
+      // `!barValid` its three-valued NULL fails BOTH filters and the row
+      // vanishes silently
+      val valid = admitted.filter(coalesce(model.barValid, lit(false)))
+      val invalid = admitted.filter(!coalesce(model.barValid, lit(false)))
+      if (!invalid.isEmpty)
+        invalid.withColumn("_rejected_at", current_timestamp())
+          .write.mode("overwrite")
+          .parquet(s"${lake.root}/_dlq/batch=$streamId-$batchId")
+      lake.appendDF(valid, batchId = Some(s"$streamId-$batchId"))
+      ()
+    } finally ranked.foreach(_.unpersist(blocking = false))
+  }
+
+  private def deleteDirIfExists(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.isDirectory(p)) {
+      val files = java.nio.file.Files.walk(p)
+      try files.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally files.close()
+    }
   }
 
   /** Rows evicted by ring-buffer admission across all batches (the

@@ -151,6 +151,45 @@ class ConstraintSpec extends SparkSpec {
     assert(lake.constraints == Map("positive_close" -> "close > 0"))
   }
 
+  test("constraint added concurrently with a data write: violating batch fails, conforming batch retries and commits") {
+    // The data-path TOCTOU (ADVICE r7): appendDF validates against the
+    // constraint map it READ, but a constraint added between that read
+    // and the commit would otherwise never see the batch (its full-table
+    // scan ran before the batch's files were live) — violating rows
+    // would slip past BOTH checks. The commit now carries the validation
+    // snapshot as expectedConstraints; the conflict re-validates against
+    // the new map. Driven through the beforeDataCommit seam — the exact
+    // race window.
+    val lake = new DataLakehouse(spark, tempDir("constr-toctou"))
+    lake.ingestBatch(Seq(bar("AAPL", "2024-06-15 09:30:00")))
+    val writer2 = new DataLakehouse(spark, lake.root) // concurrent DDL author
+
+    // case 1: the racing constraint REJECTS the in-flight batch
+    lake.beforeDataCommit = () => {
+      lake.beforeDataCommit = () => ()
+      writer2.addConstraint("positive_close", "close > 0")
+    }
+    val verBefore = lake.txnLog.currentVersion()
+    val badDf = lake.query().df.drop("date")
+      .withColumn("symbol", lit("BAD")).withColumn("close", lit(-5.0))
+    val e = intercept[IllegalStateException] { lake.appendDF(badDf) }
+    assert(e.getMessage.contains("positive_close"))
+    // the DDL committed; the data write did NOT
+    assert(lake.txnLog.currentVersion() == verBefore + 1)
+    assert(lake.query().df.filter(col("symbol") === "BAD").count() == 0)
+
+    // case 2: the racing constraint PASSES the batch -> retried commit
+    writer2.dropConstraint("positive_close")
+    lake.beforeDataCommit = () => {
+      lake.beforeDataCommit = () => ()
+      writer2.addConstraint("sane_volume", "volume < 1000000")
+    }
+    lake.appendDF(lake.query().df.drop("date")
+      .withColumn("symbol", lit("GOOG")))
+    assert(lake.query().df.filter(col("symbol") === "GOOG").count() == 1)
+    assert(lake.constraints.keySet == Set("sane_volume"))
+  }
+
   test("clone carries constraints; restore rewinds them") {
     val lake = new DataLakehouse(spark, tempDir("constr-clone"))
     lake.ingestBatch(Seq(bar("AAPL", "2024-06-15 09:30:00")))
