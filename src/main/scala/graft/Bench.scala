@@ -98,9 +98,24 @@ object Bench {
       }
     val sec = (System.nanoTime() - t0) / 1e9
     val gcSec = (gcMillis() - gc0) / 1e3
+    debugSample(spark, name, sec)
     freeAllBlocks(spark)
     if (ok) Some((sec, gcSec)) else None
   }
+
+  // SPARK_GRAFT_DEBUG=1: print EVERY sample with cached-block state —
+  // medians hide exactly the forensics signal (one slow repeat vs all
+  // slow) that distinguishes noise from a dropped memo (r7's q57 warm
+  // twin read 4× cold; per-sample visibility is how that class of
+  // measurement bug gets root-caused instead of re-run and hoped at)
+  private val debug = sys.env.get("SPARK_GRAFT_DEBUG").contains("1")
+  private def debugSample(spark: SparkSession, name: String, sec: Double): Unit =
+    if (debug) {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      val cachedMb = infos.map(_.memSize).sum / 1e6
+      System.err.println(
+        f"[bench:sample] $name $sec%.3fs cachedRdds=${infos.length} cachedMb=$cachedMb%.1f")
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -186,7 +201,9 @@ object Bench {
                 System.err.println(s"[bench] ${name}_warm failed: ${e.getMessage}")
                 false
               }
-            if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+            val sec = (System.nanoTime() - t0) / 1e9
+            debugSample(spark, s"${name}_warm", sec)
+            if (ok) Some(sec) else None
           }
           if (times.isEmpty) { failed += s"${name}_warm"; None }
           else Some(s"${name}_warm" -> median(times))

@@ -166,6 +166,30 @@ class CatalogSmokeSpec extends SparkSpec {
     }
   }
 
+  test("q39 approx distinct within the HLL++ error bound of exact (sf0.01)") {
+    // q39 is rows-only in the driver gate (DuckDB's HLL sketch produces
+    // different estimates by design), so its machine check is the
+    // sketch's own guarantee: Spark's approx_count_distinct is HLL++
+    // with relative standard deviation rsd (q39 passes 0.05). Pin each
+    // group's estimate inside 3×rsd of the exact distinct count — the
+    // 3-sigma band, valid at any sf. q39 returns BOTH columns, so the
+    // spec reads one result; the exact column is what q10's oracle
+    // family already verifies.
+    val rsd = 0.05 // the accuracy parameter q39 passes
+    val rows = SparkEntry.queries("q39_approx_distinct")(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val flag = r.getString(0)
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      val relErr = math.abs(approx - exact) / exact
+      assert(relErr <= 3 * rsd,
+        f"$flag: approx $approx%.0f vs exact $exact%.0f — relative error " +
+          f"$relErr%.4f exceeds the 3×rsd=${3 * rsd}%.2f HLL++ band")
+    }
+  }
+
   test("q89/q90 collapse correctly on a constant price series") {
     // A flat series has zero variance: the Bollinger bands must collapse
     // onto the SMA with pct_b guarded to 0.5 (no division blow-up), and

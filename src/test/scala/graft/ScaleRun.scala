@@ -49,6 +49,28 @@ object ScaleRun {
 
     if (which == "lshpairs") bigEmb.count() // materialize outside the timer
 
+    // Shifted-copy corpus for the EXACT pair operators (winnowing /
+    // prefix join): identical clones would grow the TRUE pair set
+    // quadratically per clone group (every clone pair is a real
+    // near-dup), so a clone-stressed wall measures answer-size growth,
+    // not operator throughput. A per-copy Caesar substitution rewrites
+    // every shingle and fingerprint, making copies disjoint sub-corpora:
+    // the true pair set is mult× the original's — the realistic
+    // crawl-growth shape (more data, proportional duplication) — and the
+    // wall curve isolates the operator. (The capped LSH families keep
+    // the clone-stressed corpus: their caps bound the bucket blow-up by
+    // design, and stressing them IS the point there.)
+    lazy val bigShifted = {
+      val alpha = "abcdefghijklmnopqrstuvwxyz"
+      (0 until mult).map { i =>
+        val rot = alpha.drop(i % 26) + alpha.take(i % 26)
+        docs.select(($"doc_id" + lit(i * 1000000L)).as("doc_id"),
+          translate(lower($"text"), alpha, rot).as("text"))
+      }.reduce(_ unionAll _).persist()
+    }
+    if (which == "winnowpairs" || which == "ppjoin")
+      bigShifted.count() // materialize outside the timer
+
     // Storage-layer scale case: mult×2M synthesized bars through the FULL
     // lakehouse path — DataFrame-native append (validate, cluster, zstd
     // parquet, txn commit with per-file stats), range compaction, then a
@@ -348,6 +370,16 @@ object ScaleRun {
       case "winnow" =>
         operators.Dedup.winnowFingerprints(big, "doc_id", "text",
           n = 8, w = 8).count()
+      case "winnowpairs" =>
+        // q51's exact pipeline (fingerprints -> df filter -> posting-list
+        // self-join -> minShared agg) on the shifted-copy corpus
+        operators.Dedup.winnowPairs(bigShifted, "doc_id", "text",
+          n = 8, w = 8, minShared = 3, maxDf = 64).count()
+      case "ppjoin" =>
+        // q70's exact pipeline (prefix-filtered all-pairs Jaccard) on
+        // the shifted-copy corpus
+        operators.Dedup.jaccardPairsPrefix(bigShifted, "doc_id", "text",
+          shingleLen = 3, threshold = 0.5).count()
       case "cc" =>
         // full pipeline: minhash pairs -> duplicate clusters
         val pairs = operators.Dedup.minhashPairs(big, "doc_id", "text",
