@@ -188,7 +188,14 @@ object Bench {
           }
         if (!primed) { failed += s"${name}_warm"; None }
         else {
-          val times = (0 until repeats).flatMap { _ =>
+          // warm repeats are sub-second, so extra samples are nearly
+          // free — and the median of 5 survives a single contended
+          // repeat where the median of 3 does not (r7's q57 warm twin
+          // read 4× cold on a shared box; r8 forensics attributed it to
+          // contention, and five samples make that class of outlier
+          // unable to become the reported number)
+          val warmRepeats = math.max(repeats, 5)
+          val times = (0 until warmRepeats).flatMap { _ =>
             // no freeAllBlocks between warm repeats — the warm memo IS
             // the measurement — but per-run garbage (localCheckpoint
             // RDDs, dead shuffles) must not compound across repeats;
@@ -257,6 +264,11 @@ object Bench {
     // driver invocations differ in cwd, and a relative write can silently
     // diverge from the checked-in BENCH_FULL.json the round commits.
     // SPARK_GRAFT_BENCH_OUT overrides; the resolved path is echoed.
+    // FILTERED runs (forensics on a query subset) write a separate file:
+    // a subset record silently replacing the round's full-catalog record
+    // is exactly how r8 briefly lost one.
+    val fullName =
+      if (nameFilter.isDefined) "BENCH_FILTERED.json" else "BENCH_FULL.json"
     val fullPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .map(java.nio.file.Paths.get(_))
       .getOrElse {
@@ -265,7 +277,7 @@ object Bench {
         Iterator.iterate(cwd)(_.getParent).takeWhile(_ != null)
           .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
           .getOrElse(cwd)
-          .resolve("BENCH_FULL.json")
+          .resolve(fullName)
       }
     try {
       java.nio.file.Files.writeString(fullPath, fullJson + "\n")

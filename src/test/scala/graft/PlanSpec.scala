@@ -52,6 +52,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dedup pair family: no cartesian or nested-loop join anywhere") {
+    // The catalog's most expensive pipelines are all posting-list /
+    // prefix self-joins on EQUALITY keys (shingle, fingerprint, band
+    // bucket) with inequality residuals — a refactor that demotes one
+    // to CartesianProduct or BroadcastNestedLoopJoin costs nothing at
+    // sf0.001 and everything at corpus scale, so the absence is pinned
+    // here rather than re-audited by hand each round.
+    for (q <- Seq("q24_neardup_jaccard", "q46_edit_distance",
+        "q51_winnowing", "q54_dedup_clusters", "q70_jaccard_prefix")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
   test("q48: orders aggregate to month counts BELOW the spine join") {
     // VERDICT r5 #8: the month-spine left join must consume the ~80-row
     // per-month aggregate, never the raw fact relation keyed by a
