@@ -67,4 +67,38 @@ object FeedReplayServer {
   def csvLine(b: OhlcvBar): String =
     s"${b.symbol},${b.timestamp.getTime},${b.open},${b.high},${b.low}," +
       s"${b.close},${b.volume},${b.asset_class}"
+
+  /** The bar as a FIX 4.4 MarketDataSnapshotFullRefresh (35=W) — the
+    * reference's declared feed protocol (README.md architecture diagram,
+    * "WebSocket / FIX"). Standard tags where FIX defines them: 55=Symbol,
+    * 60=TransactTime (UTCTimestamp, millis), 268=NoMDEntries with a
+    * 269/270/271 repeating group carrying OHLCV as real market-data
+    * entry types (269=4 open, 7 session high, 8 session low, 5 close —
+    * px in 270 — and 269=B trade volume, qty in 271); asset_class rides
+    * the user-defined range as 5001 (venue custom tags are standard
+    * practice; FIX reserves 5000+ for them). Header 8/9 and trailer 10
+    * (3-digit mod-256 byte checksum over everything through the SOH
+    * before it) are computed per the spec, so the parser can verify
+    * integrity the way a real FIX engine does. Fields are SOH-delimited
+    * (\\u0001); the replay transport newline-terminates each message,
+    * and the newline is outside the checksum.
+    */
+  def fixLine(b: OhlcvBar): String = {
+    val SOH = '\u0001'
+    val sdf = new java.text.SimpleDateFormat("yyyyMMdd-HH:mm:ss.SSS")
+    sdf.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val body = Seq(
+      "35=W", s"55=${b.symbol}", s"60=${sdf.format(b.timestamp)}",
+      s"5001=${b.asset_class}", "268=5",
+      "269=4", s"270=${b.open}",
+      "269=7", s"270=${b.high}",
+      "269=8", s"270=${b.low}",
+      "269=5", s"270=${b.close}",
+      "269=B", s"271=${b.volume}")
+      .mkString("", SOH.toString, SOH.toString)
+    val pre =
+      s"8=FIX.4.4${SOH}9=${body.getBytes(StandardCharsets.UTF_8).length}$SOH" + body
+    val sum = pre.getBytes(StandardCharsets.UTF_8).map(_ & 0xff).sum % 256
+    f"$pre%s10=$sum%03d$SOH"
+  }
 }

@@ -533,6 +533,87 @@ class StreamingSpec extends SparkSpec {
     assert(sessions == Seq(("u1", 2L), ("u1", 1L), ("u2", 1L)))
   }
 
+  test("FIX wire format round-trips: encode -> native parse recovers every field") {
+    import graft.streaming.FeedReplayServer
+    val base = 1718445600000L
+    val bars = (0 until 20).map(i => OhlcvBar(s"SYM${i % 4}",
+      new Timestamp(base + i * 250L), // sub-second: millis must survive
+      100.25 + i, 110.5 + i, 90.125 + i, 105.0 + i,
+      1000L + i, if (i % 2 == 0) AssetClass.Equity else AssetClass.Crypto))
+    val parsed = Streaming.parseFixLines(
+        bars.map(FeedReplayServer.fixLine).toDF("value"))
+      .as[OhlcvBar].collect().toSeq
+    assert(parsed == bars)
+  }
+
+  test("FIX parse rejects corruption: bad checksum nulls the row; structural damage nulls the field") {
+    import graft.streaming.FeedReplayServer
+    val bar = OhlcvBar("SYM1", new Timestamp(1718445600000L),
+      100.5, 110.0, 90.0, 105.0, 5000L, AssetClass.Equity)
+    val good = FeedReplayServer.fixLine(bar)
+    // flip one price digit WITHOUT updating the trailer: the recomputed
+    // checksum must disagree and the whole row must null (-> DLQ), the
+    // FIX-engine contract for a garbled message
+    val corrupted = good.replace("270=110.0", "270=119.0")
+    // structural damage with a VALID checksum: drop the session-high
+    // group entry — only that field may null; the rest must survive
+    val noHigh = {
+      val soh = ""
+      val body = Seq("35=W", "55=SYM1", "60=20240615-10:00:00.000",
+        "5001=equity", "268=4",
+        "269=4", "270=100.5", "269=8", "270=90.0",
+        "269=5", "270=105.0", "269=B", "271=5000")
+        .mkString("", soh, soh)
+      val pre = s"8=FIX.4.4${soh}9=${body.length}$soh" + body
+      f"$pre%s10=${pre.getBytes("UTF-8").map(_ & 0xff).sum % 256}%03d$soh"
+    }
+    val rows = Streaming.parseFixLines(
+        Seq(good, corrupted, noHigh, "not fix at all").toDF("value"))
+      .collect()
+    assert(rows(0).getString(0) == "SYM1" && rows(0).getDouble(3) == 110.0)
+    assert((0 until 8).forall(rows(1).isNullAt), s"corrupted row: ${rows(1)}")
+    assert(rows(2).isNullAt(3) && rows(2).getString(0) == "SYM1" &&
+      rows(2).getDouble(2) == 100.5 && rows(2).getLong(6) == 5000L)
+    assert((0 until 8).forall(rows(3).isNullAt), s"garbage row: ${rows(3)}")
+  }
+
+  test("socket live-feed twin in FIX format: corrupt message -> DLQ, valid bars -> lake") {
+    import graft.streaming.FeedReplayServer
+    val lake = new DataLakehouse(spark, tempDir("fixlake"))
+    val ckpt = tempDir("fixckpt")
+    val base = 1718445600000L
+    val valid = (0 until 20).map(i => OhlcvBar(s"SYM${i % 4}",
+      new Timestamp(base + i * 1000L), 100 + i, 110 + i, 90 + i, 105 + i,
+      1000L + i, AssetClass.Equity))
+    val corrupt = FeedReplayServer
+      .fixLine(valid.head).replace("270=110.0", "270=777.0")
+    val lines = valid.map(FeedReplayServer.fixLine) :+ corrupt
+    val server = new FeedReplayServer(lines)
+    val q = Streaming.ingestSocketStream(lake, server.host, server.port,
+      ckpt, streamId = "fix", triggerMs = 50, wireFormat = "fix")
+    try {
+      assert(server.awaitDrained(60000), "feed never drained")
+      def accounted(): Long = {
+        q.processAllAvailable()
+        lake.query().count + lake.deadLetterCount()
+      }
+      val deadline = System.currentTimeMillis() + 30000
+      while (accounted() < lines.size &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(lake.query().count == valid.size)
+      assert(lake.deadLetterCount() == 1)
+      // committed bars survived the wire bit-for-bit
+      val got = lake.query().df
+        .select("symbol", "timestamp", "open", "high", "low", "close",
+          "volume", "asset_class")
+        .as[OhlcvBar].collect().toSeq.sortBy(_.timestamp.getTime)
+      assert(got == valid)
+    } finally {
+      q.stop()
+      server.close()
+    }
+  }
+
   test("socket live-feed twin: socket -> parse -> ring admission -> DLQ -> lake, conserving every line") {
     import graft.streaming.FeedReplayServer
     val lake = new DataLakehouse(spark, tempDir("socklake"))
