@@ -6,13 +6,17 @@ import java.util.concurrent.{CountDownLatch, TimeUnit}
 
 import graft.OhlcvBar
 
-/** In-process market-data feed for [[Streaming.ingestSocketStream]]: a
-  * localhost TCP server that replays bars as CSV lines to the first
-  * client that connects (Spark's socket source), at an optional fixed
-  * cadence — the in-sandbox stand-in for the reference's WebSocket/FIX
-  * feed (README.md architecture diagram, ~line 36; this environment has
-  * no egress, so the feed is replayed locally but the transport is a
-  * real socket the consumer cannot rewind).
+/** In-process market-data feed for [[Streaming.ingestSocketStream]] /
+  * [[Streaming.ingestWebSocketStream]]: a localhost TCP server that
+  * replays wire lines (CSV or FIX — see [[FeedReplayServer.fixLine]])
+  * to the first client that connects, at an optional fixed cadence —
+  * the in-sandbox stand-in for the reference's WebSocket/FIX feed
+  * (README.md architecture diagram, ~line 36; this environment has no
+  * egress, so the feed is replayed locally but the transport is a real
+  * socket the consumer cannot rewind). With `webSocket = true` the
+  * server speaks actual RFC 6455: HTTP upgrade handshake with the
+  * Sec-WebSocket-Accept digest, then one unmasked TEXT frame per
+  * line.
   *
   * Replay utilities like this are first-class market-data tooling, not
   * test scaffolding: feed-handler certification and backtests replay
@@ -25,7 +29,8 @@ import graft.OhlcvBar
   * when the session is over via [[close]]). [[awaitDrained]] blocks
   * until every line has been handed to the socket.
   */
-final class FeedReplayServer(lines: Seq[String], intervalMs: Long = 0L) {
+final class FeedReplayServer(lines: Seq[String], intervalMs: Long = 0L,
+    webSocket: Boolean = false) {
   private val server =
     new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
   @volatile private var client: Socket = _
@@ -35,17 +40,69 @@ final class FeedReplayServer(lines: Seq[String], intervalMs: Long = 0L) {
   def port: Int = server.getLocalPort
   def host: String = InetAddress.getLoopbackAddress.getHostAddress
 
+  // RFC 6455 server side: read the HTTP upgrade request, answer 101
+  // with the Sec-WebSocket-Accept digest, then frame each line as one
+  // unmasked TEXT frame (FIN set; 7-bit / 16-bit / 64-bit payload
+  // length per spec — FIX snapshots exceed the 125-byte short form).
+  private def wsHandshake(s: Socket): java.io.OutputStream = {
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      s.getInputStream, StandardCharsets.UTF_8))
+    var key: String = null
+    var line = in.readLine()
+    while (line != null && line.nonEmpty) {
+      val i = line.indexOf(':')
+      if (i > 0 && line.substring(0, i).trim
+          .equalsIgnoreCase("Sec-WebSocket-Key"))
+        key = line.substring(i + 1).trim
+      line = in.readLine()
+    }
+    require(key != null, "no Sec-WebSocket-Key in upgrade request")
+    val accept = java.util.Base64.getEncoder.encodeToString(
+      java.security.MessageDigest.getInstance("SHA-1").digest(
+        (key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11")
+          .getBytes(StandardCharsets.US_ASCII)))
+    val out = s.getOutputStream
+    out.write(("HTTP/1.1 101 Switching Protocols\r\n" +
+      "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+      s"Sec-WebSocket-Accept: $accept\r\n\r\n")
+      .getBytes(StandardCharsets.US_ASCII))
+    out.flush()
+    out
+  }
+
+  private def wsTextFrame(payload: Array[Byte]): Array[Byte] = {
+    val n = payload.length
+    val header =
+      if (n <= 125) Array[Byte](0x81.toByte, n.toByte)
+      else if (n <= 0xFFFF) Array[Byte](0x81.toByte, 126.toByte,
+        (n >> 8).toByte, n.toByte)
+      else Array[Byte](0x81.toByte, 127.toByte,
+        0, 0, 0, 0, (n >> 24).toByte, (n >> 16).toByte,
+        (n >> 8).toByte, n.toByte)
+    header ++ payload
+  }
+
   private val thread = new Thread(() => {
     try {
       client = server.accept()
-      val out = new java.io.PrintWriter(
-        new java.io.OutputStreamWriter(
-          client.getOutputStream, StandardCharsets.UTF_8), true)
-      lines.foreach { l =>
-        out.println(l)
-        if (intervalMs > 0) Thread.sleep(intervalMs)
+      if (webSocket) {
+        val out = wsHandshake(client)
+        lines.foreach { l =>
+          out.write(wsTextFrame(l.getBytes(StandardCharsets.UTF_8)))
+          out.flush()
+          if (intervalMs > 0) Thread.sleep(intervalMs)
+        }
+        out.flush()
+      } else {
+        val out = new java.io.PrintWriter(
+          new java.io.OutputStreamWriter(
+            client.getOutputStream, StandardCharsets.UTF_8), true)
+        lines.foreach { l =>
+          out.println(l)
+          if (intervalMs > 0) Thread.sleep(intervalMs)
+        }
+        out.flush()
       }
-      out.flush()
     } catch { case _: Throwable => () } // closed mid-replay: session over
     finally drained.countDown()
   }, "feed-replay-server")

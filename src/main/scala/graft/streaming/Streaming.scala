@@ -134,6 +134,47 @@ object Streaming {
     val lines = lake.spark.readStream
       .format("socket").option("host", host).option("port", port)
       .load()
+    feedSink(lake, lines, checkpointDir, streamId, triggerMs,
+      maxEventsPerTrigger, wireFormat)
+  }
+
+  /** [[ingestSocketStream]]'s WebSocket twin — completes the
+    * reference's declared "WebSocket / FIX" feed protocol: the custom
+    * [[WebSocketSourceProvider]] DataSource V2 source performs the RFC
+    * 6455 handshake and frame decode (one row per text frame), and
+    * everything downstream — FIX or CSV parse, ring admission, DLQ,
+    * idempotent txn commits — is the SAME shared path. Delivery
+    * semantics identical to the socket leg (see above): a live feed
+    * cannot be rewound.
+    */
+  def ingestWebSocketStream(
+      lake: DataLakehouse,
+      host: String,
+      port: Int,
+      checkpointDir: String,
+      streamId: String = "websocket",
+      triggerMs: Long = 100L,
+      maxEventsPerTrigger: Option[Long] = None,
+      wireFormat: String = "csv"): StreamingQuery = {
+    require(wireFormat == "csv" || wireFormat == "fix",
+      s"wireFormat must be csv or fix, got $wireFormat")
+    val lines = lake.spark.readStream
+      .format(classOf[WebSocketSourceProvider].getName)
+      .option("host", host).option("port", port.toString)
+      .load()
+    feedSink(lake, lines, checkpointDir, streamId, triggerMs,
+      maxEventsPerTrigger, wireFormat)
+  }
+
+  /** Shared feed tail: wire parse → micro-batch ring/DLQ/commit sink. */
+  private def feedSink(
+      lake: DataLakehouse,
+      lines: DataFrame,
+      checkpointDir: String,
+      streamId: String,
+      triggerMs: Long,
+      maxEventsPerTrigger: Option[Long],
+      wireFormat: String): StreamingQuery = {
     val parsed =
       if (wireFormat == "fix") parseFixLines(lines) else parseFeedLines(lines)
     parsed.writeStream

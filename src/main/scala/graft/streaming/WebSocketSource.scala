@@ -1,0 +1,220 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 micro-batch streaming source for a WebSocket feed —
+  * the other half of the reference's declared "WebSocket / FIX" feed
+  * protocol (README.md architecture diagram, ~line 36). Spark's
+  * built-in `socket` source speaks raw newline-delimited TCP; a real
+  * market-data venue speaks WebSocket, so this source performs the
+  * RFC 6455 client handshake (HTTP upgrade, Sec-WebSocket-Key/Accept
+  * digest) and decodes text frames (7/16/64-bit payload lengths, close
+  * opcode honored), emitting one `value: string` row per frame —
+  * structurally the same contract as the socket source, so the
+  * downstream parse/ring/DLQ/commit path is shared unchanged.
+  *
+  * Architecture mirrors Spark's own TextSocketMicroBatchStream (the
+  * public pattern for non-replayable push feeds): a driver-side reader
+  * thread buffers frames with a monotonically increasing global index;
+  * `latestOffset` exposes the high-water mark, `planInputPartitions`
+  * slices the buffer for a batch, and `commit` trims everything at or
+  * below the committed offset so driver memory is bounded by ONE batch
+  * in flight, not the session. Delivery is the live-feed contract
+  * stated on [[Streaming.ingestSocketStream]]: the wire cannot be
+  * rewound, so a crash between receive and commit loses that window
+  * (at-most-once); everything received is exactly-once downstream via
+  * the idempotent per-batch txn commits.
+  *
+  * Usage: `spark.readStream.format(classOf[WebSocketSourceProvider]
+  * .getName).option("host", h).option("port", p).load()`.
+  */
+class WebSocketSourceProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WebSocketSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val host = properties.get("host")
+    val port = properties.get("port")
+    require(host != null && port != null,
+      "websocket source needs host and port options")
+    new WebSocketTable(host, port.toInt)
+  }
+}
+
+object WebSocketSource {
+  val schema: StructType = StructType(Seq(StructField("value", StringType)))
+}
+
+private[streaming] class WebSocketTable(host: String, port: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"websocket://$host:$port"
+  override def schema(): StructType = WebSocketSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = WebSocketSource.schema
+        override def toMicroBatchStream(
+            checkpointLocation: String): MicroBatchStream =
+          new WebSocketMicroBatchStream(host, port)
+      }
+    }
+}
+
+/** Frame offset: the count of frames received since connect. */
+private[streaming] case class WsOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+private[streaming] case class WsInputPartition(rows: Array[String])
+    extends InputPartition
+
+private[streaming] class WebSocketMicroBatchStream(host: String, port: Int)
+    extends MicroBatchStream {
+
+  private val buffer = ArrayBuffer.empty[String] // guarded by `this`
+  private var trimmed = 0L // global index of buffer(0); guarded by `this`
+  @volatile private var stopped = false
+
+  private val socket = new java.net.Socket(
+    java.net.InetAddress.getByName(host), port)
+
+  // RFC 6455 client handshake. The nonce need only be unguessable to
+  // proxies; SecureRandom per spec intent.
+  private def handshake(): java.io.DataInputStream = {
+    val nonce = new Array[Byte](16)
+    new java.security.SecureRandom().nextBytes(nonce)
+    val key = java.util.Base64.getEncoder.encodeToString(nonce)
+    val out = socket.getOutputStream
+    out.write((s"GET / HTTP/1.1\r\nHost: $host:$port\r\n" +
+      "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+      s"Sec-WebSocket-Key: $key\r\nSec-WebSocket-Version: 13\r\n\r\n")
+      .getBytes(StandardCharsets.US_ASCII))
+    out.flush()
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(socket.getInputStream))
+    // consume the 101 response: scan for the blank line terminator
+    // byte-by-byte (a line-oriented reader would over-buffer into the
+    // first frame)
+    val expected = (key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11")
+      .getBytes(StandardCharsets.US_ASCII)
+    val accept = java.util.Base64.getEncoder.encodeToString(
+      java.security.MessageDigest.getInstance("SHA-1").digest(expected))
+    val header = new java.io.ByteArrayOutputStream()
+    var last4 = 0
+    while (last4 != 0x0d0a0d0a) {
+      val b = in.readUnsignedByte()
+      header.write(b)
+      last4 = (last4 << 8) | b
+    }
+    val response = header.toString(StandardCharsets.US_ASCII.name)
+    require(response.startsWith("HTTP/1.1 101"),
+      s"websocket upgrade refused: ${response.linesIterator.next()}")
+    require(response.contains(accept),
+      "Sec-WebSocket-Accept digest mismatch")
+    in
+  }
+
+  private val reader = new Thread(() => {
+    try {
+      val in = handshake()
+      var open = true
+      while (open && !stopped) {
+        val b0 = in.readUnsignedByte()
+        val b1 = in.readUnsignedByte()
+        val opcode = b0 & 0x0f
+        val baseLen = b1 & 0x7f
+        val len =
+          if (baseLen == 126) in.readUnsignedShort().toLong
+          else if (baseLen == 127) in.readLong()
+          else baseLen.toLong
+        require(len <= Int.MaxValue, s"frame too large: $len")
+        // masking key precedes the payload when the mask bit is set
+        // (client->server direction; a server must not mask, but the
+        // decoder tolerates it)
+        val mask =
+          if ((b1 & 0x80) != 0) {
+            val m = new Array[Byte](4); in.readFully(m); m
+          } else null
+        val payload = new Array[Byte](len.toInt)
+        in.readFully(payload)
+        if (mask != null) {
+          var i = 0
+          while (i < payload.length) {
+            payload(i) = (payload(i) ^ mask(i % 4)).toByte; i += 1
+          }
+        }
+        opcode match {
+          case 0x1 => synchronized {
+            buffer += new String(payload, StandardCharsets.UTF_8)
+          }
+          case 0x8 => open = false // close frame: session over
+          case _ => () // ping/pong/binary: ignored by the feed twin
+        }
+      }
+    } catch { case _: Throwable => () } // disconnect: stream end
+  }, s"websocket-source-$host:$port")
+  reader.setDaemon(true)
+  reader.start()
+
+  override def initialOffset(): Offset = WsOffset(0L)
+
+  override def deserializeOffset(json: String): Offset = WsOffset(json.toLong)
+
+  override def latestOffset(): Offset = synchronized {
+    WsOffset(trimmed + buffer.size)
+  }
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = synchronized {
+    val s = math.max(start.asInstanceOf[WsOffset].n - trimmed, 0L).toInt
+    val e = math.min(
+      math.max(end.asInstanceOf[WsOffset].n - trimmed, 0L),
+      buffer.size.toLong).toInt
+    if (e <= s) Array.empty
+    else Array(WsInputPartition(buffer.slice(s, e).toArray))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(
+          partition: InputPartition): PartitionReader[InternalRow] = {
+        val rows = partition.asInstanceOf[WsInputPartition].rows
+        new PartitionReader[InternalRow] {
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < rows.length }
+          override def get(): InternalRow =
+            new GenericInternalRow(Array[Any](UTF8String.fromString(rows(i))))
+          override def close(): Unit = ()
+        }
+      }
+    }
+
+  override def commit(end: Offset): Unit = synchronized {
+    val drop = math.min(
+      math.max(end.asInstanceOf[WsOffset].n - trimmed, 0L),
+      buffer.size.toLong).toInt
+    buffer.remove(0, drop)
+    trimmed += drop
+  }
+
+  override def stop(): Unit = {
+    stopped = true
+    try socket.close() catch { case _: Throwable => () }
+  }
+}

@@ -614,6 +614,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("WebSocket live-feed twin: RFC 6455 handshake + FIX frames -> lake, corrupt frame -> DLQ") {
+    import graft.streaming.FeedReplayServer
+    val lake = new DataLakehouse(spark, tempDir("wslake"))
+    val ckpt = tempDir("wsckpt")
+    val base = 1718445600000L
+    val valid = (0 until 20).map(i => OhlcvBar(s"SYM${i % 4}",
+      new Timestamp(base + i * 1000L), 100 + i, 110 + i, 90 + i, 105 + i,
+      1000L + i, AssetClass.Equity))
+    val corrupt = FeedReplayServer
+      .fixLine(valid.head).replace("270=110.0", "270=777.0")
+    val lines = valid.map(FeedReplayServer.fixLine) :+ corrupt
+    // webSocket = true: upgrade handshake + one TEXT frame per message
+    val server = new FeedReplayServer(lines, webSocket = true)
+    val q = Streaming.ingestWebSocketStream(lake, server.host, server.port,
+      ckpt, streamId = "ws", triggerMs = 50, wireFormat = "fix")
+    try {
+      assert(server.awaitDrained(60000), "feed never drained")
+      def accounted(): Long = {
+        q.processAllAvailable()
+        lake.query().count + lake.deadLetterCount()
+      }
+      val deadline = System.currentTimeMillis() + 30000
+      while (accounted() < lines.size &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(lake.query().count == valid.size)
+      assert(lake.deadLetterCount() == 1)
+      val got = lake.query().df
+        .select("symbol", "timestamp", "open", "high", "low", "close",
+          "volume", "asset_class")
+        .as[OhlcvBar].collect().toSeq.sortBy(_.timestamp.getTime)
+      assert(got == valid)
+    } finally {
+      q.stop()
+      server.close()
+    }
+  }
+
   test("socket live-feed twin: socket -> parse -> ring admission -> DLQ -> lake, conserving every line") {
     import graft.streaming.FeedReplayServer
     val lake = new DataLakehouse(spark, tempDir("socklake"))
