@@ -142,6 +142,16 @@ object FeedReplayServer {
     */
   def fixLine(b: OhlcvBar): String = {
     val SOH = '\u0001'
+    // SOH inside a value would re-frame the message while the checksum
+    // still matches (both sides sum the same bytes) — the parser would
+    // ACCEPT a silently truncated symbol. Real FIX engines reject the
+    // delimiter in values at encode time; newlines likewise (the replay
+    // transport is line-oriented).
+    Seq("symbol" -> b.symbol, "asset_class" -> b.asset_class).foreach {
+      case (name, v) => require(
+        !v.exists(c => c == SOH || c == '\n' || c == '\r'),
+        s"$name contains a FIX delimiter or newline: ${v.replace(SOH, '?')}")
+    }
     val sdf = new java.text.SimpleDateFormat("yyyyMMdd-HH:mm:ss.SSS")
     sdf.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
     val body = Seq(

@@ -138,4 +138,61 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  // Doubles across the full representable range INCLUDING the ones whose
+  // Double.toString renders in scientific notation ("1.0E-7", "1.23E22")
+  // — the encoding the FIX parse's numeric guard must admit. Finite
+  // only: a feed never quotes NaN/Inf, and the non-finite path is
+  // asserted separately below.
+  private val genWildDouble: Gen[Double] = for {
+    m <- Gen.choose(-9.999999, 9.999999)
+    e <- Gen.choose(-30, 30)
+  } yield m * math.pow(10, e)
+
+  test("FIX round-trip is exact for wild-but-finite values (property)") {
+    import graft.streaming.{FeedReplayServer, Streaming}
+    val genBar: Gen[OhlcvBar] = for {
+      sym <- Gen.oneOf("AAPL", "X", "BRK.B", "ES=F-2025")
+      ms <- Gen.choose(0L, 4102444800000L) // 1970..2100, any millis
+      o <- genWildDouble; h <- genWildDouble
+      l <- genWildDouble; c <- genWildDouble
+      v <- Gen.choose(Long.MinValue, Long.MaxValue)
+      ac <- Gen.oneOf(AssetClass.all)
+    } yield OhlcvBar(sym, new Timestamp(ms), o, h, l, c, v, ac)
+    // parse-level property: round-trip EXACTNESS for whatever the wire
+    // carries (validity/DLQ routing is downstream's job, not the
+    // parser's) — Double.toString -> cast is bit-exact by Java's
+    // shortest-repr contract, and the ms timestamp must survive
+    val bars = seeds.flatMap(s =>
+      (0 until 10).map(i => sample(genBar, s * 1000 + i)))
+    val parsed = Streaming.parseFixLines(
+        spark.createDataset(bars.map(FeedReplayServer.fixLine))(
+          org.apache.spark.sql.Encoders.STRING).toDF("value"))
+      .as[OhlcvBar](org.apache.spark.sql.Encoders.product[OhlcvBar])
+      .collect().toSeq
+    assert(parsed == bars)
+  }
+
+  test("FIX parse nulls non-finite prices; encoder rejects delimiter-carrying values") {
+    import graft.streaming.{FeedReplayServer, Streaming}
+    val bar = OhlcvBar("SYM1", new Timestamp(1718445600000L),
+      Double.NaN, Double.PositiveInfinity, 90.0, 105.0, 5L,
+      AssetClass.Equity)
+    // NaN/Infinity render as "NaN"/"Infinity" — not FIX-legal numerics;
+    // the guard must null those FIELDS (downstream DLQs the row), while
+    // fields that are legal still parse
+    val row = Streaming.parseFixLines(
+      spark.createDataset(Seq(FeedReplayServer.fixLine(bar)))(
+        org.apache.spark.sql.Encoders.STRING).toDF("value")).head()
+    assert(row.isNullAt(2) && row.isNullAt(3)) // open NaN, high Inf
+    assert(row.getDouble(4) == 90.0 && row.getString(0) == "SYM1")
+    // SOH inside a value would re-frame the message with a MATCHING
+    // checksum — must be rejected at encode time, never sent
+    for (bad <- Seq("AB\u0001CD", "AB\nCD")) {
+      val e = intercept[IllegalArgumentException] {
+        FeedReplayServer.fixLine(bar.copy(symbol = bad))
+      }
+      assert(e.getMessage.contains("delimiter"))
+    }
+  }
 }
