@@ -167,7 +167,15 @@ private[streaming] class WebSocketMicroBatchStream(host: String, port: Int)
           case _ => () // ping/pong/binary: ignored by the feed twin
         }
       }
-    } catch { case _: Throwable => () } // disconnect: stream end
+    } catch {
+      case _: java.io.EOFException | _: java.net.SocketException => ()
+      // disconnect mid-frame or after stop(): normal stream end
+      case e: Throwable =>
+        // a REFUSED handshake (non-101, digest mismatch) or a protocol
+        // violation must be observable, not a silent empty stream
+        if (!stopped) System.err.println(
+          s"[websocket-source] $host:$port reader terminated: ${e.getMessage}")
+    }
   }, s"websocket-source-$host:$port")
   reader.setDaemon(true)
   reader.start()

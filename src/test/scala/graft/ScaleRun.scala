@@ -68,8 +68,12 @@ object ScaleRun {
           translate(lower($"text"), alpha, rot).as("text"))
       }.reduce(_ unionAll _).persist()
     }
-    if (which == "winnowpairs" || which == "ppjoin")
+    if (which == "winnowpairs" || which == "ppjoin") {
+      // beyond 26 copies the Caesar shifts repeat (i % 26) and copies
+      // alias — the pair set silently stops being mult× the base
+      require(mult <= 26, s"shifted-copy corpus aliases beyond 26x: $mult")
       bigShifted.count() // materialize outside the timer
+    }
 
     // Storage-layer scale case: mult×2M synthesized bars through the FULL
     // lakehouse path — DataFrame-native append (validate, cluster, zstd
