@@ -144,6 +144,50 @@ object ScaleRun {
       spark.stop(); return
     }
 
+    // End-to-end live-feed ingest: mult×50k FIX bars replayed over a
+    // real WebSocket at full speed -> RFC 6455 decode -> native FIX
+    // parse -> validate -> micro-batch txn commits. Measures the
+    // through-the-stack bars/sec a single driver-attached feed
+    // sustains (the WS reader is one thread by design — a venue
+    // connection is one ordered stream; horizontal scale = one source
+    // per connection, each its own stream).
+    if (which == "feedingest") {
+      import java.nio.file.Files
+      val nBars = mult * 50000
+      val root = Files.createTempDirectory("feedlake").toString
+      val ckpt = Files.createTempDirectory("feedckpt").toString
+      val lake = new sources.DataLakehouse(spark, root)
+      val bars = (0 until nBars).map { i =>
+        OhlcvBar(s"SYM${i % 100}",
+          new java.sql.Timestamp(1718409600000L + i.toLong),
+          100.0 + (i % 50), 160.0 + (i % 50), 90.0 + (i % 50),
+          120.0 + (i % 50), 1000L + i, "equity")
+      }
+      val server = new streaming.FeedReplayServer(
+        bars.map(streaming.FeedReplayServer.fixLine), webSocket = true)
+      val t0 = System.nanoTime()
+      val q = streaming.Streaming.ingestWebSocketStream(lake,
+        server.host, server.port, ckpt, streamId = "scale-ws",
+        triggerMs = 100, wireFormat = "fix")
+      val drainedOk = server.awaitDrained(600000)
+      var committed = 0L
+      var dlq = 0L
+      val deadline = System.currentTimeMillis() + 600000
+      while (committed + dlq < nBars && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        committed = lake.query().count
+        dlq = lake.deadLetterCount()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop(); server.close()
+      val batches = lake.txnLog.commits().count(_.batchId.isDefined)
+      println(f"[scale] feedingest ${mult}x bars=$nBars committed=$committed " +
+        f"dlq=$dlq drained=$drainedOk batches=$batches secs=$secs%.1f " +
+        f"rate=${committed / secs / 1000}%.1fk bars/sec")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      spark.stop(); return
+    }
+
     // Row ops at scale: copy-on-write UPDATE and ranged DELETE on a
     // mult×2M-row lake must cost O(files touched by the predicate), not
     // O(table) — log stats + blooms locate the files, only those
