@@ -651,6 +651,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("WebSocket framing survives the RFC 6455 length-encoding boundaries") {
+    import graft.streaming.{FeedReplayServer, WebSocketSourceProvider}
+    // one payload per length regime: 7-bit (<=125), 16-bit (126..65535,
+    // both edges), 64-bit (>65535) — FIX snapshots only exercise the
+    // 16-bit path, so the other encoder/decoder branches need their own
+    // pin (a mis-encoded length desyncs EVERY subsequent frame)
+    val payloads = Seq("a" * 1, "b" * 125, "c" * 126, "d" * 65535,
+      "e" * 65536, "f" * 70000)
+    val server = new FeedReplayServer(payloads, webSocket = true)
+    val q = spark.readStream
+      .format(classOf[WebSocketSourceProvider].getName)
+      .option("host", server.host).option("port", server.port.toString)
+      .load()
+      .writeStream.format("memory").queryName("wsframes")
+      .start()
+    try {
+      assert(server.awaitDrained(60000))
+      val deadline = System.currentTimeMillis() + 30000
+      def got(): Seq[String] = {
+        q.processAllAvailable()
+        spark.table("wsframes").as[String].collect().toSeq
+      }
+      while (got().size < payloads.size &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      // order and content both matter: a length desync would shear the
+      // frame stream and corrupt every payload after the bad boundary
+      assert(got() == payloads)
+    } finally {
+      q.stop()
+      server.close()
+    }
+  }
+
   test("socket live-feed twin: socket -> parse -> ring admission -> DLQ -> lake, conserving every line") {
     import graft.streaming.FeedReplayServer
     val lake = new DataLakehouse(spark, tempDir("socklake"))
