@@ -26,7 +26,7 @@ object LakeDemo {
     // second commit + time travel + compact + vacuum
     lake.ingestBatch(Seq(bar("2024-06-10", "MSFT", 1)))
     println(s"V0=${lake.timeTravel(0).count()} V1=${lake.timeTravel(1).count()} HEAD=${lake.query().count}")
-    lake.compact(); println(s"AFTER_COMPACT head=${lake.query().count} files=${lake.txnLog.snapshotFiles().size} vacuumed=${lake.vacuum()}")
+    lake.compact(); println(s"AFTER_COMPACT head=${lake.query().count} files=${lake.txnLog.snapshotFiles().size} vacuumed=${lake.vacuum(retainMs = 0L)}")
     println("SQL_VWAP:"); lake.sql("SELECT symbol, SUM(close*volume)/SUM(volume) AS vwap FROM trades GROUP BY symbol ORDER BY vwap DESC, symbol").show()
     // probe: time travel to a version beyond head
     println(s"TT_FUTURE=${lake.timeTravel(99).count()}")

@@ -992,6 +992,17 @@ final class DataLakehouse(
     * (post-compaction cleanup; time travel older than the vacuum horizon is
     * sacrificed, as in Delta's VACUUM).
     *
+    * RETENTION (Delta parity, safe by default): a file is reclaimed only
+    * when its LATEST removing commit is older than `retainMs` (default
+    * 7 days, Delta's `deletedFileRetentionDuration`). On a cluster, a
+    * reader that resolved its snapshot just before a compaction is still
+    * streaming those files minutes later, and time travel inside the
+    * window must keep working — immediate deletion breaks both. Pass
+    * `retainMs = 0` for the aggressive dev/test semantics (every test
+    * here does, the same way Delta tests set retention 0). Orphan files
+    * that appear in NO commit (crashed publishes) age by filesystem
+    * mtime, as in Delta.
+    *
     * RESTORE race (ADVICE r5): a file dead in this vacuum's snapshot can
     * be re-added by a concurrent restore() before the unlink. Liveness
     * is therefore re-checked against the CURRENT head immediately before
@@ -1000,9 +1011,20 @@ final class DataLakehouse(
     * the other side: restore() re-verifies its re-added files after its
     * commit and compensates loudly if one was lost (see there).
     */
-  def vacuum(): Long = {
+  def vacuum(retainMs: Long = DataLakehouse.DefaultVacuumRetainMs): Long = {
+    require(retainMs >= 0, s"retainMs must be >= 0: $retainMs")
     val live = txnLog.snapshotFiles().toSet
     val rootPath = Paths.get(root)
+    val cutoff = System.currentTimeMillis() - retainMs
+    // latest removal time per file, from the log alone (a re-added then
+    // re-removed file must age from its LATEST removal)
+    val removedAt = scala.collection.mutable.HashMap.empty[String, Long]
+    txnLog.commits().foreach { c =>
+      c.removed.foreach { f =>
+        if (removedAt.getOrElse(f, Long.MinValue) < c.timestampMs)
+          removedAt(f) = c.timestampMs
+      }
+    }
     // both data suffixes: a compacted-away CSV (mixed-format/addFiles
     // tables) must be reclaimed too, not just parquet
     val dataFiles = walkFiles(rootPath)
@@ -1011,7 +1033,15 @@ final class DataLakehouse(
       .filterNot(p => p.startsWith(rootPath.resolve("_dlq")) ||
         p.startsWith(rootPath.resolve("_staging")) ||
         p.startsWith(rootPath.resolve("_evicted"))) // ring-admission audit trail
-    val dead = dataFiles.filterNot(p => live.contains(rootPath.relativize(p).toString))
+    val dead = dataFiles
+      .filterNot(p => live.contains(rootPath.relativize(p).toString))
+      .filter { p =>
+        removedAt.get(rootPath.relativize(p).toString) match {
+          case Some(t) => t <= cutoff
+          case None => // orphan: no commit ever referenced it
+            Files.getLastModifiedTime(p).toMillis <= cutoff
+        }
+      }
     if (dead.isEmpty) return 0L
     // second liveness view, read AFTER the dead list was computed: spares
     // anything a concurrent commit (restore's re-adds) made live again
@@ -1351,4 +1381,13 @@ final class DataLakehouse(
           .mkString("/")
       }
       .distinct.sorted
+}
+
+object DataLakehouse {
+  /** Delta's default `deletedFileRetentionDuration`: 7 days. Files
+    * removed more recently than this survive [[DataLakehouse.vacuum]] so
+    * in-flight readers of recent snapshots and in-window time travel
+    * keep working; pass `retainMs = 0` to vacuum for dev/test semantics.
+    */
+  val DefaultVacuumRetainMs: Long = 7L * 24 * 3600 * 1000
 }

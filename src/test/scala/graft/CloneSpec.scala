@@ -85,7 +85,7 @@ class CloneSpec extends SparkSpec {
     // source-side rewrite made the original shared file DEAD in the
     // source; vacuum unlinks it there — the clone's hard link must keep
     // the inode (and the clone's reads) alive
-    assert(lake.vacuum() > 0)
+    assert(lake.vacuum(retainMs = 0L) > 0)
     assert(syms(clone) == Set("AAPL", "GOOG", "MSFT"))
     // and the clone's own integrity audit stays clean
     assert(clone.verifyIntegrity().filter(col("status") =!= "ok").count() == 0)
@@ -97,7 +97,7 @@ class CloneSpec extends SparkSpec {
     val v1 = lake.txnLog.currentVersion()
     lake.ingestBatch(Seq(bar("AAPL", "2024-06-15 10:30:00")))
     lake.compact(maxFilesPerPartition = 1)
-    assert(lake.vacuum() > 0)
+    assert(lake.vacuum(retainMs = 0L) > 0)
     val e = intercept[RuntimeException] {
       lake.cloneTo(tempDir("clone-vac-tgt") + "/t", version = v1)
     }

@@ -138,7 +138,7 @@ class LakehouseSpec extends SparkSpec {
     // ...compaction range-partitions by the cluster key, so the four
     // output files hold DISJOINT symbol ranges and the log stats skip
     assert(lake.compact(maxFilesPerPartition = 1, targetFiles = 4) >= 0)
-    lake.vacuum()
+    lake.vacuum(retainMs = 0L)
     val after = lake.query(symbol = Some("MSFT"))
     assert(after.count == 4)
     assert(after.totalRowsScanned < 16,
@@ -201,7 +201,7 @@ class LakehouseSpec extends SparkSpec {
     val before = lake.query().df.orderBy("timestamp", "symbol", "volume")
       .collect().toSeq
     assert(lake.compact() >= 0L)
-    lake.vacuum()
+    lake.vacuum(retainMs = 0L)
     assert(lake.listPartitions().size == 4)
     val after = lake.query().df.orderBy("timestamp", "symbol", "volume")
       .collect().toSeq
@@ -290,9 +290,25 @@ class LakehouseSpec extends SparkSpec {
     assert(lake.txnLog.snapshotFiles().size < filesBefore)
     assert(lake.query().count == 10) // data intact
     assert(lake.timeTravel(v - 1).count() == 10) // pre-compaction snapshot intact
-    val removed = lake.vacuum()
+    val removed = lake.vacuum(retainMs = 0L)
     assert(removed >= filesBefore - lake.txnLog.snapshotFiles().size)
     assert(lake.query().count == 10) // latest snapshot unaffected by vacuum
+  }
+
+  test("vacuum retention: recently removed files survive until the window ages out") {
+    val lake = newLake()
+    sampleBars.grouped(2).foreach(g => lake.ingestBatch(g))
+    val v = lake.compact(maxFilesPerPartition = 1)
+    // default-window vacuum (7 days): the files the compaction just
+    // removed are seconds old — an in-flight reader of the
+    // pre-compaction snapshot (or in-window time travel) still needs
+    // them, so NOTHING may be reclaimed
+    assert(lake.vacuum() == 0L)
+    assert(lake.timeTravel(v - 1).count() == 10) // old snapshot still readable
+    // retention 0 = the aggressive semantics: dead files reclaimed now,
+    // and the old snapshot's data is sacrificed (Delta VACUUM contract)
+    assert(lake.vacuum(retainMs = 0L) > 0L)
+    assert(lake.query().count == 10)
   }
 
   test("txn-log checkpoints accelerate snapshots without changing them") {

@@ -89,7 +89,7 @@ class PropertySpec extends SparkSpec {
         val b2 = if (i % 2 == 1) batch.map(_.copy(symbol = "AAPL")) else batch
         all ++= b2
         lake.ingestBatch(b2)
-        if (i == 2) { lake.compact(maxFilesPerPartition = 0, targetFiles = 2); lake.vacuum() }
+        if (i == 2) { lake.compact(maxFilesPerPartition = 0, targetFiles = 2); lake.vacuum(retainMs = 0L) }
       }
       (0 until 12).foreach { probe =>
         val sym = rng.nextInt(4) match {

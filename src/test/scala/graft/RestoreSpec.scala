@@ -162,7 +162,7 @@ class RestoreSpec extends SparkSpec {
     // compact rewrites the partition; vacuum then deletes v1's file
     lake.ingestBatch(Seq(bar("AAPL", "2024-06-15 10:30:00")))
     lake.compact(maxFilesPerPartition = 1)
-    assert(lake.vacuum() > 0)
+    assert(lake.vacuum(retainMs = 0L) > 0)
     val verBefore = lake.txnLog.currentVersion()
     val e = intercept[RuntimeException] { lake.restore(v1) }
     assert(e.getMessage.contains("vacuumed"))

@@ -118,7 +118,7 @@ class StreamingSafetySpec extends SparkSpec {
     assert(lake.txnLog.commits().count(_.batchId.exists(_.startsWith("ring-"))) == 1)
 
     // a vacuum must not reclaim the eviction audit trail
-    assert(lake.vacuum() == 0L)
+    assert(lake.vacuum(retainMs = 0L) == 0L)
     assert(Streaming.evictedCount(lake) == 4)
 
     // under-cap batches pass through untouched (no _evicted write)

@@ -109,7 +109,7 @@ class TxnSafetySpec extends SparkSpec {
     lake.compact(maxFilesPerPartition = 1) // v1's file is now dead
     val sibling = new DataLakehouse(spark, root)
     val e = intercept[RuntimeException] {
-      lake.restoreImpl(v1, () => assert(sibling.vacuum() > 0))
+      lake.restoreImpl(v1, () => assert(sibling.vacuum(retainMs = 0L) > 0))
     }
     assert(e.getMessage.contains("vacuumed concurrently"))
     val ops = lake.history().select("operation").collect().map(_.getString(0))
