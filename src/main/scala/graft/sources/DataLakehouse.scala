@@ -944,7 +944,15 @@ final class DataLakehouse(
     * so a table ingested unclustered (streaming bursts, addFiles) gains
     * the full skipping layout in one call.
     */
-  def compact(maxFilesPerPartition: Int = 1, targetFiles: Int = 1): Long = {
+  def compact(maxFilesPerPartition: Int = 1, targetFiles: Int = 1): Long =
+    compactImpl(maxFilesPerPartition, targetFiles, () => ())
+
+  /** [[compact]] with a test seam in the snapshot-read -> commit window
+    * (the restoreImpl beforeCommit pattern) — the exact interval a
+    * concurrent row op can rewrite one of this compaction's input files.
+    */
+  private[graft] def compactImpl(maxFilesPerPartition: Int,
+      targetFiles: Int, beforeCommit: () => Unit): Long = {
     val live = txnLog.snapshotFiles()
     // group by the FULL partition directory (all k=v levels), so a
     // date,symbol layout compacts per leaf partition, not per date
@@ -984,8 +992,18 @@ final class DataLakehouse(
       removes ++= rels
     }
     val (counts, stats, blooms) = commitMeta(adds.toSeq)
+    beforeCommit()
+    // requireLive: a concurrent row op (DELETE/UPDATE/MERGE) may have
+    // rewritten one of this compaction's INPUT files after the snapshot
+    // read — committing anyway would re-add that file's old rows
+    // (resurrecting deleted data, duplicating updated data). The same
+    // serializable file-level conflict check the row ops themselves use
+    // makes this compaction fail loudly instead; the caller re-runs
+    // against the new snapshot. (Delta resolves the same race with
+    // commit-time conflict detection on rewrites.)
     txnLog.commit(added = adds.toSeq, removed = removes.toSeq,
-      rowCounts = counts, fileStats = stats, blooms = blooms)
+      rowCounts = counts, fileStats = stats, blooms = blooms,
+      requireLive = removes.toSeq)
   }
 
   /** Physically delete files no longer referenced by the latest snapshot

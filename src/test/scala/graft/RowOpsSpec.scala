@@ -189,4 +189,25 @@ class RowOpsSpec extends SparkSpec {
         requireLive = staleTargets) // writer B's stale swap must fail
     }
   }
+
+  test("compaction racing a DELETE cannot resurrect the deleted rows") {
+    // The lost-delete race: compaction reads its input snapshot, a
+    // concurrent DELETE rewrites one of those files, compaction commits
+    // the rewrite of the OLD content — without conflict detection the
+    // deleted rows come back (and the delete's output file duplicates
+    // the survivors). The compactImpl seam interleaves the delete into
+    // the exact snapshot-read -> commit window.
+    val lake = seeded()
+    val before = lake.query().count
+    intercept[java.util.ConcurrentModificationException] {
+      lake.compactImpl(maxFilesPerPartition = 0, targetFiles = 2, () =>
+        assert(lake.deleteWhere(col("symbol") === "AAPL") > 0))
+    }
+    // the delete's effect stands; nothing resurrected, nothing duplicated
+    assert(lake.query().df.filter(col("symbol") === "AAPL").count() == 0)
+    assert(lake.query().count < before)
+    // and a RE-RUN compaction against the post-delete snapshot succeeds
+    assert(lake.compactImpl(0, 2, () => ()) >= 0)
+    assert(lake.query().df.filter(col("symbol") === "AAPL").count() == 0)
+  }
 }
