@@ -1228,9 +1228,15 @@ final class DataLakehouse(
     val reAdd = target.filterNot(currentSet)
     val drop = current.filterNot(targetSet)
     val targetSchema = txnLog.schemaAt(version)
+    // constraint state read ONCE here and threaded into the commit as
+    // expectedConstraints: a concurrent pure-DDL (add/dropConstraint)
+    // in the read->commit window changes no files, so requireLive alone
+    // would let this restore silently clobber it — the metadata check
+    // makes restore-vs-DDL serializable like every other metadata race
+    val curConstraints = txnLog.constraintsAt()
     def cmap(o: Option[String]) = o.map(TxnLog.decodeConstraints).getOrElse(Map.empty)
     if (reAdd.isEmpty && drop.isEmpty && targetSchema == txnLog.schemaAt() &&
-        cmap(txnLog.constraintsAt(version)) == cmap(txnLog.constraintsAt()))
+        cmap(txnLog.constraintsAt(version)) == cmap(curConstraints))
       return -1L
     val vacuumed = reAdd.filterNot(r => Files.isRegularFile(Paths.get(root, r)))
     if (vacuumed.nonEmpty)
@@ -1251,7 +1257,8 @@ final class DataLakehouse(
       // under the newest-at-or-below resolver and leak current
       // constraints into the restored state
       constraintsJson = Some(txnLog.constraintsAt(version)
-        .getOrElse(TxnLog.encodeConstraints(Map.empty))))
+        .getOrElse(TxnLog.encodeConstraints(Map.empty))),
+      expectedConstraints = Some(curConstraints))
     postRestoreVerify(version, v, reAdd)
     v
   }

@@ -209,4 +209,26 @@ class ConstraintSpec extends SparkSpec {
     lake.restore(vNoConstraints + 1)
     assert(lake.constraints == Map("positive_close" -> "close > 0"))
   }
+
+  test("restore racing a pure constraint DDL conflicts instead of clobbering it") {
+    // A pure DDL changes no files, so restore's requireLive check alone
+    // would let the restore commit silently erase a constraint added in
+    // its read->commit window. expectedConstraints makes restore-vs-DDL
+    // serializable: the restore loses loudly, and a re-run (now reading
+    // the DDL's map) succeeds with ordinary wholesale-rewind semantics.
+    val lake = new DataLakehouse(spark, tempDir("constr-restore-race"))
+    lake.ingestBatch(Seq(bar("AAPL", "2024-06-15 09:30:00")))
+    val v0 = lake.txnLog.currentVersion()
+    lake.ingestBatch(Seq(bar("AAPL", "2024-06-15 10:30:00")))
+    intercept[TxnLog.ConstraintConflictException] {
+      lake.restoreImpl(v0, () =>
+        lake.addConstraint("positive_close", "close > 0"))
+    }
+    // the concurrent DDL's constraint survived the losing restore
+    assert(lake.constraints == Map("positive_close" -> "close > 0"))
+    // the re-run restore wins and rewinds wholesale, constraint included
+    assert(lake.restore(v0) > 0)
+    assert(lake.constraints.isEmpty)
+    assert(lake.query().count == 1)
+  }
 }
