@@ -11,7 +11,7 @@ import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.{AssetClass, IngestionStats, OhlcvBar, QueryResult, model}
 
@@ -715,6 +715,11 @@ final class DataLakehouse(
       case dropCRe(name) => dropConstraint(name); return spark.emptyDataFrame
       case _ => ()
     }
+    // Managed-table DML/utility statements (DELETE/UPDATE/MERGE/INSERT,
+    // OPTIMIZE/VACUUM/DESCRIBE HISTORY/RESTORE) — same reason: they act
+    // on the txn log, not on a temp view, so they are routed to the
+    // engine ops before Spark ever parses. See SqlDml for the grammar.
+    SqlDml.intercept(this, text, tableName).foreach(df => return df)
     val vRe = s"(?i)\\b$t\\s+FOR\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)".r
     val tsRe = s"(?i)\\b$t\\s+FOR\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'".r
     val versions = vRe.findAllMatchIn(text).map(_.group(1).toLong).toSeq.distinct
@@ -747,6 +752,13 @@ final class DataLakehouse(
   // candidate list for symbol/time predicates) — and the swap publishes as
   // ONE commit whose `requireLive` check makes concurrent row-ops on the
   // same file serializable (loser fails loudly, never resurrects rows).
+
+  /** The columns a SQL INSERT supplies, positionally: the live schema
+    * minus the derived `date` partition key (appendDF re-derives it; an
+    * INSERT can never set it inconsistently with `timestamp`).
+    */
+  private[sources] def dataSchema: Seq[StructField] =
+    liveSchema.fields.filterNot(_.name == "date").toSeq
 
   /** Latest recorded table schema (falls back to the static OHLCV+date). */
   private def liveSchema: StructType = txnLog.schemaAt()

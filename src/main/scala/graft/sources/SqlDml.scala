@@ -1,0 +1,274 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, lit}
+
+/** SQL-text surface for the lakehouse's MANAGED-table statements — the
+  * commands Spark's parser cannot route through a temp view (DML and
+  * table utilities act on the txn log, not on a registered relation).
+  * [[DataLakehouse.sql]] calls [[intercept]] before handing the text to
+  * Spark; a recognized statement routes to the corresponding engine op
+  * and returns a Delta-style metrics DataFrame, anything else falls
+  * through to the snapshot-view path untouched.
+  *
+  * Statement forms (case-insensitive, `;` optional, Delta syntax where
+  * Delta defines one — the reference's own interactive tier is plain
+  * SQL, README.md:30, so the switch-over story needs these to exist as
+  * TEXT, not only as Scala calls):
+  *
+  *   - `DELETE FROM t [WHERE cond]`                  → [[DataLakehouse.deleteWhere]]
+  *   - `UPDATE t SET c = e, ... [WHERE cond]`        → [[DataLakehouse.update]]
+  *   - `MERGE INTO t USING s ON t.k = s.k [AND ...]
+  *      WHEN MATCHED THEN UPDATE SET *
+  *      WHEN NOT MATCHED THEN INSERT *`              → [[DataLakehouse.merge]]
+  *   - `INSERT INTO t VALUES (...), ...` /
+  *     `INSERT INTO t SELECT ...`                    → [[DataLakehouse.appendDF]]
+  *   - `OPTIMIZE t`                                  → [[DataLakehouse.compact]]
+  *   - `VACUUM t [RETAIN n HOURS]`                   → [[DataLakehouse.vacuum]]
+  *   - `DESCRIBE HISTORY t`                          → [[DataLakehouse.history]]
+  *   - `RESTORE TABLE t TO VERSION AS OF n`          → [[DataLakehouse.restore]]
+  *
+  * MERGE accepts exactly the whole-row upsert form above (the Delta
+  * idiom `UPDATE SET * / INSERT *`): that is what the engine's merge
+  * implements — per-column WHEN clauses raise a loud unsupported error
+  * rather than silently approximating. WHERE/SET/ON text is parsed with
+  * a quote- and paren-aware scanner, so string literals containing
+  * keywords (`WHERE note = 'and where'`) never split a statement.
+  *
+  * Conditions resolve against the table's own columns (unqualified
+  * names, as in `deleteWhere`); subqueries inside a DML condition are
+  * not supported — they would need Spark's analyzer against the
+  * snapshot view, at which point the read belongs in `sql`'s SELECT
+  * path feeding a `merge`.
+  */
+private[sources] object SqlDml {
+
+  /** Try to parse `text` as a managed-table statement against table
+    * `tableName`; None = not a DML/utility statement (caller falls
+    * through to the view path).
+    */
+  def intercept(lake: DataLakehouse, text: String,
+      tableName: String): Option[DataFrame] = {
+    val spark = lake.spark
+    val t = java.util.regex.Pattern.quote(tableName)
+
+    val deleteRe = s"(?is)^\\s*DELETE\\s+FROM\\s+$t\\b(.*)$$".r
+    val updateRe = s"(?is)^\\s*UPDATE\\s+$t\\s+SET\\b(.*)$$".r
+    val mergeRe = s"(?is)^\\s*MERGE\\s+INTO\\s+$t\\b(.*)$$".r
+    val insertRe = s"(?is)^\\s*INSERT\\s+INTO\\s+$t\\b(.*)$$".r
+    val optimizeRe = s"(?is)^\\s*OPTIMIZE\\s+$t\\s*;?\\s*$$".r
+    val vacuumRe =
+      s"(?is)^\\s*VACUUM\\s+$t(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS?)?\\s*;?\\s*$$".r
+    val historyRe = s"(?is)^\\s*DESCRIBE\\s+HISTORY\\s+$t\\s*;?\\s*$$".r
+    val restoreRe =
+      s"(?is)^\\s*RESTORE\\s+TABLE\\s+$t\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$".r
+
+    text match {
+      case deleteRe(rest) => Some(delete(lake, rest))
+      case updateRe(rest) => Some(update(lake, rest))
+      case mergeRe(rest) => Some(merge(lake, tableName, rest))
+      case insertRe(rest) => Some(insert(lake, rest))
+      case optimizeRe() =>
+        val v = lake.compact(maxFilesPerPartition = 0)
+        Some(metric(spark, "version_committed", v))
+      case vacuumRe(hours) =>
+        val retain = Option(hours).map(_.toLong * 3600 * 1000L)
+          .getOrElse(DataLakehouse.DefaultVacuumRetainMs)
+        Some(metric(spark, "num_files_deleted", lake.vacuum(retain)))
+      case historyRe() => Some(lake.history())
+      case restoreRe(v) =>
+        Some(metric(spark, "version_restored", lake.restore(v.toLong)))
+      case _ => None
+    }
+  }
+
+  private def metric(spark: SparkSession, name: String, v: Long): DataFrame = {
+    import spark.implicits._
+    Seq(v).toDF(name)
+  }
+
+  private def stripSemi(s: String): String = {
+    val t = s.trim
+    if (t.endsWith(";")) t.dropRight(1).trim else t
+  }
+
+  private def delete(lake: DataLakehouse, rest: String): DataFrame = {
+    val r = stripSemi(rest)
+    val cond =
+      if (r.isEmpty) lit(true)
+      else {
+        val m = "(?is)^WHERE\\b(.+)$".r.findFirstMatchIn(r)
+          .getOrElse(throw new IllegalArgumentException(
+            s"malformed DELETE tail: '$r' (expected [WHERE cond])"))
+        expr(m.group(1).trim)
+      }
+    metric(lake.spark, "num_affected_rows", lake.deleteWhere(cond))
+  }
+
+  private def update(lake: DataLakehouse, rest: String): DataFrame = {
+    val r = stripSemi(rest)
+    // the SET list runs until the first TOP-LEVEL `WHERE` (an assignment
+    // expression may contain the word inside a string literal or a
+    // parenthesized expression — the scanner skips both)
+    val (setPart, wherePart) = topLevelKeyword(r, "WHERE") match {
+      case Some(i) => (r.substring(0, i), Some(r.substring(i + 5)))
+      case None => (r, None)
+    }
+    val assignments = splitTopLevel(setPart, ',').map { seg =>
+      val eq = seg.indexOf('=')
+      require(eq > 0, s"malformed SET assignment: '${seg.trim}'")
+      val name = seg.substring(0, eq).trim
+      require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"malformed SET column name: '$name'")
+      name -> expr(seg.substring(eq + 1).trim)
+    }
+    val cond = wherePart.map(w => expr(w.trim)).getOrElse(lit(true))
+    metric(lake.spark, "num_updated_rows",
+      lake.update(cond, assignments.toMap))
+  }
+
+  private def merge(lake: DataLakehouse, tableName: String,
+      rest: String): DataFrame = {
+    val spark = lake.spark
+    val form =
+      ("(?is)^(?:\\s+AS\\s+(\\w+))?\\s+USING\\s+([\\w.]+)(?:\\s+AS\\s+(\\w+))?" +
+        "\\s+ON\\b(.+?)" +
+        "\\s+WHEN\\s+MATCHED\\s+THEN\\s+UPDATE\\s+SET\\s+\\*" +
+        "\\s+WHEN\\s+NOT\\s+MATCHED\\s+THEN\\s+INSERT\\s+\\*\\s*;?\\s*$").r
+    val m = form.findFirstMatchIn(rest).getOrElse(
+      throw new IllegalArgumentException(
+        "unsupported MERGE form — the engine implements the whole-row " +
+          "upsert: MERGE INTO t USING s ON t.k = s.k [AND ...] " +
+          "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +
+          "(per-column WHEN clauses / DELETE clauses are not supported)"))
+    val targetAlias = Option(m.group(1)).getOrElse(tableName)
+    val sourceName = m.group(2)
+    val sourceAlias = Option(m.group(3)).getOrElse(sourceName)
+    val onClause = m.group(4)
+    // ON must be a conjunction of cross-side equalities on the SAME
+    // column name — that is the key set merge() joins on
+    val keys = splitTopLevelWord(onClause, "AND").map { conj =>
+      val eqRe = "(?is)^\\s*([\\w.]+)\\s*=\\s*([\\w.]+)\\s*$".r
+      val e = eqRe.findFirstMatchIn(conj).getOrElse(
+        throw new IllegalArgumentException(
+          s"unsupported MERGE ON term: '${conj.trim}' " +
+            "(expected t.col = s.col equality)"))
+      def split(q: String): (Option[String], String) = {
+        val i = q.lastIndexOf('.')
+        if (i < 0) (None, q) else (Some(q.substring(0, i)), q.substring(i + 1))
+      }
+      val (qa, ca) = split(e.group(1))
+      val (qb, cb) = split(e.group(2))
+      require(ca.equalsIgnoreCase(cb),
+        s"MERGE ON must equate the same column on both sides, got " +
+          s"'${e.group(1)} = ${e.group(2)}'")
+      val quals = Set(qa, qb).flatten.map(_.toLowerCase)
+      val known = Set(targetAlias, sourceAlias, tableName, sourceName)
+        .map(_.toLowerCase)
+      require(quals.forall(known.contains),
+        s"unknown qualifier in MERGE ON term '${conj.trim}' " +
+          s"(expected one of ${known.mkString(", ")})")
+      ca
+    }
+    val (updated, inserted) = lake.merge(spark.table(sourceName), keys)
+    import spark.implicits._
+    Seq((updated, inserted)).toDF("num_updated_rows", "num_inserted_rows")
+  }
+
+  private def insert(lake: DataLakehouse, rest: String): DataFrame = {
+    val spark = lake.spark
+    val r = stripSemi(rest)
+    val src =
+      if (r.toUpperCase.startsWith("VALUES")) spark.sql(s"SELECT * FROM $r")
+      else if (r.toUpperCase.startsWith("SELECT") ||
+        r.toUpperCase.startsWith("(")) spark.sql(r)
+      else throw new IllegalArgumentException(
+        s"malformed INSERT tail: '${r.take(40)}' (expected VALUES or SELECT)")
+    // positional mapping (SQL INSERT semantics), then cast to the live
+    // schema's types — `date` is derived by appendDF, never supplied
+    val target = lake.dataSchema
+    require(src.columns.length == target.length,
+      s"INSERT arity ${src.columns.length} != table arity ${target.length} " +
+        s"(${target.map(_.name).mkString(", ")})")
+    val renamed = src.toDF(target.map(_.name): _*)
+      .select(target.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    val n = renamed.count()
+    lake.appendDF(renamed)
+    metric(spark, "num_inserted_rows", n)
+  }
+
+  // ------------------------------------------------------------- scanning
+  //
+  // Minimal SQL-aware scanner: tracks paren depth and quoted runs
+  // ('...' with '' escape, "..." and `...` likewise) so keyword/comma
+  // splits never fire inside a literal or a sub-expression. Escaping via
+  // doubled quotes is the SQL form Spark accepts; backslash escapes stay
+  // inside the quoted run anyway because the scanner only leaves quote
+  // state on the closing quote character.
+
+  /** Index of the first occurrence of standalone `word` at paren depth 0
+    * outside quotes, case-insensitive; None if absent.
+    */
+  private[sources] def topLevelKeyword(s: String, word: String): Option[Int] = {
+    var i = 0; var depth = 0; var quote: Char = 0
+    val n = s.length; val w = word.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == quote) {
+          if (quote != '`' && i + 1 < n && s.charAt(i + 1) == quote) i += 1
+          else quote = 0
+        }
+      } else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && i + w <= n &&
+            s.regionMatches(true, i, word, 0, w) &&
+            (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1)) &&
+              s.charAt(i - 1) != '_') &&
+            (i + w == n || !Character.isLetterOrDigit(s.charAt(i + w)) &&
+              s.charAt(i + w) != '_'))
+            return Some(i)
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** Split on `sep` at paren depth 0 outside quotes. */
+  private[sources] def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var start = 0; var i = 0; var depth = 0; var quote: Char = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == quote) {
+          if (quote != '`' && i + 1 < n && s.charAt(i + 1) == quote) i += 1
+          else quote = 0
+        }
+      } else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case `sep` if depth == 0 =>
+          out += s.substring(start, i); start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result()
+  }
+
+  /** Split on standalone keyword `word` at depth 0 (for ON ... AND ...). */
+  private[sources] def splitTopLevelWord(s: String, word: String): Seq[String] = {
+    topLevelKeyword(s, word) match {
+      case Some(i) =>
+        s.substring(0, i) +: splitTopLevelWord(s.substring(i + word.length), word)
+      case None => Seq(s)
+    }
+  }
+}

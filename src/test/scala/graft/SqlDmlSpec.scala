@@ -1,0 +1,214 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.DataLakehouse
+
+/** SQL-text surface for managed-table statements (SqlDml): the DML and
+  * utility forms a reference user coming from the SQL interactive tier
+  * (README.md:30) runs as TEXT. Every statement must route to the SAME
+  * engine op as the Scala API — these specs pin each form's routing,
+  * its Delta-style metrics row, and the quote/paren-aware scanning that
+  * keeps keywords inside string literals from splitting a statement.
+  */
+class SqlDmlSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def bar(sym: String, t: String, close: Double = 153.0): OhlcvBar =
+    OhlcvBar(symbol = sym, timestamp = ts(t),
+      open = 150.0, high = 155.0, low = 149.0, close = close,
+      volume = 1000L, asset_class = AssetClass.Equity)
+
+  /** Two date partitions x two symbols, 8 rows over two commits. */
+  private def seeded(): DataLakehouse = {
+    val lake = new DataLakehouse(spark, tempDir("sqldml"))
+    lake.ingestBatch(Seq(
+      bar("AAPL", "2024-06-15 09:30:00"), bar("AAPL", "2024-06-15 10:30:00"),
+      bar("GOOGL", "2024-06-15 09:30:00"), bar("GOOGL", "2024-06-15 10:30:00")))
+    lake.ingestBatch(Seq(
+      bar("AAPL", "2024-06-16 09:30:00"), bar("AAPL", "2024-06-16 10:30:00"),
+      bar("GOOGL", "2024-06-16 09:30:00"), bar("GOOGL", "2024-06-16 10:30:00")))
+    lake
+  }
+
+  test("sql DELETE FROM ... WHERE routes to deleteWhere with metrics") {
+    val lake = seeded()
+    val m = lake.sql("DELETE FROM trades WHERE symbol = 'AAPL' AND date = '2024-06-15'")
+    assert(m.columns.toSeq == Seq("num_affected_rows"))
+    assert(m.head().getLong(0) == 2L)
+    assert(lake.query().df.count() == 6)
+    assert(lake.query().df.filter(col("symbol") === "AAPL" &&
+      col("date") === "2024-06-15").isEmpty)
+  }
+
+  test("sql DELETE FROM without WHERE empties the table") {
+    val lake = seeded()
+    val m = lake.sql("DELETE FROM trades;")
+    assert(m.head().getLong(0) == 8L)
+    assert(lake.query().df.isEmpty)
+  }
+
+  test("sql UPDATE SET ... WHERE: commas inside calls and keywords inside literals") {
+    val lake = seeded()
+    // the SET list carries a function call with a comma AND a string
+    // literal containing the words WHERE/AND — the scanner must split on
+    // neither; volume arithmetic proves expressions see the OLD row
+    val m = lake.sql(
+      "UPDATE trades SET close = round(close + 0.5, 2), " +
+        "symbol = 'X where , and Y', volume = volume + 1 " +
+        "WHERE symbol = 'AAPL' AND date = '2024-06-16'")
+    assert(m.columns.toSeq == Seq("num_updated_rows"))
+    assert(m.head().getLong(0) == 2L)
+    val updated = lake.query().df.filter(col("symbol") === "X where , and Y")
+    assert(updated.count() == 2)
+    assert(updated.select("close").collect().forall(_.getDouble(0) == 153.5))
+    assert(updated.select("volume").collect().forall(_.getLong(0) == 1001L))
+    // untouched rows keep their values
+    assert(lake.query().df.filter(col("volume") === 1000L).count() == 6)
+  }
+
+  test("sql UPDATE without WHERE touches every row") {
+    val lake = seeded()
+    val m = lake.sql("UPDATE trades SET volume = volume * 2")
+    assert(m.head().getLong(0) == 8L)
+    assert(lake.query().df.select("volume").collect().forall(_.getLong(0) == 2000L))
+  }
+
+  test("sql MERGE INTO whole-row upsert form routes to merge") {
+    val lake = seeded()
+    import spark.implicits._
+    Seq(
+      bar("AAPL", "2024-06-15 09:30:00", close = 154.5), // replaces
+      bar("MSFT", "2024-06-15 09:30:00")) // inserts
+      .toDF().createOrReplaceTempView("src")
+    val m = lake.sql(
+      "MERGE INTO trades AS t USING src AS s " +
+        "ON t.symbol = s.symbol AND t.timestamp = s.timestamp " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    assert(m.columns.toSeq == Seq("num_updated_rows", "num_inserted_rows"))
+    assert(m.head().getLong(0) == 1L && m.head().getLong(1) == 1L)
+    val df = lake.query().df
+    assert(df.count() == 9)
+    assert(df.filter(col("symbol") === "MSFT").count() == 1)
+    assert(df.filter(col("symbol") === "AAPL" &&
+      col("timestamp") === ts("2024-06-15 09:30:00"))
+      .head().getAs[Double]("close") == 154.5)
+  }
+
+  test("sql MERGE rejects per-column WHEN clauses loudly") {
+    val lake = seeded()
+    val e = intercept[IllegalArgumentException] {
+      lake.sql("MERGE INTO trades USING src ON trades.symbol = src.symbol " +
+        "WHEN MATCHED THEN UPDATE SET close = src.close")
+    }
+    assert(e.getMessage.contains("unsupported MERGE form"))
+  }
+
+  test("sql MERGE rejects an ON term equating different columns") {
+    val lake = seeded()
+    import spark.implicits._
+    Seq(bar("MSFT", "2024-06-15 09:30:00")).toDF()
+      .createOrReplaceTempView("src")
+    val e = intercept[IllegalArgumentException] {
+      lake.sql("MERGE INTO trades USING src ON trades.symbol = src.asset_class " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(e.getMessage.contains("same column"))
+  }
+
+  test("sql INSERT INTO VALUES appends with positional cast") {
+    val lake = seeded()
+    val m = lake.sql(
+      "INSERT INTO trades VALUES " +
+        "('NVDA', timestamp'2024-06-17 09:30:00', 90.0, 95.0, 89.0, 94.0, 500, 'equity')")
+    assert(m.columns.toSeq == Seq("num_inserted_rows"))
+    assert(m.head().getLong(0) == 1L)
+    val row = lake.query().df.filter(col("symbol") === "NVDA")
+    assert(row.count() == 1)
+    // date partition derived from timestamp, volume cast int->long
+    assert(row.head().getAs[String]("date") == "2024-06-17")
+    assert(row.head().getAs[Long]("volume") == 500L)
+  }
+
+  test("sql INSERT INTO SELECT appends from a view") {
+    val lake = seeded()
+    import spark.implicits._
+    Seq(bar("TSLA", "2024-06-18 09:30:00"), bar("TSLA", "2024-06-18 10:30:00"))
+      .toDF().createOrReplaceTempView("feed")
+    val m = lake.sql(
+      "INSERT INTO trades SELECT symbol, timestamp, open, high, low, close, volume, asset_class FROM feed")
+    assert(m.head().getLong(0) == 2L)
+    assert(lake.query().df.filter(col("symbol") === "TSLA").count() == 2)
+  }
+
+  test("sql INSERT arity mismatch is loud") {
+    val lake = seeded()
+    val e = intercept[IllegalArgumentException] {
+      lake.sql("INSERT INTO trades VALUES ('NVDA', 1.0)")
+    }
+    assert(e.getMessage.contains("arity"))
+  }
+
+  test("sql OPTIMIZE compacts; DESCRIBE HISTORY and VACUUM RETAIN 0 HOURS work") {
+    val lake = seeded()
+    val filesBefore = lake.txnLog.snapshotFiles().size
+    lake.sql("OPTIMIZE trades")
+    val filesAfter = lake.txnLog.snapshotFiles().size
+    assert(filesAfter <= filesBefore)
+    assert(lake.query().df.count() == 8) // rewrite, not data change
+
+    val hist = lake.sql("DESCRIBE HISTORY trades")
+    assert(hist.count() == lake.txnLog.currentVersion() + 1)
+
+    val vacuumed = lake.sql("VACUUM trades RETAIN 0 HOURS").head().getLong(0)
+    assert(vacuumed >= filesBefore.toLong) // the compacted-away originals
+    assert(lake.query().df.count() == 8)
+  }
+
+  test("sql VACUUM without RETAIN uses the 7-day default (deletes nothing fresh)") {
+    val lake = seeded()
+    lake.sql("OPTIMIZE trades")
+    assert(lake.sql("VACUUM trades").head().getLong(0) == 0L)
+  }
+
+  test("sql RESTORE TABLE TO VERSION AS OF rewinds") {
+    val lake = seeded()
+    val v = lake.txnLog.currentVersion()
+    lake.sql("DELETE FROM trades WHERE symbol = 'AAPL'")
+    assert(lake.query().df.count() == 4)
+    val m = lake.sql(s"RESTORE TABLE trades TO VERSION AS OF $v")
+    assert(m.columns.toSeq == Seq("version_restored"))
+    assert(lake.query().df.count() == 8)
+  }
+
+  test("sql UPDATE re-validates CHECK constraints") {
+    val lake = seeded()
+    lake.addConstraint("vol_nonneg", "volume >= 0")
+    val e = intercept[IllegalStateException] {
+      lake.sql("UPDATE trades SET volume = -1 WHERE symbol = 'AAPL'")
+    }
+    assert(e.getMessage.contains("vol_nonneg"))
+    // nothing committed
+    assert(lake.query().df.filter(col("volume") < 0).isEmpty)
+  }
+
+  test("plain SELECT (and names merely PREFIXED by the table name) fall through") {
+    val lake = seeded()
+    val n = lake.sql("SELECT count(*) AS n FROM trades WHERE symbol = 'AAPL'")
+      .head().getLong(0)
+    assert(n == 4L)
+    // a statement against a DIFFERENT table whose name shares the prefix
+    // must not be intercepted (word-boundary check): Spark's own parser
+    // sees it and fails with ITS table-not-found error, proving the
+    // engine never routed it to deleteWhere
+    val e = intercept[Exception] {
+      lake.sql("DELETE FROM trades_backup WHERE true").collect()
+    }
+    assert(!e.isInstanceOf[IllegalArgumentException])
+    assert(lake.query().df.count() == 8)
+  }
+}
