@@ -200,7 +200,7 @@ final class DataLakehouse(
     val (counts, stats, blooms) = commitMeta(added)
     commitValidated(withDate, "append", expected) { exp =>
       txnLog.commit(added = added, batchId = batchId,
-        schemaJson = Some(withDate.schema.json),
+        schemaJson = Some(mergedSchemaJson(withDate.schema)),
         rowCounts = counts, fileStats = stats, blooms = blooms,
         expectedConstraints = Some(exp))
     }
@@ -227,6 +227,102 @@ final class DataLakehouse(
         .option("compression", writeCompression).save(staging)
     }
     publishStaged(staging)
+  }
+
+  /** Schema this append RECORDS: the batch's fields merged over the
+    * already-recorded schema, so the record is MONOTONE through plain
+    * appends — an append whose batch lacks a previously added column
+    * must not erase it from the latest schema (the file bytes were
+    * never at risk, but `query()`'s fixed-schema read follows the
+    * record, and a narrowing record would hide the column from every
+    * reader). A name collision at a DIFFERENT type is rejected loudly
+    * here: parquet's vectorized reader cannot read a file written
+    * under one type as another, so the mismatch would otherwise
+    * surface as a read-time crash far from the write that caused it.
+    * Consequence for [[dropColumn]]: a producer still writing the
+    * dropped column re-introduces it on its next append — retire the
+    * column from producers before dropping it (Delta's operational
+    * guidance too).
+    */
+  private def mergedSchemaJson(batch: StructType): String =
+    txnLog.schemaAt()
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[StructType]) match {
+      case None => batch.json
+      case Some(prev) =>
+        val prevByName = prev.fields.map(f => f.name -> f).toMap
+        batch.fields.foreach { f =>
+          prevByName.get(f.name).foreach { pf =>
+            require(pf.dataType == f.dataType,
+              s"append schema conflict on '${f.name}': table has " +
+                s"${pf.dataType.simpleString}, batch has ${f.dataType.simpleString}")
+          }
+        }
+        StructType(prev.fields ++
+          batch.fields.filterNot(f => prevByName.contains(f.name))).json
+    }
+
+  // ------------------------------------------------------- schema evolution
+
+  /** `ALTER TABLE ADD COLUMN name type` (Delta parity): appends a
+    * NULLABLE column to the recorded schema in one metadata-only commit
+    * — zero data files touched; every existing row reads as NULL until
+    * a write populates it, and time travel before this version never
+    * sees the column. New columns land at the END of the schema, which
+    * is also what keeps CSV-format tables sound (their reads resolve
+    * positionally; missing trailing fields read as NULL).
+    *
+    * Concurrency: schema DDL keeps the documented single-writer
+    * administrative contract (NOTES, round 8) — unlike constraint DDL
+    * there is no expected-schema conflict check, so racing schema DDL
+    * is last-writer-wins on the record.
+    */
+  def addColumn(name: String,
+      dataType: org.apache.spark.sql.types.DataType): Long = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"column name must be [A-Za-z0-9_]+: $name")
+    val cur = liveSchema
+    require(!cur.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"column $name already exists")
+    val next = StructType(cur.fields :+ StructField(name, dataType, nullable = true))
+    txnLog.commit(added = Nil, op = Some("add-column"),
+      schemaJson = Some(next.json))
+  }
+
+  /** `ALTER TABLE DROP COLUMN name`: metadata-only — the recorded
+    * schema stops projecting the column; file bytes are untouched, so
+    * time travel to a pre-drop version still reads it (Delta's
+    * column-mapping drop semantics, minus the mapping: resolution here
+    * is by NAME against parquet footers, which is why the operation is
+    * parquet-only — a CSV file resolves positionally and dropping a
+    * middle column would shift every field after it). Core model
+    * columns and partition keys are not droppable (`barValid` /
+    * `dateKey` / the layout depend on them), and a drop that would
+    * break a registered CHECK constraint is rejected HERE, not on the
+    * next write far from the DDL that caused it.
+    */
+  def dropColumn(name: String): Long = {
+    require(format == "parquet",
+      s"DROP COLUMN requires name-based file resolution (parquet); " +
+        s"this table's format is $format")
+    val cur = liveSchema
+    require(cur.fieldNames.contains(name), s"no such column: $name")
+    val protect = model.ohlcvSchema.fieldNames.toSet ++ partitionCols
+    require(!protect.contains(name),
+      s"cannot drop core/partition column $name")
+    val next = StructType(cur.fields.filterNot(_.name == name))
+    val probe = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), next)
+    constraints.foreach { case (n, sql) =>
+      try probe.filter(expr(sql)).queryExecution.analyzed
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"cannot drop column $name: constraint $n CHECK ($sql) " +
+            "references it — drop the constraint first", e)
+      }
+    }
+    txnLog.commit(added = Nil, op = Some("drop-column"),
+      schemaJson = Some(next.json))
   }
 
   // ------------------------------------------------------------ constraints

@@ -62,6 +62,32 @@ private[sources] object SqlDml {
     val historyRe = s"(?is)^\\s*DESCRIBE\\s+HISTORY\\s+$t\\s*;?\\s*$$".r
     val restoreRe =
       s"(?is)^\\s*RESTORE\\s+TABLE\\s+$t\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$".r
+    // schema-evolution DDL (Delta syntax): single- and multi-column ADD,
+    // name-only DROP. Types parse through DataType.fromDDL, so the full
+    // SQL type grammar (DECIMAL(10,2), ARRAY<DOUBLE>, ...) is accepted.
+    val addColRe =
+      s"(?is)^\\s*ALTER\\s+TABLE\\s+$t\\s+ADD\\s+COLUMN\\s+(\\w+)\\s+(.+?)\\s*;?\\s*$$".r
+    val addColsRe =
+      s"(?is)^\\s*ALTER\\s+TABLE\\s+$t\\s+ADD\\s+COLUMNS\\s*\\((.+)\\)\\s*;?\\s*$$".r
+    val dropColRe =
+      s"(?is)^\\s*ALTER\\s+TABLE\\s+$t\\s+DROP\\s+COLUMN\\s+(\\w+)\\s*;?\\s*$$".r
+
+    text match {
+      case addColRe(name, ddlType) =>
+        return Some(metric(spark, "version_committed",
+          lake.addColumn(name,
+            org.apache.spark.sql.types.DataType.fromDDL(ddlType))))
+      case addColsRe(list) =>
+        // the list is itself DDL ("c1 INT, c2 STRING"): one parse, then
+        // one addColumn per field, last commit version reported
+        val fields = org.apache.spark.sql.types.StructType.fromDDL(list)
+        require(fields.nonEmpty, "ADD COLUMNS list is empty")
+        val v = fields.map(f => lake.addColumn(f.name, f.dataType)).last
+        return Some(metric(spark, "version_committed", v))
+      case dropColRe(name) =>
+        return Some(metric(spark, "version_committed", lake.dropColumn(name)))
+      case _ => ()
+    }
 
     text match {
       case deleteRe(rest) => Some(delete(lake, rest))
@@ -177,23 +203,52 @@ private[sources] object SqlDml {
 
   private def insert(lake: DataLakehouse, rest: String): DataFrame = {
     val spark = lake.spark
-    val r = stripSemi(rest)
+    val r0 = stripSemi(rest)
+    // optional explicit column list `(c1, c2, ...)` before VALUES/SELECT
+    // — disambiguated from a parenthesized SELECT by shape (a comma list
+    // of bare identifiers); unnamed columns fill with NULL
+    val (colNames, r) =
+      if (r0.startsWith("(")) {
+        val close = matchingParen(r0)
+        val names = splitTopLevel(r0.substring(1, close), ',').map(_.trim)
+        if (names.nonEmpty &&
+          names.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")))
+          (Some(names), r0.substring(close + 1).trim)
+        else (None, r0)
+      } else (None, r0)
     val src =
       if (r.toUpperCase.startsWith("VALUES")) spark.sql(s"SELECT * FROM $r")
       else if (r.toUpperCase.startsWith("SELECT") ||
         r.toUpperCase.startsWith("(")) spark.sql(r)
       else throw new IllegalArgumentException(
         s"malformed INSERT tail: '${r.take(40)}' (expected VALUES or SELECT)")
-    // positional mapping (SQL INSERT semantics), then cast to the live
-    // schema's types — `date` is derived by appendDF, never supplied
+    // positional mapping (SQL INSERT semantics) onto the supplied column
+    // list or the full data schema, then cast to the live schema's types
+    // — `date` is derived by appendDF, never supplied
     val target = lake.dataSchema
-    require(src.columns.length == target.length,
-      s"INSERT arity ${src.columns.length} != table arity ${target.length} " +
-        s"(${target.map(_.name).mkString(", ")})")
-    val renamed = src.toDF(target.map(_.name): _*)
-      .select(target.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
-    val n = renamed.count()
-    lake.appendDF(renamed)
+    val supplied = colNames.getOrElse(target.map(_.name))
+    colNames.foreach { ns =>
+      val unknown = ns.filterNot(n =>
+        target.exists(_.name.equalsIgnoreCase(n)))
+      require(unknown.isEmpty,
+        s"unknown INSERT column(s): ${unknown.mkString(", ")}")
+      require(ns.map(_.toLowerCase).distinct.size == ns.size,
+        s"duplicate INSERT column in (${ns.mkString(", ")})")
+    }
+    require(src.columns.length == supplied.length,
+      s"INSERT arity ${src.columns.length} != column-list arity " +
+        s"${supplied.length} (${supplied.mkString(", ")})")
+    // canonicalize the user's spelling to the schema's (names are
+    // validated above, so the find always hits for a column list)
+    val canonical = supplied.map(n =>
+      target.find(_.name.equalsIgnoreCase(n)).map(_.name).getOrElse(n))
+    val renamed = src.toDF(canonical: _*)
+    val complete = renamed.select(target.map { f =>
+      (if (canonical.contains(f.name)) col(f.name)
+       else lit(null)).cast(f.dataType).as(f.name)
+    }: _*)
+    val n = complete.count()
+    lake.appendDF(complete)
     metric(spark, "num_inserted_rows", n)
   }
 
@@ -235,6 +290,33 @@ private[sources] object SqlDml {
       i += 1
     }
     None
+  }
+
+  /** Index of the `)` matching the `(` at position 0 (quote-aware);
+    * throws if unbalanced.
+    */
+  private[sources] def matchingParen(s: String): Int = {
+    require(s.nonEmpty && s.charAt(0) == '(', s"expected '(': $s")
+    var i = 0; var depth = 0; var quote: Char = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == quote) {
+          if (quote != '`' && i + 1 < n && s.charAt(i + 1) == quote) i += 1
+          else quote = 0
+        }
+      } else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return i
+        case _ => ()
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unbalanced parens in: $s")
   }
 
   /** Split on `sep` at paren depth 0 outside quotes. */

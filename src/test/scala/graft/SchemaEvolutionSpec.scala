@@ -1,0 +1,165 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.DataLakehouse
+
+/** Schema-evolution DDL (ALTER TABLE ADD/DROP COLUMN) and the monotone
+  * schema record. The contracts that matter at 100 TB: column DDL is
+  * METADATA-ONLY (zero data files touched at any table size), reads at
+  * old versions are unaffected (time travel), and the recorded schema
+  * can only narrow through an EXPLICIT drop — never as a side effect
+  * of a producer that hasn't learned the new column yet.
+  */
+class SchemaEvolutionSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def bar(sym: String, t: String): OhlcvBar =
+    OhlcvBar(symbol = sym, timestamp = ts(t),
+      open = 150.0, high = 155.0, low = 149.0, close = 153.0,
+      volume = 1000L, asset_class = AssetClass.Equity)
+
+  private def seeded(): DataLakehouse = {
+    val lake = new DataLakehouse(spark, tempDir("schemaevo"))
+    lake.ingestBatch(Seq(
+      bar("AAPL", "2024-06-15 09:30:00"), bar("GOOGL", "2024-06-15 09:30:00")))
+    lake
+  }
+
+  test("addColumn is metadata-only; old rows read NULL; time travel predates it") {
+    val lake = seeded()
+    val filesBefore = lake.txnLog.snapshotFiles().toSet
+    val v = lake.txnLog.currentVersion()
+
+    lake.addColumn("exchange", StringType)
+    assert(lake.txnLog.snapshotFiles().toSet == filesBefore) // zero data churn
+    val df = lake.query().df
+    assert(df.columns.contains("exchange"))
+    assert(df.filter(col("exchange").isNull).count() == 2)
+    // the pre-DDL snapshot has no such column
+    assert(!lake.timeTravel(v).columns.contains("exchange"))
+  }
+
+  test("sql ALTER TABLE ADD COLUMN / ADD COLUMNS / DROP COLUMN route and parse types") {
+    val lake = seeded()
+    lake.sql("ALTER TABLE trades ADD COLUMN venue STRING")
+    lake.sql("ALTER TABLE trades ADD COLUMNS (fee DECIMAL(10,2), seq BIGINT)")
+    val schema = lake.query().df.schema
+    assert(schema("venue").dataType == StringType)
+    assert(schema("fee").dataType == DecimalType(10, 2))
+    assert(schema("seq").dataType == LongType)
+
+    lake.sql("ALTER TABLE trades DROP COLUMN seq")
+    assert(!lake.query().df.columns.contains("seq"))
+  }
+
+  test("INSERT with an explicit column list fills unnamed columns with NULL") {
+    val lake = seeded()
+    lake.addColumn("venue", StringType)
+    lake.addColumn("fee", DoubleType)
+    val m = lake.sql(
+      "INSERT INTO trades (symbol, timestamp, open, high, low, close, volume, asset_class, venue) " +
+        "VALUES ('NVDA', timestamp'2024-06-16 09:30:00', 90.0, 95.0, 89.0, 94.0, 500, 'equity', 'XNAS')")
+    assert(m.head().getLong(0) == 1L)
+    val row = lake.query().df.filter(col("symbol") === "NVDA").head()
+    assert(row.getAs[String]("venue") == "XNAS")
+    assert(row.isNullAt(row.fieldIndex("fee"))) // unnamed -> NULL
+  }
+
+  test("INSERT column list: case-insensitive names; duplicates and unknowns loud") {
+    val lake = seeded()
+    lake.sql("INSERT INTO trades (SYMBOL, Timestamp, open, high, low, close, volume, asset_class) " +
+      "VALUES ('TSLA', timestamp'2024-06-16 09:30:00', 1.0, 2.0, 0.5, 1.5, 10, 'equity')")
+    assert(lake.query().df.filter(col("symbol") === "TSLA").count() == 1)
+    val dup = intercept[IllegalArgumentException] {
+      lake.sql("INSERT INTO trades (symbol, SYMBOL) VALUES ('A', 'B')")
+    }
+    assert(dup.getMessage.contains("duplicate"))
+    val unk = intercept[IllegalArgumentException] {
+      lake.sql("INSERT INTO trades (symbol, nope) VALUES ('A', 'B')")
+    }
+    assert(unk.getMessage.contains("unknown INSERT column"))
+  }
+
+  test("a plain append cannot erase a DDL-added column from the record") {
+    val lake = seeded()
+    lake.addColumn("exchange", StringType)
+    // a producer that never learned the new column appends the old shape
+    lake.ingestBatch(Seq(bar("MSFT", "2024-06-16 09:30:00")))
+    val df = lake.query().df
+    assert(df.columns.contains("exchange")) // monotone record
+    assert(df.count() == 3)
+    assert(df.filter(col("exchange").isNull).count() == 3)
+  }
+
+  test("an append whose batch re-types an existing column is rejected loudly") {
+    val lake = seeded()
+    lake.addColumn("fee", DoubleType)
+    import spark.implicits._
+    val bad = Seq(("NVDA", ts("2024-06-16 09:30:00"), 90.0, 95.0, 89.0, 94.0,
+      500L, "equity", "not-a-double"))
+      .toDF("symbol", "timestamp", "open", "high", "low", "close",
+        "volume", "asset_class", "fee")
+    val e = intercept[IllegalArgumentException] { lake.appendDF(bad) }
+    assert(e.getMessage.contains("schema conflict on 'fee'"))
+  }
+
+  test("dropColumn hides the column from reads but time travel still sees it") {
+    val lake = seeded()
+    lake.addColumn("venue", StringType)
+    import spark.implicits._
+    val withVenue = Seq(("NVDA", ts("2024-06-16 09:30:00"), 90.0, 95.0, 89.0,
+      94.0, 500L, "equity", "XNAS"))
+      .toDF("symbol", "timestamp", "open", "high", "low", "close",
+        "volume", "asset_class", "venue")
+    lake.appendDF(withVenue)
+    val vWith = lake.txnLog.currentVersion()
+
+    lake.dropColumn("venue")
+    assert(!lake.query().df.columns.contains("venue"))
+    assert(lake.query().df.count() == 3) // data intact
+    // pre-drop snapshot still projects it (file bytes untouched)
+    val old = lake.timeTravel(vWith)
+    assert(old.filter(col("venue") === "XNAS").count() == 1)
+  }
+
+  test("dropColumn guards: core/partition columns, CSV format, constraint references") {
+    val lake = seeded()
+    intercept[IllegalArgumentException] { lake.dropColumn("close") }
+    intercept[IllegalArgumentException] { lake.dropColumn("date") }
+
+    lake.addColumn("fee", DoubleType)
+    lake.addConstraint("fee_nonneg", "fee >= 0")
+    val e = intercept[IllegalArgumentException] { lake.dropColumn("fee") }
+    assert(e.getMessage.contains("fee_nonneg"))
+    lake.dropConstraint("fee_nonneg")
+    lake.dropColumn("fee") // now legal
+    assert(!lake.query().df.columns.contains("fee"))
+
+    val csvLake = new DataLakehouse(spark, tempDir("schemaevo-csv"), format = "csv")
+    csvLake.ingestBatch(Seq(bar("AAPL", "2024-06-15 09:30:00")))
+    csvLake.addColumn("venue", StringType) // trailing add is csv-sound
+    assert(csvLake.query().df.columns.contains("venue"))
+    val c = intercept[IllegalArgumentException] { csvLake.dropColumn("venue") }
+    assert(c.getMessage.contains("parquet"))
+  }
+
+  test("compaction carries evolved columns through the rewrite") {
+    val lake = seeded()
+    lake.addColumn("venue", StringType)
+    import spark.implicits._
+    lake.appendDF(Seq(("NVDA", ts("2024-06-15 10:30:00"), 90.0, 95.0, 89.0,
+      94.0, 500L, "equity", "XNAS"))
+      .toDF("symbol", "timestamp", "open", "high", "low", "close",
+        "volume", "asset_class", "venue"))
+    lake.compact(maxFilesPerPartition = 0)
+    val df = lake.query().df
+    assert(df.count() == 3)
+    assert(df.filter(col("venue") === "XNAS").count() == 1)
+    assert(df.filter(col("venue").isNull).count() == 2)
+  }
+}
