@@ -278,13 +278,27 @@ final class DataLakehouse(
     * is last-writer-wins on the record.
     */
   def addColumn(name: String,
-      dataType: org.apache.spark.sql.types.DataType): Long = {
-    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
-      s"column name must be [A-Za-z0-9_]+: $name")
+      dataType: org.apache.spark.sql.types.DataType): Long =
+    addColumns(Seq(name -> dataType))
+
+  /** Multi-column [[addColumn]] as ONE metadata commit (`ALTER TABLE …
+    * ADD COLUMNS (…)` must be atomic: a duplicate in the list fails the
+    * whole statement, never leaving half the columns added).
+    */
+  def addColumns(
+      cols: Seq[(String, org.apache.spark.sql.types.DataType)]): Long = {
+    require(cols.nonEmpty, "ADD COLUMNS list is empty")
     val cur = liveSchema
-    require(!cur.fieldNames.exists(_.equalsIgnoreCase(name)),
-      s"column $name already exists")
-    val next = StructType(cur.fields :+ StructField(name, dataType, nullable = true))
+    val taken = scala.collection.mutable.Set(
+      cur.fieldNames.map(_.toLowerCase).toSeq: _*)
+    cols.foreach { case (name, _) =>
+      require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+        s"column name must be [A-Za-z0-9_]+: $name")
+      require(taken.add(name.toLowerCase), s"column $name already exists")
+    }
+    val next = StructType(cur.fields ++ cols.map { case (n, dt) =>
+      StructField(n, dt, nullable = true)
+    })
     txnLog.commit(added = Nil, op = Some("add-column"),
       schemaJson = Some(next.json))
   }

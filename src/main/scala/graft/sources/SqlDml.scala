@@ -78,12 +78,11 @@ private[sources] object SqlDml {
           lake.addColumn(name,
             org.apache.spark.sql.types.DataType.fromDDL(ddlType))))
       case addColsRe(list) =>
-        // the list is itself DDL ("c1 INT, c2 STRING"): one parse, then
-        // one addColumn per field, last commit version reported
+        // the list is itself DDL ("c1 INT, c2 STRING"): one parse, ONE
+        // atomic commit for the whole list
         val fields = org.apache.spark.sql.types.StructType.fromDDL(list)
-        require(fields.nonEmpty, "ADD COLUMNS list is empty")
-        val v = fields.map(f => lake.addColumn(f.name, f.dataType)).last
-        return Some(metric(spark, "version_committed", v))
+        return Some(metric(spark, "version_committed",
+          lake.addColumns(fields.map(f => f.name -> f.dataType))))
       case dropColRe(name) =>
         return Some(metric(spark, "version_committed", lake.dropColumn(name)))
       case _ => ()
@@ -270,7 +269,8 @@ private[sources] object SqlDml {
     while (i < n) {
       val c = s.charAt(i)
       if (quote != 0) {
-        if (c == quote) {
+        if (quote != '`' && c == '\\') i += 1 // backslash escape: skip next
+        else if (c == quote) {
           if (quote != '`' && i + 1 < n && s.charAt(i + 1) == quote) i += 1
           else quote = 0
         }
@@ -302,7 +302,8 @@ private[sources] object SqlDml {
     while (i < n) {
       val c = s.charAt(i)
       if (quote != 0) {
-        if (c == quote) {
+        if (quote != '`' && c == '\\') i += 1 // backslash escape: skip next
+        else if (c == quote) {
           if (quote != '`' && i + 1 < n && s.charAt(i + 1) == quote) i += 1
           else quote = 0
         }
@@ -327,7 +328,8 @@ private[sources] object SqlDml {
     while (i < n) {
       val c = s.charAt(i)
       if (quote != 0) {
-        if (c == quote) {
+        if (quote != '`' && c == '\\') i += 1 // backslash escape: skip next
+        else if (c == quote) {
           if (quote != '`' && i + 1 < n && s.charAt(i + 1) == quote) i += 1
           else quote = 0
         }

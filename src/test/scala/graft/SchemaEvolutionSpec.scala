@@ -57,6 +57,17 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(!lake.query().df.columns.contains("seq"))
   }
 
+  test("ADD COLUMNS is atomic: a duplicate in the list adds nothing") {
+    val lake = seeded()
+    val v = lake.txnLog.currentVersion()
+    val e = intercept[IllegalArgumentException] {
+      lake.sql("ALTER TABLE trades ADD COLUMNS (venue STRING, close DOUBLE)")
+    }
+    assert(e.getMessage.contains("already exists"))
+    assert(lake.txnLog.currentVersion() == v) // no partial commit
+    assert(!lake.query().df.columns.contains("venue"))
+  }
+
   test("INSERT with an explicit column list fills unnamed columns with NULL") {
     val lake = seeded()
     lake.addColumn("venue", StringType)

@@ -70,6 +70,18 @@ class SqlDmlSpec extends SparkSpec {
     assert(lake.query().df.filter(col("volume") === 1000L).count() == 6)
   }
 
+  test("sql UPDATE: a backslash-escaped quote inside a literal never splits") {
+    val lake = seeded()
+    // Spark's default parser processes \' inside '...' — the scanner
+    // must stay in quote state across it, or the comma after it would
+    // end the literal early and shear the SET list
+    val m = lake.sql(
+      "UPDATE trades SET symbol = 'a\\',b', volume = volume + 1 " +
+        "WHERE symbol = 'AAPL'")
+    assert(m.head().getLong(0) == 4L)
+    assert(lake.query().df.filter(col("symbol") === "a',b").count() == 4)
+  }
+
   test("sql UPDATE without WHERE touches every row") {
     val lake = seeded()
     val m = lake.sql("UPDATE trades SET volume = volume * 2")
