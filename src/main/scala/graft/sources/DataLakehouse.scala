@@ -198,11 +198,29 @@ final class DataLakehouse(
     enforceConstraints(withDate, "append", expected)
     val added = stageClusteredWrite(withDate)
     val (counts, stats, blooms) = commitMeta(added)
-    commitValidated(withDate, "append", expected) { exp =>
-      txnLog.commit(added = added, batchId = batchId,
-        schemaJson = Some(mergedSchemaJson(withDate.schema)),
-        rowCounts = counts, fileStats = stats, blooms = blooms,
-        expectedConstraints = Some(exp))
+    // schema snapshot threaded as expectedSchema: the monotone merge is
+    // a read-modify-write of the record, so a schema DDL (or another
+    // evolving append) landing in this window conflicts LOUDLY and the
+    // merge re-derives against the new record — never clobbers it. A
+    // re-typed column in the new record fails the re-merge, which is
+    // the correct loud outcome.
+    var expSchema = txnLog.schemaAt()
+    var committed = false
+    while (!committed) {
+      try {
+        commitValidated(withDate, "append", expected) { exp =>
+          txnLog.commit(added = added, batchId = batchId,
+            schemaJson = Some(mergedSchemaJson(expSchema, withDate.schema)),
+            rowCounts = counts, fileStats = stats, blooms = blooms,
+            expectedConstraints = Some(exp),
+            expectedSchema = Some(expSchema))
+        }
+        committed = true
+      } catch { case e: TxnLog.SchemaConflictException =>
+        val now = txnLog.schemaAt()
+        if (now == expSchema) throw e // no actual change: don't spin
+        expSchema = now // re-merge against the new record and retry
+      }
     }
     // leaf partitions touched (all k=v levels, not just the first)
     added.map(r => r.take(math.max(0, r.lastIndexOf('/')))).distinct.size.toLong
@@ -244,8 +262,9 @@ final class DataLakehouse(
     * column from producers before dropping it (Delta's operational
     * guidance too).
     */
-  private def mergedSchemaJson(batch: StructType): String =
-    txnLog.schemaAt()
+  private def mergedSchemaJson(prevRaw: Option[String],
+      batch: StructType): String =
+    prevRaw
       .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[StructType]) match {
       case None => batch.json
@@ -285,10 +304,16 @@ final class DataLakehouse(
     * ADD COLUMNS (…)` must be atomic: a duplicate in the list fails the
     * whole statement, never leaving half the columns added).
     */
+  /** Test seam for the schema-read -> commit window of column DDL (the
+    * restoreImpl beforeCommit pattern).
+    */
+  private[graft] var beforeSchemaCommit: () => Unit = () => ()
+
   def addColumns(
       cols: Seq[(String, org.apache.spark.sql.types.DataType)]): Long = {
     require(cols.nonEmpty, "ADD COLUMNS list is empty")
-    val cur = liveSchema
+    val raw = txnLog.schemaAt() // snapshot for the DDL conflict check
+    val cur = decodeSchema(raw)
     val taken = scala.collection.mutable.Set(
       cur.fieldNames.map(_.toLowerCase).toSeq: _*)
     cols.foreach { case (name, _) =>
@@ -299,8 +324,12 @@ final class DataLakehouse(
     val next = StructType(cur.fields ++ cols.map { case (n, dt) =>
       StructField(n, dt, nullable = true)
     })
+    beforeSchemaCommit()
+    // expectedSchema: racing schema DDL (or an evolving append) loses
+    // loudly and re-runs, never silently clobbers — the constraint-DDL
+    // serializability pattern
     txnLog.commit(added = Nil, op = Some("add-column"),
-      schemaJson = Some(next.json))
+      schemaJson = Some(next.json), expectedSchema = Some(raw))
   }
 
   /** `ALTER TABLE DROP COLUMN name`: metadata-only — the recorded
@@ -319,7 +348,8 @@ final class DataLakehouse(
     require(format == "parquet",
       s"DROP COLUMN requires name-based file resolution (parquet); " +
         s"this table's format is $format")
-    val cur = liveSchema
+    val raw = txnLog.schemaAt() // snapshot for the DDL conflict check
+    val cur = decodeSchema(raw)
     require(cur.fieldNames.contains(name), s"no such column: $name")
     val protect = model.ohlcvSchema.fieldNames.toSet ++ partitionCols
     require(!protect.contains(name),
@@ -335,8 +365,9 @@ final class DataLakehouse(
             "references it — drop the constraint first", e)
       }
     }
+    beforeSchemaCommit()
     txnLog.commit(added = Nil, op = Some("drop-column"),
-      schemaJson = Some(next.json))
+      schemaJson = Some(next.json), expectedSchema = Some(raw))
   }
 
   // ------------------------------------------------------------ constraints
@@ -871,7 +902,9 @@ final class DataLakehouse(
     liveSchema.fields.filterNot(_.name == "date").toSeq
 
   /** Latest recorded table schema (falls back to the static OHLCV+date). */
-  private def liveSchema: StructType = txnLog.schemaAt()
+  private def liveSchema: StructType = decodeSchema(txnLog.schemaAt())
+
+  private def decodeSchema(raw: Option[String]): StructType = raw
     .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
       .asInstanceOf[StructType])
     .getOrElse(schemaWithDate)
@@ -1356,8 +1389,12 @@ final class DataLakehouse(
     // would let this restore silently clobber it — the metadata check
     // makes restore-vs-DDL serializable like every other metadata race
     val curConstraints = txnLog.constraintsAt()
+    // same treatment for the schema record: a concurrent column DDL in
+    // the read->commit window changes no files either, and restore
+    // rewinds schemaJson wholesale — expectedSchema makes the race loud
+    val curSchema = txnLog.schemaAt()
     def cmap(o: Option[String]) = o.map(TxnLog.decodeConstraints).getOrElse(Map.empty)
-    if (reAdd.isEmpty && drop.isEmpty && targetSchema == txnLog.schemaAt() &&
+    if (reAdd.isEmpty && drop.isEmpty && targetSchema == curSchema &&
         cmap(txnLog.constraintsAt(version)) == cmap(curConstraints))
       return -1L
     val vacuumed = reAdd.filterNot(r => Files.isRegularFile(Paths.get(root, r)))
@@ -1368,7 +1405,12 @@ final class DataLakehouse(
     beforeCommit()
     val v = txnLog.commit(
       added = reAdd, removed = drop,
-      schemaJson = targetSchema,
+      // the target's schema is encoded EXPLICITLY (falling back to the
+      // static model schema when the target predates any record): a
+      // None would mean "no change" under the newest-at-or-below
+      // resolver and leak the CURRENT schema into the restored state —
+      // the constraint rewind has the same rule, below
+      schemaJson = Some(targetSchema.getOrElse(schemaWithDate.json)),
       rowCounts = txnLog.rowCountsAt(version).view.filterKeys(reAddSet).toMap,
       fileStats = txnLog.fileStatsAt(version).view.filterKeys(reAddSet).toMap,
       blooms = txnLog.bloomsAt(version).view.filterKeys(reAddSet).toMap,
@@ -1380,7 +1422,8 @@ final class DataLakehouse(
       // constraints into the restored state
       constraintsJson = Some(txnLog.constraintsAt(version)
         .getOrElse(TxnLog.encodeConstraints(Map.empty))),
-      expectedConstraints = Some(curConstraints))
+      expectedConstraints = Some(curConstraints),
+      expectedSchema = Some(curSchema))
     postRestoreVerify(version, v, reAdd)
     v
   }

@@ -40,6 +40,17 @@ object TxnLog {
   final class ConstraintConflictException(msg: String)
     extends java.util.ConcurrentModificationException(msg)
 
+  /** The `expectedSchema` check failed: the predecessor snapshot records
+    * a different schema than the committer derived its own record from.
+    * Distinct from the requireLive conflict for the same reason as
+    * [[ConstraintConflictException]]: an append can REPAIR this race by
+    * re-merging its batch schema over the new record and retrying, while
+    * schema DDL surfaces it to the caller to re-run against the new
+    * schema.
+    */
+  final class SchemaConflictException(msg: String)
+    extends java.util.ConcurrentModificationException(msg)
+
   /** Per-file clustering-column bounds recorded at commit time — the
     * log-side statistics that let `query()` prune FILES without opening
     * a single footer (the Delta-style skipping the reference describes:
@@ -287,7 +298,14 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       // ops: validated inside the exclusive-create retry loop, so the
       // winner's predecessor state is exactly what it validated and a
       // racing DDL can never be silently clobbered
-      expectedConstraints: Option[Option[String]] = None): Long = {
+      expectedConstraints: Option[Option[String]] = None,
+      // Some(expected): the PREDECESSOR snapshot's recorded schema must
+      // equal `expected` or the commit throws SchemaConflictException —
+      // the same serializability the constraint map has. Threaded by
+      // every path that WRITES schemaJson derived from a read of the
+      // current record (append's monotone merge, column DDL, restore),
+      // so a concurrent schema change is never silently clobbered.
+      expectedSchema: Option[Option[String]] = None): Long = {
     Files.createDirectories(logDir)
     var attempt = 0
     while (true) {
@@ -306,6 +324,14 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
           throw new TxnLog.ConstraintConflictException(
             s"conflicting constraint DDL: predecessor version ${v - 1} " +
               s"carries $actual, expected $expected — re-read and retry")
+      }
+      expectedSchema.foreach { expected =>
+        val actual = schemaAt(v - 1)
+        if (actual != expected)
+          throw new TxnLog.SchemaConflictException(
+            s"conflicting schema change: predecessor version ${v - 1} " +
+              "records a different schema than this commit derived from " +
+              "— re-read and retry")
       }
       val node: ObjectNode = mapper.createObjectNode()
       node.put("version", v)

@@ -159,6 +159,60 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(c.getMessage.contains("parquet"))
   }
 
+  test("racing column DDL is serializable: the loser throws, a re-run lands both") {
+    val lake = seeded()
+    var fired = false
+    lake.beforeSchemaCommit = () => if (!fired) {
+      fired = true
+      // a sibling instance on the same root wins the window
+      new DataLakehouse(spark, lake.root).addColumn("venue", StringType)
+    }
+    val e = intercept[graft.sources.TxnLog.SchemaConflictException] {
+      lake.addColumn("fee", DoubleType)
+    }
+    assert(e.getMessage.contains("conflicting schema change"))
+    lake.beforeSchemaCommit = () => ()
+    lake.addColumn("fee", DoubleType) // re-run against the new record
+    val cols = lake.query().df.columns
+    assert(cols.contains("venue") && cols.contains("fee")) // neither clobbered
+  }
+
+  test("an append racing a column DDL re-merges and keeps the new column") {
+    val lake = seeded()
+    var fired = false
+    lake.beforeDataCommit = () => if (!fired) {
+      fired = true
+      new DataLakehouse(spark, lake.root).addColumn("venue", StringType)
+    }
+    // the append's schema snapshot predates the DDL; expectedSchema makes
+    // the first commit attempt conflict, and the retry re-merges over the
+    // NEW record — the column survives an old-shape producer mid-race
+    lake.ingestBatch(Seq(bar("MSFT", "2024-06-16 09:30:00")))
+    lake.beforeDataCommit = () => ()
+    val df = lake.query().df
+    assert(df.columns.contains("venue"))
+    assert(df.count() == 3)
+  }
+
+  test("restore racing a column DDL loses loudly instead of erasing it") {
+    val lake = seeded()
+    val v = lake.txnLog.currentVersion()
+    lake.ingestBatch(Seq(bar("MSFT", "2024-06-16 09:30:00")))
+    var fired = false
+    val e = intercept[graft.sources.TxnLog.SchemaConflictException] {
+      lake.restoreImpl(v, () => if (!fired) {
+        fired = true
+        new DataLakehouse(spark, lake.root).addColumn("venue", StringType)
+      })
+    }
+    assert(e.getMessage.contains("conflicting schema change"))
+    // the DDL survived; a deliberate re-run rewinds wholesale as asked
+    assert(lake.query().df.columns.contains("venue"))
+    lake.restore(v)
+    assert(!lake.query().df.columns.contains("venue"))
+    assert(lake.query().df.count() == 2)
+  }
+
   test("compaction carries evolved columns through the rewrite") {
     val lake = seeded()
     lake.addColumn("venue", StringType)
