@@ -208,9 +208,14 @@ final class DataLakehouse(
     var committed = false
     while (!committed) {
       try {
+        // an unchanged record is NOT re-written: the no-op write would
+        // bloat the log and make every plain append look like a schema
+        // change to concurrent DDL's expectedSchema check
+        val merged = mergedSchemaJson(expSchema, withDate.schema)
+        val schemaOut = if (expSchema.contains(merged)) None else Some(merged)
         commitValidated(withDate, "append", expected) { exp =>
           txnLog.commit(added = added, batchId = batchId,
-            schemaJson = Some(mergedSchemaJson(expSchema, withDate.schema)),
+            schemaJson = schemaOut,
             rowCounts = counts, fileStats = stats, blooms = blooms,
             expectedConstraints = Some(exp),
             expectedSchema = Some(expSchema))
@@ -277,6 +282,30 @@ final class DataLakehouse(
                 s"${pf.dataType.simpleString}, batch has ${f.dataType.simpleString}")
           }
         }
+        if (format == "csv") {
+          // CSV files resolve POSITIONALLY against the recorded data
+          // schema (partition columns are directory-encoded and matched
+          // by name; everything else by position, header ignored under
+          // Spark's default enforceSchema). A batch is therefore only
+          // sound when its data columns present the recorded data
+          // columns as an ORDERED PREFIX (trailing omissions read as
+          // NULL — safe) followed by any brand-new columns. A middle
+          // omission or a reorder would silently shift every later
+          // field into the wrong column on read — reject it here, at
+          // the write that would plant the corruption.
+          val recData = prev.fieldNames.filterNot(partitionCols.contains)
+          val batchData = batch.fieldNames.filterNot(partitionCols.contains)
+          val known = batchData.filter(recData.contains)
+          require(known.sameElements(recData.take(known.length)),
+            "csv append layout mismatch: batch presents recorded columns " +
+              s"(${known.mkString(",")}) but the recorded order is " +
+              s"(${recData.mkString(",")}) — csv resolves positionally, " +
+              "so recorded columns must appear as an ordered prefix")
+          require(batchData.sameElements(
+            known ++ batchData.filterNot(recData.contains)),
+            "csv append layout mismatch: new columns must trail the " +
+              s"recorded ones, got (${batchData.mkString(",")})")
+        }
         StructType(prev.fields ++
           batch.fields.filterNot(f => prevByName.contains(f.name))).json
     }
@@ -291,24 +320,25 @@ final class DataLakehouse(
     * is also what keeps CSV-format tables sound (their reads resolve
     * positionally; missing trailing fields read as NULL).
     *
-    * Concurrency: schema DDL keeps the documented single-writer
-    * administrative contract (NOTES, round 8) — unlike constraint DDL
-    * there is no expected-schema conflict check, so racing schema DDL
-    * is last-writer-wins on the record.
+    * Concurrency: serializable — the commit carries the schema
+    * snapshot this DDL derived from as `expectedSchema`, so a racing
+    * schema change makes THIS commit throw
+    * [[TxnLog.SchemaConflictException]] (re-run against the new
+    * record) instead of either side being silently clobbered.
     */
   def addColumn(name: String,
       dataType: org.apache.spark.sql.types.DataType): Long =
     addColumns(Seq(name -> dataType))
 
-  /** Multi-column [[addColumn]] as ONE metadata commit (`ALTER TABLE …
-    * ADD COLUMNS (…)` must be atomic: a duplicate in the list fails the
-    * whole statement, never leaving half the columns added).
-    */
   /** Test seam for the schema-read -> commit window of column DDL (the
     * restoreImpl beforeCommit pattern).
     */
   private[graft] var beforeSchemaCommit: () => Unit = () => ()
 
+  /** Multi-column [[addColumn]] as ONE metadata commit (`ALTER TABLE …
+    * ADD COLUMNS (…)` must be atomic: a duplicate in the list fails the
+    * whole statement, never leaving half the columns added).
+    */
   def addColumns(
       cols: Seq[(String, org.apache.spark.sql.types.DataType)]): Long = {
     require(cols.nonEmpty, "ADD COLUMNS list is empty")
@@ -355,19 +385,29 @@ final class DataLakehouse(
     require(!protect.contains(name),
       s"cannot drop core/partition column $name")
     val next = StructType(cur.fields.filterNot(_.name == name))
+    // the probe validated against THIS constraint snapshot, so it is
+    // threaded into the commit as expectedConstraints: a concurrent
+    // addConstraint referencing the dropped column would otherwise
+    // commit unchallenged (it changes no schema, this drop changes no
+    // constraints — each side's single-map check passes) and leave a
+    // registered CHECK over a non-existent column, wedging every later
+    // append. Cross-metadata races need BOTH expectations.
+    val expectedConstraints = txnLog.constraintsAt()
     val probe = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), next)
-    constraints.foreach { case (n, sql) =>
-      try probe.filter(expr(sql)).queryExecution.analyzed
-      catch { case e: org.apache.spark.sql.AnalysisException =>
-        throw new IllegalArgumentException(
-          s"cannot drop column $name: constraint $n CHECK ($sql) " +
-            "references it — drop the constraint first", e)
+    expectedConstraints.map(TxnLog.decodeConstraints).getOrElse(Map.empty)
+      .foreach { case (n, sql) =>
+        try probe.filter(expr(sql)).queryExecution.analyzed
+        catch { case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"cannot drop column $name: constraint $n CHECK ($sql) " +
+              "references it — drop the constraint first", e)
+        }
       }
-    }
     beforeSchemaCommit()
     txnLog.commit(added = Nil, op = Some("drop-column"),
-      schemaJson = Some(next.json), expectedSchema = Some(raw))
+      schemaJson = Some(next.json), expectedSchema = Some(raw),
+      expectedConstraints = Some(expectedConstraints))
   }
 
   // ------------------------------------------------------------ constraints
@@ -392,6 +432,12 @@ final class DataLakehouse(
     val before = txnLog.constraintsAt() // raw form for the DDL conflict check
     val cur = before.map(TxnLog.decodeConstraints).getOrElse(Map.empty)
     require(!cur.contains(name), s"constraint $name already exists")
+    // schema snapshot for the CROSS-metadata conflict check: the
+    // expression resolves against this schema, so a concurrent
+    // dropColumn removing a referenced column must fail THIS commit
+    // (dropColumn threads the mirror-image expectedConstraints; see
+    // there for the wedge the pair prevents)
+    val schemaBefore = txnLog.schemaAt()
     val existing = query().df
     // resolve the expression against the CURRENT schema now (a typo
     // must fail here, not on the next append) and scan for violations
@@ -402,9 +448,11 @@ final class DataLakehouse(
     // expectedConstraints makes racing DDL loud instead of last-writer-
     // wins: two concurrent addConstraints would otherwise both read the
     // same base map and the second commit would silently drop the first
+    beforeSchemaCommit() // test seam: the validate->commit race window
     txnLog.commit(added = Nil, op = Some("add-constraint"),
       constraintsJson = Some(TxnLog.encodeConstraints(cur + (name -> exprSql))),
-      expectedConstraints = Some(before))
+      expectedConstraints = Some(before),
+      expectedSchema = Some(schemaBefore))
   }
 
   /** `ALTER TABLE DROP CONSTRAINT name`. */
@@ -441,7 +489,18 @@ final class DataLakehouse(
     val counts = cs.map { case (n, sql) =>
       sum(when(!coalesce(expr(sql), lit(true)), 1L).otherwise(0L)).as(n)
     }
-    val row = df.agg(counts.head, counts.tail: _*).collect()(0)
+    // validate the batch AS IT WILL BE READ: recorded columns the batch
+    // does not carry read as NULL, and SQL CHECK passes NULL — so a
+    // constraint over an evolved column must not break an old-shape
+    // producer's append by failing ANALYSIS of a column that is merely
+    // absent from this frame
+    val missing = liveSchema.fields
+      .filterNot(f => df.columns.exists(_.equalsIgnoreCase(f.name)))
+    val asRead =
+      if (missing.isEmpty) df
+      else df.select((df.columns.map(col) ++
+        missing.map(f => lit(null).cast(f.dataType).as(f.name))).toIndexedSeq: _*)
+    val row = asRead.agg(counts.head, counts.tail: _*).collect()(0)
     cs.zipWithIndex.foreach { case ((n, sql), i) =>
       val bad = if (row.isNullAt(i)) 0L else row.getLong(i) // null = empty df
       if (bad > 0)

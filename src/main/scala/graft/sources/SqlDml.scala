@@ -84,7 +84,12 @@ private[sources] object SqlDml {
         return Some(metric(spark, "version_committed",
           lake.addColumns(fields.map(f => f.name -> f.dataType))))
       case dropColRe(name) =>
-        return Some(metric(spark, "version_committed", lake.dropColumn(name)))
+        // SQL identifiers are case-insensitive: resolve to the schema's
+        // spelling before the exact-name Scala API
+        val canonical = lake.dataSchema
+          .find(_.name.equalsIgnoreCase(name)).map(_.name).getOrElse(name)
+        return Some(metric(spark, "version_committed",
+          lake.dropColumn(canonical)))
       case _ => ()
     }
 
@@ -139,14 +144,26 @@ private[sources] object SqlDml {
       case Some(i) => (r.substring(0, i), Some(r.substring(i + 5)))
       case None => (r, None)
     }
+    val target = lake.dataSchema
     val assignments = splitTopLevel(setPart, ',').map { seg =>
       val eq = seg.indexOf('=')
       require(eq > 0, s"malformed SET assignment: '${seg.trim}'")
       val name = seg.substring(0, eq).trim
       require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
         s"malformed SET column name: '$name'")
-      name -> expr(seg.substring(eq + 1).trim)
+      // canonicalize case to the schema's spelling (SQL identifiers are
+      // case-insensitive; the Scala API stays exact) — unknown names
+      // pass through for lake.update's own loud check
+      val canonical =
+        target.find(_.name.equalsIgnoreCase(name)).map(_.name).getOrElse(name)
+      canonical -> expr(seg.substring(eq + 1).trim)
     }
+    // standard SQL rejects a duplicate assignment target; a silent
+    // toMap would keep only the last and execute a typo'd statement
+    // with different semantics
+    val dup = assignments.map(_._1).groupBy(identity).filter(_._2.size > 1).keys
+    require(dup.isEmpty,
+      s"duplicate SET assignment target(s): ${dup.mkString(", ")}")
     val cond = wherePart.map(w => expr(w.trim)).getOrElse(lit(true))
     metric(lake.spark, "num_updated_rows",
       lake.update(cond, assignments.toMap))
@@ -155,8 +172,10 @@ private[sources] object SqlDml {
   private def merge(lake: DataLakehouse, tableName: String,
       rest: String): DataFrame = {
     val spark = lake.spark
+    // aliases accept both `AS x` and the bare `x` form (standard SQL
+    // makes AS optional; Delta examples use the bare form)
     val form =
-      ("(?is)^(?:\\s+AS\\s+(\\w+))?\\s+USING\\s+([\\w.]+)(?:\\s+AS\\s+(\\w+))?" +
+      ("(?is)^(?:\\s+(?:AS\\s+)?(\\w+))?\\s+USING\\s+([\\w.]+)(?:\\s+(?:AS\\s+)?(\\w+))?" +
         "\\s+ON\\b(.+?)" +
         "\\s+WHEN\\s+MATCHED\\s+THEN\\s+UPDATE\\s+SET\\s+\\*" +
         "\\s+WHEN\\s+NOT\\s+MATCHED\\s+THEN\\s+INSERT\\s+\\*\\s*;?\\s*$").r
@@ -233,6 +252,16 @@ private[sources] object SqlDml {
         s"unknown INSERT column(s): ${unknown.mkString(", ")}")
       require(ns.map(_.toLowerCase).distinct.size == ns.size,
         s"duplicate INSERT column in (${ns.mkString(", ")})")
+      // NULL-fill is for nullable EVOLVED columns only: a NULL core
+      // column would bypass the ingest validation tier (null timestamp
+      // → null date partition key → a row that range pruning can never
+      // see again; null symbol/prices likewise break the model's
+      // invariants silently)
+      val missingCore = graft.model.ohlcvSchema.fieldNames
+        .filterNot(c => ns.exists(_.equalsIgnoreCase(c)))
+      require(missingCore.isEmpty,
+        s"INSERT column list must include the core column(s): " +
+          missingCore.mkString(", "))
     }
     require(src.columns.length == supplied.length,
       s"INSERT arity ${src.columns.length} != column-list arity " +
@@ -245,51 +274,76 @@ private[sources] object SqlDml {
     val complete = renamed.select(target.map { f =>
       (if (canonical.contains(f.name)) col(f.name)
        else lit(null)).cast(f.dataType).as(f.name)
-    }: _*)
-    val n = complete.count()
-    lake.appendDF(complete)
-    metric(spark, "num_inserted_rows", n)
+    }: _*).persist()
+    // persist so the metric count and the write observe the SAME rows —
+    // a non-deterministic source (rand(), a view over changing data)
+    // would otherwise be computed twice and the reported count could
+    // diverge from what was written
+    try {
+      val n = complete.count()
+      lake.appendDF(complete)
+      metric(spark, "num_inserted_rows", n)
+    } finally complete.unpersist(blocking = false)
   }
 
   // ------------------------------------------------------------- scanning
   //
-  // Minimal SQL-aware scanner: tracks paren depth and quoted runs
-  // ('...' with '' escape, "..." and `...` likewise) so keyword/comma
-  // splits never fire inside a literal or a sub-expression. Escaping via
-  // doubled quotes is the SQL form Spark accepts; backslash escapes stay
-  // inside the quoted run anyway because the scanner only leaves quote
-  // state on the closing quote character.
+  // Minimal SQL-aware scanner: ONE character walk ([[scanMask]]) computes
+  // quoted-run membership ('...'/"..."/`...`, doubled-quote escapes,
+  // backslash escapes in the string forms — the grammar Spark's default
+  // parser accepts) and paren depth; every split/search primitive reads
+  // the shared mask, so an escaping fix lands in exactly one place.
+
+  /** Per-character (insideQuotedRun, parenDepth) for `s`. Depth
+    * convention: an opening `(` carries the OUTER depth and its matching
+    * `)` carries that same depth again — so "top level" is uniformly
+    * `depth(i) == 0 && !quoted(i)` for separators, keywords, and the
+    * close paren matching a statement-initial open.
+    */
+  private def scanMask(s: String): (Array[Boolean], Array[Int]) = {
+    val n = s.length
+    val quoted = new Array[Boolean](n)
+    val depth = new Array[Int](n)
+    var i = 0; var d = 0; var quote: Char = 0
+    def markNext(): Unit = if (i + 1 < n) {
+      quoted(i + 1) = true; depth(i + 1) = d; i += 1
+    }
+    while (i < n) {
+      val c = s.charAt(i)
+      depth(i) = d
+      if (quote != 0) {
+        quoted(i) = true
+        if (quote != '`' && c == '\\') markNext() // escape: skip next
+        else if (c == quote) {
+          if (quote != '`' && i + 1 < n && s.charAt(i + 1) == quote) markNext()
+          else quote = 0
+        }
+      } else c match {
+        case '\'' | '"' | '`' => quote = c; quoted(i) = true
+        case '(' => d += 1
+        case ')' => d -= 1; depth(i) = d
+        case _ => ()
+      }
+      i += 1
+    }
+    (quoted, depth)
+  }
+
+  private def isWordChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_'
 
   /** Index of the first occurrence of standalone `word` at paren depth 0
     * outside quotes, case-insensitive; None if absent.
     */
   private[sources] def topLevelKeyword(s: String, word: String): Option[Int] = {
-    var i = 0; var depth = 0; var quote: Char = 0
-    val n = s.length; val w = word.length
-    while (i < n) {
-      val c = s.charAt(i)
-      if (quote != 0) {
-        if (quote != '`' && c == '\\') i += 1 // backslash escape: skip next
-        else if (c == quote) {
-          if (quote != '`' && i + 1 < n && s.charAt(i + 1) == quote) i += 1
-          else quote = 0
-        }
-      } else c match {
-        case '\'' | '"' | '`' => quote = c
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case _ =>
-          if (depth == 0 && i + w <= n &&
-            s.regionMatches(true, i, word, 0, w) &&
-            (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1)) &&
-              s.charAt(i - 1) != '_') &&
-            (i + w == n || !Character.isLetterOrDigit(s.charAt(i + w)) &&
-              s.charAt(i + w) != '_'))
-            return Some(i)
-      }
-      i += 1
+    val (quoted, depth) = scanMask(s)
+    val w = word.length
+    (0 to s.length - w).find { i =>
+      !quoted(i) && depth(i) == 0 &&
+        s.regionMatches(true, i, word, 0, w) &&
+        (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+        (i + w == s.length || !isWordChar(s.charAt(i + w)))
     }
-    None
   }
 
   /** Index of the `)` matching the `(` at position 0 (quote-aware);
@@ -297,24 +351,10 @@ private[sources] object SqlDml {
     */
   private[sources] def matchingParen(s: String): Int = {
     require(s.nonEmpty && s.charAt(0) == '(', s"expected '(': $s")
-    var i = 0; var depth = 0; var quote: Char = 0
-    val n = s.length
-    while (i < n) {
-      val c = s.charAt(i)
-      if (quote != 0) {
-        if (quote != '`' && c == '\\') i += 1 // backslash escape: skip next
-        else if (c == quote) {
-          if (quote != '`' && i + 1 < n && s.charAt(i + 1) == quote) i += 1
-          else quote = 0
-        }
-      } else c match {
-        case '\'' | '"' | '`' => quote = c
-        case '(' => depth += 1
-        case ')' =>
-          depth -= 1
-          if (depth == 0) return i
-        case _ => ()
-      }
+    val (quoted, depth) = scanMask(s)
+    var i = 1
+    while (i < s.length) {
+      if (s.charAt(i) == ')' && !quoted(i) && depth(i) == 0) return i
       i += 1
     }
     throw new IllegalArgumentException(s"unbalanced parens in: $s")
@@ -322,24 +362,12 @@ private[sources] object SqlDml {
 
   /** Split on `sep` at paren depth 0 outside quotes. */
   private[sources] def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val (quoted, depth) = scanMask(s)
     val out = Seq.newBuilder[String]
-    var start = 0; var i = 0; var depth = 0; var quote: Char = 0
-    val n = s.length
-    while (i < n) {
-      val c = s.charAt(i)
-      if (quote != 0) {
-        if (quote != '`' && c == '\\') i += 1 // backslash escape: skip next
-        else if (c == quote) {
-          if (quote != '`' && i + 1 < n && s.charAt(i + 1) == quote) i += 1
-          else quote = 0
-        }
-      } else c match {
-        case '\'' | '"' | '`' => quote = c
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case `sep` if depth == 0 =>
-          out += s.substring(start, i); start = i + 1
-        case _ => ()
+    var start = 0; var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == sep && !quoted(i) && depth(i) == 0) {
+        out += s.substring(start, i); start = i + 1
       }
       i += 1
     }

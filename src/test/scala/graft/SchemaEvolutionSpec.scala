@@ -213,6 +213,70 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(lake.query().df.count() == 2)
   }
 
+  test("dropColumn racing addConstraint on that column loses loudly (cross-metadata)") {
+    val lake = seeded()
+    lake.addColumn("fee", DoubleType)
+    var fired = false
+    lake.beforeSchemaCommit = () => if (!fired) {
+      fired = true
+      // sibling registers a CHECK over the column mid-drop: if the drop
+      // still committed, the table would carry a constraint over a
+      // non-existent column and every later append would die analyzing it
+      new DataLakehouse(spark, lake.root).addConstraint("fee_nonneg", "fee >= 0")
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      lake.dropColumn("fee")
+    }
+    lake.beforeSchemaCommit = () => ()
+    // both survived the race; the re-run sees the constraint and refuses
+    assert(lake.constraints.contains("fee_nonneg"))
+    val e = intercept[IllegalArgumentException] { lake.dropColumn("fee") }
+    assert(e.getMessage.contains("fee_nonneg"))
+    lake.ingestBatch(Seq(bar("MSFT", "2024-06-16 09:30:00"))) // appends still work
+  }
+
+  test("addConstraint racing a dropColumn of its column loses loudly (mirror image)") {
+    val lake = seeded()
+    lake.addColumn("fee", DoubleType)
+    var fired = false
+    lake.beforeSchemaCommit = () => if (!fired) {
+      fired = true
+      // the column vanishes between addConstraint's validation (which
+      // resolved "fee >= 0" against the old schema) and its commit
+      new DataLakehouse(spark, lake.root).dropColumn("fee")
+    }
+    intercept[graft.sources.TxnLog.SchemaConflictException] {
+      lake.addConstraint("fee_nonneg", "fee >= 0")
+    }
+    lake.beforeSchemaCommit = () => ()
+    // the drop won; no orphaned constraint registered, re-run resolves
+    // against the new schema and fails ITS OWN analysis loudly
+    assert(lake.constraints.isEmpty)
+    intercept[Exception] { lake.addConstraint("fee_nonneg", "fee >= 0") }
+    assert(lake.constraints.isEmpty)
+    lake.ingestBatch(Seq(bar("MSFT", "2024-06-16 09:30:00"))) // appends fine
+  }
+
+  test("csv appends must present recorded columns as an ordered prefix") {
+    val csvLake = new DataLakehouse(spark, tempDir("schemaevo-csv2"), format = "csv")
+    csvLake.ingestBatch(Seq(bar("AAPL", "2024-06-15 09:30:00")))
+    csvLake.addColumn("venue", StringType)
+    import spark.implicits._
+    // old-shape producer (trailing omission of venue): sound, accepted
+    csvLake.appendDF(Seq(bar("MSFT", "2024-06-15 10:30:00")).toDF())
+    assert(csvLake.query().df.count() == 2)
+    // a REORDERED batch would positionally misalign every later read —
+    // rejected at the write
+    val reordered = Seq(("2024-06-15 11:30:00", "GOOGL")).toDF("tsRaw", "symbol")
+      .select($"symbol", to_timestamp($"tsRaw").as("timestamp"),
+        lit(150.0).as("open"), lit(155.0).as("high"), lit(149.0).as("low"),
+        lit(153.0).as("close"), lit(1000L).as("volume"),
+        lit("XNAS").as("venue"), // venue BEFORE asset_class: middle insert
+        lit("equity").as("asset_class"))
+    val e = intercept[IllegalArgumentException] { csvLake.appendDF(reordered) }
+    assert(e.getMessage.contains("csv append layout"))
+  }
+
   test("compaction carries evolved columns through the rewrite") {
     val lake = seeded()
     lake.addColumn("venue", StringType)

@@ -111,6 +111,39 @@ class SqlDmlSpec extends SparkSpec {
       .head().getAs[Double]("close") == 154.5)
   }
 
+  test("sql MERGE accepts bare (AS-less) aliases — the Delta idiom") {
+    val lake = seeded()
+    import spark.implicits._
+    Seq(bar("MSFT", "2024-06-15 09:30:00"))
+      .toDF().createOrReplaceTempView("src")
+    val m = lake.sql(
+      "MERGE INTO trades t USING src s " +
+        "ON t.symbol = s.symbol AND t.timestamp = s.timestamp " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(m.head().getLong(1) == 1L) // MSFT inserted
+    assert(lake.query().df.count() == 9)
+  }
+
+  test("sql UPDATE rejects duplicate SET targets; resolves names case-insensitively") {
+    val lake = seeded()
+    val e = intercept[IllegalArgumentException] {
+      lake.sql("UPDATE trades SET close = 1, CLOSE = 2")
+    }
+    assert(e.getMessage.contains("duplicate SET"))
+    val m = lake.sql("UPDATE trades SET Volume = volume + 5 WHERE symbol = 'AAPL'")
+    assert(m.head().getLong(0) == 4L)
+    assert(lake.query().df.filter(col("volume") === 1005L).count() == 4)
+  }
+
+  test("sql INSERT column list must include the core columns") {
+    val lake = seeded()
+    val e = intercept[IllegalArgumentException] {
+      lake.sql("INSERT INTO trades (symbol, volume) VALUES ('X', 5)")
+    }
+    assert(e.getMessage.contains("core column"))
+    assert(lake.query().df.count() == 8) // nothing written
+  }
+
   test("sql MERGE rejects per-column WHEN clauses loudly") {
     val lake = seeded()
     val e = intercept[IllegalArgumentException] {
