@@ -920,10 +920,31 @@ final class DataLakehouse(
     // on the txn log, not on a temp view, so they are routed to the
     // engine ops before Spark ever parses. See SqlDml for the grammar.
     SqlDml.intercept(this, text, tableName).foreach(df => return df)
+    // `table_changes(start[, end])` — Delta's CDF table-valued-function
+    // idiom (S19's SQL surface; the optional leading 'tableName' arg is
+    // accepted and checked). Spark's registry has no such TVF over this
+    // log, so each distinct call materializes as a temp view of
+    // [[changes]] and the call text is rewritten to the view name —
+    // composing inside any SELECT (joins, aggregates, CTEs). Delta's
+    // start is INCLUSIVE; [[changes]] is exclusive-from, hence start-1.
+    val tcRe = ("(?i)\\btable_changes\\s*\\(\\s*(?:'([^']*)'\\s*,\\s*)?" +
+      "(\\d+)\\s*(?:,\\s*(\\d+))?\\s*\\)").r
+    val text2 = tcRe.replaceAllIn(text, m => {
+      Option(m.group(1)).foreach { n =>
+        require(n == tableName,
+          s"table_changes: unknown table '$n' (this registry serves '$tableName')")
+      }
+      val start = m.group(2).toLong
+      val end = Option(m.group(3)).map(_.toLong)
+        .getOrElse(txnLog.currentVersion())
+      val view = s"graft_changes_${start}_$end"
+      changes(start - 1, end).createOrReplaceTempView(view)
+      view
+    })
     val vRe = s"(?i)\\b$t\\s+FOR\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)".r
     val tsRe = s"(?i)\\b$t\\s+FOR\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'".r
-    val versions = vRe.findAllMatchIn(text).map(_.group(1).toLong).toSeq.distinct
-    val stamps = tsRe.findAllMatchIn(text).map(_.group(1)).toSeq.distinct
+    val versions = vRe.findAllMatchIn(text2).map(_.group(1).toLong).toSeq.distinct
+    val stamps = tsRe.findAllMatchIn(text2).map(_.group(1)).toSeq.distinct
     require(versions.size + stamps.size <= 1,
       s"at most one FOR VERSION/TIMESTAMP AS OF pin per statement, " +
         s"got versions=$versions timestamps=$stamps")
@@ -936,7 +957,7 @@ final class DataLakehouse(
     // quoteReplacement: a '$' or '\' in the table name must be literal in
     // the rewritten statement, not a regex group reference
     val rep = java.util.regex.Matcher.quoteReplacement(tableName)
-    val stripped = tsRe.replaceAllIn(vRe.replaceAllIn(text, rep), rep)
+    val stripped = tsRe.replaceAllIn(vRe.replaceAllIn(text2, rep), rep)
     snapshot.createOrReplaceTempView(tableName)
     spark.sql(stripped)
   }

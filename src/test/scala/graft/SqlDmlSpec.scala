@@ -241,6 +241,31 @@ class SqlDmlSpec extends SparkSpec {
     assert(lake.query().df.filter(col("volume") < 0).isEmpty)
   }
 
+  test("sql table_changes(start[, end]) composes inside SELECT (Delta CDF idiom)") {
+    val lake = seeded() // v0, v1: two appends of 4 rows each
+    lake.sql("DELETE FROM trades WHERE symbol = 'AAPL' AND date = '2024-06-15'") // v2
+    // inclusive start, like Delta: version 1 alone is the second append
+    val v1 = lake.sql(
+      "SELECT count(*) AS n FROM table_changes(1, 1)").head().getLong(0)
+    assert(v1 == 4L)
+    // v2 is the copy-on-write delete: 2 deletes (net)
+    val byType = lake.sql(
+      "SELECT _change_type, count(*) AS n FROM table_changes(2, 2) GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("delete" -> 2L))
+    // open-ended end defaults to the current version; composes with joins
+    val joined = lake.sql(
+      "SELECT count(*) AS n FROM table_changes('trades', 0) c " +
+        "JOIN trades t ON c.symbol = t.symbol AND c.timestamp = t.timestamp " +
+        "WHERE c._change_type = 'insert'")
+      .head().getLong(0)
+    assert(joined > 0L)
+    val e = intercept[IllegalArgumentException] {
+      lake.sql("SELECT * FROM table_changes('other', 0)")
+    }
+    assert(e.getMessage.contains("unknown table"))
+  }
+
   test("plain SELECT (and names merely PREFIXED by the table name) fall through") {
     val lake = seeded()
     val n = lake.sql("SELECT count(*) AS n FROM trades WHERE symbol = 'AAPL'")
