@@ -109,9 +109,23 @@ object ScaleRun {
         end = Some(new java.sql.Timestamp(1718582399000L)))
       qr.df.write.format("noop").mode("overwrite").save()
       val queryS = (System.nanoTime() - tQ) / 1e9
+      // column DDL must be O(commits), never O(rows): metadata-only
+      // commits on the full-size table, timed with a post-DDL pruned
+      // read proving the evolved schema serves immediately
+      val tD = System.nanoTime()
+      lake.addColumn("venue", org.apache.spark.sql.types.StringType)
+      val addColS = (System.nanoTime() - tD) / 1e9
+      val qr2 = lake.query(symbol = Some("SYM42"),
+        start = Some(new java.sql.Timestamp(1718496000000L)),
+        end = Some(new java.sql.Timestamp(1718582399000L)))
+      assert(qr2.df.columns.contains("venue"))
+      val tD2 = System.nanoTime()
+      lake.dropColumn("venue")
+      val dropColS = (System.nanoTime() - tD2) / 1e9
       println(f"[scale] lake ${mult}x rows=$rows append=$appendS%.1f " +
         f"compact=$compactS%.1f prunedQuery=$queryS%.2f " +
-        f"rowsScanned=${qr.totalRowsScanned} (of $rows)")
+        f"rowsScanned=${qr.totalRowsScanned} (of $rows) " +
+        f"addColumn=$addColS%.3f dropColumn=$dropColS%.3f")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
       spark.stop(); return
     }
