@@ -299,13 +299,25 @@ object Dedup {
     val prefix = ranked
       .filter($"pos" <= $"n" - ceil($"n" * threshold - 1e-9) + 1)
       .filter($"df" > 1)
-      .select($"doc_id", $"sh", $"n")
+      .select($"doc_id", $"sh", $"n", $"pos")
       .persist()
+    // POSITIONAL filter (PPJoin proper, Xiao et al. 2008 §3.2), applied
+    // per matching prefix token: tokens shared by x and y besides this
+    // one all rank AFTER it in both documents, so total overlap is at
+    // most 1 + min(|x|−i, |y|−j) — and J ≥ t needs overlap ≥
+    // t/(1+t)·(|x|+|y|). Exactness is preserved because a true pair's
+    // FIRST shared token (which the prefix lemma places inside both
+    // prefixes) always passes: its bound is ≥ the true overlap. Rows
+    // failing it are pairs matched only on LATE prefix tokens — pruned
+    // before the groupBy instead of surviving into verification.
+    val minOverlap =
+      ($"a.n" + $"b.n") * (threshold / (1.0 + threshold)) - 1e-9
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id" &&
           // length filter: J ≤ min/max, so t·max ≤ min is necessary
-          greatest($"a.n", $"b.n") * threshold <= least($"a.n", $"b.n") + 1e-9)
+          greatest($"a.n", $"b.n") * threshold <= least($"a.n", $"b.n") + 1e-9 &&
+          lit(1) + least($"a.n" - $"a.pos", $"b.n" - $"b.pos") >= minOverlap)
       .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
       .agg(count(lit(1)).as("hits"))
       .select($"a_id", $"b_id")
