@@ -231,6 +231,50 @@ final class DataLakehouse(
     added.map(r => r.take(math.max(0, r.lastIndexOf('/')))).distinct.size.toLong
   }
 
+  /** Atomic whole-table replace (SQL `INSERT OVERWRITE`, Delta's
+    * overwrite save mode): the new data stages exactly like an append,
+    * then ONE commit swaps it in for the ENTIRE snapshot read at entry
+    * — readers never observe a half-replaced table, and time travel to
+    * the pre-overwrite version still serves the old data (nothing is
+    * deleted until vacuum). Schema follows the append rules (monotone
+    * merge, type conflicts loud). Concurrency: `requireLive` on the
+    * replaced snapshot makes a racing row-op/compaction fail one side
+    * loudly instead of silently resurrecting rows; a concurrent BLIND
+    * append survives alongside the new data (the restore()/Delta
+    * WriteSerializable semantics — an overwrite must not destroy a
+    * racing ingest's data).
+    */
+  def overwriteDF(df: DataFrame): Long = {
+    val withDate = df.withColumn("date", model.dateKey)
+    val expected = txnLog.constraintsAt()
+    enforceConstraints(withDate, "overwrite", expected)
+    val removed = txnLog.snapshotFiles()
+    val added = stageClusteredWrite(withDate)
+    val (counts, stats, blooms) = commitMeta(added)
+    var expSchema = txnLog.schemaAt()
+    var committed = false
+    while (!committed) {
+      try {
+        val merged = mergedSchemaJson(expSchema, withDate.schema)
+        val schemaOut = if (expSchema.contains(merged)) None else Some(merged)
+        commitValidated(withDate, "overwrite", expected) { exp =>
+          txnLog.commit(added = added, removed = removed,
+            schemaJson = schemaOut, op = Some("overwrite"),
+            rowCounts = counts, fileStats = stats, blooms = blooms,
+            requireLive = removed,
+            expectedConstraints = Some(exp),
+            expectedSchema = Some(expSchema))
+        }
+        committed = true
+      } catch { case e: TxnLog.SchemaConflictException =>
+        val now = txnLog.schemaAt()
+        if (now == expSchema) throw e
+        expSchema = now
+      }
+    }
+    added.map(r => r.take(math.max(0, r.lastIndexOf('/')))).distinct.size.toLong
+  }
+
   /** Cluster (per `clusterOnWrite`/`zorderCols`), write to a staging dir,
     * publish into the table root; returns the published relative paths.
     * The caller owns the txn commit — every write path (append, rewrite,
@@ -1445,6 +1489,14 @@ final class DataLakehouse(
     * target snapshot (no commit written).
     */
   def restore(version: Long): Long = restoreImpl(version, () => ())
+
+  /** [[restore]] with the target resolved by COMMIT TIME (Delta's
+    * `RESTORE TABLE … TO TIMESTAMP AS OF`): rewinds to the newest
+    * version committed at or before `timestamp`, via the same
+    * binary-searched resolution the AS OF read path uses.
+    */
+  def restore(timestamp: Timestamp): Long =
+    restore(txnLog.versionAsOf(timestamp.getTime))
 
   /** [[restore]] with a test seam: `beforeCommit` runs between the
     * snapshot read / pre-commit existence check and the commit attempt —

@@ -21,12 +21,15 @@ import org.apache.spark.sql.functions.{col, expr, lit}
   *   - `MERGE INTO t USING s ON t.k = s.k [AND ...]
   *      WHEN MATCHED THEN UPDATE SET *
   *      WHEN NOT MATCHED THEN INSERT *`              → [[DataLakehouse.merge]]
-  *   - `INSERT INTO t VALUES (...), ...` /
-  *     `INSERT INTO t SELECT ...`                    → [[DataLakehouse.appendDF]]
+  *   - `INSERT INTO t [(cols)] VALUES (...), ...` /
+  *     `INSERT INTO t [(cols)] SELECT ...`           → [[DataLakehouse.appendDF]]
+  *   - `INSERT OVERWRITE [TABLE] t …`                → [[DataLakehouse.overwriteDF]]
   *   - `OPTIMIZE t`                                  → [[DataLakehouse.compact]]
   *   - `VACUUM t [RETAIN n HOURS]`                   → [[DataLakehouse.vacuum]]
   *   - `DESCRIBE HISTORY t`                          → [[DataLakehouse.history]]
-  *   - `RESTORE TABLE t TO VERSION AS OF n`          → [[DataLakehouse.restore]]
+  *   - `RESTORE TABLE t TO VERSION AS OF n` /
+  *     `… TO TIMESTAMP AS OF 'ts'`                   → [[DataLakehouse.restore]]
+  *   - `ALTER TABLE t ADD COLUMN[S] … / DROP COLUMN` → schema evolution DDL
   *
   * MERGE accepts exactly the whole-row upsert form above (the Delta
   * idiom `UPDATE SET * / INSERT *`): that is what the engine's merge
@@ -56,12 +59,16 @@ private[sources] object SqlDml {
     val updateRe = s"(?is)^\\s*UPDATE\\s+$t\\s+SET\\b(.*)$$".r
     val mergeRe = s"(?is)^\\s*MERGE\\s+INTO\\s+$t\\b(.*)$$".r
     val insertRe = s"(?is)^\\s*INSERT\\s+INTO\\s+$t\\b(.*)$$".r
+    val overwriteRe =
+      s"(?is)^\\s*INSERT\\s+OVERWRITE\\s+(?:TABLE\\s+)?$t\\b(.*)$$".r
     val optimizeRe = s"(?is)^\\s*OPTIMIZE\\s+$t\\s*;?\\s*$$".r
     val vacuumRe =
       s"(?is)^\\s*VACUUM\\s+$t(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS?)?\\s*;?\\s*$$".r
     val historyRe = s"(?is)^\\s*DESCRIBE\\s+HISTORY\\s+$t\\s*;?\\s*$$".r
     val restoreRe =
       s"(?is)^\\s*RESTORE\\s+TABLE\\s+$t\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$".r
+    val restoreTsRe =
+      s"(?is)^\\s*RESTORE\\s+TABLE\\s+$t\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*$$".r
     // schema-evolution DDL (Delta syntax): single- and multi-column ADD,
     // name-only DROP. Types parse through DataType.fromDDL, so the full
     // SQL type grammar (DECIMAL(10,2), ARRAY<DOUBLE>, ...) is accepted.
@@ -97,7 +104,8 @@ private[sources] object SqlDml {
       case deleteRe(rest) => Some(delete(lake, rest))
       case updateRe(rest) => Some(update(lake, rest))
       case mergeRe(rest) => Some(merge(lake, tableName, rest))
-      case insertRe(rest) => Some(insert(lake, rest))
+      case insertRe(rest) => Some(insert(lake, rest, overwrite = false))
+      case overwriteRe(rest) => Some(insert(lake, rest, overwrite = true))
       case optimizeRe() =>
         val v = lake.compact(maxFilesPerPartition = 0)
         Some(metric(spark, "version_committed", v))
@@ -108,6 +116,9 @@ private[sources] object SqlDml {
       case historyRe() => Some(lake.history())
       case restoreRe(v) =>
         Some(metric(spark, "version_restored", lake.restore(v.toLong)))
+      case restoreTsRe(ts) =>
+        Some(metric(spark, "version_restored",
+          lake.restore(java.sql.Timestamp.valueOf(ts))))
       case _ => None
     }
   }
@@ -219,7 +230,8 @@ private[sources] object SqlDml {
     Seq((updated, inserted)).toDF("num_updated_rows", "num_inserted_rows")
   }
 
-  private def insert(lake: DataLakehouse, rest: String): DataFrame = {
+  private def insert(lake: DataLakehouse, rest: String,
+      overwrite: Boolean): DataFrame = {
     val spark = lake.spark
     val r0 = stripSemi(rest)
     // optional explicit column list `(c1, c2, ...)` before VALUES/SELECT
@@ -281,7 +293,7 @@ private[sources] object SqlDml {
     // diverge from what was written
     try {
       val n = complete.count()
-      lake.appendDF(complete)
+      if (overwrite) lake.overwriteDF(complete) else lake.appendDF(complete)
       metric(spark, "num_inserted_rows", n)
     } finally complete.unpersist(blocking = false)
   }

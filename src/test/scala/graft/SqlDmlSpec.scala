@@ -220,6 +220,62 @@ class SqlDmlSpec extends SparkSpec {
     assert(lake.sql("VACUUM trades").head().getLong(0) == 0L)
   }
 
+  test("sql INSERT OVERWRITE replaces the table in one atomic version") {
+    val lake = seeded()
+    val preVersion = lake.txnLog.currentVersion()
+    val m = lake.sql(
+      "INSERT OVERWRITE trades VALUES " +
+        "('NVDA', timestamp'2024-06-17 09:30:00', 90.0, 95.0, 89.0, 94.0, 500, 'equity')")
+    assert(m.head().getLong(0) == 1L)
+    val df = lake.query().df
+    assert(df.count() == 1)
+    assert(df.head().getAs[String]("symbol") == "NVDA")
+    // exactly one new version; pre-overwrite snapshot intact
+    assert(lake.txnLog.currentVersion() == preVersion + 1)
+    assert(lake.timeTravel(preVersion).count() == 8)
+  }
+
+  test("INSERT OVERWRITE: a concurrent blind append survives; a racing row op conflicts") {
+    val lake = seeded()
+    import spark.implicits._
+    var fired = false
+    lake.beforeDataCommit = () => if (!fired) {
+      fired = true
+      new DataLakehouse(spark, lake.root)
+        .appendDF(Seq(bar("TSLA", "2024-06-17 09:30:00")).toDF())
+    }
+    lake.sql("INSERT OVERWRITE trades VALUES " +
+      "('NVDA', timestamp'2024-06-17 10:30:00', 90.0, 95.0, 89.0, 94.0, 500, 'equity')")
+    lake.beforeDataCommit = () => ()
+    // WriteSerializable: the racing ingest's data is NOT destroyed
+    val syms = lake.query().df.select("symbol").collect().map(_.getString(0)).sorted
+    assert(syms.toSeq == Seq("NVDA", "TSLA"))
+
+    // a row op rewriting a file of the snapshot being replaced conflicts
+    var fired2 = false
+    lake.beforeDataCommit = () => if (!fired2) {
+      fired2 = true
+      new DataLakehouse(spark, lake.root).deleteWhere(col("symbol") === "TSLA")
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      lake.sql("INSERT OVERWRITE trades VALUES " +
+        "('AMD', timestamp'2024-06-17 11:30:00', 90.0, 95.0, 89.0, 94.0, 500, 'equity')")
+    }
+    lake.beforeDataCommit = () => ()
+    assert(lake.query().df.filter(col("symbol") === "AMD").isEmpty)
+  }
+
+  test("sql RESTORE TABLE TO TIMESTAMP AS OF resolves by commit time") {
+    val lake = seeded()
+    Thread.sleep(5)
+    val cut = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(5)
+    lake.sql("DELETE FROM trades WHERE symbol = 'AAPL'")
+    assert(lake.query().df.count() == 4)
+    lake.sql(s"RESTORE TABLE trades TO TIMESTAMP AS OF '$cut'")
+    assert(lake.query().df.count() == 8)
+  }
+
   test("sql RESTORE TABLE TO VERSION AS OF rewinds") {
     val lake = seeded()
     val v = lake.txnLog.currentVersion()
