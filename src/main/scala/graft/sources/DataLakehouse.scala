@@ -198,25 +198,40 @@ final class DataLakehouse(
     enforceConstraints(withDate, "append", expected)
     val added = stageClusteredWrite(withDate)
     val (counts, stats, blooms) = commitMeta(added)
-    // schema snapshot threaded as expectedSchema: the monotone merge is
-    // a read-modify-write of the record, so a schema DDL (or another
-    // evolving append) landing in this window conflicts LOUDLY and the
-    // merge re-derives against the new record — never clobbers it. A
-    // re-typed column in the new record fails the re-merge, which is
-    // the correct loud outcome.
+    commitMergedWrite(withDate, "append", expected, added,
+      removed = Nil, requireLive = Nil, batchId = batchId,
+      counts = counts, stats = stats, blooms = blooms)
+  }
+
+  /** Shared commit tail of [[appendDF]] and [[overwriteDF]]: constraint
+    * revalidation (commitValidated) composed with the monotone schema
+    * merge under an `expectedSchema` retry loop. The schema snapshot is
+    * threaded into the commit, so a schema DDL (or another evolving
+    * write) landing in the read→commit window conflicts LOUDLY and the
+    * merge re-derives against the new record — never clobbers it; a
+    * re-typed column in the new record fails the re-merge, the correct
+    * loud outcome. An UNCHANGED record is not re-written (a no-op write
+    * would bloat the log and make every plain append look like a schema
+    * change to concurrent DDL's expectedSchema check). Returns leaf
+    * partitions touched (all k=v levels).
+    */
+  private def commitMergedWrite(validated: DataFrame, opName: String,
+      expected: Option[String], added: Seq[String], removed: Seq[String],
+      requireLive: Seq[String], batchId: Option[String],
+      counts: Map[String, Long], stats: Map[String, TxnLog.FileStat],
+      blooms: Map[String, Map[String, TxnLog.Bloom]]): Long = {
     var expSchema = txnLog.schemaAt()
     var committed = false
     while (!committed) {
       try {
-        // an unchanged record is NOT re-written: the no-op write would
-        // bloat the log and make every plain append look like a schema
-        // change to concurrent DDL's expectedSchema check
-        val merged = mergedSchemaJson(expSchema, withDate.schema)
+        val merged = mergedSchemaJson(expSchema, validated.schema)
         val schemaOut = if (expSchema.contains(merged)) None else Some(merged)
-        commitValidated(withDate, "append", expected) { exp =>
-          txnLog.commit(added = added, batchId = batchId,
+        commitValidated(validated, opName, expected) { exp =>
+          txnLog.commit(added = added, removed = removed, batchId = batchId,
             schemaJson = schemaOut,
+            op = if (opName == "append") None else Some(opName),
             rowCounts = counts, fileStats = stats, blooms = blooms,
+            requireLive = requireLive,
             expectedConstraints = Some(exp),
             expectedSchema = Some(expSchema))
         }
@@ -227,7 +242,6 @@ final class DataLakehouse(
         expSchema = now // re-merge against the new record and retry
       }
     }
-    // leaf partitions touched (all k=v levels, not just the first)
     added.map(r => r.take(math.max(0, r.lastIndexOf('/')))).distinct.size.toLong
   }
 
@@ -251,28 +265,9 @@ final class DataLakehouse(
     val removed = txnLog.snapshotFiles()
     val added = stageClusteredWrite(withDate)
     val (counts, stats, blooms) = commitMeta(added)
-    var expSchema = txnLog.schemaAt()
-    var committed = false
-    while (!committed) {
-      try {
-        val merged = mergedSchemaJson(expSchema, withDate.schema)
-        val schemaOut = if (expSchema.contains(merged)) None else Some(merged)
-        commitValidated(withDate, "overwrite", expected) { exp =>
-          txnLog.commit(added = added, removed = removed,
-            schemaJson = schemaOut, op = Some("overwrite"),
-            rowCounts = counts, fileStats = stats, blooms = blooms,
-            requireLive = removed,
-            expectedConstraints = Some(exp),
-            expectedSchema = Some(expSchema))
-        }
-        committed = true
-      } catch { case e: TxnLog.SchemaConflictException =>
-        val now = txnLog.schemaAt()
-        if (now == expSchema) throw e
-        expSchema = now
-      }
-    }
-    added.map(r => r.take(math.max(0, r.lastIndexOf('/')))).distinct.size.toLong
+    commitMergedWrite(withDate, "overwrite", expected, added,
+      removed = removed, requireLive = removed, batchId = None,
+      counts = counts, stats = stats, blooms = blooms)
   }
 
   /** Cluster (per `clusterOnWrite`/`zorderCols`), write to a staging dir,
@@ -959,32 +954,20 @@ final class DataLakehouse(
       case dropCRe(name) => dropConstraint(name); return spark.emptyDataFrame
       case _ => ()
     }
-    // Managed-table DML/utility statements (DELETE/UPDATE/MERGE/INSERT,
-    // OPTIMIZE/VACUUM/DESCRIBE HISTORY/RESTORE) — same reason: they act
-    // on the txn log, not on a temp view, so they are routed to the
-    // engine ops before Spark ever parses. See SqlDml for the grammar.
-    SqlDml.intercept(this, text, tableName).foreach(df => return df)
     // `table_changes(start[, end])` — Delta's CDF table-valued-function
-    // idiom (S19's SQL surface; the optional leading 'tableName' arg is
-    // accepted and checked). Spark's registry has no such TVF over this
-    // log, so each distinct call materializes as a temp view of
-    // [[changes]] and the call text is rewritten to the view name —
-    // composing inside any SELECT (joins, aggregates, CTEs). Delta's
-    // start is INCLUSIVE; [[changes]] is exclusive-from, hence start-1.
-    val tcRe = ("(?i)\\btable_changes\\s*\\(\\s*(?:'([^']*)'\\s*,\\s*)?" +
-      "(\\d+)\\s*(?:,\\s*(\\d+))?\\s*\\)").r
-    val text2 = tcRe.replaceAllIn(text, m => {
-      Option(m.group(1)).foreach { n =>
-        require(n == tableName,
-          s"table_changes: unknown table '$n' (this registry serves '$tableName')")
-      }
-      val start = m.group(2).toLong
-      val end = Option(m.group(3)).map(_.toLong)
-        .getOrElse(txnLog.currentVersion())
-      val view = s"graft_changes_${start}_$end"
-      changes(start - 1, end).createOrReplaceTempView(view)
-      view
-    })
+    // idiom (S19's SQL surface): each call materializes as a temp view
+    // of [[changes]] and the call text rewrites to the view name. Runs
+    // BEFORE the DML interception so the idiom also composes inside
+    // `INSERT INTO … SELECT FROM table_changes(…)` — the canonical
+    // change-feed replay. Quote-aware (SqlDml.rewriteTableChanges): a
+    // literal mentioning table_changes must never be rewritten.
+    val text2 = SqlDml.rewriteTableChanges(this, text, tableName)
+    // Managed-table DML/utility statements (DELETE/UPDATE/MERGE/INSERT,
+    // OPTIMIZE/VACUUM/DESCRIBE HISTORY/RESTORE) — same reason as the
+    // constraint DDL: they act on the txn log, not on a temp view, so
+    // they are routed to the engine ops before Spark ever parses. See
+    // SqlDml for the grammar.
+    SqlDml.intercept(this, text2, tableName).foreach(df => return df)
     val vRe = s"(?i)\\b$t\\s+FOR\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)".r
     val tsRe = s"(?i)\\b$t\\s+FOR\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'".r
     val versions = vRe.findAllMatchIn(text2).map(_.group(1).toLong).toSeq.distinct
@@ -1495,8 +1478,13 @@ final class DataLakehouse(
     * version committed at or before `timestamp`, via the same
     * binary-searched resolution the AS OF read path uses.
     */
-  def restore(timestamp: Timestamp): Long =
-    restore(txnLog.versionAsOf(timestamp.getTime))
+  def restore(timestamp: Timestamp): Long = {
+    val v = txnLog.versionAsOf(timestamp.getTime)
+    require(v >= 0,
+      s"restore($timestamp): no version was committed at or before it " +
+        "(table history starts later)")
+    restore(v)
+  }
 
   /** [[restore]] with a test seam: `beforeCommit` runs between the
     * snapshot read / pre-commit existence check and the commit attempt —

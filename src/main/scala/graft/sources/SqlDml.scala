@@ -46,6 +46,46 @@ import org.apache.spark.sql.functions.{col, expr, lit}
   */
 private[sources] object SqlDml {
 
+  /** Rewrite every UNQUOTED `table_changes(['t',] start[, end])` call
+    * in `text` to a materialized temp view of [[DataLakehouse.changes]]
+    * (Delta's CDF TVF idiom — Spark's registry has no such TVF over
+    * this log). Quote-aware via [[scanMask]]: a string literal that
+    * merely mentions table_changes is left untouched. View names are
+    * table-scoped (`graft_changes_<table>_<start>_<end>`) so two lakes
+    * sharing one SparkSession cannot clobber each other's feed. Delta's
+    * start is INCLUSIVE; [[DataLakehouse.changes]] is exclusive-from,
+    * hence start-1.
+    */
+  private[sources] def rewriteTableChanges(lake: DataLakehouse, text: String,
+      tableName: String): String = {
+    val tcRe = ("(?i)\\btable_changes\\s*\\(\\s*(?:'([^']*)'\\s*,\\s*)?" +
+      "(\\d+)\\s*(?:,\\s*(\\d+))?\\s*\\)").r
+    val ms = tcRe.findAllMatchIn(text).toSeq
+    if (ms.isEmpty) return text
+    val (quoted, _) = scanMask(text)
+    val sb = new StringBuilder
+    var last = 0
+    ms.foreach { m =>
+      if (m.start >= last && !quoted(m.start)) {
+        Option(m.group(1)).foreach { n =>
+          require(n.equalsIgnoreCase(tableName),
+            s"table_changes: unknown table '$n' " +
+              s"(this registry serves '$tableName')")
+        }
+        val start = m.group(2).toLong
+        val end = Option(m.group(3)).map(_.toLong)
+          .getOrElse(lake.txnLog.currentVersion())
+        val safe = tableName.replaceAll("[^A-Za-z0-9_]", "_")
+        val view = s"graft_changes_${safe}_${start}_$end"
+        lake.changes(start - 1, end).createOrReplaceTempView(view)
+        sb.append(text.substring(last, m.start)).append(view)
+        last = m.end
+      }
+    }
+    sb.append(text.substring(last))
+    sb.toString
+  }
+
   /** Try to parse `text` as a managed-table statement against table
     * `tableName`; None = not a DML/utility statement (caller falls
     * through to the view path).

@@ -119,6 +119,9 @@ object ScaleRun {
         start = Some(new java.sql.Timestamp(1718496000000L)),
         end = Some(new java.sql.Timestamp(1718582399000L)))
       assert(qr2.df.columns.contains("venue"))
+      // EXECUTE the evolved-schema read (schema resolution alone would
+      // not catch a read-path regression against the old files)
+      qr2.df.write.format("noop").mode("overwrite").save()
       val tD2 = System.nanoTime()
       lake.dropColumn("venue")
       val dropColS = (System.nanoTime() - tD2) / 1e9

@@ -274,6 +274,11 @@ class SqlDmlSpec extends SparkSpec {
     assert(lake.query().df.count() == 4)
     lake.sql(s"RESTORE TABLE trades TO TIMESTAMP AS OF '$cut'")
     assert(lake.query().df.count() == 8)
+    // a timestamp predating all history names the problem, not a -1
+    val e = intercept[IllegalArgumentException] {
+      lake.sql("RESTORE TABLE trades TO TIMESTAMP AS OF '1970-01-02 00:00:00'")
+    }
+    assert(e.getMessage.contains("no version was committed"))
   }
 
   test("sql RESTORE TABLE TO VERSION AS OF rewinds") {
@@ -320,6 +325,26 @@ class SqlDmlSpec extends SparkSpec {
       lake.sql("SELECT * FROM table_changes('other', 0)")
     }
     assert(e.getMessage.contains("unknown table"))
+    // the table argument is case-insensitive like every other reference
+    assert(lake.sql("SELECT count(*) n FROM table_changes('TRADES', 2, 2)")
+      .head().getLong(0) == 2L)
+  }
+
+  test("table_changes: literals untouched; composes with INSERT INTO SELECT") {
+    val lake = seeded()
+    // a string literal merely MENTIONING the TVF must never be rewritten
+    val lit = lake.sql(
+      "SELECT 'see table_changes(1, 2)' AS note FROM trades LIMIT 1")
+      .head().getString(0)
+    assert(lit == "see table_changes(1, 2)")
+    // canonical CDF replay: the TVF must compose inside an intercepted
+    // DML statement, not only inside plain SELECTs
+    val m = lake.sql(
+      "INSERT INTO trades SELECT symbol, timestamp, open, high, low, close, " +
+        "volume, asset_class FROM table_changes(1, 1) " +
+        "WHERE _change_type = 'insert'")
+    assert(m.head().getLong(0) == 4L) // v1's appended rows, re-inserted
+    assert(lake.query().df.count() == 12)
   }
 
   test("plain SELECT (and names merely PREFIXED by the table name) fall through") {
