@@ -30,6 +30,8 @@ import org.apache.spark.sql.functions.{col, expr, lit}
   *   - `RESTORE TABLE t TO VERSION AS OF n` /
   *     `… TO TIMESTAMP AS OF 'ts'`                   → [[DataLakehouse.restore]]
   *   - `ALTER TABLE t ADD COLUMN[S] … / DROP COLUMN` → schema evolution DDL
+  *   - `CREATE TABLE x SHALLOW CLONE t [VERSION AS OF n]
+  *      LOCATION 'path'`                             → [[DataLakehouse.cloneTo]]
   *
   * MERGE accepts exactly the whole-row upsert form above (the Delta
   * idiom `UPDATE SET * / INSERT *`): that is what the engine's merge
@@ -109,6 +111,11 @@ private[sources] object SqlDml {
       s"(?is)^\\s*RESTORE\\s+TABLE\\s+$t\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$".r
     val restoreTsRe =
       s"(?is)^\\s*RESTORE\\s+TABLE\\s+$t\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*$$".r
+    // Delta clone syntax, with LOCATION carrying the new table's root
+    // (this registry is path-based — there is no catalog to CREATE into)
+    val cloneRe =
+      (s"(?is)^\\s*CREATE\\s+TABLE\\s+[\\w.]+\\s+SHALLOW\\s+CLONE\\s+$t" +
+        "(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s+LOCATION\\s+'([^']+)'\\s*;?\\s*$$").r
     // schema-evolution DDL (Delta syntax): single- and multi-column ADD,
     // name-only DROP. Types parse through DataType.fromDDL, so the full
     // SQL type grammar (DECIMAL(10,2), ARRAY<DOUBLE>, ...) is accepted.
@@ -159,6 +166,11 @@ private[sources] object SqlDml {
       case restoreTsRe(ts) =>
         Some(metric(spark, "version_restored",
           lake.restore(java.sql.Timestamp.valueOf(ts))))
+      case cloneRe(version, location) =>
+        val clone = lake.cloneTo(location,
+          Option(version).map(_.toLong).getOrElse(Long.MaxValue))
+        Some(metric(spark, "num_files_cloned",
+          clone.txnLog.snapshotFiles().size.toLong))
       case _ => None
     }
   }

@@ -347,6 +347,23 @@ class SqlDmlSpec extends SparkSpec {
     assert(lake.query().df.count() == 12)
   }
 
+  test("sql CREATE TABLE ... SHALLOW CLONE clones zero-copy, optionally pinned") {
+    val lake = seeded()
+    val v0 = lake.txnLog.currentVersion() - 1 // after the FIRST commit (4 rows)
+    val loc1 = tempDir("clone-sql") + "/t1"
+    val m = lake.sql(s"CREATE TABLE t1 SHALLOW CLONE trades LOCATION '$loc1'")
+    assert(m.columns.toSeq == Seq("num_files_cloned"))
+    val clone1 = new DataLakehouse(spark, loc1)
+    assert(clone1.query().df.count() == 8)
+    // version-pinned clone sees only the first commit
+    val loc2 = tempDir("clone-sql") + "/t2"
+    lake.sql(s"CREATE TABLE t2 SHALLOW CLONE trades VERSION AS OF $v0 LOCATION '$loc2'")
+    assert(new DataLakehouse(spark, loc2).query().df.count() == 4)
+    // clone and source are independent
+    lake.sql("DELETE FROM trades")
+    assert(clone1.query().df.count() == 8)
+  }
+
   test("plain SELECT (and names merely PREFIXED by the table name) fall through") {
     val lake = seeded()
     val n = lake.sql("SELECT count(*) AS n FROM trades WHERE symbol = 'AAPL'")
