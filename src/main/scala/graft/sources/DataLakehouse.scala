@@ -313,9 +313,18 @@ final class DataLakehouse(
         .asInstanceOf[StructType]) match {
       case None => batch.json
       case Some(prev) =>
-        val prevByName = prev.fields.map(f => f.name -> f).toMap
+        // Case-INSENSITIVE matching, like the DDL path and Spark's own
+        // resolver: a batch column differing only in case from a
+        // recorded one ('Volume' vs 'volume') must hit the conflict
+        // checks here, not record a second field that every later
+        // fixed-schema read rejects as a duplicate column.
+        val prevByName = prev.fields.map(f => f.name.toLowerCase -> f).toMap
         batch.fields.foreach { f =>
-          prevByName.get(f.name).foreach { pf =>
+          prevByName.get(f.name.toLowerCase).foreach { pf =>
+            require(pf.name == f.name,
+              s"append schema conflict on '${f.name}': table records it " +
+                s"as '${pf.name}' — column names are case-insensitive; " +
+                "rename the batch column to the recorded casing")
             require(pf.dataType == f.dataType,
               s"append schema conflict on '${f.name}': table has " +
                 s"${pf.dataType.simpleString}, batch has ${f.dataType.simpleString}")
@@ -340,13 +349,28 @@ final class DataLakehouse(
               s"(${known.mkString(",")}) but the recorded order is " +
               s"(${recData.mkString(",")}) — csv resolves positionally, " +
               "so recorded columns must appear as an ordered prefix")
-          require(batchData.sameElements(
-            known ++ batchData.filterNot(recData.contains)),
+          val fresh = batchData.filterNot(recData.contains)
+          require(batchData.sameElements(known ++ fresh),
             "csv append layout mismatch: new columns must trail the " +
               s"recorded ones, got (${batchData.mkString(",")})")
+          // A batch that ADDS a column while OMITTING a recorded one is
+          // the silent-shift trap the prefix check alone misses: known
+          // = (...,c1..ck) is a valid prefix and the new column trails,
+          // but the merged record places the omitted recorded column
+          // BEFORE the new one while the file bytes have the new
+          // column in its position — the new column's values would
+          // read back under the omitted column's name. New columns are
+          // only sound on top of the COMPLETE recorded data schema.
+          require(fresh.isEmpty || known.length == recData.length,
+            "csv append layout mismatch: batch adds new columns " +
+              s"(${fresh.mkString(",")}) while omitting recorded ones " +
+              s"(${recData.drop(known.length).mkString(",")}) — csv " +
+              "resolves positionally, so a batch introducing columns " +
+              "must present every recorded data column first")
         }
         StructType(prev.fields ++
-          batch.fields.filterNot(f => prevByName.contains(f.name))).json
+          batch.fields.filterNot(f =>
+            prevByName.contains(f.name.toLowerCase))).json
     }
 
   // ------------------------------------------------------- schema evolution

@@ -78,7 +78,13 @@ private[sources] object SqlDml {
         val end = Option(m.group(3)).map(_.toLong)
           .getOrElse(lake.txnLog.currentVersion())
         val safe = tableName.replaceAll("[^A-Za-z0-9_]", "_")
-        val view = s"graft_changes_${safe}_${start}_$end"
+        // Root-derived discriminator: two lakes over DIFFERENT roots
+        // registered under the SAME table name in one SparkSession must
+        // not serve each other's change feed for equal version ranges —
+        // table-scoping alone does not separate them.
+        val rootTag =
+          Integer.toHexString(lake.root.hashCode).replace('-', 'n')
+        val view = s"graft_changes_${safe}_${rootTag}_${start}_$end"
         lake.changes(start - 1, end).createOrReplaceTempView(view)
         sb.append(text.substring(last, m.start)).append(view)
         last = m.end
@@ -151,8 +157,10 @@ private[sources] object SqlDml {
       case deleteRe(rest) => Some(delete(lake, rest))
       case updateRe(rest) => Some(update(lake, rest))
       case mergeRe(rest) => Some(merge(lake, tableName, rest))
-      case insertRe(rest) => Some(insert(lake, rest, overwrite = false))
-      case overwriteRe(rest) => Some(insert(lake, rest, overwrite = true))
+      case insertRe(rest) =>
+        Some(insert(lake, tableName, rest, overwrite = false))
+      case overwriteRe(rest) =>
+        Some(insert(lake, tableName, rest, overwrite = true))
       case optimizeRe() =>
         val v = lake.compact(maxFilesPerPartition = 0)
         Some(metric(spark, "version_committed", v))
@@ -277,12 +285,28 @@ private[sources] object SqlDml {
           s"(expected one of ${known.mkString(", ")})")
       ca
     }
+    // The USING source may reference the target table itself (or a view
+    // over it). Delta evaluates the source against the CURRENT snapshot
+    // at statement start — an earlier sql() SELECT may have left a STALE
+    // temp view registered under the table's name, so refresh it first
+    // (the fall-through path in DataLakehouse.sql does the same).
+    refreshTableView(lake, tableName)
     val (updated, inserted) = lake.merge(spark.table(sourceName), keys)
     import spark.implicits._
     Seq((updated, inserted)).toDF("num_updated_rows", "num_inserted_rows")
   }
 
-  private def insert(lake: DataLakehouse, rest: String,
+  /** Re-register the table's temp view over the CURRENT snapshot — the
+    * read-at-statement-start semantics DML sources need. Without this, a
+    * self-referencing `INSERT INTO t SELECT … FROM t` or `MERGE … USING
+    * t` would silently read whatever snapshot an earlier sql() SELECT
+    * happened to register (e.g. re-inserting rows deleted since).
+    */
+  private def refreshTableView(lake: DataLakehouse,
+      tableName: String): Unit =
+    lake.query().df.createOrReplaceTempView(tableName)
+
+  private def insert(lake: DataLakehouse, tableName: String, rest: String,
       overwrite: Boolean): DataFrame = {
     val spark = lake.spark
     val r0 = stripSemi(rest)
@@ -301,7 +325,12 @@ private[sources] object SqlDml {
     val src =
       if (r.toUpperCase.startsWith("VALUES")) spark.sql(s"SELECT * FROM $r")
       else if (r.toUpperCase.startsWith("SELECT") ||
-        r.toUpperCase.startsWith("(")) spark.sql(r)
+        r.toUpperCase.startsWith("(")) {
+        // SELECT sources may reference the target table — evaluate them
+        // against the current snapshot, not a stale registered view
+        refreshTableView(lake, tableName)
+        spark.sql(r)
+      }
       else throw new IllegalArgumentException(
         s"malformed INSERT tail: '${r.take(40)}' (expected VALUES or SELECT)")
     // positional mapping (SQL INSERT semantics) onto the supplied column

@@ -277,6 +277,43 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(e.getMessage.contains("csv append layout"))
   }
 
+  test("csv append that ADDS a column while omitting a recorded one is rejected") {
+    val csvLake = new DataLakehouse(spark, tempDir("schemaevo-csv3"), format = "csv")
+    csvLake.ingestBatch(Seq(bar("AAPL", "2024-06-15 09:30:00")))
+    csvLake.addColumn("venue", StringType)
+    import spark.implicits._
+    // batch omits venue (the LAST recorded data column) while adding
+    // lot_size: the ordered-prefix check alone passes (known is a valid
+    // prefix, the new column trails), yet the merged record would place
+    // venue before lot_size while the file bytes have lot_size in
+    // venue's position — lot_size values would read back AS venue.
+    // A batch introducing columns must present the complete recorded
+    // data schema first.
+    val batch = Seq(("MSFT", ts("2024-06-15 10:30:00"), 150.0, 155.0, 149.0,
+      153.0, 1000L, "equity", 100L))
+      .toDF("symbol", "timestamp", "open", "high", "low", "close",
+        "volume", "asset_class", "lot_size")
+    val e = intercept[IllegalArgumentException] { csvLake.appendDF(batch) }
+    assert(e.getMessage.contains("omitting recorded"))
+    assert(csvLake.query().df.count() == 1) // nothing committed
+  }
+
+  test("append with a column differing only in CASE from a recorded one is rejected") {
+    val lake = seeded()
+    import spark.implicits._
+    // 'Volume' vs recorded 'volume': under Spark's case-insensitive
+    // resolution a second recorded field would make every later
+    // fixed-schema read crash on a duplicate column — reject at the
+    // write, like the DDL path does
+    val batch = Seq(("NVDA", ts("2024-06-15 10:30:00"), 90.0, 95.0, 89.0,
+      94.0, 500L, "equity"))
+      .toDF("symbol", "timestamp", "open", "high", "low", "close",
+        "Volume", "asset_class")
+    val e = intercept[IllegalArgumentException] { lake.appendDF(batch) }
+    assert(e.getMessage.contains("case-insensitive"))
+    assert(lake.query().df.count() == 2) // nothing committed
+  }
+
   test("compaction carries evolved columns through the rewrite") {
     val lake = seeded()
     lake.addColumn("venue", StringType)

@@ -379,4 +379,58 @@ class SqlDmlSpec extends SparkSpec {
     assert(!e.isInstanceOf[IllegalArgumentException])
     assert(lake.query().df.count() == 8)
   }
+
+  test("INSERT ... SELECT FROM the table itself reads the CURRENT snapshot") {
+    val lake = seeded()
+    // a plain SELECT registers the table's temp view at THIS snapshot
+    lake.sql("SELECT count(*) AS n FROM trades").collect()
+    lake.sql("DELETE FROM trades WHERE symbol = 'AAPL'")
+    // self-referencing INSERT: a stale view would re-insert the four
+    // deleted AAPL rows; statement-start semantics must see the delete
+    val m = lake.sql(
+      "INSERT INTO trades SELECT symbol, timestamp, open, high, low, close, " +
+        "volume, asset_class FROM trades WHERE symbol = 'AAPL'")
+    assert(m.head().getLong(0) == 0L)
+    assert(lake.query().df.filter(col("symbol") === "AAPL").isEmpty)
+    assert(lake.query().df.count() == 4)
+  }
+
+  test("MERGE ... USING the table itself evaluates the source at the current snapshot") {
+    val lake = seeded()
+    lake.sql("SELECT count(*) AS n FROM trades").collect() // stale view
+    lake.sql("DELETE FROM trades WHERE symbol = 'AAPL'")
+    // source = the target table: with statement-start semantics this is
+    // an idempotent self-upsert of the 4 surviving rows; a stale view
+    // would resurrect the deleted AAPL rows as inserts
+    val m = lake.sql(
+      "MERGE INTO trades t USING trades s " +
+        "ON t.symbol = s.symbol AND t.timestamp = s.timestamp " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val row = m.head()
+    assert(row.getLong(0) == 4L) // num_updated_rows
+    assert(row.getLong(1) == 0L) // num_inserted_rows: no resurrection
+    assert(lake.query().df.count() == 4)
+    assert(lake.query().df.filter(col("symbol") === "AAPL").isEmpty)
+  }
+
+  test("table_changes views are root-scoped: two lakes, same table name, no clobber") {
+    val lakeA = seeded()
+    val lakeB = new DataLakehouse(spark, tempDir("sqldml-otherroot"))
+    lakeB.ingestBatch(Seq(bar("MSFT", "2024-06-15 09:30:00")))
+    lakeB.ingestBatch(Seq(bar("NVDA", "2024-06-16 09:30:00"))) // version 1
+    // identical table name AND identical version range: without a
+    // root discriminator both statements materialize the SAME view name
+    val aN = lakeA.sql("SELECT count(*) AS n FROM table_changes(1, 1)")
+      .head().getLong(0)
+    val bN = lakeB.sql("SELECT count(*) AS n FROM table_changes(1, 1)")
+      .head().getLong(0)
+    assert(aN == 4L)
+    assert(bN == 1L)
+    // the two registrations coexist under distinct names — B's never
+    // replaced A's, so a concurrent reader of A's feed cannot be served
+    // B's rows
+    val views = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_changes_trades"))
+    assert(views.distinct.length >= 2, s"expected root-scoped views, got ${views.mkString(",")}")
+  }
 }
