@@ -136,6 +136,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Tables.quietBenignWarns()
     // Untimed warmup: JIT + codegen + parquet reader init, so the first
     // timed query measures the query, not JVM startup.
     spark.range(1000000).selectExpr("sum(id)").collect()

@@ -31,6 +31,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Silence the two benign-by-construction WARN sources that otherwise
+    * pollute the bench/verify stderr tail (the only channel the driver
+    * captures): the CC pipeline intentionally unpersists locally-
+    * checkpointed round intermediates it will never recompute (the WARN
+    * fires from the RDD's class logger on every free), and the memo
+    * layer's ensureCached self-heal re-requests caching idempotently
+    * (CacheManager's "already cached" WARN). Scoped to the two exact
+    * loggers — every other Spark WARN still surfaces.
+    */
+  def quietBenignWarns(): Unit = {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.config.Configurator
+    Seq("org.apache.spark.rdd.MapPartitionsRDD",
+      "org.apache.spark.sql.execution.CacheManager")
+      .foreach(Configurator.setLevel(_, Level.ERROR))
+    LogManager.getLogger(getClass) // force-touch so the config applies
+  }
+
   // Loaded-table memo per (session, dir, name): `spark.read.parquet`
   // resolves the footer EAGERLY on every call, and the 100-query catalog
   // calls load() several hundred times per bench/verify run against

@@ -17,6 +17,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Tables.quietBenignWarns()
     new java.io.File(outDir).mkdirs()
     // Crash-absence must be impossible in the gate artifact (round-6 lesson:
     // 31 analysis-error queries simply VANISHED from CORRECTNESS instead of

@@ -544,6 +544,16 @@ object DedupQueries {
     "q24_neardup_jaccard" -> q24Sql,
     // q70 is exact by construction — it shares q24's oracle SQL verbatim
     "q70_jaccard_prefix" -> q24Sql,
+    // q27's candidates are exact-Jaccard VERIFIED, and on these corpora
+    // every real pair sits at j >= 0.9 — far above the 8-band/2-row
+    // S-curve knee — so the LSH path provably reproduces the exact pair
+    // set, values included (OperatorsSpec pins lsh == exact at sf0.01).
+    // Its oracle is therefore q24's exact-Jaccard SQL verbatim.
+    "q27_minhash_lsh" -> q24Sql,
+    // same argument on the incremental shape: q63's probe candidates are
+    // exact-verified against the standing index, so its output equals
+    // the cross-side restriction q62 computes exactly
+    "q63_incremental_minhash" -> q62Sql,
     "q25_cosine_topk" -> q25Sql,
     "q26_multimodal_join" -> q26Sql,
     "q54_dedup_clusters" -> q54Sql,
