@@ -1414,7 +1414,7 @@ final class DataLakehouse(
     val hi = math.min(toVersion, txnLog.currentVersion())
     require(fromVersion <= hi,
       s"changes($fromVersion, $toVersion): from must be <= resolved to=$hi")
-    val cs = txnLog.commits(hi).filter(_.version > fromVersion)
+    val cs = txnLog.commitsBetween(fromVersion, hi)
     val added = cs.flatMap(_.added)
     val removed = cs.flatMap(_.removed)
     val (addedSet, removedSet) = (added.toSet, removed.toSet)

@@ -65,7 +65,9 @@ object IncrementalView {
     val last = currentVersion(viewDir)
     if (cur <= last) return RefreshStats(last, last, "noop", 0L)
 
-    val range = lake.txnLog.commits(upTo = cur).filter(_.version > last)
+    // windowed read: refresh is a POLLING path — it must pay O(new
+    // commits), not O(log length) per call
+    val range = lake.txnLog.commitsBetween(last, cur)
     val anyRemovals = range.exists(_.removed.nonEmpty)
     val (partials, mode, nFiles) =
       if (anyRemovals || last < 0L) {

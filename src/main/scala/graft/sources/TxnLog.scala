@@ -123,10 +123,24 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
     new java.util.concurrent.ConcurrentHashMap[Long, Checkpoint]()
   private val MaxCachedCommits = 1024
 
-  /** Listing calls actually issued — instrumentation for the cost spec
-    * (commit cost must stay flat in log length).
+  /** Existence probes actually issued — instrumentation for the cost
+    * specs (commit cost flat in log length; cold head discovery
+    * O(log commits); the log dir is NEVER listed — there is no listing
+    * code path left in this class).
     */
-  private[graft] val listCalls =
+  private[graft] val existsProbes =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def probeExists(p: Path): Boolean = {
+    existsProbes.incrementAndGet()
+    Files.exists(p)
+  }
+
+  /** Commit files actually parsed from disk (cache misses) — the other
+    * half of the cost instrumentation: windowed reads must parse
+    * O(window) commits, snapshot resolution O(checkpoint tail).
+    */
+  private[graft] val commitReads =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
   import TxnLog.{Bloom, FileStat}
@@ -153,19 +167,6 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
 
   private def versionPath(v: Long): Path = logDir.resolve(f"v$v%08d.json")
 
-  /** Directory listing with the stream closed (called per commit — an
-    * unclosed Files.list leaks a directory fd each call).
-    */
-  private def listNames(): Seq[String] = {
-    listCalls.incrementAndGet()
-    if (!Files.isDirectory(logDir)) Nil
-    else {
-      val s = Files.list(logDir)
-      try s.iterator().asScala.map(_.getFileName.toString).toList
-      finally s.close()
-    }
-  }
-
   /** Newest committed version: ONE full listing on the cold call, then a
     * forward existence probe from the cached floor (typically a single
     * stat that misses). Keeps per-commit and per-query log resolution
@@ -176,20 +177,49 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
     var v =
       if (cached != -2L) cached
       else {
-        val listed = listNames()
-          .collect { case s if s.matches("v\\d{8}\\.json") =>
-            s.substring(1, 9).toLong }
-          .foldLeft(-1L)(math.max)
-        cachedVersion.compareAndSet(-2L, listed)
-        listed
+        // Cold start finds the head by EXPONENTIAL + BINARY SEARCH over
+        // the contiguous version sequence (exclusive-create guarantees
+        // no gaps): O(log commits) existence probes. The directory
+        // listing this replaced is O(commits) entries — at the declared
+        // 100 ms cadence (864k commits/day, README.md:37) that is
+        // seconds of cold-start latency per planner process just to
+        // find the head, and it re-paid on every new reader.
+        val found =
+          if (!probeExists(versionPath(0L))) -1L
+          else {
+            var lo = 0L; var step = 1L
+            while (probeExists(versionPath(lo + step))) {
+              lo += step; step *= 2
+            }
+            var hi = lo + step // exists(lo), !exists(hi)
+            while (hi - lo > 1) {
+              val mid = lo + (hi - lo) / 2
+              if (probeExists(versionPath(mid))) lo = mid else hi = mid
+            }
+            lo
+          }
+        cachedVersion.compareAndSet(-2L, found)
+        found
       }
-    while (Files.exists(versionPath(v + 1))) v += 1
+    while (probeExists(versionPath(v + 1))) v += 1
     cachedVersion.updateAndGet(c => math.max(c, v))
   }
 
   def commits(upTo: Long = Long.MaxValue): Seq[Commit] = {
     val cur = currentVersion()
     (0L to math.min(cur, upTo)).map(read)
+  }
+
+  /** Commits in `(fromExclusive, toInclusive]` — the WINDOWED read that
+    * CDC pollers (`table_changes`, [[DataLakehouse.changes]]) and
+    * incremental-view refreshes need. Cost is O(window), never O(log
+    * length): a reader polling the last few versions of a 10⁵-commit log
+    * must not re-read the whole log per poll (that is O(n²) cumulative
+    * at the declared 100 ms commit cadence, README.md:37).
+    */
+  def commitsBetween(fromExclusive: Long, toInclusive: Long): Seq[Commit] = {
+    val hi = math.min(currentVersion(), toInclusive)
+    ((math.max(0L, fromExclusive + 1)) to hi).map(read)
   }
 
   private def read(v: Long): Commit = {
@@ -202,6 +232,7 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
   }
 
   private def readUncached(v: Long): Commit = {
+    commitReads.incrementAndGet()
     val node = mapper.readTree(Files.readAllBytes(versionPath(v)))
     def arr(name: String): Seq[String] =
       Option(node.get(name)).map(_.elements().asScala.map(_.asText()).toSeq)
@@ -493,16 +524,26 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
     var b =
       if (cached != -2L) cached
       else {
-        val listed = listNames()
-          .collect { case s if s.matches("checkpoint-v\\d{8}\\.json") =>
-            s.substring(12, 20).toLong }
-          .foldLeft(-1L)(math.max)
-        cachedCkpt.compareAndSet(-2L, listed)
-        listed
+        // Cold start derives the newest checkpoint from the head instead
+        // of LISTING the log dir (O(commits) entries): checkpoints live
+        // at interval multiples, so probe DOWNWARD from
+        // floor(head/interval)·interval — one hit in the steady state;
+        // the walk only lengthens when checkpoint writes were skipped
+        // (crash windows), which does not accumulate.
+        val found =
+          if (checkpointInterval <= 0) -1L
+          else {
+            var k = currentVersion() / checkpointInterval * checkpointInterval
+            while (k > 0 && !probeExists(checkpointPath(k)))
+              k -= checkpointInterval
+            if (k > 0) k else -1L
+          }
+        cachedCkpt.compareAndSet(-2L, found)
+        found
       }
     if (checkpointInterval > 0) {
       var k = (math.max(b, 0L) / checkpointInterval + 1) * checkpointInterval
-      while (Files.exists(checkpointPath(k))) { b = k; k += checkpointInterval }
+      while (probeExists(checkpointPath(k))) { b = k; k += checkpointInterval }
     }
     cachedCkpt.updateAndGet(c => math.max(c, b))
   }
@@ -519,7 +560,7 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       else if (checkpointInterval <= 0) -1L
       else {
         var k = v / checkpointInterval * checkpointInterval
-        while (k > 0 && !Files.exists(checkpointPath(k)))
+        while (k > 0 && !probeExists(checkpointPath(k)))
           k -= checkpointInterval
         if (k > 0) k else -1L
       }

@@ -26,6 +26,84 @@ object ScaleRun {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
+    // Txn-log metadata scale probe: mult×1000 commits in the streaming
+    // ring pattern (each commit adds one file, retires the previous —
+    // live set stays 1, the 100 ms-cadence shape from README.md:37).
+    // The 100-TB metadata claims under test: commit latency is FLAT in
+    // commit count (O(1) warm commits: one forward existence probe + one
+    // exclusive-create, plus an O(live) checkpoint every interval);
+    // snapshot/schema resolution is checkpoint-seeded (O(interval +
+    // live), flat in commit count, warm AND from a cold process); and
+    // windowed reads (table_changes pollers, incremental-view refresh)
+    // pay O(window), never O(log). No Spark jobs — this is pure log IO.
+    if (which == "txnlog") {
+      import java.nio.file.Files
+      val root = Files.createTempDirectory("txnscale").toString
+      val log = new sources.TxnLog(root)
+      val n = mult * 1000
+      def medianMs(xs: Seq[Double]): Double = {
+        val s = xs.sorted; s(s.length / 2)
+      }
+      val window = 500
+      val lat = new Array[Double](n)
+      val warmSnap = scala.collection.mutable.ArrayBuffer[(Int, Double, Double)]()
+      val stat = sources.TxnLog.FileStat("AAPL", "ZZZZ", 0L, 1000000L)
+      (0 until n).foreach { i =>
+        val t0 = System.nanoTime()
+        log.commit(
+          added = Seq(f"date=2024-06-15/part-$i%08d.parquet"),
+          removed = if (i == 0) Nil
+            else Seq(f"date=2024-06-15/part-${i - 1}%08d.parquet"),
+          rowCounts = Map(f"date=2024-06-15/part-$i%08d.parquet" -> 100L),
+          fileStats = Map(f"date=2024-06-15/part-$i%08d.parquet" -> stat))
+        lat(i) = (System.nanoTime() - t0) / 1e6
+        if ((i + 1) % (n / 4) == 0) {
+          val t1 = System.nanoTime()
+          val files = log.snapshotFiles()
+          val snapMs = (System.nanoTime() - t1) / 1e6
+          val t2 = System.nanoTime()
+          log.schemaAt()
+          val schemaMs = (System.nanoTime() - t2) / 1e6
+          assert(files.size == 1, s"ring live set drifted: ${files.size}")
+          warmSnap += ((i + 1, snapMs, schemaMs))
+        }
+      }
+      val first = medianMs(lat.slice(0, window).toSeq)
+      val mid = medianMs(lat.slice(n / 2 - window / 2, n / 2 + window / 2).toSeq)
+      val last = medianMs(lat.slice(n - window, n).toSeq)
+      println(f"[scale] txnlog commits=$n commitMedianMs " +
+        f"first=$first%.2f mid=$mid%.2f last=$last%.2f")
+      warmSnap.foreach { case (at, s, sc) =>
+        println(f"[scale] txnlog warm@$at snapshotMs=$s%.1f schemaMs=$sc%.1f") }
+      // cold process: fresh instance, empty caches — the planner-restart
+      // case. Snapshot must seed from the newest checkpoint (tail <=
+      // interval), never replay the log.
+      val cold = new sources.TxnLog(root)
+      val t3 = System.nanoTime()
+      val coldFiles = cold.snapshotFiles()
+      val coldSnapMs = (System.nanoTime() - t3) / 1e6
+      val t4 = System.nanoTime()
+      val tail = cold.commitsBetween(n - 11L, n - 1L)
+      val coldWindowMs = (System.nanoTime() - t4) / 1e6
+      // the O(log) comparators: a full replay and a full history read
+      val cold2 = new sources.TxnLog(root)
+      val t5 = System.nanoTime()
+      val all = cold2.commits()
+      val fullReplayMs = (System.nanoTime() - t5) / 1e6
+      println(f"[scale] txnlog cold snapshotMs=$coldSnapMs%.1f " +
+        f"window10Ms=$coldWindowMs%.1f fullReplayMs=$fullReplayMs%.1f " +
+        f"(files=${coldFiles.size} window=${tail.size} commits=${all.size})")
+      // flat-or-log assertions (medians defend against scheduler noise)
+      assert(last <= math.max(3 * first, first + 2.0),
+        f"commit latency grew with log length: first=$first%.2f last=$last%.2f")
+      assert(coldSnapMs <= fullReplayMs / 5,
+        f"cold snapshot not checkpoint-seeded: $coldSnapMs%.1f vs full replay $fullReplayMs%.1f")
+      assert(coldWindowMs <= fullReplayMs / 5,
+        f"windowed read not O(window): $coldWindowMs%.1f vs full replay $fullReplayMs%.1f")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      spark.stop(); return
+    }
+
     val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
       .select($"doc_id", $"text")
     val big = (0 until mult)

@@ -135,23 +135,52 @@ class TxnSafetySpec extends SparkSpec {
     assert(!c.hasBatch("s9-1"))
   }
 
-  test("commit cost is flat in log length: one dir listing per cold start") {
+  test("commit cost is flat in log length; cold head discovery is O(log commits)") {
     val root = tempDir("txnflat")
     val log = new TxnLog(root)
     (0 until 60).foreach(i => log.commit(added = Seq(s"f$i.parquet")))
     // Version + checkpoint resolution probe forward from the in-process
-    // cache; only the COLD calls may list the directory. 60 commits with
-    // checkpoints every 10 would otherwise issue 60+ O(commits) listings.
-    assert(log.listCalls.get() <= 3,
-      s"expected <=3 dir listings for 60 commits, got ${log.listCalls.get()}")
-    // A fresh instance (new process) still sees everything…
+    // cache: amortized O(1) existence probes per commit (the log dir is
+    // never listed — no listing code path exists). 60 commits issue a
+    // bounded-constant probe count per commit: cold init (log₂ 1) +
+    // per-commit forward misses + checkpoint probes.
+    val warmProbes = log.existsProbes.get()
+    assert(warmProbes <= 60 * 5,
+      s"expected <=5 probes/commit over 60 commits, got $warmProbes")
+    // A fresh instance (new process) finds the head by exponential +
+    // binary search: O(log commits) probes, never a directory listing
+    // and never an O(commits) walk.
     val reopened = new TxnLog(root)
     assert(reopened.currentVersion() == 59L)
+    val coldProbes = reopened.existsProbes.get()
+    assert(coldProbes <= 2 * 14 + 4, // 2·⌈log₂ 60⌉ phases + slack
+      s"cold head discovery not O(log n): $coldProbes probes for 60 commits")
     assert(reopened.snapshotFiles().size == 60)
     // …and a cross-instance commit is visible to the first instance's
     // cached view (forward probe finds foreign commits).
     reopened.commit(added = Seq("foreign.parquet"))
     assert(log.currentVersion() == 60L)
+  }
+
+  test("windowed reads parse O(window) commits; cold snapshot O(checkpoint tail)") {
+    val root = tempDir("txnwindow")
+    val log = new TxnLog(root)
+    (0 until 200).foreach(i => log.commit(added = Seq(s"f$i.parquet")))
+    // a CDC poller's shape: cold instance, last-5-versions window — it
+    // must parse exactly the 5 window commits, never replay the log
+    // (O(n) per poll is O(n²) cumulative at the 100 ms commit cadence)
+    val poller = new TxnLog(root)
+    val tail = poller.commitsBetween(194L, 199L)
+    assert(tail.map(_.version) == (195L to 199L))
+    assert(poller.commitReads.get() == 5L,
+      s"windowed read parsed ${poller.commitReads.get()} commits, expected 5")
+    // cold snapshot resolution: newest checkpoint (v190 at interval 10)
+    // + the 9-commit tail — bounded by the interval, not the log length
+    val planner = new TxnLog(root)
+    assert(planner.snapshotFiles().size == 200)
+    assert(planner.commitReads.get() <= 10L,
+      s"cold snapshot parsed ${planner.commitReads.get()} commits, " +
+        "expected <= checkpointInterval")
   }
 
   test("versionAsOf binary search == linear replay reference") {
