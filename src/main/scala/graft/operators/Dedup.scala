@@ -199,13 +199,56 @@ object Dedup {
     // recount over the full relation so values stay exact.
     val inter =
       if (maxPostingList <= 0) candInter
-      else broadcast(candInter.select($"a_id", $"b_id"))
-        .join(sh.select($"doc_id".as("a_id"), $"sh"), "a_id")
-        // equi-join on BOTH (b_id, sh): each surviving row IS one shared
-        // shingle — joining on b_id alone would cross a's shingles with
-        // b's (|a|·|b| intermediate rows per pair) before filtering
-        .join(sh.select($"doc_id".as("b_id"), $"sh"), Seq("b_id", "sh"))
-        .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("inter"))
+      else {
+        // The recount pass dominates the capped path on boilerplate-
+        // heavy corpora (ScaleRun skewbomb): candidate generation is
+        // cheap, but recounting every candidate against the full
+        // shingle relation pays |candidates| × |doc shingles|. Two
+        // result-preserving cuts:
+        //
+        // 1. UPPER-BOUND PRUNE before the recount. The candidate's
+        //    cold-intersection count is exact over df <= cap shingles;
+        //    the hot remainder is bounded by min(hotA, hotB), each
+        //    doc's count of df > cap shingles. j is monotone in inter,
+        //    so imax := coldInter + min(hotA, hotB) bounds the true
+        //    jaccard from above — a pair with
+        //    imax/(na+nb-imax) < t provably cannot reach the
+        //    threshold. On a template corpus this eliminates the
+        //    boiler-only candidate mass (their cold overlap is tiny
+        //    and min(hot) ~ template size), leaving the recount only
+        //    genuinely-plausible pairs.
+        // 2. Recount over df > 1 shingles ONLY — a df == 1 shingle
+        //    exists in exactly one document, so it can never survive
+        //    the (b_id, sh) equi-join (the argument that drops df == 1
+        //    from candidate generation). On natural text the majority
+        //    of shingles are df == 1.
+        val hotCount = sh.join(
+            dfAgg.filter($"df" > maxPostingList).select($"sh"), "sh")
+          .groupBy($"doc_id").agg(count(lit(1)).as("hc"))
+        val plausible = candInter
+          .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), "a_id")
+          .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), "b_id")
+          .join(hotCount.select($"doc_id".as("a_id"), $"hc".as("ha")),
+            Seq("a_id"), "left")
+          .join(hotCount.select($"doc_id".as("b_id"), $"hc".as("hb")),
+            Seq("b_id"), "left")
+          .withColumn("imax", $"inter" +
+            least(coalesce($"ha", lit(0L)), coalesce($"hb", lit(0L))))
+          .filter($"imax".cast("double") /
+            ($"na" + $"nb" - $"imax") >= threshold)
+          .select($"a_id", $"b_id")
+        val shShared = sh.join(
+          dfAgg.filter($"df" > 1).select($"sh"), "sh").persist()
+        broadcast(plausible)
+          .join(shShared.select($"doc_id".as("a_id"), $"sh"), "a_id")
+          // equi-join on BOTH (b_id, sh): each surviving row IS one
+          // shared shingle — joining on b_id alone would cross a's
+          // shingles with b's (|a|·|b| intermediate rows per pair)
+          // before filtering
+          .join(shShared.select($"doc_id".as("b_id"), $"sh"),
+            Seq("b_id", "sh"))
+          .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("inter"))
+      }
     inter
       .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), "a_id")
       .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), "b_id")

@@ -211,6 +211,67 @@ object ScaleRun {
       spark.stop(); return
     }
 
+    // Skew-bomb for the dedup family: a BOILERPLATE-HEAVY corpus — 80%
+    // of long-enough docs share one 22-word template prefix, so the
+    // template's ~20 shingles have df ≈ half the corpus (the shared-
+    // header/footer shape real crawls have). The caps' specs run on
+    // clean corpora; this proves the capped paths stay feasible ON the
+    // bomb while recall floors hold: 100 exact-clone pairs per copy are
+    // PLANTED (j = 1.0, sharing plenty of cold shingles), and every
+    // method must find every planted pair. The template is sized so
+    // boiler-only overlap stays BELOW threshold (20 shared shingles vs
+    // >= 38+38 unique on >=40-word docs -> j <= 0.21): the true pair
+    // set never explodes quadratically, so wall-clock measures operator
+    // throughput, not answer size. Copies are Caesar-shifted (each copy
+    // its own template at the same 80% density) so the pair set grows
+    // mult-x, the crawl-growth shape.
+    if (which == "skewbomb") {
+      require(mult <= 26, s"shifted copies alias beyond 26x: $mult")
+      val alpha = "abcdefghijklmnopqrstuvwxyz"
+      val boiler = (1 to 22).map(i => s"boilerplate$i").mkString(" ")
+      val base = docs.select($"doc_id",
+        when(pmod($"doc_id", lit(10)) < 8 &&
+            size(split($"text", " ")) >= 40,
+          concat(lit(boiler + " "), $"text")).otherwise($"text").as("text"))
+      val clones = base.filter(pmod($"doc_id", lit(50)) === 0)
+        .select(($"doc_id" + 500000L).as("doc_id"), $"text")
+      val withClones = base.unionAll(clones)
+      val corpus = (0 until mult).map { i =>
+        val rot = alpha.drop(i % 26) + alpha.take(i % 26)
+        withClones.select(($"doc_id" + lit(i * 1000000L)).as("doc_id"),
+          translate(lower($"text"), alpha, rot).as("text"))
+      }.reduce(_ unionAll _).persist()
+      val nDocs = corpus.count()
+      val baseIds = docs.filter(pmod($"doc_id", lit(50)) === 0)
+        .select($"doc_id").as[Long].collect()
+      val planted = (for { i <- 0 until mult; d <- baseIds }
+        yield (i * 1000000L + d, i * 1000000L + d + 500000L)).toSet
+      def timed(name: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
+        val t = System.nanoTime()
+        val res = f.select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+        val secs = (System.nanoTime() - t) / 1e9
+        val hit = planted.count(res.contains)
+        println(f"[scale] skewbomb $name ${mult}x docs=$nDocs " +
+          f"pairs=${res.size} plantedRecall=${hit.toDouble / planted.size}%.3f " +
+          f"secs=$secs%.1f")
+        assert(hit == planted.size,
+          s"$name missed ${planted.size - hit} planted clone pairs")
+      }
+      timed("jaccardCapped")(operators.Dedup.jaccardPairs(corpus,
+        "doc_id", "text", shingleLen = 3, threshold = 0.5,
+        maxPostingList = 64))
+      timed("ppjoin")(operators.Dedup.jaccardPairsPrefix(corpus,
+        "doc_id", "text", shingleLen = 3, threshold = 0.5))
+      timed("minhashCapped")(operators.Dedup.minhashPairs(corpus,
+        "doc_id", "text", threshold = 0.5, maxBucketSize = 500))
+      // the bomb is real: the uncapped posting-list join pays the
+      // quadratic hot-shingle expansion — only run at small mult
+      if (mult <= 2)
+        timed("jaccardUNCAPPED")(operators.Dedup.jaccardPairs(corpus,
+          "doc_id", "text", shingleLen = 3, threshold = 0.5))
+      spark.stop(); return
+    }
+
     // FIX-parse throughput: the live-feed wire parse is pure catalyst
     // HOFs so it must scale out like any operator — this measures
     // messages/sec for mult×200k FIX 4.4 snapshots (encode distributed,
