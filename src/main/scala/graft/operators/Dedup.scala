@@ -447,10 +447,10 @@ object Dedup {
     // candidate pairs: one shared shingle suffices; the df cap bounds the
     // per-shingle expansion (df measured across BOTH sides — a shingle
     // hot in the corpus alone still fans out per batch occurrence)
+    lazy val df2 = bSh.select($"sh").union(cSh.select($"sh"))
+      .groupBy($"sh").agg(count(lit(1)).as("df")).persist()
     val (bCand, cCand) =
       if (maxPostingList > 0) {
-        val df2 = bSh.select($"sh").union(cSh.select($"sh"))
-          .groupBy($"sh").agg(count(lit(1)).as("df"))
         val ok = df2.filter($"df" <= maxPostingList).select($"sh")
         (bSh.join(ok, "sh"), cSh.join(ok, "sh"))
       } else (bSh, cSh)
@@ -458,15 +458,37 @@ object Dedup {
       .join(cCand, "sh")
       .groupBy($"batch_id", $"corpus_id")
       .agg(count(lit(1)).as("inter"))
-    // capped: recount intersections over the FULL relations so values
+    // capped: recount intersections over the full relations so values
     // stay exact (uncapped, candidate intersections ARE exact — no
-    // shingle was dropped)
+    // shingle was dropped), with jaccardPairs' two result-preserving
+    // cuts: the upper-bound prune (coldInter + min(hotB, hotC) bounds
+    // the true intersection, so below-threshold candidates never enter
+    // the recount — kills the boilerplate candidate mass) and the
+    // df > 1 recount restriction (a combined-df 1 shingle exists on one
+    // side only and cannot intersect).
     val inter =
       if (maxPostingList <= 0) candInter
-      else broadcast(candInter.select($"batch_id", $"corpus_id"))
-        .join(bSh, "batch_id")
-        .join(cSh, Seq("corpus_id", "sh"))
-        .groupBy($"batch_id", $"corpus_id").agg(count(lit(1)).as("inter"))
+      else {
+        val hot = df2.filter($"df" > maxPostingList).select($"sh")
+        val bHot = bSh.join(hot, "sh")
+          .groupBy($"batch_id").agg(count(lit(1)).as("ha"))
+        val cHot = cSh.join(hot, "sh")
+          .groupBy($"corpus_id").agg(count(lit(1)).as("hb"))
+        val plausible = candInter
+          .join(bSizes, "batch_id").join(cSizes, "corpus_id")
+          .join(bHot, Seq("batch_id"), "left")
+          .join(cHot, Seq("corpus_id"), "left")
+          .withColumn("imax", $"inter" +
+            least(coalesce($"ha", lit(0L)), coalesce($"hb", lit(0L))))
+          .filter($"imax".cast("double") /
+            ($"nb" + $"nc" - $"imax") >= threshold)
+          .select($"batch_id", $"corpus_id")
+        val shared = df2.filter($"df" > 1).select($"sh")
+        broadcast(plausible)
+          .join(bSh.join(shared, "sh"), "batch_id")
+          .join(cSh.join(shared, "sh"), Seq("corpus_id", "sh"))
+          .groupBy($"batch_id", $"corpus_id").agg(count(lit(1)).as("inter"))
+      }
     inter
       .join(bSizes, "batch_id")
       .join(cSizes, "corpus_id")
