@@ -58,12 +58,18 @@ case class NgramFingerprint(child: Expression, n: Int, k: Int)
 }
 
 object NgramFingerprint {
-  /** Column API via the session function registry. */
+  /** Column API via the session function registry (idempotent, the
+    * [[CosineSimilarity]] pattern — re-registration logs a WARN per
+    * call and the catalog invokes this per query construction).
+    */
   def fingerprintFast(spark: SparkSession, text: Column, n: Int = 8,
       k: Int = 16): Column = {
     val fn = s"graft_fingerprint_${n}_$k"
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      fn, exprs => NgramFingerprint(exprs.head, n, k), "built-in")
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(fn)))
+      reg.createOrReplaceTempFunction(
+        fn, exprs => NgramFingerprint(exprs.head, n, k), "built-in")
     call_function(fn, text)
   }
 }

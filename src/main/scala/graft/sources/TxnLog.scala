@@ -369,7 +369,7 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       node.put("timestampMs", System.currentTimeMillis())
       val a: ArrayNode = node.putArray("added"); added.foreach(a.add)
       val r: ArrayNode = node.putArray("removed"); removed.foreach(r.add)
-      batchId.foreach { b => node.put("batchId", b); knownBatches.add(b) }
+      batchId.foreach { b => node.put("batchId", b); recordBatch(b) }
       schemaJson.foreach(node.put("schemaJson", _))
       op.foreach(node.put("op", _))
       constraintsJson.foreach(node.put("constraintsJson", _))
@@ -429,45 +429,114 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
         } finally ch.close()
     }
 
-  /** Has a streaming micro-batch already committed? (T6 exactly-once:
-    * foreachBatch replays become no-ops.) Batch ids are cached after one
-    * log read — a full replay per micro-batch would make a long-lived
-    * stream quadratic in its own commit count.
-    *
-    * Cross-process visibility: the cold-start seed reads every committed
-    * batchId (so a REPLACED driver process no-ops batches its
-    * predecessor committed), and a cache MISS replays only the commit
-    * tail this instance has not yet seen (so a batch committed by a
-    * concurrent sibling process is found too — one forward existence
-    * probe plus the unseen tail, never a full re-listing). A hit costs a
-    * set lookup; batch ids are never un-committed, so hits need no
-    * revalidation.
+  // ---- batch-id idempotence (T6 exactly-once: foreachBatch replays
+  // become no-ops). The record is the Delta txn-action design: stream-
+  // format ids ("streamId-batchId", numeric batch monotone per stream
+  // under Structured Streaming's epoch contract) compress to a per-
+  // stream HIGH-WATER — bounded by stream count at any commit rate and
+  // carried in checkpoints, so a streaming RESTART seeds in O(interval
+  // + streams) instead of replaying every commit (minutes at the
+  // declared 100 ms cadence). Arbitrary-format ids (manual
+  // appendDF(batchId)) keep exact set semantics, recorded verbatim in
+  // checkpoints. Batch ids are never un-committed, so hits need no
+  // revalidation; a miss replays only the unseen commit tail (a batch
+  // committed by a concurrent sibling process is found there).
+
+  // "streamId-batchId" with a numeric, per-stream-monotone batch number
+  // (Structured Streaming's epoch contract). Length-guarded so a
+  // pathological digit run cannot overflow toLong.
+  private val streamBatchRe = "^(.*)-(\\d{1,18})$".r
+
+  private def parseStreamBatch(id: String): Option[(String, Long)] =
+    id match {
+      case streamBatchRe(s, b) => Some((s, b.toLong))
+      case _ => None
+    }
+
+  /** Batch-id state at `v`: per-stream high-water + arbitrary-format id
+    * set, checkpoint-seeded like [[snapshotFiles]] — O(interval) tail,
+    * never a full replay (a streaming RESTART calls [[hasBatch]] on its
+    * first micro-batch; at the declared 100 ms cadence a full replay is
+    * minutes of restart latency). A checkpoint written before these
+    * fields existed (streamTxn == None) falls back to the full replay —
+    * correctness over speed for old logs.
     */
-  private lazy val knownBatches: java.util.Set[String] = {
-    // Concurrent set: a streaming foreachBatch committer and a driver-side
-    // flush() may share this instance across threads (the same race the
-    // createLink publish defends against).
-    val s = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-    val cur = currentVersion()
-    (0L to cur).foreach(v => read(v).batchId.foreach(s.add))
-    batchSeedVersion.set(cur)
-    s
+  private def batchStateAt(
+      v: Long): (Map[String, Long], Set[String]) = {
+    val upTo = math.min(currentVersion(), v)
+    val (from, hw0, arb0) = latestCheckpoint(upTo) match {
+      case Some(ck) if ck.streamTxn.isDefined =>
+        (ck.version + 1, ck.streamTxn.get, ck.batchIds.toSet)
+      case _ => (0L, Map.empty[String, Long], Set.empty[String])
+    }
+    val hw = scala.collection.mutable.Map.empty[String, Long] ++ hw0
+    val arb = scala.collection.mutable.Set.empty[String] ++ arb0
+    (from to upTo).foreach { ver =>
+      read(ver).batchId.foreach { id =>
+        parseStreamBatch(id) match {
+          case Some((s, b)) =>
+            hw.update(s, math.max(hw.getOrElse(s, Long.MinValue), b))
+          case None => arb += id
+        }
+      }
+    }
+    (hw.toMap, arb.toSet)
   }
 
-  // newest version whose batchId (if any) is already in knownBatches
-  private val batchSeedVersion =
-    new java.util.concurrent.atomic.AtomicLong(-1L)
+  // In-memory batch-id view, checkpoint-seeded on first use; refreshed
+  // forward by [[hasBatch]]. Concurrent: a streaming foreachBatch
+  // committer and a driver-side flush() may share this instance across
+  // threads (the same race the createLink publish defends against).
+  private lazy val streamHighWater =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private lazy val arbitraryBatches: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def recordBatch(id: String): Unit =
+    parseStreamBatch(id) match {
+      case Some((s, b)) => streamHighWater.merge(s, Long.box(b),
+        (x, y) => if (x >= y) x else y)
+      case None => arbitraryBatches.add(id)
+    }
 
-  def hasBatch(batchId: String): Boolean =
-    knownBatches.contains(batchId) || {
+  // newest version whose batchId (if any) is already folded into the
+  // in-memory view; -2 = seed not yet run
+  private val batchSeedVersion =
+    new java.util.concurrent.atomic.AtomicLong(-2L)
+
+  /** Has a streaming micro-batch (or tagged manual append) already
+    * committed? Stream-format ids compare against the per-stream
+    * HIGH-WATER (an id at or below it no-ops — Delta txn semantics:
+    * batch numbers are monotone per stream, so at-or-below means
+    * already-committed or superseded); arbitrary ids use exact set
+    * membership. Cross-process visibility: a miss replays only the
+    * commit tail this instance has not yet seen.
+    */
+  def hasBatch(batchId: String): Boolean = {
+    def check(): Boolean = parseStreamBatch(batchId) match {
+      case Some((s, b)) =>
+        Option(streamHighWater.get(s)).exists(b <= _.longValue())
+      case None => arbitraryBatches.contains(batchId)
+    }
+    if (batchSeedVersion.get() == -2L) synchronized {
+      if (batchSeedVersion.get() == -2L) {
+        val cur = currentVersion()
+        val (hw, arb) = batchStateAt(cur)
+        hw.foreach { case (s, b) => streamHighWater.merge(s, Long.box(b),
+          (x, y) => if (x >= y) x else y) }
+        arb.foreach(arbitraryBatches.add)
+        batchSeedVersion.compareAndSet(-2L, cur)
+      }
+    }
+    check() || {
       val cur = currentVersion()
       val from = batchSeedVersion.get() + 1
       if (cur >= from) {
-        (from to cur).foreach(v => read(v).batchId.foreach(knownBatches.add))
+        (from to cur).foreach(v => read(v).batchId.foreach(recordBatch))
         batchSeedVersion.updateAndGet(c => math.max(c, cur))
       }
-      knownBatches.contains(batchId)
+      check()
     }
+  }
 
   // ---- checkpoints: O(commits) replay → O(interval) snapshot resolution.
   // Every `checkpointInterval` commits the full live file list is written
@@ -482,7 +551,14 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       schemaJson: Option[String], rowCounts: Option[Map[String, Long]],
       fileStats: Map[String, FileStat],
       blooms: Map[String, Map[String, Bloom]],
-      constraintsJson: Option[String])
+      constraintsJson: Option[String],
+      // Per-stream batch high-water (streamId -> max numeric batch id)
+      // plus the set of arbitrary-format batch ids, as of `version` —
+      // the Delta `txn`-action analog. None (not empty) when the
+      // checkpoint predates these fields, which forces the safe full
+      // replay instead of silently forgetting pre-checkpoint batches.
+      streamTxn: Option[Map[String, Long]],
+      batchIds: Seq[String])
 
   /** Checkpoints carry the full derived read state — live files, newest
     * schema, per-file row counts — so EVERY per-query log resolution
@@ -505,6 +581,18 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       rowCountsAt(v).foreach { case (k, n) => if (live(k)) rc.put(k, n) }
       writeStats(node, fileStatsAt(v).view.filterKeys(live).toMap)
       writeBlooms(node, bloomsAt(v).view.filterKeys(live).toMap)
+      // batch-id state (Delta txn-action analog): per-stream high-water
+      // keeps the record BOUNDED by stream count at any commit rate —
+      // the streaming path's "streamId-batchId" ids are monotone per
+      // stream by Structured Streaming's contract. Arbitrary-format ids
+      // (the manual appendDF(batchId) path) are recorded verbatim;
+      // callers pumping those at commit cadence should switch to the
+      // stream format, the same contract Delta's txn action sets.
+      val (hw, arb) = batchStateAt(v)
+      val st: ObjectNode = node.putObject("streamTxn")
+      hw.toSeq.sortBy(_._1).foreach { case (k, b) => st.put(k, b) }
+      val bi: ArrayNode = node.putArray("batchIds")
+      arb.toSeq.sorted.foreach(bi.add)
       val tmp = Files.createTempFile(logDir, ".ckpt", ".tmp")
       Files.write(tmp, mapper.writeValueAsString(node)
         .getBytes(StandardCharsets.UTF_8))
@@ -578,7 +666,12 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
         counts,
         readStats(node),
         readBlooms(node),
-        Option(node.get("constraintsJson")).filter(!_.isNull).map(_.asText()))
+        Option(node.get("constraintsJson")).filter(!_.isNull).map(_.asText()),
+        Option(node.get("streamTxn")).map { st =>
+          st.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+        },
+        Option(node.get("batchIds"))
+          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil))
     })})
   }
 

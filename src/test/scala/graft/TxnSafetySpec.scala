@@ -162,6 +162,39 @@ class TxnSafetySpec extends SparkSpec {
     assert(log.currentVersion() == 60L)
   }
 
+  test("batch-id seed is checkpoint-carried: cold streaming restart is O(interval)") {
+    val root = tempDir("txnbatchhw")
+    val log = new TxnLog(root)
+    // two streams + one arbitrary-format tag, interleaved over 41 commits
+    (0 until 20).foreach(i =>
+      log.commit(added = Seq(s"a$i.parquet"), batchId = Some(s"streamA-$i")))
+    log.commit(added = Seq("m.parquet"), batchId = Some("manual-backfill-tag"))
+    (0 until 20).foreach(i =>
+      log.commit(added = Seq(s"b$i.parquet"), batchId = Some(s"streamB-$i")))
+    // cold restart (replaced driver): stream-format ids resolve against
+    // the checkpoint-carried per-stream high-water (Delta txn
+    // semantics — at-or-below no-ops, next batch runs); arbitrary ids
+    // keep exact set membership
+    val cold = new TxnLog(root)
+    assert(cold.hasBatch("streamA-19"))
+    assert(cold.hasBatch("streamA-5")) // below high-water: superseded
+    assert(!cold.hasBatch("streamA-20"))
+    assert(cold.hasBatch("streamB-19"))
+    assert(!cold.hasBatch("streamB-20"))
+    assert(cold.hasBatch("manual-backfill-tag"))
+    assert(!cold.hasBatch("manual-other"))
+    // seed cost: the newest checkpoint (v40) carries the state — the
+    // seed parses at most the post-checkpoint tail, never the 41-commit
+    // log (a full replay is minutes of restart latency at the declared
+    // 100 ms commit cadence)
+    assert(cold.commitReads.get() <= 10L,
+      s"cold batch seed parsed ${cold.commitReads.get()} commits, " +
+        "expected <= checkpointInterval")
+    // cross-instance: a sibling's newer batch is found via tail replay
+    log.commit(added = Seq("c.parquet"), batchId = Some("streamA-20"))
+    assert(cold.hasBatch("streamA-20"))
+  }
+
   test("windowed reads parse O(window) commits; cold snapshot O(checkpoint tail)") {
     val root = tempDir("txnwindow")
     val log = new TxnLog(root)
