@@ -1364,9 +1364,16 @@ final class DataLakehouse(
     * come from each commit's own recorded per-file counts, so history
     * cost is O(commits read), independent of table size.
     */
-  def history(): DataFrame = {
+  def history(limit: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
-    txnLog.commits().map { c =>
+    val cur = txnLog.currentVersion()
+    // LIMIT reads only the newest-n commit WINDOW (Delta's DESCRIBE
+    // HISTORY t LIMIT n) — the audit default against a 100 ms-cadence
+    // log must not replay the whole history to show its tail
+    val cs =
+      if (limit > cur) txnLog.commits()
+      else txnLog.commitsBetween(cur - limit, cur)
+    cs.map { c =>
       // explicit tag wins (RESTORE records one — Delta audit parity:
       // "what rewound this table?"); the delta-inferred shape is the
       // fallback for commits written before tags existed

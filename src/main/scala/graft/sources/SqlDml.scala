@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions.{col, expr, lit}
   *   - `INSERT OVERWRITE [TABLE] t …`                → [[DataLakehouse.overwriteDF]]
   *   - `OPTIMIZE t`                                  → [[DataLakehouse.compact]]
   *   - `VACUUM t [RETAIN n HOURS]`                   → [[DataLakehouse.vacuum]]
-  *   - `DESCRIBE HISTORY t`                          → [[DataLakehouse.history]]
+  *   - `DESCRIBE HISTORY t [LIMIT n]`                → [[DataLakehouse.history]]
   *   - `RESTORE TABLE t TO VERSION AS OF n` /
   *     `… TO TIMESTAMP AS OF 'ts'`                   → [[DataLakehouse.restore]]
   *   - `ALTER TABLE t ADD COLUMN[S] … / DROP COLUMN` → schema evolution DDL
@@ -112,7 +112,8 @@ private[sources] object SqlDml {
     val optimizeRe = s"(?is)^\\s*OPTIMIZE\\s+$t\\s*;?\\s*$$".r
     val vacuumRe =
       s"(?is)^\\s*VACUUM\\s+$t(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS?)?\\s*;?\\s*$$".r
-    val historyRe = s"(?is)^\\s*DESCRIBE\\s+HISTORY\\s+$t\\s*;?\\s*$$".r
+    val historyRe =
+      s"(?is)^\\s*DESCRIBE\\s+HISTORY\\s+$t(?:\\s+LIMIT\\s+(\\d+))?\\s*;?\\s*$$".r
     val restoreRe =
       s"(?is)^\\s*RESTORE\\s+TABLE\\s+$t\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$".r
     val restoreTsRe =
@@ -168,7 +169,8 @@ private[sources] object SqlDml {
         val retain = Option(hours).map(_.toLong * 3600 * 1000L)
           .getOrElse(DataLakehouse.DefaultVacuumRetainMs)
         Some(metric(spark, "num_files_deleted", lake.vacuum(retain)))
-      case historyRe() => Some(lake.history())
+      case historyRe(limit) => Some(lake.history(
+        Option(limit).map(_.toLong).getOrElse(Long.MaxValue)))
       case restoreRe(v) =>
         Some(metric(spark, "version_restored", lake.restore(v.toLong)))
       case restoreTsRe(ts) =>

@@ -380,6 +380,18 @@ class SqlDmlSpec extends SparkSpec {
     assert(lake.query().df.count() == 8)
   }
 
+  test("DESCRIBE HISTORY LIMIT n returns the newest n commits only") {
+    val lake = seeded() // two commits: versions 0 and 1
+    lake.sql("DELETE FROM trades WHERE symbol = 'AAPL' AND date = '2024-06-15'") // v2
+    val limited = lake.sql("DESCRIBE HISTORY trades LIMIT 2")
+    assert(limited.count() == 2)
+    // newest-first, and exactly the tail window (Delta semantics) —
+    // the windowed read must not replay the whole log to show it
+    assert(limited.select("version").collect().map(_.getLong(0)).toSeq
+      == Seq(2L, 1L))
+    assert(lake.sql("DESCRIBE HISTORY trades").count() == 3)
+  }
+
   test("INSERT ... SELECT FROM the table itself reads the CURRENT snapshot") {
     val lake = seeded()
     // a plain SELECT registers the table's temp view at THIS snapshot
