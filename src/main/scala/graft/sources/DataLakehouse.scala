@@ -191,7 +191,17 @@ final class DataLakehouse(
   /** Append an OHLCV DataFrame as one atomic commit; returns the number of
     * partitions written. `batchId` makes streaming replays idempotent (T6).
     */
-  def appendDF(df: DataFrame, batchId: Option[String] = None): Long = {
+  /** Append a batch. Idempotence tiers (the Delta design):
+    * `txn = Some((appId, seq))` declares a per-app MONOTONE sequence —
+    * a replay at or below the committed high-water no-ops (the
+    * streaming path's contract; restart seeding is O(checkpoint
+    * interval)); a plain `batchId` no-ops only on an EXACT repeat —
+    * no monotonicity is ever inferred from the id's text, so manual
+    * out-of-order backfill tags can never silently drop a batch.
+    */
+  def appendDF(df: DataFrame, batchId: Option[String] = None,
+      txn: Option[(String, Long)] = None): Long = {
+    if (txn.exists { case (a, q) => txnLog.hasTxn(a, q) }) return 0L
     if (batchId.exists(txnLog.hasBatch)) return 0L
     val withDate = df.withColumn("date", model.dateKey)
     val expected = txnLog.constraintsAt()
@@ -200,7 +210,7 @@ final class DataLakehouse(
     val (counts, stats, blooms) = commitMeta(added)
     commitMergedWrite(withDate, "append", expected, added,
       removed = Nil, requireLive = Nil, batchId = batchId,
-      counts = counts, stats = stats, blooms = blooms)
+      counts = counts, stats = stats, blooms = blooms, txn = txn)
   }
 
   /** Shared commit tail of [[appendDF]] and [[overwriteDF]]: constraint
@@ -219,7 +229,8 @@ final class DataLakehouse(
       expected: Option[String], added: Seq[String], removed: Seq[String],
       requireLive: Seq[String], batchId: Option[String],
       counts: Map[String, Long], stats: Map[String, TxnLog.FileStat],
-      blooms: Map[String, Map[String, TxnLog.Bloom]]): Long = {
+      blooms: Map[String, Map[String, TxnLog.Bloom]],
+      txn: Option[(String, Long)] = None): Long = {
     var expSchema = txnLog.schemaAt()
     var committed = false
     while (!committed) {
@@ -233,7 +244,8 @@ final class DataLakehouse(
             rowCounts = counts, fileStats = stats, blooms = blooms,
             requireLive = requireLive,
             expectedConstraints = Some(exp),
-            expectedSchema = Some(expSchema))
+            expectedSchema = Some(expSchema),
+            txn = txn)
         }
         committed = true
       } catch { case e: TxnLog.SchemaConflictException =>
@@ -317,10 +329,21 @@ final class DataLakehouse(
         // resolver: a batch column differing only in case from a
         // recorded one ('Volume' vs 'volume') must hit the conflict
         // checks here, not record a second field that every later
-        // fixed-schema read rejects as a duplicate column.
-        val prevByName = prev.fields.map(f => f.name.toLowerCase -> f).toMap
+        // fixed-schema read rejects as a duplicate column. Locale.ROOT
+        // like Spark's resolver — a locale-sensitive toLowerCase turns
+        // 'I' into dotless 'ı' on a Turkish JVM and the guard misses.
+        def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+        val prevByName = prev.fields.map(f => lower(f.name) -> f).toMap
+        // a batch may also collide WITH ITSELF: two new columns
+        // differing only in case would both pass the recorded-field
+        // checks and plant the duplicate-column corruption directly
+        val dupInBatch = batch.fieldNames.groupBy(lower)
+          .collect { case (_, vs) if vs.length > 1 => vs.mkString("/") }
+        require(dupInBatch.isEmpty,
+          s"append schema conflict: batch columns collide " +
+            s"case-insensitively (${dupInBatch.mkString(", ")})")
         batch.fields.foreach { f =>
-          prevByName.get(f.name.toLowerCase).foreach { pf =>
+          prevByName.get(lower(f.name)).foreach { pf =>
             require(pf.name == f.name,
               s"append schema conflict on '${f.name}': table records it " +
                 s"as '${pf.name}' — column names are case-insensitive; " +
@@ -370,7 +393,7 @@ final class DataLakehouse(
         }
         StructType(prev.fields ++
           batch.fields.filterNot(f =>
-            prevByName.contains(f.name.toLowerCase))).json
+            prevByName.contains(lower(f.name)))).json
     }
 
   // ------------------------------------------------------- schema evolution
@@ -408,11 +431,12 @@ final class DataLakehouse(
     val raw = txnLog.schemaAt() // snapshot for the DDL conflict check
     val cur = decodeSchema(raw)
     val taken = scala.collection.mutable.Set(
-      cur.fieldNames.map(_.toLowerCase).toSeq: _*)
+      cur.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSeq: _*)
     cols.foreach { case (name, _) =>
       require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
         s"column name must be [A-Za-z0-9_]+: $name")
-      require(taken.add(name.toLowerCase), s"column $name already exists")
+      require(taken.add(name.toLowerCase(java.util.Locale.ROOT)),
+        s"column $name already exists")
     }
     val next = StructType(cur.fields ++ cols.map { case (n, dt) =>
       StructField(n, dt, nullable = true)

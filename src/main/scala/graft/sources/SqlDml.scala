@@ -82,8 +82,9 @@ private[sources] object SqlDml {
         // registered under the SAME table name in one SparkSession must
         // not serve each other's change feed for equal version ranges —
         // table-scoping alone does not separate them.
-        val rootTag =
-          Integer.toHexString(lake.root.hashCode).replace('-', 'n')
+        // toHexString formats the UNSIGNED 32-bit value: 1-8 hex chars,
+        // never a sign
+        val rootTag = Integer.toHexString(lake.root.hashCode)
         val view = s"graft_changes_${safe}_${rootTag}_${start}_$end"
         lake.changes(start - 1, end).createOrReplaceTempView(view)
         sb.append(text.substring(last, m.start)).append(view)
@@ -112,8 +113,9 @@ private[sources] object SqlDml {
     val optimizeRe = s"(?is)^\\s*OPTIMIZE\\s+$t\\s*;?\\s*$$".r
     val vacuumRe =
       s"(?is)^\\s*VACUUM\\s+$t(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS?)?\\s*;?\\s*$$".r
+    // LIMIT digit run length-guarded so toLong cannot overflow
     val historyRe =
-      s"(?is)^\\s*DESCRIBE\\s+HISTORY\\s+$t(?:\\s+LIMIT\\s+(\\d+))?\\s*;?\\s*$$".r
+      s"(?is)^\\s*DESCRIBE\\s+HISTORY\\s+$t(?:\\s+LIMIT\\s+(\\d{1,18}))?\\s*;?\\s*$$".r
     val restoreRe =
       s"(?is)^\\s*RESTORE\\s+TABLE\\s+$t\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$".r
     val restoreTsRe =
@@ -279,9 +281,9 @@ private[sources] object SqlDml {
       require(ca.equalsIgnoreCase(cb),
         s"MERGE ON must equate the same column on both sides, got " +
           s"'${e.group(1)} = ${e.group(2)}'")
-      val quals = Set(qa, qb).flatten.map(_.toLowerCase)
+      val quals = Set(qa, qb).flatten.map(_.toLowerCase(java.util.Locale.ROOT))
       val known = Set(targetAlias, sourceAlias, tableName, sourceName)
-        .map(_.toLowerCase)
+        .map(_.toLowerCase(java.util.Locale.ROOT))
       require(quals.forall(known.contains),
         s"unknown qualifier in MERGE ON term '${conj.trim}' " +
           s"(expected one of ${known.mkString(", ")})")
@@ -345,7 +347,7 @@ private[sources] object SqlDml {
         target.exists(_.name.equalsIgnoreCase(n)))
       require(unknown.isEmpty,
         s"unknown INSERT column(s): ${unknown.mkString(", ")}")
-      require(ns.map(_.toLowerCase).distinct.size == ns.size,
+      require(ns.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.size == ns.size,
         s"duplicate INSERT column in (${ns.mkString(", ")})")
       // NULL-fill is for nullable EVOLVED columns only: a NULL core
       // column would bypass the ingest validation tier (null timestamp

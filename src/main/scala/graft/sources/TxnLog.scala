@@ -163,7 +163,15 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       // commit, recorded by constraint-changing commits only; resolved
       // like schemaJson (newest-at-or-below wins) — the set is tiny, so
       // full-map-per-change beats replaying add/drop deltas
-      constraintsJson: Option[String] = None)
+      constraintsJson: Option[String] = None,
+      // EXPLICIT idempotence transaction (Delta's txn action): the
+      // committer declares (appId, monotone sequence). Only commits
+      // carrying this participate in high-water idempotence; a plain
+      // batchId keeps exact set semantics whatever its shape (an id
+      // merely ENDING in digits must never be inferred monotone — a
+      // manual "day-20240616" backfill followed by "day-20240615" would
+      // silently drop the second batch)
+      txn: Option[(String, Long)] = None)
 
   private def versionPath(v: Long): Path = logDir.resolve(f"v$v%08d.json")
 
@@ -251,7 +259,9 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       readStats(node),
       readBlooms(node),
       Option(node.get("op")).filter(!_.isNull).map(_.asText()),
-      Option(node.get("constraintsJson")).filter(!_.isNull).map(_.asText()))
+      Option(node.get("constraintsJson")).filter(!_.isNull).map(_.asText()),
+      Option(node.get("txnApp")).filter(!_.isNull).map(a =>
+        (a.asText(), node.get("txnSeq").asLong())))
   }
 
   private def readBlooms(node: JsonNode): Map[String, Map[String, Bloom]] =
@@ -336,7 +346,11 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       // every path that WRITES schemaJson derived from a read of the
       // current record (append's monotone merge, column DDL, restore),
       // so a concurrent schema change is never silently clobbered.
-      expectedSchema: Option[Option[String]] = None): Long = {
+      expectedSchema: Option[Option[String]] = None,
+      // explicit idempotence transaction (Delta txn action): (appId,
+      // monotone seq) — see [[hasTxn]]; batchId alone keeps exact-set
+      // semantics
+      txn: Option[(String, Long)] = None): Long = {
     Files.createDirectories(logDir)
     var attempt = 0
     while (true) {
@@ -369,7 +383,10 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       node.put("timestampMs", System.currentTimeMillis())
       val a: ArrayNode = node.putArray("added"); added.foreach(a.add)
       val r: ArrayNode = node.putArray("removed"); removed.foreach(r.add)
-      batchId.foreach { b => node.put("batchId", b); recordBatch(b) }
+      batchId.foreach(node.put("batchId", _))
+      txn.foreach { case (app, seq) =>
+        node.put("txnApp", app); node.put("txnSeq", seq)
+      }
       schemaJson.foreach(node.put("schemaJson", _))
       op.foreach(node.put("op", _))
       constraintsJson.foreach(node.put("constraintsJson", _))
@@ -386,6 +403,12 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
         publishExclusive(versionPath(v), tmp)
         Files.deleteIfExists(tmp)
         cachedVersion.updateAndGet(c => math.max(c, v))
+        // fold into the in-memory idempotence view only AFTER the
+        // publish succeeded — recording earlier would poison it when a
+        // retry iteration later throws (conflict, contention cap): the
+        // batch never persisted, yet its replay would no-op and its
+        // rows would be lost in this process
+        recordIdempotence(batchId, txn)
         maybeCheckpoint(v)
         return v
       } catch {
@@ -429,36 +452,28 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
         } finally ch.close()
     }
 
-  // ---- batch-id idempotence (T6 exactly-once: foreachBatch replays
-  // become no-ops). The record is the Delta txn-action design: stream-
-  // format ids ("streamId-batchId", numeric batch monotone per stream
-  // under Structured Streaming's epoch contract) compress to a per-
-  // stream HIGH-WATER — bounded by stream count at any commit rate and
-  // carried in checkpoints, so a streaming RESTART seeds in O(interval
-  // + streams) instead of replaying every commit (minutes at the
-  // declared 100 ms cadence). Arbitrary-format ids (manual
-  // appendDF(batchId)) keep exact set semantics, recorded verbatim in
-  // checkpoints. Batch ids are never un-committed, so hits need no
-  // revalidation; a miss replays only the unseen commit tail (a batch
-  // committed by a concurrent sibling process is found there).
+  // ---- batch idempotence (T6 exactly-once: foreachBatch replays
+  // become no-ops). Two EXPLICIT tiers, the Delta design:
+  //   - txn (appId, seq): the committer DECLARES a per-app monotone
+  //     sequence (Structured Streaming's epoch contract). State
+  //     compresses to a per-app HIGH-WATER — bounded by app count at
+  //     any commit rate and carried in checkpoints, so a streaming
+  //     RESTART seeds in O(interval + apps) instead of replaying every
+  //     commit (minutes at the declared 100 ms cadence).
+  //   - plain batchId: EXACT set membership whatever the id's shape.
+  //     Monotonicity is never INFERRED from the id text — a manual
+  //     "day-20240616" backfill followed by "day-20240615" must append,
+  //     not silently no-op. The set is recorded verbatim in checkpoints
+  //     (bounded in practice: the high-rate committer is the streaming
+  //     path, which uses txn).
+  // Ids are never un-committed, so hits need no revalidation; a miss
+  // replays only the unseen commit tail (a batch committed by a
+  // concurrent sibling process is found there).
 
-  // "streamId-batchId" with a numeric, per-stream-monotone batch number
-  // (Structured Streaming's epoch contract). Length-guarded so a
-  // pathological digit run cannot overflow toLong.
-  private val streamBatchRe = "^(.*)-(\\d{1,18})$".r
-
-  private def parseStreamBatch(id: String): Option[(String, Long)] =
-    id match {
-      case streamBatchRe(s, b) => Some((s, b.toLong))
-      case _ => None
-    }
-
-  /** Batch-id state at `v`: per-stream high-water + arbitrary-format id
+  /** Idempotence state at `v`: per-app txn high-water + exact batch-id
     * set, checkpoint-seeded like [[snapshotFiles]] — O(interval) tail,
-    * never a full replay (a streaming RESTART calls [[hasBatch]] on its
-    * first micro-batch; at the declared 100 ms cadence a full replay is
-    * minutes of restart latency). A checkpoint written before these
-    * fields existed (streamTxn == None) falls back to the full replay —
+    * never a full replay. A checkpoint written before these fields
+    * existed (streamTxn == None) falls back to the full replay —
     * correctness over speed for old logs.
     */
   private def batchStateAt(
@@ -472,58 +487,46 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
     val hw = scala.collection.mutable.Map.empty[String, Long] ++ hw0
     val arb = scala.collection.mutable.Set.empty[String] ++ arb0
     (from to upTo).foreach { ver =>
-      read(ver).batchId.foreach { id =>
-        parseStreamBatch(id) match {
-          case Some((s, b)) =>
-            hw.update(s, math.max(hw.getOrElse(s, Long.MinValue), b))
-          case None => arb += id
-        }
+      val c = read(ver)
+      c.txn.foreach { case (app, seq) =>
+        hw.update(app, math.max(hw.getOrElse(app, Long.MinValue), seq))
       }
+      if (c.txn.isEmpty) c.batchId.foreach(arb += _)
     }
     (hw.toMap, arb.toSet)
   }
 
-  // In-memory batch-id view, checkpoint-seeded on first use; refreshed
-  // forward by [[hasBatch]]. Concurrent: a streaming foreachBatch
-  // committer and a driver-side flush() may share this instance across
-  // threads (the same race the createLink publish defends against).
-  private lazy val streamHighWater =
+  // In-memory idempotence view, checkpoint-seeded on first use;
+  // refreshed forward by [[hasBatch]]/[[hasTxn]]. Concurrent: a
+  // streaming foreachBatch committer and a driver-side flush() may
+  // share this instance across threads (the same race the createLink
+  // publish defends against).
+  private lazy val txnHighWater =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private lazy val arbitraryBatches: java.util.Set[String] =
+  private lazy val exactBatches: java.util.Set[String] =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private def recordBatch(id: String): Unit =
-    parseStreamBatch(id) match {
-      case Some((s, b)) => streamHighWater.merge(s, Long.box(b),
-        (x, y) => if (x >= y) x else y)
-      case None => arbitraryBatches.add(id)
-    }
+  private def recordIdempotence(batchId: Option[String],
+      txn: Option[(String, Long)]): Unit = txn match {
+    case Some((app, seq)) => txnHighWater.merge(app, Long.box(seq),
+      (x, y) => if (x >= y) x else y)
+    case None => batchId.foreach(exactBatches.add)
+  }
+  private def recordCommit(c: Commit): Unit =
+    recordIdempotence(c.batchId, c.txn)
 
-  // newest version whose batchId (if any) is already folded into the
-  // in-memory view; -2 = seed not yet run
+  // newest version already folded into the in-memory view; -2 = seed
+  // not yet run
   private val batchSeedVersion =
     new java.util.concurrent.atomic.AtomicLong(-2L)
 
-  /** Has a streaming micro-batch (or tagged manual append) already
-    * committed? Stream-format ids compare against the per-stream
-    * HIGH-WATER (an id at or below it no-ops — Delta txn semantics:
-    * batch numbers are monotone per stream, so at-or-below means
-    * already-committed or superseded); arbitrary ids use exact set
-    * membership. Cross-process visibility: a miss replays only the
-    * commit tail this instance has not yet seen.
-    */
-  def hasBatch(batchId: String): Boolean = {
-    def check(): Boolean = parseStreamBatch(batchId) match {
-      case Some((s, b)) =>
-        Option(streamHighWater.get(s)).exists(b <= _.longValue())
-      case None => arbitraryBatches.contains(batchId)
-    }
+  private def seedThenRefresh(check: () => Boolean): Boolean = {
     if (batchSeedVersion.get() == -2L) synchronized {
       if (batchSeedVersion.get() == -2L) {
         val cur = currentVersion()
         val (hw, arb) = batchStateAt(cur)
-        hw.foreach { case (s, b) => streamHighWater.merge(s, Long.box(b),
+        hw.foreach { case (a, b) => txnHighWater.merge(a, Long.box(b),
           (x, y) => if (x >= y) x else y) }
-        arb.foreach(arbitraryBatches.add)
+        arb.foreach(exactBatches.add)
         batchSeedVersion.compareAndSet(-2L, cur)
       }
     }
@@ -531,12 +534,29 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       val cur = currentVersion()
       val from = batchSeedVersion.get() + 1
       if (cur >= from) {
-        (from to cur).foreach(v => read(v).batchId.foreach(recordBatch))
+        (from to cur).foreach(v => recordCommit(read(v)))
         batchSeedVersion.updateAndGet(c => math.max(c, cur))
       }
       check()
     }
   }
+
+  /** Has this exact batch id already committed (without a txn
+    * declaration)? Exact set membership — no monotonicity is inferred
+    * from the id text. Cross-process visibility: a miss replays only
+    * the commit tail this instance has not yet seen.
+    */
+  def hasBatch(batchId: String): Boolean =
+    seedThenRefresh(() => exactBatches.contains(batchId))
+
+  /** Has transaction (appId, seq) — or any LATER sequence of the same
+    * app — already committed? Delta txn semantics: sequences are
+    * monotone per app, so at-or-below the high-water means
+    * already-committed or superseded, and the replay no-ops.
+    */
+  def hasTxn(app: String, seq: Long): Boolean =
+    seedThenRefresh(() =>
+      Option(txnHighWater.get(app)).exists(seq <= _.longValue()))
 
   // ---- checkpoints: O(commits) replay → O(interval) snapshot resolution.
   // Every `checkpointInterval` commits the full live file list is written

@@ -355,7 +355,11 @@ object Streaming {
         invalid.withColumn("_rejected_at", current_timestamp())
           .write.mode("overwrite")
           .parquet(s"${lake.root}/_dlq/batch=$streamId-$batchId")
-      lake.appendDF(valid, batchId = Some(s"$streamId-$batchId"))
+      // txn declares the per-stream monotone epoch (Delta txn action):
+      // replays no-op against the checkpoint-carried high-water; the
+      // batchId string stays for the audit trail
+      lake.appendDF(valid, batchId = Some(s"$streamId-$batchId"),
+        txn = Some((streamId, batchId)))
       ()
     } finally ranked.foreach(_.unpersist(blocking = false))
   }

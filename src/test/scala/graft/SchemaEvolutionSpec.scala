@@ -314,6 +314,23 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(lake.query().df.count() == 2) // nothing committed
   }
 
+  test("a single batch carrying two NEW columns differing only in case is rejected") {
+    val lake = seeded()
+    import spark.implicits._
+    // both columns are new, so neither hits the recorded-field checks —
+    // recording both would plant the duplicate-column corruption directly
+    val batch = Seq(("NVDA", ts("2024-06-15 10:30:00"), 90.0, 95.0, 89.0,
+      94.0, 500L, "equity", "x", "y"))
+      .toDF("symbol", "timestamp", "open", "high", "low", "close",
+        "volume", "asset_class", "venue", "Venue")
+    // either Spark's resolver (ambiguous reference during staging) or
+    // the schema-merge guard rejects — both loud, neither commits
+    val e = intercept[Exception] { lake.appendDF(batch) }
+    assert(e.isInstanceOf[org.apache.spark.sql.AnalysisException] ||
+      e.getMessage.contains("collide"), s"unexpected: $e")
+    assert(lake.query().df.count() == 2) // nothing committed
+  }
+
   test("compaction carries evolved columns through the rewrite") {
     val lake = seeded()
     lake.addColumn("venue", StringType)

@@ -162,27 +162,32 @@ class TxnSafetySpec extends SparkSpec {
     assert(log.currentVersion() == 60L)
   }
 
-  test("batch-id seed is checkpoint-carried: cold streaming restart is O(interval)") {
+  test("idempotence state is checkpoint-carried: cold streaming restart is O(interval)") {
     val root = tempDir("txnbatchhw")
     val log = new TxnLog(root)
-    // two streams + one arbitrary-format tag, interleaved over 41 commits
+    // two txn apps (the streaming tier) + one plain batch id,
+    // interleaved over 41 commits
     (0 until 20).foreach(i =>
-      log.commit(added = Seq(s"a$i.parquet"), batchId = Some(s"streamA-$i")))
-    log.commit(added = Seq("m.parquet"), batchId = Some("manual-backfill-tag"))
+      log.commit(added = Seq(s"a$i.parquet"),
+        batchId = Some(s"streamA-$i"), txn = Some(("streamA", i.toLong))))
+    log.commit(added = Seq("m.parquet"), batchId = Some("day-20240616"))
     (0 until 20).foreach(i =>
-      log.commit(added = Seq(s"b$i.parquet"), batchId = Some(s"streamB-$i")))
-    // cold restart (replaced driver): stream-format ids resolve against
-    // the checkpoint-carried per-stream high-water (Delta txn
-    // semantics — at-or-below no-ops, next batch runs); arbitrary ids
-    // keep exact set membership
+      log.commit(added = Seq(s"b$i.parquet"),
+        batchId = Some(s"streamB-$i"), txn = Some(("streamB", i.toLong))))
+    // cold restart (replaced driver): txn apps resolve against the
+    // checkpoint-carried per-app high-water (Delta txn semantics —
+    // at-or-below no-ops, next epoch runs)
     val cold = new TxnLog(root)
-    assert(cold.hasBatch("streamA-19"))
-    assert(cold.hasBatch("streamA-5")) // below high-water: superseded
-    assert(!cold.hasBatch("streamA-20"))
-    assert(cold.hasBatch("streamB-19"))
-    assert(!cold.hasBatch("streamB-20"))
-    assert(cold.hasBatch("manual-backfill-tag"))
-    assert(!cold.hasBatch("manual-other"))
+    assert(cold.hasTxn("streamA", 19))
+    assert(cold.hasTxn("streamA", 5)) // below high-water: superseded
+    assert(!cold.hasTxn("streamA", 20))
+    assert(cold.hasTxn("streamB", 19))
+    assert(!cold.hasTxn("streamB", 20))
+    // plain batch ids: EXACT membership, no monotonicity inferred from
+    // the digits — the out-of-order manual backfill must still run
+    assert(cold.hasBatch("day-20240616"))
+    assert(!cold.hasBatch("day-20240615"))
+    assert(!cold.hasBatch("day-20240617"))
     // seed cost: the newest checkpoint (v40) carries the state — the
     // seed parses at most the post-checkpoint tail, never the 41-commit
     // log (a full replay is minutes of restart latency at the declared
@@ -190,9 +195,29 @@ class TxnSafetySpec extends SparkSpec {
     assert(cold.commitReads.get() <= 10L,
       s"cold batch seed parsed ${cold.commitReads.get()} commits, " +
         "expected <= checkpointInterval")
-    // cross-instance: a sibling's newer batch is found via tail replay
-    log.commit(added = Seq("c.parquet"), batchId = Some("streamA-20"))
-    assert(cold.hasBatch("streamA-20"))
+    // cross-instance: a sibling's newer epoch is found via tail replay
+    log.commit(added = Seq("c.parquet"),
+      batchId = Some("streamA-20"), txn = Some(("streamA", 20L)))
+    assert(cold.hasTxn("streamA", 20))
+  }
+
+  test("a FAILED commit never poisons the idempotence view") {
+    val root = tempDir("txnpoison")
+    val log = new TxnLog(root)
+    log.commit(added = Seq("f0.parquet"))
+    // the commit validates, records nothing, then throws before publish
+    // — were the in-memory view updated eagerly, the never-persisted
+    // epoch would no-op on replay and its rows would be lost
+    intercept[TxnLog.SchemaConflictException] {
+      log.commit(added = Seq("f1.parquet"), batchId = Some("s-1"),
+        txn = Some(("s", 1L)), expectedSchema = Some(Some("bogus")))
+    }
+    assert(!log.hasTxn("s", 1L))
+    assert(!log.hasBatch("s-1"))
+    // the replay then really commits
+    log.commit(added = Seq("f1.parquet"), batchId = Some("s-1"),
+      txn = Some(("s", 1L)))
+    assert(log.hasTxn("s", 1L))
   }
 
   test("windowed reads parse O(window) commits; cold snapshot O(checkpoint tail)") {
