@@ -211,6 +211,47 @@ object ScaleRun {
       spark.stop(); return
     }
 
+    // ANN index-lifecycle scale curve (the q65/q66 family): PQ codebook
+    // fit (bounded driver sample — must stay FLAT in corpus size),
+    // corpus encode (one narrow codegen'd pass — linear), then the
+    // steady-state per-query cost: ADC probe over the m-byte codes and
+    // the exact-reranked two-stage probe. The production claim under
+    // test: queries scan CODES (32× smaller than vectors), fit never
+    // re-pays with corpus growth, and probe latency grows only with
+    // the code scan.
+    if (which == "annscale") {
+      val nv = bigEmb.count()
+      val qv = bigEmb.filter($"vec_id" === 0)
+        .select(functions.VectorOps.toDoubles($"embedding"))
+        .head().getSeq[Double](0).toArray
+      def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+      val t0 = System.nanoTime()
+      val books = operators.SimilaritySearch.fitPqCodebooks(
+        bigEmb, "vec_id", "embedding", m = 8, codebookSize = 64)
+      val fitS = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val encoded = operators.SimilaritySearch.pqEncode(
+        bigEmb, "vec_id", "embedding", books).persist()
+      encoded.count()
+      val encS = (System.nanoTime() - t1) / 1e9
+      def probe(f: => Unit): Double = {
+        val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+      }
+      val adc = (1 to 5).map(_ => probe {
+        operators.SimilaritySearch.pqTopK(encoded, books, qv, 10,
+          excludeId = Some(0L)).collect()
+      })
+      val rer = (1 to 5).map(_ => probe {
+        operators.SimilaritySearch.pqTopKReranked(encoded, bigEmb,
+          "vec_id", "embedding", books, qv, 10,
+          excludeId = Some(0L)).collect()
+      })
+      println(f"[scale] annscale ${mult}x vectors=$nv fit=$fitS%.1f " +
+        f"encode=$encS%.1f adcProbeMed=${med(adc)}%.2f " +
+        f"rerankProbeMed=${med(rer)}%.2f")
+      spark.stop(); return
+    }
+
     // Skew-bomb for the dedup family: a BOILERPLATE-HEAVY corpus — 80%
     // of long-enough docs share one 22-word template prefix, so the
     // template's ~20 shingles have df ≈ half the corpus (the shared-
