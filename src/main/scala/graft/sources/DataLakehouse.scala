@@ -188,29 +188,31 @@ final class DataLakehouse(
   def errorCount: Long = totalErrors
   def bufferedCount: Int = buffer.size
 
-  /** Append an OHLCV DataFrame as one atomic commit; returns the number of
-    * partitions written. `batchId` makes streaming replays idempotent (T6).
-    */
-  /** Append a batch. Idempotence tiers (the Delta design):
+  /** Append an OHLCV DataFrame as one atomic commit; returns the number
+    * of partitions written. Idempotence tiers (T6; the Delta design):
     * `txn = Some((appId, seq))` declares a per-app MONOTONE sequence —
     * a replay at or below the committed high-water no-ops (the
     * streaming path's contract; restart seeding is O(checkpoint
     * interval)); a plain `batchId` no-ops only on an EXACT repeat —
     * no monotonicity is ever inferred from the id's text, so manual
-    * out-of-order backfill tags can never silently drop a batch.
+    * out-of-order backfill tags can never silently drop a batch. The
+    * entry check here skips the staging write early; the COMMIT
+    * re-validates txn inside its retry loop, so two racing committers
+    * of one epoch (zombie driver + failover) cannot both land — the
+    * loser surfaces as a no-op through [[TxnLog.DuplicateTxnException]].
     */
   def appendDF(df: DataFrame, batchId: Option[String] = None,
       txn: Option[(String, Long)] = None): Long = {
-    if (txn.exists { case (a, q) => txnLog.hasTxn(a, q) }) return 0L
-    if (batchId.exists(txnLog.hasBatch)) return 0L
+    if (txnLog.isDuplicate(batchId, txn)) return 0L
     val withDate = df.withColumn("date", model.dateKey)
     val expected = txnLog.constraintsAt()
     enforceConstraints(withDate, "append", expected)
     val added = stageClusteredWrite(withDate)
     val (counts, stats, blooms) = commitMeta(added)
-    commitMergedWrite(withDate, "append", expected, added,
+    try commitMergedWrite(withDate, "append", expected, added,
       removed = Nil, requireLive = Nil, batchId = batchId,
       counts = counts, stats = stats, blooms = blooms, txn = txn)
+    catch { case _: TxnLog.DuplicateTxnException => 0L }
   }
 
   /** Shared commit tail of [[appendDF]] and [[overwriteDF]]: constraint

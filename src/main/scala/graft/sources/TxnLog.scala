@@ -51,6 +51,15 @@ object TxnLog {
   final class SchemaConflictException(msg: String)
     extends java.util.ConcurrentModificationException(msg)
 
+  /** The declared txn (appId, seq) is already at or below the
+    * predecessor snapshot's high-water: a CONCURRENT committer of the
+    * same epoch won the race (zombie driver + failover both replaying
+    * one micro-batch — Delta's ConcurrentTransactionException). The
+    * loser treats this as an idempotent no-op, never a double-append.
+    */
+  final class DuplicateTxnException(msg: String)
+    extends java.util.ConcurrentModificationException(msg)
+
   /** Per-file clustering-column bounds recorded at commit time — the
     * log-side statistics that let `query()` prune FILES without opening
     * a single footer (the Delta-style skipping the reference describes:
@@ -260,8 +269,9 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       readBlooms(node),
       Option(node.get("op")).filter(!_.isNull).map(_.asText()),
       Option(node.get("constraintsJson")).filter(!_.isNull).map(_.asText()),
-      Option(node.get("txnApp")).filter(!_.isNull).map(a =>
-        (a.asText(), node.get("txnSeq").asLong())))
+      Option(node.get("txnApp")).filter(!_.isNull).flatMap(a =>
+        Option(node.get("txnSeq")).filter(!_.isNull)
+          .map(q => (a.asText(), q.asLong()))))
   }
 
   private def readBlooms(node: JsonNode): Map[String, Map[String, Bloom]] =
@@ -378,6 +388,17 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
               "records a different schema than this commit derived from " +
               "— re-read and retry")
       }
+      // Re-validate the declared txn against the CURRENT head on every
+      // attempt — the caller's entry check races its own staging write
+      // (zombie driver + failover both replay one epoch, both pass the
+      // entry check, both stage; the createLink loser must then see the
+      // winner's txn here and no-op instead of landing the rows twice).
+      txn.foreach { case (app, seq) =>
+        if (hasTxn(app, seq))
+          throw new TxnLog.DuplicateTxnException(
+            s"txn ($app, $seq) already committed at or below the " +
+              s"high-water — concurrent replay of the same epoch")
+      }
       val node: ObjectNode = mapper.createObjectNode()
       node.put("version", v)
       node.put("timestampMs", System.currentTimeMillis())
@@ -473,15 +494,16 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
   /** Idempotence state at `v`: per-app txn high-water + exact batch-id
     * set, checkpoint-seeded like [[snapshotFiles]] — O(interval) tail,
     * never a full replay. A checkpoint written before these fields
-    * existed (streamTxn == None) falls back to the full replay —
-    * correctness over speed for old logs.
+    * existed — or written under the earlier inferred-monotonicity
+    * design (old field name, not read) — falls back to the full
+    * replay: correctness over speed for old logs.
     */
   private def batchStateAt(
       v: Long): (Map[String, Long], Set[String]) = {
     val upTo = math.min(currentVersion(), v)
     val (from, hw0, arb0) = latestCheckpoint(upTo) match {
-      case Some(ck) if ck.streamTxn.isDefined =>
-        (ck.version + 1, ck.streamTxn.get, ck.batchIds.toSet)
+      case Some(ck) if ck.txnHighWater.isDefined =>
+        (ck.version + 1, ck.txnHighWater.get, ck.batchIds.toSet)
       case _ => (0L, Map.empty[String, Long], Set.empty[String])
     }
     val hw = scala.collection.mutable.Map.empty[String, Long] ++ hw0
@@ -558,6 +580,18 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
     seedThenRefresh(() =>
       Option(txnHighWater.get(app)).exists(seq <= _.longValue()))
 
+  /** Both idempotence tiers in ONE seed+refresh pass — the hot-path
+    * form for committers that carry a batchId AND a txn (the streaming
+    * append): two separate hasTxn/hasBatch calls would each pay their
+    * own head probe and tail replay per micro-batch.
+    */
+  def isDuplicate(batchId: Option[String],
+      txn: Option[(String, Long)]): Boolean =
+    (batchId.isDefined || txn.isDefined) && seedThenRefresh(() =>
+      txn.exists { case (a, q) =>
+        Option(txnHighWater.get(a)).exists(q <= _.longValue())
+      } || batchId.exists(exactBatches.contains))
+
   // ---- checkpoints: O(commits) replay → O(interval) snapshot resolution.
   // Every `checkpointInterval` commits the full live file list is written
   // to checkpoint-v%08d.json; snapshot(v) replays only the tail after the
@@ -572,12 +606,16 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       fileStats: Map[String, FileStat],
       blooms: Map[String, Map[String, Bloom]],
       constraintsJson: Option[String],
-      // Per-stream batch high-water (streamId -> max numeric batch id)
-      // plus the set of arbitrary-format batch ids, as of `version` —
-      // the Delta `txn`-action analog. None (not empty) when the
-      // checkpoint predates these fields, which forces the safe full
-      // replay instead of silently forgetting pre-checkpoint batches.
-      streamTxn: Option[Map[String, Long]],
+      // Per-app txn high-water (appId -> max DECLARED sequence) plus
+      // the exact set of plain batch ids, as of `version` — the Delta
+      // txn-action analog. Only commits that DECLARED txn=(app, seq)
+      // feed the map; plain batch ids are recorded verbatim whatever
+      // their shape. None (not empty) when the checkpoint predates the
+      // field — or was written by the earlier design that INFERRED
+      // monotonicity from "-digits" id text (field name "streamTxn",
+      // deliberately not read) — which forces the safe full replay
+      // instead of misreading old-semantics state.
+      txnHighWater: Option[Map[String, Long]],
       batchIds: Seq[String])
 
   /** Checkpoints carry the full derived read state — live files, newest
@@ -601,15 +639,14 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       rowCountsAt(v).foreach { case (k, n) => if (live(k)) rc.put(k, n) }
       writeStats(node, fileStatsAt(v).view.filterKeys(live).toMap)
       writeBlooms(node, bloomsAt(v).view.filterKeys(live).toMap)
-      // batch-id state (Delta txn-action analog): per-stream high-water
-      // keeps the record BOUNDED by stream count at any commit rate —
-      // the streaming path's "streamId-batchId" ids are monotone per
-      // stream by Structured Streaming's contract. Arbitrary-format ids
-      // (the manual appendDF(batchId) path) are recorded verbatim;
-      // callers pumping those at commit cadence should switch to the
-      // stream format, the same contract Delta's txn action sets.
+      // idempotence state (Delta txn-action analog): the per-app
+      // high-water of DECLARED txn=(app, seq) commits keeps the record
+      // bounded by app count at any commit rate; plain batch ids are
+      // recorded verbatim (exact-set semantics — monotonicity is never
+      // inferred from id text). High-rate committers should declare
+      // txn, the same contract Delta's txn action sets.
       val (hw, arb) = batchStateAt(v)
-      val st: ObjectNode = node.putObject("streamTxn")
+      val st: ObjectNode = node.putObject("txnHighWater")
       hw.toSeq.sortBy(_._1).foreach { case (k, b) => st.put(k, b) }
       val bi: ArrayNode = node.putArray("batchIds")
       arb.toSeq.sorted.foreach(bi.add)
@@ -687,7 +724,7 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
         readStats(node),
         readBlooms(node),
         Option(node.get("constraintsJson")).filter(!_.isNull).map(_.asText()),
-        Option(node.get("streamTxn")).map { st =>
+        Option(node.get("txnHighWater")).map { st =>
           st.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
         },
         Option(node.get("batchIds"))

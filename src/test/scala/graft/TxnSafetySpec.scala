@@ -201,6 +201,25 @@ class TxnSafetySpec extends SparkSpec {
     assert(cold.hasTxn("streamA", 20))
   }
 
+  test("a duplicate txn commit throws inside the commit loop (zombie-driver race)") {
+    val root = tempDir("txndup")
+    val log = new TxnLog(root)
+    log.commit(added = Seq("e5.parquet"), txn = Some(("s", 5L)))
+    // the failover replay that already passed its ENTRY check and staged
+    // its files: the commit itself must re-validate and refuse — the
+    // loser no-ops instead of landing the epoch twice
+    intercept[TxnLog.DuplicateTxnException] {
+      log.commit(added = Seq("e5b.parquet"), txn = Some(("s", 5L)))
+    }
+    assert(log.snapshotFiles() == Seq("e5.parquet"))
+    // and from a DIFFERENT instance (true cross-driver shape)
+    val other = new TxnLog(root)
+    intercept[TxnLog.DuplicateTxnException] {
+      other.commit(added = Seq("e5c.parquet"), txn = Some(("s", 4L)))
+    }
+    assert(other.snapshotFiles() == Seq("e5.parquet"))
+  }
+
   test("a FAILED commit never poisons the idempotence view") {
     val root = tempDir("txnpoison")
     val log = new TxnLog(root)
