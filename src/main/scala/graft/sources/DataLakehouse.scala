@@ -212,7 +212,18 @@ final class DataLakehouse(
     try commitMergedWrite(withDate, "append", expected, added,
       removed = Nil, requireLive = Nil, batchId = batchId,
       counts = counts, stats = stats, blooms = blooms, txn = txn)
-    catch { case _: TxnLog.DuplicateTxnException => 0L }
+    catch {
+      case _: TxnLog.DuplicateTxnException =>
+        // the loser's staged files were already published into live
+        // partition dirs but never entered the log — delete them now
+        // (they are invisible to log-resolved reads, but they'd consume
+        // disk until vacuum and confuse direct-directory readers)
+        added.foreach { rel =>
+          java.nio.file.Files.deleteIfExists(
+            java.nio.file.Paths.get(root, rel))
+        }
+        0L
+    }
   }
 
   /** Shared commit tail of [[appendDF]] and [[overwriteDF]]: constraint

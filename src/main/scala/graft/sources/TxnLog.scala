@@ -388,17 +388,21 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
               "records a different schema than this commit derived from " +
               "— re-read and retry")
       }
-      // Re-validate the declared txn against the CURRENT head on every
-      // attempt — the caller's entry check races its own staging write
-      // (zombie driver + failover both replay one epoch, both pass the
-      // entry check, both stage; the createLink loser must then see the
-      // winner's txn here and no-op instead of landing the rows twice).
-      txn.foreach { case (app, seq) =>
-        if (hasTxn(app, seq))
-          throw new TxnLog.DuplicateTxnException(
-            s"txn ($app, $seq) already committed at or below the " +
-              s"high-water — concurrent replay of the same epoch")
-      }
+      // Re-validate BOTH idempotence tiers against the CURRENT head on
+      // every attempt — the caller's entry check races its own staging
+      // write (zombie driver + failover both replay one epoch/batch,
+      // both pass the entry check, both stage; this committer must see
+      // the winner here and no-op instead of landing the rows twice).
+      // The refresh must run even on the FIRST attempt: a concurrent
+      // same-batch commit can land between the entry check and this
+      // point WITHOUT causing a version collision (our v is computed
+      // after theirs), so the retry path alone cannot be relied on.
+      // Cost: one amortized existence probe + cached-tail fold per
+      // commit — noise next to the exclusive-create publish itself.
+      if (isDuplicate(batchId, txn))
+        throw new TxnLog.DuplicateTxnException(
+          s"batch ${batchId.orNull} / txn ${txn.orNull} already " +
+            "committed — concurrent replay of the same batch")
       val node: ObjectNode = mapper.createObjectNode()
       node.put("version", v)
       node.put("timestampMs", System.currentTimeMillis())
@@ -611,10 +615,12 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       // txn-action analog. Only commits that DECLARED txn=(app, seq)
       // feed the map; plain batch ids are recorded verbatim whatever
       // their shape. None (not empty) when the checkpoint predates the
-      // field — or was written by the earlier design that INFERRED
-      // monotonicity from "-digits" id text (field name "streamTxn",
-      // deliberately not read) — which forces the safe full replay
-      // instead of misreading old-semantics state.
+      // field or carries only the superseded "streamTxn" name — that
+      // name's state is AMBIGUOUS (written first by the inferred-
+      // monotonicity design, then briefly by the declared-txn one with
+      // no version marker), so it is deliberately not read and the
+      // seed pays a one-time full replay per old table instead of
+      // risking a misread; the next checkpoint writes the new field.
       txnHighWater: Option[Map[String, Long]],
       batchIds: Seq[String])
 

@@ -218,6 +218,14 @@ class TxnSafetySpec extends SparkSpec {
       other.commit(added = Seq("e5c.parquet"), txn = Some(("s", 4L)))
     }
     assert(other.snapshotFiles() == Seq("e5.parquet"))
+    // the plain-batchId tier carries the SAME in-commit guard — two
+    // processes replaying one manual batch must not both land
+    log.commit(added = Seq("m1.parquet"), batchId = Some("manual-1"))
+    intercept[TxnLog.DuplicateTxnException] {
+      other.commit(added = Seq("m1b.parquet"), batchId = Some("manual-1"))
+    }
+    assert(new TxnLog(root).snapshotFiles().toSet ==
+      Set("e5.parquet", "m1.parquet"))
   }
 
   test("a FAILED commit never poisons the idempotence view") {
