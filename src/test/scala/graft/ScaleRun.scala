@@ -305,6 +305,29 @@ object ScaleRun {
         "doc_id", "text", shingleLen = 3, threshold = 0.5))
       timed("minhashCapped")(operators.Dedup.minhashPairs(corpus,
         "doc_id", "text", threshold = 0.5, maxBucketSize = 500))
+      // the INCREMENTAL capped path on the same bomb: the planted
+      // clones ARE the increment (ids >= +500000 within each copy),
+      // probed against the standing bombed corpus — every planted pair
+      // crosses sides, so recall must still be 1.0 and the
+      // jaccardPairsAgainst upper-bound-prune/df>1 cuts are exercised
+      // at scale
+      locally {
+        val t = System.nanoTime()
+        val res = operators.Dedup.jaccardPairsAgainst(
+            corpus.filter(pmod($"doc_id", lit(1000000L)) >= 500000L),
+            corpus.filter(pmod($"doc_id", lit(1000000L)) < 500000L),
+            "doc_id", "text", shingleLen = 3, threshold = 0.5,
+            maxPostingList = 64)
+          .select($"batch_id", $"corpus_id").as[(Long, Long)]
+          .collect().map { case (b, c) => (c, b) }.toSet
+        val secs = (System.nanoTime() - t) / 1e9
+        val hit = planted.count(res.contains)
+        println(f"[scale] skewbomb incrementalCapped ${mult}x " +
+          f"pairs=${res.size} plantedRecall=${hit.toDouble / planted.size}%.3f " +
+          f"secs=$secs%.1f")
+        assert(hit == planted.size,
+          s"incrementalCapped missed ${planted.size - hit} planted pairs")
+      }
       // the bomb is real: the uncapped posting-list join pays the
       // quadratic hot-shingle expansion — only run at small mult
       if (mult <= 2)
