@@ -162,7 +162,14 @@ object Dedup {
     *        shingle relation, so surviving pairs carry the exact jaccard;
     *        the cap can only lose pairs whose EVERY shared shingle is
     *        ultra-common (boilerplate/templates in practice).
-    * @return (a_id, b_id, jaccard) with a_id < b_id
+    * @return (a_id, b_id, jaccard) with a_id < b_id — EAGERLY materialized
+    *         and cached: the exploded shingle relations this plan persists
+    *         internally are released before returning (a long-lived
+    *         session must not accumulate them call over call), which
+    *         requires the result to be computed first. The caller owns
+    *         releasing the (pairs-over-threshold-sized) result via
+    *         `unpersist()` when done; a dropped cache recomputes from
+    *         lineage (correct, just uncached-intermediate slow).
     */
   def jaccardPairs(
       df: DataFrame,
@@ -190,6 +197,7 @@ object Dedup {
     val hot = (if (maxPostingList > 0) dfAgg.filter($"df" <= maxPostingList)
                else dfAgg).filter($"df" > 1).select($"sh")
     val sh2 = sh.join(hot, "sh").persist()
+    var shShared: DataFrame = null
     val candInter = sh2.as("a")
       .join(sh2.as("b"), $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
@@ -237,7 +245,7 @@ object Dedup {
           .filter($"imax".cast("double") /
             ($"na" + $"nb" - $"imax") >= threshold)
           .select($"a_id", $"b_id")
-        val shShared = sh.join(
+        shShared = sh.join(
           dfAgg.filter($"df" > 1).select($"sh"), "sh").persist()
         broadcast(plausible)
           .join(shShared.select($"doc_id".as("a_id"), $"sh"), "a_id")
@@ -249,13 +257,31 @@ object Dedup {
             Seq("b_id", "sh"))
           .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("inter"))
       }
-    inter
+    val pairs = inter
       .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), "a_id")
       .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), "b_id")
       .withColumn("jaccard",
         $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
       .filter($"jaccard" >= threshold)
       .select($"a_id", $"b_id", round($"jaccard", 4).as("jaccard"))
+    materializeAndRelease(pairs, Seq(sh, sh2) ++ Option(shShared))
+  }
+
+  /** Eagerly materialize `result` into the cache, then release the plan's
+    * internally-persisted intermediates — they have served their (single
+    * materializing) job and must not outlive the call in a long-lived
+    * session. Lineage is preserved: if the result's blocks are later
+    * dropped (external `clearCache`, executor loss) the plan recomputes
+    * correctly, paying uncached-intermediate cost. The caller owns the
+    * result's release (`unpersist()`), mirroring [[MinhashIndex]]'s
+    * caller-owns-release contract.
+    */
+  private def materializeAndRelease(
+      result: DataFrame, intermediates: Seq[DataFrame]): DataFrame = {
+    val out = result.persist()
+    try out.count()
+    finally intermediates.foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** EXACT n-gram-Jaccard near-dup pairs via PREFIX FILTERING — the
@@ -422,7 +448,10 @@ object Dedup {
     * frequency (the skew defuse of [[jaccardPairs]]; verification still
     * recounts over full relations, so surviving pairs stay exact).
     *
-    * @return (batch_id, corpus_id, jaccard), jaccard >= threshold
+    * @return (batch_id, corpus_id, jaccard), jaccard >= threshold —
+    *         eagerly materialized with intermediates released, same
+    *         contract as [[jaccardPairs]] (caller owns the result's
+    *         `unpersist`).
     */
   def jaccardPairsAgainst(
       batch: DataFrame,
@@ -446,9 +475,14 @@ object Dedup {
     val cSizes = cSh.groupBy($"corpus_id").agg(count(lit(1)).as("nc"))
     // candidate pairs: one shared shingle suffices; the df cap bounds the
     // per-shingle expansion (df measured across BOTH sides — a shingle
-    // hot in the corpus alone still fans out per batch occurrence)
-    lazy val df2 = bSh.select($"sh").union(cSh.select($"sh"))
-      .groupBy($"sh").agg(count(lit(1)).as("df")).persist()
+    // hot in the corpus alone still fans out per batch occurrence).
+    // Only the capped branch forces (and therefore persists) df2.
+    var df2Persisted = false
+    lazy val df2 = {
+      df2Persisted = true
+      bSh.select($"sh").union(cSh.select($"sh"))
+        .groupBy($"sh").agg(count(lit(1)).as("df")).persist()
+    }
     val (bCand, cCand) =
       if (maxPostingList > 0) {
         val ok = df2.filter($"df" <= maxPostingList).select($"sh")
@@ -489,13 +523,15 @@ object Dedup {
           .join(cSh.join(shared, "sh"), Seq("corpus_id", "sh"))
           .groupBy($"batch_id", $"corpus_id").agg(count(lit(1)).as("inter"))
       }
-    inter
+    val pairs = inter
       .join(bSizes, "batch_id")
       .join(cSizes, "corpus_id")
       .withColumn("jaccard",
         $"inter".cast("double") / ($"nb" + $"nc" - $"inter"))
       .filter($"jaccard" >= threshold)
       .select($"batch_id", $"corpus_id", round($"jaccard", 4).as("jaccard"))
+    materializeAndRelease(pairs,
+      Seq(bSh, cSh) ++ (if (df2Persisted) Seq(df2) else Nil))
   }
 
   /** Incremental MinHash-LSH: near-dup pairs between a new batch and the

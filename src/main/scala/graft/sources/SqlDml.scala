@@ -81,10 +81,14 @@ private[sources] object SqlDml {
         // Root-derived discriminator: two lakes over DIFFERENT roots
         // registered under the SAME table name in one SparkSession must
         // not serve each other's change feed for equal version ranges —
-        // table-scoping alone does not separate them.
-        // toHexString formats the UNSIGNED 32-bit value: 1-8 hex chars,
-        // never a sign
-        val rootTag = Integer.toHexString(lake.root.hashCode)
+        // table-scoping alone does not separate them. First 16 hex chars
+        // of SHA-256 over the root path: 64 collision-resistant bits
+        // (32-bit String.hashCode collides at ~77k distinct roots by
+        // birthday bound — a collision would re-open the cross-serving
+        // bug this tag exists to close).
+        val rootTag = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(lake.root.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .take(8).map(b => f"$b%02x").mkString
         val view = s"graft_changes_${safe}_${rootTag}_${start}_$end"
         lake.changes(start - 1, end).createOrReplaceTempView(view)
         sb.append(text.substring(last, m.start)).append(view)

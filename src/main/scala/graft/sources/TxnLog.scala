@@ -134,8 +134,8 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
 
   /** Existence probes actually issued — instrumentation for the cost
     * specs (commit cost flat in log length; cold head discovery
-    * O(log commits); the log dir is NEVER listed — there is no listing
-    * code path left in this class).
+    * O(log commits); the log dir is never listed on any hot path — the
+    * sole listing left is [[listCommitFiles]], the cold empty-log guard).
     */
   private[graft] val existsProbes =
     new java.util.concurrent.atomic.AtomicLong(0L)
@@ -144,6 +144,21 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
     existsProbes.incrementAndGet()
     Files.exists(p)
   }
+
+  /** The ONE permitted listing: the cold-start guard when v0 is absent,
+    * verifying the log is genuinely empty rather than trimmed (see the
+    * no-retention invariant at [[currentVersion]]). Runs at most once per
+    * process and only on empty-looking logs, so the no-listing cost
+    * argument (head discovery O(log commits), never O(commits)) stands.
+    */
+  private def listCommitFiles(): Seq[String] =
+    if (!Files.isDirectory(logDir)) Nil
+    else {
+      val s = Files.list(logDir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("v") && n.endsWith(".json")).toSeq
+      finally s.close()
+    }
 
   /** Commit files actually parsed from disk (cache misses) — the other
     * half of the cost instrumentation: windowed reads must parse
@@ -201,9 +216,22 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
         // 100 ms cadence (864k commits/day, README.md:37) that is
         // seconds of cold-start latency per planner process just to
         // find the head, and it re-paid on every new reader.
+        // NO-RETENTION INVARIANT: the search assumes versions are
+        // contiguous FROM ZERO (exclusive-create guarantees no gaps,
+        // and nothing ever deletes commit files — vacuum removes data
+        // files only). A future log-retention/trim feature would break
+        // this silently: a populated table whose v0 was trimmed would
+        // read as EMPTY here. The guard probe below turns that silent
+        // wrong answer into a loud failure.
         val found =
-          if (!probeExists(versionPath(0L))) -1L
-          else {
+          if (!probeExists(versionPath(0L))) {
+            val strays = listCommitFiles()
+            require(strays.isEmpty,
+              s"txn log at $logDir has commit files (${strays.take(3).mkString(", ")}…) " +
+                "but no v00000000.json — the log was trimmed or corrupted; " +
+                "head discovery assumes versions contiguous from zero")
+            -1L
+          } else {
             var lo = 0L; var step = 1L
             while (probeExists(versionPath(lo + step))) {
               lo += step; step *= 2
@@ -517,7 +545,11 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       c.txn.foreach { case (app, seq) =>
         hw.update(app, math.max(hw.getOrElse(app, Long.MinValue), seq))
       }
-      if (c.txn.isEmpty) c.batchId.foreach(arb += _)
+      // a commit carrying BOTH tiers records in both: the txn feeds the
+      // high-water AND the batchId stays visible to exact-set callers
+      // (hasBatch) — a txn-committed batch must not silently lose its
+      // membership just because the committer also declared a sequence
+      c.batchId.foreach(arb += _)
     }
     (hw.toMap, arb.toSet)
   }
@@ -532,10 +564,13 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
   private lazy val exactBatches: java.util.Set[String] =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def recordIdempotence(batchId: Option[String],
-      txn: Option[(String, Long)]): Unit = txn match {
-    case Some((app, seq)) => txnHighWater.merge(app, Long.box(seq),
-      (x, y) => if (x >= y) x else y)
-    case None => batchId.foreach(exactBatches.add)
+      txn: Option[(String, Long)]): Unit = {
+    txn.foreach { case (app, seq) => txnHighWater.merge(app, Long.box(seq),
+      (x, y) => if (x >= y) x else y) }
+    // record the batchId in the exact set whether or not a txn was also
+    // declared — hasBatch must see txn-carried ids too (its cost is
+    // bounded by the checkpoint batchIds array, which carries them)
+    batchId.foreach(exactBatches.add)
   }
   private def recordCommit(c: Commit): Unit =
     recordIdempotence(c.batchId, c.txn)
@@ -567,10 +602,15 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
     }
   }
 
-  /** Has this exact batch id already committed (without a txn
-    * declaration)? Exact set membership — no monotonicity is inferred
-    * from the id text. Cross-process visibility: a miss replays only
-    * the commit tail this instance has not yet seen.
+  /** Has this exact batch id already committed? Exact set membership —
+    * no monotonicity is inferred from the id text, and ids are visible
+    * here whether or not their commit ALSO declared a txn (a txn-carried
+    * batch must not be invisible to external replay guards built on this
+    * call). Cross-process visibility: a miss replays only the commit
+    * tail this instance has not yet seen. NOTE: checkpoints written
+    * before this rule carried only txn-free ids; a txn-carried id below
+    * such an old checkpoint stays invisible (full-replay fallback logs
+    * excepted) — fresh logs see every id.
     */
   def hasBatch(batchId: String): Boolean =
     seedThenRefresh(() => exactBatches.contains(batchId))
@@ -592,9 +632,15 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
   def isDuplicate(batchId: Option[String],
       txn: Option[(String, Long)]): Boolean =
     (batchId.isDefined || txn.isDefined) && seedThenRefresh(() =>
-      txn.exists { case (a, q) =>
-        Option(txnHighWater.get(a)).exists(q <= _.longValue())
-      } || batchId.exists(exactBatches.contains))
+      // txn-FIRST precedence: a declared (app, seq) governs replay on its
+      // own — the exact set ALSO contains txn-carried batch ids (so
+      // hasBatch sees them), and consulting it here would wrongly skip a
+      // committer that reuses a batchId string under a HIGHER sequence
+      if (txn.isDefined)
+        txn.exists { case (a, q) =>
+          Option(txnHighWater.get(a)).exists(q <= _.longValue())
+        }
+      else batchId.exists(exactBatches.contains))
 
   // ---- checkpoints: O(commits) replay → O(interval) snapshot resolution.
   // Every `checkpointInterval` commits the full live file list is written
