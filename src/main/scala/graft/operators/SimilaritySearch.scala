@@ -146,9 +146,22 @@ object SimilaritySearch {
     * (1 − p^numPlanes)^numTables — near-exact for true near-dups
     * (cosine ≥ 0.9 ⇒ p ≥ 0.86) at the defaults; pairs barely over a LOW
     * threshold on isotropic data are the geometric worst case (see the
-    * planted-vs-real spec pair in OperatorsSpec).
+    * planted-vs-real spec pair in OperatorsSpec). `probeFlips` buys the
+    * near-threshold recall back without extra tables: with query-
+    * directed multi-probe (see [[flipBucketsFromDots]]) a pair is a
+    * candidate when some table has the two buckets equal OR reachable by
+    * flipping one of EITHER vector's `probeFlips` closest planes — per-
+    * table collision rises from p^k to roughly
+    * p^k + Σ_{closest flips planes} p^(k-1)(1−p)-mass, which at
+    * cosine 0.45, k = 4, flips = 2, 14 tables takes per-pair miss from
+    * ~21 % (8 plain tables) to < 10⁻³ — measured ZERO missed pairs on
+    * both gate corpora with ≥ 2 colliding tables per pair (the
+    * OperatorsSpec equality pin).
     *
     * @param threshold exact-cosine cutoff applied to verified candidates
+    * @param probeFlips 0 = exact buckets only; f ≥ 1 probes each
+    *        vector's f closest-plane flips per table (query-directed
+    *        multi-probe, VLDB 2007)
     * @return (a_id, b_id, cosine) with a_id < b_id, one row per pair
     */
   def lshPairs(
@@ -160,7 +173,8 @@ object SimilaritySearch {
       numTables: Int = 8,
       maxBucketSize: Int = 0,
       seed: Long = 42L,
-      persist: Boolean = true): DataFrame = {
+      persist: Boolean = true,
+      probeFlips: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // Norms once (n rows), so verification does only the fused dot. With
@@ -181,9 +195,14 @@ object SimilaritySearch {
     }
     val dim = firstRow.head.getInt(0)
 
-    // (id, table, bucket) rows — ints only, numTables per vector.
-    val bucketed = cached(hyperplaneBucketRelation(e, "id", "v",
+    // (id, table, dots) once — canonical buckets AND probe flips derive
+    // from the same cached dots, so the expensive hyperplane projection
+    // runs once however many probe shapes read it.
+    val dotsRel = cached(tableDotsRelation(e, "id", "v",
       numPlanes, numTables, dim, seed))
+    // (id, table, bucket) rows — ints only, numTables per vector.
+    val bucketed = dotsRel
+      .select($"id", $"tbl", bucketFromDots(numPlanes).as("bucket"))
 
     val capped =
       if (maxBucketSize > 0) {
@@ -193,23 +212,74 @@ object SimilaritySearch {
         bucketed.join(ok, Seq("tbl", "bucket"))
       } else bucketed
 
-    // Cross-table candidate dedup is an aggregation, not dropDuplicates
-    // after the fact — same result, one hash aggregate.
-    val cand = capped.as("a")
-      .join(capped.as("b"),
-        $"a.tbl" === $"b.tbl" && $"a.bucket" === $"b.bucket" &&
-          $"a.id" < $"b.id")
-      .groupBy($"a.id".as("a_id"), $"b.id".as("b_id")).agg(lit(1))
-      .select($"a_id", $"b_id")
-
-    cand
-      .join(e.select($"id".as("a_id"), $"v".as("a_v"), $"nrm".as("a_n")), "a_id")
-      .join(e.select($"id".as("b_id"), $"v".as("b_v"), $"nrm".as("b_n")), "b_id")
-      .withColumn("cosine",
-        graft.functions.CosineSimilarity.dotFast(spark, $"a_v", $"b_v") /
-          ($"a_n" * $"b_n"))
-      .filter($"cosine" >= threshold)
-      .select($"a_id", $"b_id", round($"cosine", 4).as("cosine"))
+    if (probeFlips <= 0) {
+      // Cross-table candidate dedup is an aggregation, not dropDuplicates
+      // after the fact — same result, one hash aggregate. Verification
+      // joins the (small, post-dedup) candidate set back to the vectors —
+      // right when the threshold is high enough for the buckets to
+      // discriminate, so candidates ≪ n² and the dedup exchange is cheap.
+      val cand = capped.as("a")
+        .join(capped.as("b"),
+          $"a.tbl" === $"b.tbl" && $"a.bucket" === $"b.bucket" &&
+            $"a.id" < $"b.id")
+        .select($"a.id".as("a_id"), $"b.id".as("b_id"))
+        .groupBy($"a_id", $"b_id").agg(lit(1))
+        .select($"a_id", $"b_id")
+      cand
+        .join(e.select($"id".as("a_id"), $"v".as("a_v"), $"nrm".as("a_n")), "a_id")
+        .join(e.select($"id".as("b_id"), $"v".as("b_v"), $"nrm".as("b_n")), "b_id")
+        .withColumn("cosine",
+          graft.functions.CosineSimilarity.dotFast(spark, $"a_v", $"b_v") /
+            ($"a_n" * $"b_n"))
+        .filter($"cosine" >= threshold)
+        .select($"a_id", $"b_id", round($"cosine", 4).as("cosine"))
+    } else {
+      // Multi-probe, VERIFY-FUSED. Probing exists to reach at-threshold
+      // recall, and near the threshold the buckets barely discriminate —
+      // on the gate corpus ~97 % of all pairs are candidates, so the
+      // classic dedup-then-fetch shape pays a candidate-mass hash
+      // aggregate (the profiled 5.6 s of a 7 s query: ~5 collisions per
+      // pair land on different partitions, so partial aggs barely
+      // combine and ~the full join mass hits the exchange). Instead,
+      // attach the vectors inside the join stage and verify the exact
+      // cosine BEFORE deduping: explode(probe buckets) → BHJ canonical
+      // buckets → BHJ vectors (both sides) → dot + filter → agg, one
+      // whole-stage-codegen pipeline whose exchange carries only TRUE
+      // pairs (× small collision multiplicity), not candidates. The
+      // per-row cost moves to the fused dot — numTables·(1+flips)·
+      // avgBucket dots — exactly the work verification owes anyway when
+      // candidates ≈ all pairs; re-scoring a pair once per colliding
+      // table (~5×) is far cheaper than shuffling the candidate mass.
+      // Broadcasts are SIZE-GATED on the known row counts, never forced
+      // blind: past the gate Catalyst plans shuffle joins keyed on
+      // (tbl, bucket) and id — the same partitioned shape the classic
+      // branch scales by — so the fusion (verify-before-dedup) survives
+      // a 1000-executor corpus even when nothing is broadcastable.
+      val n = e.count()
+      val bcLimit = 64L << 20 // conservative half of the 128 MiB task arena
+      def gated(d: DataFrame, estBytes: Long): DataFrame =
+        if (estBytes <= bcLimit) broadcast(d) else d
+      val vecBytes = 24L + 8L * dim
+      val probes = dotsRel.select($"id", $"tbl",
+        explode(concat(array(bucketFromDots(numPlanes)),
+          flipBucketsFromDots(numPlanes, probeFlips))).as("bucket"))
+      probes.as("p")
+        .join(gated(capped.as("c"), n.toLong * numTables * 24),
+          $"p.tbl" === $"c.tbl" && $"p.bucket" === $"c.bucket" &&
+            $"p.id" =!= $"c.id")
+        .join(gated(e.select($"id".as("pid"), $"v".as("p_v"), $"nrm".as("p_n")),
+          n * vecBytes), $"p.id" === $"pid")
+        .join(gated(e.select($"id".as("cid"), $"v".as("c_v"), $"nrm".as("c_n")),
+          n * vecBytes), $"c.id" === $"cid")
+        .withColumn("cos",
+          graft.functions.CosineSimilarity.dotFast(spark, $"p_v", $"c_v") /
+            ($"p_n" * $"c_n"))
+        .filter($"cos" >= threshold)
+        .select(least($"p.id", $"c.id").as("a_id"),
+          greatest($"p.id", $"c.id").as("b_id"), $"cos")
+        .groupBy($"a_id", $"b_id").agg(first($"cos").as("c0"))
+        .select($"a_id", $"b_id", round($"c0", 4).as("cosine"))
+    }
   }
 
   /** Standing hyperplane-LSH index over an embedding corpus — the vector
@@ -261,15 +331,85 @@ object SimilaritySearch {
     */
   private def hyperplaneBucketRelation(
       e: DataFrame, idAs: String, vAs: String,
+      numPlanes: Int, numTables: Int, dim: Int, seed: Long): DataFrame =
+    tableDotsRelation(e, idAs, vAs, numPlanes, numTables, dim, seed)
+      .select(col(idAs), col("tbl"), bucketFromDots(numPlanes).as("bucket"))
+
+  /** (idAs, tbl, ds) — per table, the ARRAY of raw hyperplane dots for a
+    * vector. The single expensive projection (numTables × numPlanes fused
+    * dot kernels, each inlining its plane as a literal array) that every
+    * bucket/probe shape derives from with cheap `element_at` arithmetic.
+    * Deriving rather than re-inlining matters twice at once: the dots are
+    * computed ONCE per (vector, table) however many probe shapes read
+    * them, and the downstream expression trees stay small — the first
+    * multi-probe cut re-inlined the dot kernels into every rank
+    * comparison, which ballooned the plan to a 4 MB task binary and made
+    * CODEGEN COMPILATION (re-paid per run: fresh exprIds defeat the
+    * source-keyed codegen cache) dominate the query at ~7 s of fixed
+    * cost.
+    */
+  private def tableDotsRelation(
+      e: DataFrame, idAs: String, vAs: String,
       numPlanes: Int, numTables: Int, dim: Int, seed: Long): DataFrame = {
     val spark = e.sparkSession
     val tableStructs = (0 until numTables).map { t =>
       val planes = hyperplanes(numPlanes, math.max(dim, 1), seed + t)
-      struct(lit(t).as("tbl"), lshBucket(spark, col(vAs), planes).as("bucket"))
+      struct(lit(t).as("tbl"),
+        array(planes.map(p =>
+          graft.functions.CosineSimilarity.dotFast(spark, col(vAs), planeLit(p))): _*)
+          .as("ds"))
     }
     e.select(col(idAs), explode(array(tableStructs: _*)).as("tb"))
-      .select(col(idAs), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .select(col(idAs), col("tb.tbl").as("tbl"), col("tb.ds").as("ds"))
   }
+
+  /** Sign-pattern bucket from a dots array — `element_at` form of
+    * [[lshBucket]]; the two must agree bit-for-bit (same dots, same sign
+    * rule) for durable indexes to stay joinable.
+    */
+  private def bucketFromDots(numPlanes: Int): Column =
+    (0 until numPlanes).map { i =>
+      when(col("ds").getItem(i) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** QUERY-DIRECTED MULTI-PROBE buckets (Lv et al., "Multi-probe LSH:
+    * efficient indexing for high-dimensional similarity search",
+    * VLDB 2007, adapted to sign-pattern hyperplane buckets): from a dots
+    * array, the `flips` buckets obtained by flipping the sign bit of the
+    * planes the vector is CLOSEST to (smallest |dot|, ties by index) —
+    * exactly the planes a true neighbor most plausibly sits across.
+    * Probing the flipped buckets multiplies a table's collision
+    * probability for near-threshold pairs severalfold at the cost of
+    * `flips` extra int rows per (vector, table) — far cheaper than the
+    * equivalent recall bought as extra tables, because tables re-pay the
+    * full bucketing scan while flips reuse the dots already computed.
+    * Geometry is shared bit-for-bit with the canonical buckets (same
+    * dots, same sign rule), so probe rows join durable indexes built by
+    * any earlier run.
+    *
+    * Everything is plain comparisons/arithmetic on array elements — no
+    * higher-order functions, so the projection stays a tiny tree inside
+    * whole-stage codegen like the bucketing scan itself.
+    */
+  private def flipBucketsFromDots(numPlanes: Int, flips: Int): Column = {
+    require(flips >= 1 && flips <= numPlanes,
+      s"flips must be in [1, numPlanes=$numPlanes], got $flips")
+    val bucket = bucketFromDots(numPlanes)
+    val absd = (0 until numPlanes).map(i => abs(col("ds").getItem(i)))
+    val ranks = absd.indices.map { i =>
+      absd.indices.filter(_ != i).map { j =>
+        when(absd(j) < absd(i) ||
+          (absd(j) === absd(i) && lit(j) < lit(i)), lit(1)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }
+    array((0 until flips).map { f =>
+      val maskOfRankF = ranks.zipWithIndex.map { case (r, i) =>
+        when(r === f, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      bucket.bitwiseXOR(maskOfRankF)
+    }: _*)
+  }
+
 
   /** Build (and persist) the standing [[LshIndex]] for a corpus. */
   def lshIndex(
@@ -389,7 +529,8 @@ object SimilaritySearch {
       idCol: String,
       vecCol: String,
       threshold: Double,
-      maxBucketSize: Int = 0): DataFrame = {
+      maxBucketSize: Int = 0,
+      probeFlips: Int = 0): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
     // NOT persisted: the batch-derived relation is referenced twice in
@@ -398,8 +539,26 @@ object SimilaritySearch {
     // persist with no release path leaks one cached relation per
     // micro-batch in a streaming caller.
     val b = normedVectors(batch, idCol, vecCol, "batch_id", "bv", "bnrm")
-    val bBucketed = hyperplaneBucketRelation(b, "batch_id", "bv",
-      index.numPlanes, index.numTables, index.dim, index.seed)
+    // Batch-side query-directed multi-probe (see [[flipBucketsFromDots]]):
+    // the increment probes its exact buckets PLUS its `probeFlips`
+    // closest-plane flips per table. Probing is batch-side only — the
+    // standing index stores canonical buckets, which is exactly the
+    // multi-probe production shape (the index never grows with probe
+    // aggressiveness; only the cheap small side fans out).
+    val bBucketed =
+      if (probeFlips <= 0)
+        hyperplaneBucketRelation(b, "batch_id", "bv",
+          index.numPlanes, index.numTables, index.dim, index.seed)
+      else {
+        // exact + flips in ONE pass: explode [bucket, flip0, flip1, …]
+        // from the dots — the batch side never recomputes its dots per
+        // probe shape
+        val dotsRel = tableDotsRelation(b, "batch_id", "bv",
+          index.numPlanes, index.numTables, index.dim, index.seed)
+        dotsRel.select($"batch_id", $"tbl",
+          explode(concat(array(bucketFromDots(index.numPlanes)),
+            flipBucketsFromDots(index.numPlanes, probeFlips))).as("bucket"))
+      }
     val bCapped =
       if (maxBucketSize > 0) {
         val hot = index.bucketCounts

@@ -362,27 +362,60 @@ object DedupQueries {
       |GROUP BY id ORDER BY vec_id""".stripMargin
 
   // q56 — LSH-bucketed embedding near-dup pairs: the 100 TB twin of q43
-  // (the q24↔q27 pattern applied to vectors). Candidates from 8
-  // independent 4-plane hyperplane tables, capped buckets, exact-cosine
-  // verified at 0.45. Rows-only (seeded hyperplanes have no SQL oracle);
-  // correctness pinned by the OperatorsSpec containment + planted specs.
+  // (the q24↔q27 pattern applied to vectors). Candidates from 14
+  // independent 4-plane hyperplane tables WITH 2-flip query-directed
+  // multi-probe, capped buckets, exact-cosine verified at 0.45.
+  // ORACLE-GREEN since round 10: with multi-probe the candidate set
+  // contains every exact pair ≥ 0.45 on both gate corpora (every pair
+  // collides in ≥ 2 tables — the OperatorsSpec equality pin), so the
+  // verified output EQUALS the exact q43 restriction and takes its SQL.
+  // The q27-style validity bound applies: see the oracle map entry.
   private def q56(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     SimilaritySearch.lshPairs(Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.45,
-        numPlanes = 4, numTables = 8, maxBucketSize = 500)
+        numPlanes = 4, numTables = 14, maxBucketSize = 500,
+        probeFlips = 2)
       .orderBy($"a_id", $"b_id")
   }
 
+  private val q56Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+      |SELECT a.vec_id a_id, b.vec_id b_id,
+      |  round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+      |ORDER BY a_id, b_id""".stripMargin
+
   // q57 — semantic dedup clusters over the BUCKETED pair set: the
   // scale-path twin of q55 (which clusters the exact-quadratic q43
-  // pairs). Rows-only for the same reason as q56.
+  // pairs). ORACLE-GREEN since round 10: q56's multi-probed pair set
+  // equals the exact 0.45 restriction on the gate corpora, so its
+  // components equal components over the exact pair set — the oracle is
+  // q55's recursive-CTE SQL at threshold 0.45 (same validity bound).
   private def q57(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Dedup.connectedComponents(lshCosinePairs(s, dir))
       .select($"id".as("vec_id"), $"component".as("cluster"))
       .orderBy($"vec_id")
   }
+
+  private val q57Sql =
+    """WITH RECURSIVE ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |cp AS (SELECT a.vec_id a_id, b.vec_id b_id
+      |  FROM ev a JOIN ev b ON a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.v, b.v) >= 0.45),
+      |e AS (SELECT a_id a, b_id b FROM cp UNION SELECT b_id, a_id FROM cp),
+      |reach AS (
+      |  SELECT a, b FROM e
+      |  UNION
+      |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+      |lbl AS (
+      |  SELECT a AS id, b AS l FROM reach
+      |  UNION ALL
+      |  SELECT DISTINCT a, a FROM e)
+      |SELECT id AS vec_id, min(l) AS cluster FROM lbl
+      |GROUP BY id ORDER BY vec_id""".stripMargin
 
   // q62 — INCREMENTAL exact near-dup: a new batch (doc_id % 8 == 7, the
   // stand-in for "today's crawl increment") deduped against the standing
@@ -437,21 +470,33 @@ object DedupQueries {
 
   // q64 — incremental SEMANTIC dedup: new embeddings (vec_id % 8 == 7)
   // probed against a standing hyperplane-LSH index of the rest — q62/
-  // q63's vector twin. Seeded hyperplanes → rows-only; the spec pins the
-  // probe result to the cross-side restriction of the full lshPairs run.
+  // q63's vector twin. ORACLE-GREEN since round 10: with 14 tables and
+  // batch-side 2-flip multi-probe, every exact cross pair ≥ 0.45 is a
+  // candidate on both gate corpora (≥ 3 colliding tables per pair), so
+  // the exact-verified output equals the cross-side restriction of the
+  // exact pair set and takes its SQL (q27-style validity bound).
   private def q64(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.load(s, dir, "embeddings")
     val idx = memoizedIndex[SimilaritySearch.LshIndex]("lsh", s, dir) {
       val i = SimilaritySearch.lshIndex(
-        emb.filter($"vec_id" % 8 =!= 7), "vec_id", "embedding")
+        emb.filter($"vec_id" % 8 =!= 7), "vec_id", "embedding",
+        numTables = 14)
       (i, () => i.unpersist())
     }
     SimilaritySearch.lshPairsAgainstIndex(
         emb.filter($"vec_id" % 8 === 7), idx, "vec_id", "embedding",
-        threshold = 0.45)
+        threshold = 0.45, probeFlips = 2)
       .orderBy($"batch_id", $"corpus_id")
   }
+
+  private val q64Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+      |SELECT b.vec_id batch_id, c.vec_id corpus_id,
+      |  round(list_cosine_similarity(b.v, c.v), 4) AS cosine
+      |FROM e b JOIN e c ON b.vec_id % 8 = 7 AND c.vec_id % 8 <> 7
+      |WHERE list_cosine_similarity(b.v, c.v) >= 0.45
+      |ORDER BY batch_id, corpus_id""".stripMargin
 
   // q65 — product-quantization ANN (TPAMI'11): the corpus is m=8 one-byte
   // codes per vector instead of 64 floats (32× memory), queries score via
@@ -575,5 +620,15 @@ object DedupQueries {
     "q25_cosine_topk" -> q25Sql,
     "q26_multimodal_join" -> q26Sql,
     "q54_dedup_clusters" -> q54Sql,
-    "q55_embedding_clusters" -> q55Sql)
+    "q55_embedding_clusters" -> q55Sql,
+    // round-10 upgrades: multi-probe LSH makes the bucketed vector
+    // family's candidate sets provably complete on the gate corpora
+    // (OperatorsSpec equality pins at sf0.01; the sf0.1 gate re-proves
+    // at the larger corpus), so each takes its exact twin's SQL. Same
+    // validity bound as q27/q63 above: corpus-dependent, demote rather
+    // than loosen if a future corpus puts true pairs below the probed
+    // S-curve knee.
+    "q56_lsh_embedding_pairs" -> q56Sql,
+    "q57_lsh_embedding_clusters" -> q57Sql,
+    "q64_incremental_embedding" -> q64Sql)
 }

@@ -288,10 +288,10 @@ class OperatorsSpec extends SparkSpec {
     assert(capped == Set((1L, 2L))) // template buckets (8 > 4) dropped
   }
 
-  test("lshPairs (q56 config) ⊇ exact q43 pairs above threshold+margin on sf0.01") {
+  test("lshPairs (q56 multi-probe config) == exact q43 restriction at 0.45 on sf0.01") {
     // the q24↔q27 pattern for vectors: the bucketed scale path must
-    // contain every exact pair comfortably above its threshold. Exact
-    // reference computed driver-side (500 × 64 floats).
+    // contain every exact pair at its threshold. Exact reference
+    // computed driver-side (500 × 64 floats).
     val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
     val vecs = emb.select($"vec_id", VectorOps.toDoubles($"embedding"))
       .as[(Long, Seq[Double])].collect()
@@ -305,19 +305,64 @@ class OperatorsSpec extends SparkSpec {
       i <- vecs.indices; j <- vecs.indices if vecs(i)._1 < vecs(j)._1
       if cos(vecs(i)._2, vecs(j)._2) >= thr
     } yield (vecs(i)._1, vecs(j)._1)).toSet
-    val got = SimilaritySearch.lshPairs(emb, "vec_id", "embedding",
+    val atThr = exactAt(0.45)
+    // THE q56 ORACLE PIN (round 10): with query-directed multi-probe
+    // (14 tables × 2 flips) the candidate set contains every exact pair
+    // at the threshold itself — the verified output EQUALS the exact
+    // restriction, which is what licenses q56/q57 taking q43/q55's SQL.
+    // The numpy design study measured every pair colliding in ≥ 2
+    // tables at both gate corpora (≥ 3 at sf0.1); this equality check
+    // plus the sf0.1 oracle gate re-prove it end-to-end each run.
+    val probed = SimilaritySearch.lshPairs(emb, "vec_id", "embedding",
+        threshold = 0.45, numPlanes = 4, numTables = 14,
+        maxBucketSize = 500, probeFlips = 2)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(probed == atThr,
+      s"probed != exact: missing ${atThr.diff(probed)}, extra ${probed.diff(atThr)}")
+    // honesty baseline: the UNPROBED 8-table config genuinely misses
+    // at-threshold pairs on isotropic data (the geometric worst case) —
+    // kept as a floor so the probing win stays measured, not asserted
+    val unprobed = SimilaritySearch.lshPairs(emb, "vec_id", "embedding",
         threshold = 0.45, numPlanes = 4, numTables = 8, maxBucketSize = 500)
       .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
-    // margin pairs (cosine >= 0.5, threshold+0.05) must ALL be present
     val margin = exactAt(0.5)
-    assert(margin.subsetOf(got), s"missed margin pairs: ${margin.diff(got)}")
-    // honesty line + floor on at-threshold recall (isotropic worst case)
-    val atThr = exactAt(0.45)
-    val recall = got.intersect(atThr).size.toDouble / atThr.size
-    info(f"lshPairs recall at threshold 0.45: $recall%.2f (${atThr.size} exact pairs)")
+    assert(margin.subsetOf(unprobed), s"missed margin pairs: ${margin.diff(unprobed)}")
+    val recall = unprobed.intersect(atThr).size.toDouble / atThr.size
+    info(f"unprobed recall at threshold 0.45: $recall%.2f; " +
+      f"probed = 1.00 by equality (${atThr.size} exact pairs)")
     assert(recall >= 0.5)
     // everything returned really is over the threshold (exact verify)
-    assert(got.subsetOf(atThr))
+    assert(unprobed.subsetOf(atThr))
+  }
+
+  test("lshPairsAgainstIndex (q64 multi-probe config) == exact cross restriction on sf0.01") {
+    // q64's oracle pin: batch-side multi-probe against the standing
+    // 14-table index reproduces the exact batch × corpus restriction
+    // at the query threshold (values re-verified exactly downstream).
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val vecs = emb.select($"vec_id", VectorOps.toDoubles($"embedding"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => (id, v.toArray) }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exactCross = (for {
+      i <- vecs.indices; j <- vecs.indices
+      if vecs(i)._1 % 8 == 7 && vecs(j)._1 % 8 != 7
+      if cos(vecs(i)._2, vecs(j)._2) >= 0.45
+    } yield (vecs(i)._1, vecs(j)._1)).toSet
+    val idx = SimilaritySearch.lshIndex(
+      emb.filter($"vec_id" % 8 =!= 7), "vec_id", "embedding", numTables = 14)
+    try {
+      val got = SimilaritySearch.lshPairsAgainstIndex(
+          emb.filter($"vec_id" % 8 === 7), idx, "vec_id", "embedding",
+          threshold = 0.45, probeFlips = 2)
+        .select($"batch_id", $"corpus_id").as[(Long, Long)].collect().toSet
+      assert(got == exactCross,
+        s"probed cross != exact: missing ${exactCross.diff(got)}, extra ${got.diff(exactCross)}")
+    } finally idx.unpersist()
   }
 
   test("minhash-LSH pairs (q27 config) == exact jaccard pairs (q24) on sf0.01") {
