@@ -1383,6 +1383,9 @@ final class DataLakehouse(
             Files.getLastModifiedTime(p).toMillis <= cutoff
         }
       }
+    // log-dir hygiene rides the same retention cutoff: staged commit/
+    // checkpoint tmps a killed writer left behind (crash-seam residue)
+    txnLog.sweepStagedTmp(cutoff)
     if (dead.isEmpty) return 0L
     // second liveness view, read AFTER the dead list was computed: spares
     // anything a concurrent commit (restore's re-adds) made live again

@@ -29,6 +29,24 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
   * commits — straightforward here because snapshots are pure folds.
   */
 object TxnLog {
+  /** Crash-seam hook for the kill-mid-commit recovery fuzz
+    * ([[graft.CrashRecoverySpec]]): a forked child process installs a
+    * `Runtime.halt` at a named seam inside the publish protocol;
+    * production never sets it, so every seam costs one volatile read
+    * of null. Seams mark the protocol's durability boundaries —
+    * `commit:tmp-written` (commit staged, nothing published),
+    * `commit:published` (version live, cleanup/caches pending),
+    * `commit:recorded` (idempotence folded, checkpoint pending),
+    * `ckpt:tmp-written` (checkpoint staged, not yet visible) and
+    * `ckpt:published` — a kill at ANY of them must leave a log a fresh
+    * reader resolves consistently and a fresh writer extends.
+    */
+  @volatile private[graft] var crashSeam: String => Unit = null
+  @inline private[sources] def seam(name: String): Unit = {
+    val h = crashSeam
+    if (h != null) h(name)
+  }
+
   /** The `expectedConstraints` check failed: the predecessor snapshot
     * carries a different constraint map than the committer validated
     * against. A subclass of the requireLive conflict so existing
@@ -452,8 +470,10 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       val tmp = Files.createTempFile(logDir, ".commit", ".tmp")
       Files.write(tmp, mapper.writerWithDefaultPrettyPrinter()
         .writeValueAsString(node).getBytes(StandardCharsets.UTF_8))
+      TxnLog.seam("commit:tmp-written")
       try {
         publishExclusive(versionPath(v), tmp)
+        TxnLog.seam("commit:published")
         Files.deleteIfExists(tmp)
         cachedVersion.updateAndGet(c => math.max(c, v))
         // fold into the in-memory idempotence view only AFTER the
@@ -462,6 +482,7 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
         // batch never persisted, yet its replay would no-op and its
         // rows would be lost in this process
         recordIdempotence(batchId, txn)
+        TxnLog.seam("commit:recorded")
         maybeCheckpoint(v)
         return v
       } catch {
@@ -490,6 +511,36 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
     * reader can transiently observe a partially-written commit on such
     * mounts, the same window every rename-less log format has there).
     */
+  /** Delete staged `.commit*.tmp` / `.ckpt*.tmp` files older than
+    * `cutoffMs` (epoch millis) from the log dir — the residue a writer
+    * killed between staging and publish leaves behind (see the crash
+    * seams in [[TxnLog.seam]]). Recovery never READS these (version
+    * resolution matches only published `v*.json` / `checkpoint-v*.json`
+    * names), so the sweep is hygiene, not correctness — but a
+    * crash-looping committer at 100 ms cadence would otherwise grow the
+    * dir listing without bound. Called from vacuum with the table's
+    * retention cutoff: an IN-FLIGHT commit's tmp is milliseconds old and
+    * can only be swept at `retainMs = 0` (the dev/test setting, where a
+    * concurrent sweep makes the in-flight publish fail loudly with
+    * NoSuchFileException — never silently).
+    */
+  def sweepStagedTmp(cutoffMs: Long): Long = {
+    if (!Files.isDirectory(logDir)) return 0L
+    val it = Files.list(logDir)
+    try {
+      it.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.endsWith(".tmp") && (n.startsWith(".commit") || n.startsWith(".ckpt"))
+        }
+        .count { p =>
+          try Files.getLastModifiedTime(p).toMillis <= cutoffMs &&
+            Files.deleteIfExists(p)
+          catch { case _: java.nio.file.NoSuchFileException => false }
+        }.toLong
+    } finally it.close()
+  }
+
   private def publishExclusive(target: Path, tmp: Path): Unit =
     try Files.createLink(target, tmp)
     catch {
@@ -705,10 +756,12 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       val tmp = Files.createTempFile(logDir, ".ckpt", ".tmp")
       Files.write(tmp, mapper.writeValueAsString(node)
         .getBytes(StandardCharsets.UTF_8))
+      TxnLog.seam("ckpt:tmp-written")
       try Files.move(tmp, checkpointPath(v), StandardCopyOption.ATOMIC_MOVE)
       catch { case _: java.nio.file.FileSystemException =>
         Files.deleteIfExists(tmp) // lost a race; that checkpoint exists
       }
+      TxnLog.seam("ckpt:published")
       cachedCkpt.updateAndGet(c => math.max(c, v)) // exists either way
     }
 
