@@ -11,7 +11,7 @@ import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType, TimestampType}
 
 import graft.{AssetClass, IngestionStats, OhlcvBar, QueryResult, model}
 
@@ -1762,6 +1762,90 @@ final class DataLakehouse(
           .mkString("/")
       }
       .distinct.sorted
+
+  // ------------------------------------------------------ DuckDB federation
+
+  /** Export one committed snapshot as a DuckDB view DDL — the reference's
+    * federation tier (README.md:30,45-47: "DuckDB for interactive
+    * queries, Spark for distributed processing") made concrete: the txn
+    * log resolves the exact live-file list at `version`, and the emitted
+    * `CREATE OR REPLACE VIEW` reads precisely those files via
+    * `read_parquet`/`read_csv`, so an embedded DuckDB sees the SAME rows
+    * a Spark [[query]] of that version sees — same storage, no copy, no
+    * export job.
+    *
+    * Snapshot semantics ride on file immutability: data files are never
+    * rewritten in place (copy-on-write row ops publish NEW files), so a
+    * manifest stays internally consistent while Spark writers keep
+    * committing — it is a pinned time-travel view, valid until [[vacuum]]
+    * retention (default 7 days) reclaims files the pinned version
+    * references. Re-emit to follow the head.
+    *
+    * Partition columns live in the Hive `k=v` path levels, not in the
+    * files; `hive_partitioning` recovers them, with `hive_types` pinning
+    * each to the type the recorded schema gives it (DuckDB would
+    * otherwise autocast `date=2024-06-15` to a DATE where the table
+    * schema says string).
+    *
+    * The manifest lands under `<root>/_duckdb/` by default — an
+    * underscore metadata dir like `_dlq`/`_staging`, invisible to vacuum
+    * and scans. Returns the written path; `tools/duck_query.py` executes
+    * interactive SQL against it.
+    */
+  def duckdbManifest(version: Long = Long.MaxValue,
+      viewName: String = "trades",
+      outPath: Option[String] = None): Path = {
+    val v = math.min(version, txnLog.currentVersion())
+    require(v >= 0, s"no committed snapshot to export (version=$version)")
+    val files = txnLog.snapshotFiles(v).sorted
+    require(files.nonEmpty, s"snapshot v$v has no live files")
+    val schema = decodeSchema(txnLog.schemaAt(v))
+    def duckType(f: StructField): String = f.dataType match {
+      case StringType => "VARCHAR"
+      case LongType => "BIGINT"
+      case org.apache.spark.sql.types.IntegerType => "INTEGER"
+      case DoubleType => "DOUBLE"
+      case org.apache.spark.sql.types.FloatType => "FLOAT"
+      case org.apache.spark.sql.types.BooleanType => "BOOLEAN"
+      case TimestampType => "TIMESTAMP"
+      case org.apache.spark.sql.types.DateType => "DATE"
+      case other => other.sql // decimal etc: Spark's SQL name is ANSI
+    }
+    val hiveTypes = partitionCols
+      .flatMap(c => schema.fields.find(_.name == c))
+      .map(f => s"'${f.name}': ${duckType(f)}")
+      .mkString("{", ", ", "}")
+    def quote(rel: String) = // single quotes doubled per SQL string rules
+      "'" + Paths.get(root).resolve(rel).toString.replace("'", "''") + "'"
+    def list(rels: Seq[String]) =
+      rels.map(quote).mkString("[\n    ", ",\n    ", "\n  ]")
+    val (csvRels, pqRels) = files.partition(_.endsWith(".csv"))
+    val sides = Seq(
+      pqRels -> ((l: String) =>
+        s"SELECT * FROM read_parquet($l,\n  " +
+          s"hive_partitioning = true, hive_types = $hiveTypes)"),
+      csvRels -> ((l: String) =>
+        s"SELECT * FROM read_csv($l,\n  header = true, " +
+          s"hive_partitioning = true, hive_types = $hiveTypes)"))
+      .collect { case (rels, mk) if rels.nonEmpty => mk(list(rels)) }
+    val ident = "\"" + viewName.replace("\"", "\"\"") + "\""
+    val ddl = new StringBuilder()
+      .append("-- graft DuckDB snapshot manifest\n")
+      .append(s"-- root: $root\n")
+      .append(s"-- version: $v (files: ${files.size})\n")
+      .append("-- Pinned snapshot: valid while vacuum retention holds; ")
+      .append("re-emit to follow the table head.\n")
+      .append(s"CREATE OR REPLACE VIEW $ident AS\n")
+      .append(sides.mkString("\nUNION ALL BY NAME\n"))
+      .append(";\n").toString
+    val target = outPath.map(Paths.get(_)).getOrElse {
+      Files.createDirectories(Paths.get(root, "_duckdb"))
+      Paths.get(root, "_duckdb", s"manifest-v$v.sql")
+    }
+    Option(target.getParent).foreach(Files.createDirectories(_))
+    Files.write(target, ddl.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    target
+  }
 }
 
 object DataLakehouse {
