@@ -26,6 +26,76 @@ object ScaleRun {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
+    // Full-catalog scale corpus (VERDICT r9 #3): writes a mult× copy of
+    // EVERY sf0.1 table to args(2) (default /tmp/scale_catalog) so the
+    // whole 100-query Bench can run above sf0.1 via SPARK_GRAFT_SF_DIR.
+    // Shard construction preserves per-shard structure exactly and
+    // fabricates nothing across shards — the crawl-growth shape (10×
+    // data, same duplication density), so per-query scale exponents
+    // measure operator cost, not answer-size artifacts:
+    //  - fact/dim keys shift by shard×1e9 (joins stay within-shard;
+    //    fan-outs and group sizes per key unchanged);
+    //  - nation/region stay single-copy (grouping cardinality and
+    //    broadcast-side size are invariants of the schema, not of sf);
+    //  - document text gets a per-shard Caesar substitution (bijective
+    //    on characters: token/shingle structure, lengths, n_chars, and
+    //    within-shard Jaccard all exactly preserved; cross-shard n-gram
+    //    overlap destroyed, so the true near-dup pair set is mult× the
+    //    base — same rationale as bigShifted below);
+    //  - embeddings rotate cyclically by shard (orthogonal transform:
+    //    within-shard cosine geometry exact, cross-shard pairs
+    //    decorrelated);
+    //  - event timestamps keep their range: 10× density per time
+    //    window, the busier-feed shape windowed aggs see at scale.
+    if (which == "catalog") {
+      require(mult >= 2 && mult <= 26,
+        s"caesar shards alias beyond 26x: $mult")
+      val out = args.lift(2).getOrElse("/tmp/scale_catalog")
+      val OFF = 1000000000L
+      val alpha = "abcdefghijklmnopqrstuvwxyz"
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      def write(name: String)(f: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame): Unit = {
+        val src = spark.read.parquet(s"/root/testdata/sf0.1/$name.parquet")
+        val copies = (0 until mult).map(i => f(src, i))
+        copies.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$out/$name.parquet")
+        println(s"[gen] $name rows=" +
+          spark.read.parquet(s"$out/$name.parquet").count())
+      }
+      def shifted(cols: String*)(d: org.apache.spark.sql.DataFrame, i: Int) =
+        cols.foldLeft(d)((df, c) => df.withColumn(c, col(c) + lit(i * OFF)))
+      write("region")((d, i) => if (i == 0) d else d.limit(0))
+      write("nation")((d, i) => if (i == 0) d else d.limit(0))
+      write("customer")(shifted("c_custkey"))
+      write("supplier")(shifted("s_suppkey"))
+      write("part")(shifted("p_partkey"))
+      write("orders")(shifted("o_orderkey", "o_custkey"))
+      write("lineitem")(shifted("l_orderkey", "l_partkey", "l_suppkey"))
+      // cast ts NTZ→LTZ before writing (value-identical under the UTC
+      // session): the base file's isAdjustedToUTC=false footer reads as
+      // NTZ here (inferTimestampNTZ default), and writing that through
+      // pins TimestampNTZType in Spark row metadata — which would force
+      // Tables.load onto its cast branch (no ts pushdown) for the whole
+      // sweep corpus.
+      write("events")((d, i) =>
+        shifted("event_id", "user_id")(d, i)
+          .withColumn("ts", col("ts").cast("timestamp")))
+      write("documents") { (d, i) =>
+        val rot = alpha.drop(i % 26) + alpha.take(i % 26)
+        shifted("doc_id")(d, i).withColumn("text",
+          translate(col("text"), alpha + alpha.toUpperCase,
+            rot + rot.toUpperCase))
+      }
+      write("embeddings") { (d, i) =>
+        val r = shifted("vec_id")(d, i)
+        if (i == 0) r
+        else r.withColumn("embedding", expr(
+          s"concat(slice(embedding, ${i + 1}, size(embedding)), " +
+            s"slice(embedding, 1, $i))"))
+      }
+      spark.stop(); return
+    }
+
     // Txn-log metadata scale probe: mult×1000 commits in the streaming
     // ring pattern (each commit adds one file, retires the previous —
     // live set stays 1, the 100 ms-cadence shape from README.md:37).
@@ -208,6 +278,95 @@ object ScaleRun {
         f"rowsScanned=${qr.totalRowsScanned} (of $rows) " +
         f"addColumn=$addColS%.3f dropColumn=$dropColS%.3f")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      spark.stop(); return
+    }
+
+    // Ingest-throughput curve (VERDICT r9 #5, vs the reference's
+    // headline 10.2 M events/s aggregate / 2.5 M per core,
+    // README.md:25,89-91). Three legs, worst-to-best cost shape:
+    //  - `ingestBatch`: the driver-side Seq[OhlcvBar] path (the
+    //    reference's own single-process ingest shape) — O(driver), the
+    //    honest twin of its benchmark;
+    //  - `ingestStream`: the FULL streaming path (file source →
+    //    validate → 1M-event ring admission → DLQ split (0.1% planted
+    //    invalid rows) → per-micro-batch txn commit) at growing totals,
+    //    so the curve separates stream startup (fixed) from per-event
+    //    cost (asymptote);
+    //  - `appendDF`: the distributed scale path (validate, cluster,
+    //    zstd, stats, one commit) — what a 1000-executor cluster runs.
+    if (which == "ingestcurve") {
+      import java.nio.file.Files
+      def bars(rows: Long, invalidEvery: Long = 0L) = {
+        val cents = pmod(col("id") * 37L, lit(100)).cast("double") / 100.0
+        val base = lit(100.0) + pmod(col("id"), lit(50)) + cents
+        val bad = invalidEvery > 0L
+        spark.range(rows).select(
+          concat(lit("SYM"), pmod(col("id"), lit(100))).as("symbol"),
+          timestamp_millis(lit(1718409600000L) +
+            pmod(col("id"), lit(10)) * 86400000L +
+            (col("id") / 10).cast("long")).as("timestamp"),
+          base.as("open"),
+          // planted DLQ rows: every `invalidEvery`-th bar has high < low
+          (if (bad) when(pmod(col("id"), lit(invalidEvery)) === 0,
+            base - 20.0).otherwise(base + 60.0) else base + 60.0).as("high"),
+          (base - 10.0).as("low"),
+          (base + 20.0).as("close"),
+          (lit(1000L) + col("id")).as("volume"),
+          lit("equity").as("asset_class"))
+      }
+      // streaming leg: growing totals, ~25k-row source files, several
+      // micro-batches per run (admission 16 files/trigger, ring cap 1M)
+      Seq(125000L, 500000L, 2000000L).foreach { rows =>
+        val root = Files.createTempDirectory("ingcurve").toString
+        val src = Files.createTempDirectory("ingsrc").toString
+        val ckpt = Files.createTempDirectory("ingckpt").toString
+        val filesN = math.max(5L, rows / 25000L).toInt
+        bars(rows, invalidEvery = 1000L)
+          .repartition(filesN).write.mode("overwrite").parquet(src)
+        val lake = new sources.DataLakehouse(spark, root)
+        val t0 = System.nanoTime()
+        val q = streaming.Streaming.ingestStream(lake, src, ckpt,
+          maxFilesPerTrigger = Some(16),
+          maxEventsPerTrigger = Some(1000000L))
+        q.processAllAvailable()
+        val wall = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        val landed = lake.query().df.count()
+        val dlq = lake.deadLetterCount()
+        assert(landed + dlq == rows, s"lost rows: $landed + $dlq != $rows")
+        assert(dlq > 0, "DLQ leg never exercised")
+        println(f"[scale] ingestcurve stream rows=$rows files=$filesN " +
+          f"wall=$wall%.1f evps=${(rows / wall).toLong} dlq=$dlq")
+        Seq(root, src, ckpt).foreach(d =>
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+      }
+      // driver-side batch leg (the reference's own shape)
+      Seq(200000, 400000).foreach { n =>
+        val root = Files.createTempDirectory("ingbatch").toString
+        val lake = new sources.DataLakehouse(spark, root, batchSize = n + 1)
+        val rows = bars(n.toLong).collect().map(r => graft.OhlcvBar(
+          r.getString(0), r.getTimestamp(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getLong(6), r.getString(7))).toSeq
+        val t0 = System.nanoTime()
+        lake.ingestBatch(rows)
+        lake.flush()
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] ingestcurve batch rows=$n wall=$wall%.1f " +
+          f"evps=${(n / wall).toLong}")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      }
+      // distributed appendDF leg
+      Seq(2000000L, 8000000L).foreach { rows =>
+        val root = Files.createTempDirectory("ingappend").toString
+        val lake = new sources.DataLakehouse(spark, root)
+        val df = bars(rows)
+        val t0 = System.nanoTime()
+        lake.appendDF(df)
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] ingestcurve appendDF rows=$rows wall=$wall%.1f " +
+          f"evps=${(rows / wall).toLong}")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      }
       spark.stop(); return
     }
 
