@@ -105,6 +105,73 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All hyperplane dots of one vector against a plane MATRIX (array of
+  * array<double>) in a single call — `array<double>` of one dot per
+  * plane, the bucketing projection of the LSH family.
+  *
+  * The matrix arrives as a nested-array literal, which Catalyst codegens
+  * as ONE reference object (`ctx.addReferenceObj`) — so generated-code
+  * size is CONSTANT in numPlanes × dim. The previous shape inlined every
+  * plane as an element-wise literal array inside its own dot kernel;
+  * at the adaptive geometry (14 tables × 8 planes × 64 dims on the 10×
+  * sweep corpus) that grew the projection past Janino's 64 KB method
+  * limit, Spark disabled whole-stage codegen for the plan, and the
+  * heaviest relation of the pair pipeline ran interpreter-speed
+  * (q64: minutes instead of seconds). Accumulation order per plane is
+  * element-sequential, identical to the inlined form.
+  */
+case class PlaneDots(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val v = l.asInstanceOf[ArrayData]
+    val m = r.asInstanceOf[ArrayData]
+    val np = m.numElements()
+    val out = new Array[Double](np)
+    var t = 0
+    while (t < np) {
+      val p = m.getArray(t)
+      val n = math.min(p.numElements(), v.numElements())
+      var d = 0.0; var i = 0
+      while (i < n) { d += p.getDouble(i) * v.getDouble(i); i += 1 }
+      out(t) = d; t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, m) => {
+      val np = ctx.freshName("np")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val p = ctx.freshName("p")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      s"""
+         |int $np = $m.numElements();
+         |double[] $out = new double[$np];
+         |for (int $t = 0; $t < $np; $t++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $p = $m.getArray($t);
+         |  int $n = java.lang.Math.min($p.numElements(), $v.numElements());
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $d += $p.getDouble($i) * $v.getDouble($i);
+         |  }
+         |  $out[$t] = $d;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PlaneDots =
+    copy(left = newLeft, right = newRight)
+}
+
 object CosineSimilarity {
   private val fnName = "graft_cosine"
   private val dotName = "graft_dot"
@@ -137,5 +204,19 @@ object CosineSimilarity {
   def dotFast(spark: SparkSession, a: Column, b: Column): Column = {
     registerOnce(spark, dotName, exprs => DotProduct(exprs(0), exprs(1)))
     call_function(dotName, a.cast("array<double>"), b.cast("array<double>"))
+  }
+
+  private val planeDotsName = "graft_plane_dots"
+
+  /** Column API: all dots of `v` against a plane matrix, one call.
+    * The matrix is passed as a typedLit so it codegens as a single
+    * reference object — see [[PlaneDots]] for why this matters.
+    */
+  def planeDotsFast(spark: SparkSession, v: Column,
+      planes: Array[Array[Double]]): Column = {
+    registerOnce(spark, planeDotsName, exprs => PlaneDots(exprs(0), exprs(1)))
+    val matrix = org.apache.spark.sql.functions
+      .typedLit[Seq[Seq[Double]]](planes.map(_.toSeq).toSeq)
+    call_function(planeDotsName, v.cast("array<double>"), matrix)
   }
 }

@@ -148,7 +148,7 @@ object SimilaritySearch {
     * threshold on isotropic data are the geometric worst case (see the
     * planted-vs-real spec pair in OperatorsSpec). `probeFlips` buys the
     * near-threshold recall back without extra tables: with query-
-    * directed multi-probe (see [[flipBucketsFromDots]]) a pair is a
+    * directed multi-probe (see [[graft.functions.LshProbeBuckets]]) a pair is a
     * candidate when some table has the two buckets equal OR reachable by
     * flipping one of EITHER vector's `probeFlips` closest planes — per-
     * table collision rises from p^k to roughly
@@ -159,9 +159,13 @@ object SimilaritySearch {
     * OperatorsSpec equality pin).
     *
     * @param threshold exact-cosine cutoff applied to verified candidates
+    * @param numPlanes 0 (default) = the [[adaptivePlanes]] sizing law
+    *        (bucket population held near 128 as n grows); explicit
+    *        values pin the geometry (durable-index compatibility)
     * @param probeFlips 0 = exact buckets only; f ≥ 1 probes each
     *        vector's f closest-plane flips per table (query-directed
-    *        multi-probe, VLDB 2007)
+    *        multi-probe, VLDB 2007); -1 = plane-matched probe count
+    *        (see [[resolveFlips]])
     * @return (a_id, b_id, cosine) with a_id < b_id, one row per pair
     */
   def lshPairs(
@@ -169,7 +173,7 @@ object SimilaritySearch {
       idCol: String,
       vecCol: String,
       threshold: Double,
-      numPlanes: Int = 4,
+      numPlanes: Int = 0,
       numTables: Int = 8,
       maxBucketSize: Int = 0,
       seed: Long = 42L,
@@ -194,15 +198,21 @@ object SimilaritySearch {
           lit(0.0).as("cosine")).limit(0)
     }
     val dim = firstRow.head.getInt(0)
+    // Geometry resolution (one count job against the cached relation;
+    // with persist = false the inputs are small by contract and the
+    // extra pass is bounded by them): numPlanes = 0 → the sizing law,
+    // probeFlips = -1 → the plane-matched probe count.
+    val planes = if (numPlanes > 0) numPlanes else adaptivePlanes(e.count())
+    val flips = resolveFlips(probeFlips, planes)
 
     // (id, table, dots) once — canonical buckets AND probe flips derive
     // from the same cached dots, so the expensive hyperplane projection
     // runs once however many probe shapes read it.
     val dotsRel = cached(tableDotsRelation(e, "id", "v",
-      numPlanes, numTables, dim, seed))
+      planes, numTables, dim, seed))
     // (id, table, bucket) rows — ints only, numTables per vector.
     val bucketed = dotsRel
-      .select($"id", $"tbl", bucketFromDots(numPlanes).as("bucket"))
+      .select($"id", $"tbl", bucketFromDots(planes).as("bucket"))
 
     val capped =
       if (maxBucketSize > 0) {
@@ -212,7 +222,7 @@ object SimilaritySearch {
         bucketed.join(ok, Seq("tbl", "bucket"))
       } else bucketed
 
-    if (probeFlips <= 0) {
+    if (flips <= 0) {
       // Cross-table candidate dedup is an aggregation, not dropDuplicates
       // after the fact — same result, one hash aggregate. Verification
       // joins the (small, post-dedup) candidate set back to the vectors —
@@ -261,8 +271,8 @@ object SimilaritySearch {
         if (estBytes <= bcLimit) broadcast(d) else d
       val vecBytes = 24L + 8L * dim
       val probes = dotsRel.select($"id", $"tbl",
-        explode(concat(array(bucketFromDots(numPlanes)),
-          flipBucketsFromDots(numPlanes, probeFlips))).as("bucket"))
+        explode(graft.functions.LshProbe.probeBucketsFast(
+          spark, $"ds", flips)).as("bucket"))
       probes.as("p")
         .join(gated(capped.as("c"), n.toLong * numTables * 24),
           $"p.tbl" === $"c.tbl" && $"p.bucket" === $"c.bucket" &&
@@ -309,6 +319,32 @@ object SimilaritySearch {
     }
   }
 
+  /** The bucket sizing law, now the library default (numPlanes = 0 at
+    * the public entry points): planes = max(4, ceil(log2(n / 128)))
+    * holds expected bucket population near 128 as the corpus grows, so
+    * probe work per vector stays numTables·probes·O(128) — without it a
+    * fixed plane count makes bucket population (and thus candidate
+    * mass) grow linearly in n and every pair pipeline quadratic, which
+    * is exactly what the 10× catalog sweep measured on q64 (exp +1.27)
+    * before this became the default. The 128 target is gate-preserving:
+    * both oracle gate corpora (500 / 2000 vectors) resolve to the
+    * planes=4 geometry the q56/q64 oracle-equality specs pinned.
+    */
+  private[graft] def adaptivePlanes(n: Long): Int =
+    math.max(4,
+      math.ceil(math.log(math.max(n, 1L) / 128.0) / math.log(2)).toInt)
+
+  /** probeFlips = -1 resolves to the plane-matched probe count:
+    * min(planes, 2·(planes − 3)) — 2 flips at the gate geometry
+    * (planes = 4, unchanged), rising with planes because each added
+    * plane cuts per-table collision by p < 1 and single-bit flips are
+    * the cheapest recall lever (they reuse the already-computed dots;
+    * extra tables would re-pay the full bucketing scan).
+    */
+  private def resolveFlips(probeFlips: Int, numPlanes: Int): Int =
+    if (probeFlips >= 0) probeFlips
+    else math.min(numPlanes, 2 * (numPlanes - 3))
+
   /** (idAs, vAs, nrmAs): vectors as doubles plus their L2 norm — the
     * common head of every LSH relation. Column names are parameters
     * because the probe side must not collide with corpus columns in the
@@ -336,17 +372,19 @@ object SimilaritySearch {
       .select(col(idAs), col("tbl"), bucketFromDots(numPlanes).as("bucket"))
 
   /** (idAs, tbl, ds) — per table, the ARRAY of raw hyperplane dots for a
-    * vector. The single expensive projection (numTables × numPlanes fused
-    * dot kernels, each inlining its plane as a literal array) that every
-    * bucket/probe shape derives from with cheap `element_at` arithmetic.
-    * Deriving rather than re-inlining matters twice at once: the dots are
-    * computed ONCE per (vector, table) however many probe shapes read
-    * them, and the downstream expression trees stay small — the first
-    * multi-probe cut re-inlined the dot kernels into every rank
-    * comparison, which ballooned the plan to a 4 MB task binary and made
-    * CODEGEN COMPILATION (re-paid per run: fresh exprIds defeat the
-    * source-keyed codegen cache) dominate the query at ~7 s of fixed
-    * cost.
+    * vector, via ONE [[graft.functions.PlaneDots]] call per table (the
+    * table's plane matrix held as a codegen reference object). Every
+    * bucket/probe shape derives from this relation with cheap
+    * `element_at` arithmetic. The discipline matters twice at once: the
+    * dots are computed ONCE per (vector, table) however many probe
+    * shapes read them, and generated-code size stays CONSTANT in the
+    * geometry — the first multi-probe cut re-inlined per-plane literal
+    * dot kernels everywhere, which (a) ballooned the plan to a 4 MB
+    * task binary whose codegen COMPILATION dominated at ~7 s fixed
+    * cost, and (b) at the adaptive 14-table × 8-plane geometry blew
+    * Janino's 64 KB method limit outright, silently disabling
+    * whole-stage codegen (interpreter-speed bucketing on the 10× sweep
+    * corpus).
     */
   private def tableDotsRelation(
       e: DataFrame, idAs: String, vAs: String,
@@ -355,9 +393,8 @@ object SimilaritySearch {
     val tableStructs = (0 until numTables).map { t =>
       val planes = hyperplanes(numPlanes, math.max(dim, 1), seed + t)
       struct(lit(t).as("tbl"),
-        array(planes.map(p =>
-          graft.functions.CosineSimilarity.dotFast(spark, col(vAs), planeLit(p))): _*)
-          .as("ds"))
+        graft.functions.CosineSimilarity
+          .planeDotsFast(spark, col(vAs), planes).as("ds"))
     }
     e.select(col(idAs), explode(array(tableStructs: _*)).as("tb"))
       .select(col(idAs), col("tb.tbl").as("tbl"), col("tb.ds").as("ds"))
@@ -372,51 +409,26 @@ object SimilaritySearch {
       when(col("ds").getItem(i) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** QUERY-DIRECTED MULTI-PROBE buckets (Lv et al., "Multi-probe LSH:
-    * efficient indexing for high-dimensional similarity search",
-    * VLDB 2007, adapted to sign-pattern hyperplane buckets): from a dots
-    * array, the `flips` buckets obtained by flipping the sign bit of the
-    * planes the vector is CLOSEST to (smallest |dot|, ties by index) —
-    * exactly the planes a true neighbor most plausibly sits across.
-    * Probing the flipped buckets multiplies a table's collision
-    * probability for near-threshold pairs severalfold at the cost of
-    * `flips` extra int rows per (vector, table) — far cheaper than the
-    * equivalent recall bought as extra tables, because tables re-pay the
-    * full bucketing scan while flips reuse the dots already computed.
-    * Geometry is shared bit-for-bit with the canonical buckets (same
-    * dots, same sign rule), so probe rows join durable indexes built by
-    * any earlier run.
-    *
-    * Everything is plain comparisons/arithmetic on array elements — no
-    * higher-order functions, so the projection stays a tiny tree inside
-    * whole-stage codegen like the bucketing scan itself.
+  // Multi-probe buckets (canonical + closest-plane flips) are computed
+  // by the loop-based native expression
+  // [[graft.functions.LshProbeBuckets]] — the earlier composed-`when`
+  // column form was O(planes² · flips) expression nodes and blew the
+  // 64 KB codegen method limit at the adaptive geometry; see that
+  // expression's scaladoc for the probe rationale (Lv et al. VLDB 2007).
+
+  /** Build (and persist) the standing [[LshIndex]] for a corpus.
+    * numPlanes = 0 (default) applies the [[adaptivePlanes]] sizing law
+    * to the corpus count; the resolved geometry is recorded in the
+    * index (and its durable meta), so probes and appends never re-derive
+    * it — an index built at one size keeps its plane count for life,
+    * which is the durable-compatibility contract (rebucketing a grown
+    * corpus is an explicit rebuild, not a silent geometry drift).
     */
-  private def flipBucketsFromDots(numPlanes: Int, flips: Int): Column = {
-    require(flips >= 1 && flips <= numPlanes,
-      s"flips must be in [1, numPlanes=$numPlanes], got $flips")
-    val bucket = bucketFromDots(numPlanes)
-    val absd = (0 until numPlanes).map(i => abs(col("ds").getItem(i)))
-    val ranks = absd.indices.map { i =>
-      absd.indices.filter(_ != i).map { j =>
-        when(absd(j) < absd(i) ||
-          (absd(j) === absd(i) && lit(j) < lit(i)), lit(1)).otherwise(lit(0))
-      }.reduce(_ + _)
-    }
-    array((0 until flips).map { f =>
-      val maskOfRankF = ranks.zipWithIndex.map { case (r, i) =>
-        when(r === f, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      bucket.bitwiseXOR(maskOfRankF)
-    }: _*)
-  }
-
-
-  /** Build (and persist) the standing [[LshIndex]] for a corpus. */
   def lshIndex(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      numPlanes: Int = 4,
+      numPlanes: Int = 0,
       numTables: Int = 8,
       seed: Long = 42L): LshIndex = {
     val spark = corpus.sparkSession
@@ -425,11 +437,12 @@ object SimilaritySearch {
       .persist()
     val firstRow = e.select(size($"v")).take(1)
     val dim = if (firstRow.isEmpty) 0 else firstRow.head.getInt(0)
+    val planes = if (numPlanes > 0) numPlanes else adaptivePlanes(e.count())
     val bucketed = hyperplaneBucketRelation(e, "corpus_id", "v",
-      numPlanes, numTables, dim, seed).persist()
+      planes, numTables, dim, seed).persist()
     val counts = bucketed.groupBy($"tbl", $"bucket")
       .agg(count(lit(1)).as("population")).persist()
-    LshIndex(e, bucketed, counts, numPlanes, numTables, dim, seed)
+    LshIndex(e, bucketed, counts, planes, numTables, dim, seed)
   }
 
   /** Persist an [[LshIndex]] as parquet tables — same durability contract
@@ -515,12 +528,15 @@ object SimilaritySearch {
   /** Probe a standing [[LshIndex]] with a batch of new embeddings — the
     * incremental shape of [[lshPairs]] (semantic dedup of an increment
     * against the standing corpus): batch vectors bucket under the SAME
-    * seed-derived hyperplanes, their (tbl, bucket) rows BROADCAST against
-    * the corpus bucket index (an increment is small by definition), and
-    * only candidates are exact-cosine verified against the
-    * semi-join-restricted corpus vector relation — the standing corpus is
-    * never shuffled.
+    * seed-derived index geometry, their (tbl, bucket) probe rows
+    * BROADCAST against the corpus bucket index (an increment is small by
+    * definition), and candidates are exact-cosine verified in the same
+    * fused pipeline — threshold before dedup, so only true pairs reach
+    * an exchange. The corpus vector relation broadcasts only under a
+    * size gate; past it the verification is a corpus_id shuffle join
+    * with int pairs on the moving side.
     *
+    * @param probeFlips 0 = exact buckets; -1 = plane-matched probe count
     * @return (batch_id, corpus_id, cosine), cosine >= threshold
     */
   def lshPairsAgainstIndex(
@@ -539,14 +555,15 @@ object SimilaritySearch {
     // persist with no release path leaks one cached relation per
     // micro-batch in a streaming caller.
     val b = normedVectors(batch, idCol, vecCol, "batch_id", "bv", "bnrm")
-    // Batch-side query-directed multi-probe (see [[flipBucketsFromDots]]):
+    val flips = resolveFlips(probeFlips, index.numPlanes)
+    // Batch-side query-directed multi-probe (see [[graft.functions.LshProbeBuckets]]):
     // the increment probes its exact buckets PLUS its `probeFlips`
     // closest-plane flips per table. Probing is batch-side only — the
     // standing index stores canonical buckets, which is exactly the
     // multi-probe production shape (the index never grows with probe
     // aggressiveness; only the cheap small side fans out).
     val bBucketed =
-      if (probeFlips <= 0)
+      if (flips <= 0)
         hyperplaneBucketRelation(b, "batch_id", "bv",
           index.numPlanes, index.numTables, index.dim, index.seed)
       else {
@@ -556,8 +573,8 @@ object SimilaritySearch {
         val dotsRel = tableDotsRelation(b, "batch_id", "bv",
           index.numPlanes, index.numTables, index.dim, index.seed)
         dotsRel.select($"batch_id", $"tbl",
-          explode(concat(array(bucketFromDots(index.numPlanes)),
-            flipBucketsFromDots(index.numPlanes, probeFlips))).as("bucket"))
+          explode(graft.functions.LshProbe.probeBucketsFast(
+            spark, $"ds", flips)).as("bucket"))
       }
     val bCapped =
       if (maxBucketSize > 0) {
@@ -565,20 +582,35 @@ object SimilaritySearch {
           .filter($"population" > maxBucketSize).select($"tbl", $"bucket")
         bBucketed.join(broadcast(hot), Seq("tbl", "bucket"), "left_anti")
       } else bBucketed
-    val cand = index.buckets
+    // VERIFY-FUSED probe (the lshPairs fused shape on the incremental
+    // geometry): the bucket join streams (batch_id, corpus_id) candidate
+    // rows as ints, vectors attach inside the same stage, and the exact-
+    // cosine threshold filters BEFORE the pair dedup — so the dedup
+    // exchange carries true pairs (× table multiplicity), never the
+    // candidate mass. The previous shape materialized the deduped
+    // candidate set and force-BROADCAST it, which is Θ(batch × corpus)
+    // rows when the buckets saturate — the 10× catalog sweep measured
+    // q64 at scale exponent +1.27 (48 s) on exactly that. The batch side
+    // is broadcast (an increment is small by definition); the corpus
+    // vector relation is SIZE-GATED — past the gate Catalyst shuffle-
+    // joins on corpus_id with only int pairs on the moving side, the
+    // shape that survives a corpus no executor set can broadcast.
+    val n = index.vectors.count() // persisted relation — one cheap job
+    val bcLimit = 64L << 20
+    val vecBytes = 24L + 8L * index.dim
+    def gated(d: DataFrame, estBytes: Long): DataFrame =
+      if (estBytes <= bcLimit) broadcast(d) else d
+    index.buckets
       .join(broadcast(bCapped), Seq("tbl", "bucket"))
-      .groupBy($"batch_id", $"corpus_id").agg(lit(1))
       .select($"batch_id", $"corpus_id")
-    val cVecs = index.vectors
-      .join(broadcast(cand.select($"corpus_id").distinct()), "corpus_id")
-    broadcast(cand)
-      .join(b, "batch_id")
-      .join(cVecs, "corpus_id")
-      .withColumn("cosine",
+      .join(gated(index.vectors, n * vecBytes), "corpus_id")
+      .join(broadcast(b), "batch_id")
+      .withColumn("cos",
         graft.functions.CosineSimilarity.dotFast(spark, $"bv", $"v") /
           ($"bnrm" * $"nrm"))
-      .filter($"cosine" >= threshold)
-      .select($"batch_id", $"corpus_id", round($"cosine", 4).as("cosine"))
+      .filter($"cos" >= threshold)
+      .groupBy($"batch_id", $"corpus_id").agg(first($"cos").as("c0"))
+      .select($"batch_id", $"corpus_id", round($"c0", 4).as("cosine"))
   }
 
   // ------------------------------------------------------------------- IVF

@@ -372,10 +372,14 @@ object DedupQueries {
   // The q27-style validity bound applies: see the oracle map entry.
   private def q56(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // numPlanes = 0 / probeFlips = -1: the sizing law — gate corpora
+    // resolve to the pinned 4-plane/2-flip geometry (oracle validity
+    // unchanged); larger corpora grow planes with log2(n) so bucket
+    // population (and the fused dot work per vector) stays bounded.
     SimilaritySearch.lshPairs(Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.45,
-        numPlanes = 4, numTables = 14, maxBucketSize = 500,
-        probeFlips = 2)
+        numPlanes = 0, numTables = 14, maxBucketSize = 500,
+        probeFlips = -1)
       .orderBy($"a_id", $"b_id")
   }
 
@@ -479,6 +483,8 @@ object DedupQueries {
     import s.implicits._
     val emb = Tables.load(s, dir, "embeddings")
     val idx = memoizedIndex[SimilaritySearch.LshIndex]("lsh", s, dir) {
+      // default numPlanes = adaptive sizing law: gate corpora keep the
+      // pinned 4-plane geometry, larger corpora bound bucket population
       val i = SimilaritySearch.lshIndex(
         emb.filter($"vec_id" % 8 =!= 7), "vec_id", "embedding",
         numTables = 14)
@@ -486,7 +492,7 @@ object DedupQueries {
     }
     SimilaritySearch.lshPairsAgainstIndex(
         emb.filter($"vec_id" % 8 === 7), idx, "vec_id", "embedding",
-        threshold = 0.45, probeFlips = 2)
+        threshold = 0.45, probeFlips = -1)
       .orderBy($"batch_id", $"corpus_id")
   }
 

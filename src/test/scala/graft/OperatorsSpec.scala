@@ -365,6 +365,78 @@ class OperatorsSpec extends SparkSpec {
     } finally idx.unpersist()
   }
 
+  test("adaptive LSH geometry: gate-preserving sizing law, bounded buckets, recall above the gate") {
+    // The sizing law (planes = max(4, ceil(log2(n/128)))) is the library
+    // default since round 10: both oracle gate corpora resolve to the
+    // pinned 4-plane geometry (the q56/q64 equality specs stay valid
+    // verbatim), and larger corpora grow planes with log2(n) so expected
+    // bucket population stays ~128 — with planes FIXED, population (and
+    // candidate mass) grows linearly in n and every pair pipeline goes
+    // quadratic, which the 10× catalog sweep measured on q64 (scale
+    // exponent +1.27) before this default existed.
+    assert(SimilaritySearch.adaptivePlanes(1L) == 4)
+    assert(SimilaritySearch.adaptivePlanes(500L) == 4) // sf0.01 gate
+    assert(SimilaritySearch.adaptivePlanes(2000L) == 4) // sf0.1 gate
+    assert(SimilaritySearch.adaptivePlanes(20000L) == 8) // 10× sweep corpus
+    assert(SimilaritySearch.adaptivePlanes(1L << 20) == 13)
+
+    // 6000-vector corpus (3× above the gate knee): 20 planted clusters
+    // of 3 near-identical vectors (cosine ≈ 0.9998) in isotropic noise.
+    val rng = new scala.util.Random(11)
+    val planted = (0 until 20).flatMap { c =>
+      val base = Array.fill(32)(rng.nextGaussian())
+      (0 until 3).map { j =>
+        ((c * 3 + j).toLong, base.map(x => (x + 0.02 * rng.nextGaussian()).toFloat))
+      }
+    }
+    val noise = (60 until 6000).map(i =>
+      (i.toLong, Array.fill(32)(rng.nextGaussian().toFloat)))
+    val df = (planted ++ noise).toDF("vec_id", "embedding")
+
+    // index build resolves the law and records it for life
+    val idx = SimilaritySearch.lshIndex(df, "vec_id", "embedding")
+    try {
+      assert(idx.numPlanes == 6) // ceil(log2(6000/128)) = 6
+      // population bound: 64 buckets/table holds the max well under the
+      // fixed-4-plane EXPECTED population n/16 = 375
+      val maxPop = idx.bucketCounts.agg(max($"population"))
+        .head().getLong(0)
+      assert(maxPop < 300, s"bucket population $maxPop not bounded")
+    } finally idx.unpersist()
+
+    // full-run fused multi-probe at the adaptive geometry (planes = 6,
+    // flips resolves to 6): every planted pair found, nothing else —
+    // a planted pair misses one table w.p. ≤ (1 − 0.9936^6) ≈ 0.038,
+    // all 8 tables w.p. ~4e-12; exact verification kills noise pairs.
+    val got = SimilaritySearch.lshPairs(df, "vec_id", "embedding",
+        threshold = 0.9, probeFlips = -1)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val want = (for {
+      c <- 0 until 20
+      a <- 0 until 3; b <- 0 until 3 if a < b
+    } yield ((c * 3 + a).toLong, (c * 3 + b).toLong)).toSet
+    assert(got == want,
+      s"adaptive full-run: missing ${want.diff(got)}, extra ${got.diff(want)}")
+
+    // incremental shape (the q64 path, now verify-fused): one member of
+    // each cluster probes the standing index of the rest and must find
+    // both cluster mates
+    val batch = df.filter($"vec_id" < 60 && $"vec_id" % 3 === 2)
+    val corpus = df.filter(!($"vec_id" < 60 && $"vec_id" % 3 === 2))
+    val idx2 = SimilaritySearch.lshIndex(corpus, "vec_id", "embedding")
+    try {
+      val cross = SimilaritySearch.lshPairsAgainstIndex(
+          batch, idx2, "vec_id", "embedding",
+          threshold = 0.9, probeFlips = -1)
+        .select($"batch_id", $"corpus_id").as[(Long, Long)].collect().toSet
+      val wantCross = (for {
+        c <- 0 until 20; j <- 0 until 2
+      } yield ((c * 3 + 2).toLong, (c * 3 + j).toLong)).toSet
+      assert(cross == wantCross,
+        s"adaptive probe: missing ${wantCross.diff(cross)}, extra ${cross.diff(wantCross)}")
+    } finally idx2.unpersist()
+  }
+
   test("minhash-LSH pairs (q27 config) == exact jaccard pairs (q24) on sf0.01") {
     // the LSH candidate path must reproduce the oracle-matched exact pair
     // set (values included — both verify with exact jaccard): every real
