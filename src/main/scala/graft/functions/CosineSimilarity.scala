@@ -183,7 +183,7 @@ object CosineSimilarity {
     * and the catalog invokes this once per query construction, which
     * polluted every bench/verify stderr tail with hundreds of lines.
     */
-  private def registerOnce(spark: SparkSession, name: String,
+  private[functions] def registerOnce(spark: SparkSession, name: String,
       builder: Seq[Expression] => Expression): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(

@@ -112,11 +112,8 @@ object LshProbe {
     * already-used plane (best = -1) and throw.
     */
   def probeBucketsFast(spark: SparkSession, ds: Column, flips: Int): Column = {
-    val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier(fnName)))
-      reg.createOrReplaceTempFunction(fnName,
-        exprs => LshProbeBuckets(exprs(0), exprs(1)), "built-in")
+    CosineSimilarity.registerOnce(spark, fnName,
+      exprs => LshProbeBuckets(exprs(0), exprs(1)))
     call_function(fnName, ds.cast("array<double>"), lit(flips))
   }
 }

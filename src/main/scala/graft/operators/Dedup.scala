@@ -280,7 +280,12 @@ object Dedup {
       result: DataFrame, intermediates: Seq[DataFrame]): DataFrame = {
     val out = result.persist()
     try out.count()
-    finally intermediates.foreach(_.unpersist(blocking = false))
+    catch {
+      // a failed materializing job (executor loss, cancellation) means
+      // the caller never receives `out` — release its registration too,
+      // or every failed attempt strands one cache entry
+      case e: Throwable => out.unpersist(blocking = false); throw e
+    } finally intermediates.foreach(_.unpersist(blocking = false))
     out
   }
 

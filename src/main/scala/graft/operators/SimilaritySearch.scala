@@ -198,11 +198,13 @@ object SimilaritySearch {
           lit(0.0).as("cosine")).limit(0)
     }
     val dim = firstRow.head.getInt(0)
-    // Geometry resolution (one count job against the cached relation;
-    // with persist = false the inputs are small by contract and the
-    // extra pass is bounded by them): numPlanes = 0 → the sizing law,
+    // Geometry resolution (ONE count job against the cached relation,
+    // shared with the probe branch's broadcast gates below — with
+    // persist = false the inputs are small by contract and the extra
+    // pass is bounded by them): numPlanes = 0 → the sizing law,
     // probeFlips = -1 → the plane-matched probe count.
-    val planes = if (numPlanes > 0) numPlanes else adaptivePlanes(e.count())
+    val n = e.count()
+    val planes = if (numPlanes > 0) numPlanes else adaptivePlanes(n)
     val flips = resolveFlips(probeFlips, planes)
 
     // (id, table, dots) once — canonical buckets AND probe flips derive
@@ -265,7 +267,6 @@ object SimilaritySearch {
       // (tbl, bucket) and id — the same partitioned shape the classic
       // branch scales by — so the fusion (verify-before-dedup) survives
       // a 1000-executor corpus even when nothing is broadcastable.
-      val n = e.count()
       val bcLimit = 64L << 20 // conservative half of the 128 MiB task arena
       def gated(d: DataFrame, estBytes: Long): DataFrame =
         if (estBytes <= bcLimit) broadcast(d) else d
@@ -274,7 +275,7 @@ object SimilaritySearch {
         explode(graft.functions.LshProbe.probeBucketsFast(
           spark, $"ds", flips)).as("bucket"))
       probes.as("p")
-        .join(gated(capped.as("c"), n.toLong * numTables * 24),
+        .join(gated(capped.as("c"), n * numTables * 24L),
           $"p.tbl" === $"c.tbl" && $"p.bucket" === $"c.bucket" &&
             $"p.id" =!= $"c.id")
         .join(gated(e.select($"id".as("pid"), $"v".as("p_v"), $"nrm".as("p_n")),
@@ -342,7 +343,11 @@ object SimilaritySearch {
     * extra tables would re-pay the full bucketing scan).
     */
   private def resolveFlips(probeFlips: Int, numPlanes: Int): Int =
-    if (probeFlips >= 0) probeFlips
+    // clamp to the plane count either way: LshProbeBuckets selects
+    // distinct planes to flip, so flips > numPlanes would exhaust them
+    // and index used(-1) — a mid-query executor crash on a public
+    // parameter; flipping every plane is the semantic ceiling anyway
+    if (probeFlips >= 0) math.min(probeFlips, numPlanes)
     else math.min(numPlanes, 2 * (numPlanes - 3))
 
   /** (idAs, vAs, nrmAs): vectors as doubles plus their L2 norm — the

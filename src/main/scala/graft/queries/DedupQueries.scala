@@ -429,12 +429,17 @@ object DedupQueries {
   // increments — is never recomputed. Fully SQL-expressible → oracle.
   private def q62(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val all = Tables.load(s, dir, "documents")
-    Dedup.jaccardPairsAgainst(
+    // memoized (the neardupPairs pattern): jaccardPairsAgainst returns an
+    // EAGER persisted frame under the caller-owns-release contract — a
+    // direct call per invocation would strand one cache entry per run;
+    // the memo makes repeat runs reuse it and owns the eviction
+    memoizedPairs("jaccard-against", s, dir) {
+      val all = Tables.load(s, dir, "documents")
+      Dedup.jaccardPairsAgainst(
         all.filter($"doc_id" % 8 === 7),
         all.filter($"doc_id" % 8 =!= 7),
         "doc_id", "text", shingleLen = 3, threshold = 0.5)
-      .orderBy($"batch_id", $"corpus_id")
+    }.orderBy($"batch_id", $"corpus_id")
   }
 
   private val q62Sql =

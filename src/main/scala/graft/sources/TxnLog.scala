@@ -244,7 +244,12 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
         val found =
           if (!probeExists(versionPath(0L))) {
             val strays = listCommitFiles()
-            require(strays.isEmpty,
+            // strays + v0 re-probe: a concurrent FIRST commit can publish
+            // v0 between the miss above and this listing — a benign race,
+            // not a trimmed log (the forward probe below then walks the
+            // one-commit-old tail from -1). Only commit files WITHOUT v0
+            // on the re-check mean trim/corruption.
+            require(strays.isEmpty || probeExists(versionPath(0L)),
               s"txn log at $logDir has commit files (${strays.take(3).mkString(", ")}…) " +
                 "but no v00000000.json — the log was trimmed or corrupted; " +
                 "head discovery assumes versions contiguous from zero")
@@ -596,11 +601,15 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       c.txn.foreach { case (app, seq) =>
         hw.update(app, math.max(hw.getOrElse(app, Long.MinValue), seq))
       }
-      // a commit carrying BOTH tiers records in both: the txn feeds the
-      // high-water AND the batchId stays visible to exact-set callers
-      // (hasBatch) — a txn-committed batch must not silently lose its
-      // membership just because the committer also declared a sequence
-      c.batchId.foreach(arb += _)
+      // a commit carrying BOTH tiers records ONLY the txn: the exact set
+      // (and the checkpoint array that persists it) must stay bounded by
+      // the txn-free committer population — folding txn-carried ids in
+      // would grow every checkpoint linearly with commit count at the
+      // declared 100 ms streaming cadence (~20 MB/day of ids, rewritten
+      // every interval: O(commits²) cumulative checkpoint IO). The
+      // batchId of a txn commit is audit metadata; its replay guard is
+      // the high-water (see the loud note on [[hasBatch]]).
+      if (c.txn.isEmpty) c.batchId.foreach(arb += _)
     }
     (hw.toMap, arb.toSet)
   }
@@ -618,10 +627,11 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       txn: Option[(String, Long)]): Unit = {
     txn.foreach { case (app, seq) => txnHighWater.merge(app, Long.box(seq),
       (x, y) => if (x >= y) x else y) }
-    // record the batchId in the exact set whether or not a txn was also
-    // declared — hasBatch must see txn-carried ids too (its cost is
-    // bounded by the checkpoint batchIds array, which carries them)
-    batchId.foreach(exactBatches.add)
+    // txn-free ids only — must mirror batchStateAt exactly (the in-memory
+    // view and the checkpoint-seeded view must agree), and the exact set
+    // must stay bounded by the txn-free committer population (see the
+    // boundedness rationale at batchStateAt)
+    if (txn.isEmpty) batchId.foreach(exactBatches.add)
   }
   private def recordCommit(c: Commit): Unit =
     recordIdempotence(c.batchId, c.txn)
@@ -653,15 +663,20 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
     }
   }
 
-  /** Has this exact batch id already committed? Exact set membership —
-    * no monotonicity is inferred from the id text, and ids are visible
-    * here whether or not their commit ALSO declared a txn (a txn-carried
-    * batch must not be invisible to external replay guards built on this
-    * call). Cross-process visibility: a miss replays only the commit
-    * tail this instance has not yet seen. NOTE: checkpoints written
-    * before this rule carried only txn-free ids; a txn-carried id below
-    * such an old checkpoint stays invisible (full-replay fallback logs
-    * excepted) — fresh logs see every id.
+  /** Has this exact batch id already committed WITHOUT a txn declaration?
+    * Exact set membership — no monotonicity is inferred from the id text.
+    * Cross-process visibility: a miss replays only the commit tail this
+    * instance has not yet seen.
+    *
+    * LOUD CONTRACT NOTE: batch ids carried by txn-declaring commits
+    * (`commit(batchId = …, txn = Some(…))` — the streaming path) are
+    * INVISIBLE here by design: their replay guard is the per-app
+    * high-water ([[hasTxn]] / [[isDuplicate]]), and recording them in the
+    * exact set would grow every checkpoint linearly with commit count at
+    * the declared 100 ms cadence (the set is persisted verbatim; the
+    * high-water is bounded by app count). An external caller using this
+    * call as its replay guard must either commit txn-free or guard via
+    * [[isDuplicate]] with the same txn it commits with.
     */
   def hasBatch(batchId: String): Boolean =
     seedThenRefresh(() => exactBatches.contains(batchId))
@@ -683,15 +698,15 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
   def isDuplicate(batchId: Option[String],
       txn: Option[(String, Long)]): Boolean =
     (batchId.isDefined || txn.isDefined) && seedThenRefresh(() =>
-      // txn-FIRST precedence: a declared (app, seq) governs replay on its
-      // own — the exact set ALSO contains txn-carried batch ids (so
-      // hasBatch sees them), and consulting it here would wrongly skip a
-      // committer that reuses a batchId string under a HIGHER sequence
-      if (txn.isDefined)
-        txn.exists { case (a, q) =>
-          Option(txnHighWater.get(a)).exists(q <= _.longValue())
-        }
-      else batchId.exists(exactBatches.contains))
+      // OR of both tiers. Safe and necessary BECAUSE the exact set holds
+      // txn-free ids only: a committer reusing a batchId string under a
+      // HIGHER sequence is not wrongly skipped (the id never entered the
+      // set), while a payload first committed txn-FREE under id X and
+      // replayed later WITH a txn is still vetoed by X's membership —
+      // the cross-tier upgrade case a txn-only check would double-land.
+      txn.exists { case (a, q) =>
+        Option(txnHighWater.get(a)).exists(q <= _.longValue())
+      } || batchId.exists(exactBatches.contains))
 
   // ---- checkpoints: O(commits) replay → O(interval) snapshot resolution.
   // Every `checkpointInterval` commits the full live file list is written

@@ -437,6 +437,23 @@ class OperatorsSpec extends SparkSpec {
     } finally idx2.unpersist()
   }
 
+  test("probeFlips beyond the plane count clamps to flipping every plane") {
+    // public-parameter safety: flips > planes would exhaust the distinct
+    // planes inside LshProbeBuckets and index used(-1) mid-query on
+    // executors; the clamp makes flips = planes the semantic ceiling, so
+    // an over-asking caller gets the every-plane-flipped result
+    val rng = new scala.util.Random(7)
+    val df = (0 until 300).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    def pairs(flips: Int): Set[(Long, Long)] =
+      SimilaritySearch.lshPairs(df, "vec_id", "embedding",
+          threshold = 0.6, numPlanes = 4, numTables = 4,
+          probeFlips = flips, persist = false)
+        .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(pairs(64) == pairs(4))
+  }
+
   test("minhash-LSH pairs (q27 config) == exact jaccard pairs (q24) on sf0.01") {
     // the LSH candidate path must reproduce the oracle-matched exact pair
     // set (values included — both verify with exact jaccard): every real

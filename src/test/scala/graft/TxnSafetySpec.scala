@@ -361,6 +361,50 @@ class TxnSafetySpec extends SparkSpec {
     assert(merged.count() == 2)
   }
 
+  test("txn-carried batch ids stay out of the exact set: bounded checkpoints, cross-tier veto") {
+    import scala.jdk.CollectionConverters._
+    val root = tempDir("txnbounded")
+    val log = new TxnLog(root, 5)
+    // a txn-FREE batch id enters the exact set (the caller chose the
+    // exact tier; its growth is the caller's explicit choice)
+    log.commit(added = Seq("seed.parquet"), batchId = Some("manual-X"))
+    // the streaming shape: batchId AND txn on every micro-batch
+    (0 until 20).foreach { i =>
+      log.commit(added = Seq(s"s$i.parquet"),
+        batchId = Some(s"stream-$i"), txn = Some(("stream", i.toLong)))
+    }
+    // BOUNDED: the checkpoint's exact-id array persists only the txn-free
+    // id — never the 20 txn-carried stream ids. At the declared 100 ms
+    // cadence (864k commits/day) folding those in would grow EVERY
+    // checkpoint linearly with commit count (O(commits^2) cumulative
+    // checkpoint IO); the txn tier's whole point is the bounded per-app
+    // high-water.
+    val ckpts = java.nio.file.Files.list(
+        java.nio.file.Paths.get(root, "_txn_log")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("checkpoint-"))
+      .toSeq
+    assert(ckpts.nonEmpty)
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_txn_log", ckpts.max)), "UTF-8")
+    assert(text.contains("manual-X"))
+    assert(!text.contains("stream-1"),
+      "txn-carried batch ids must not be checkpoint-persisted")
+    // hasBatch's loud contract: txn-carried ids are invisible here; the
+    // streaming tier's replay guard is hasTxn/isDuplicate
+    val cold = new TxnLog(root, 5)
+    assert(cold.hasBatch("manual-X"))
+    assert(!cold.hasBatch("stream-3"))
+    assert(cold.hasTxn("stream", 19L))
+    assert(cold.isDuplicate(Some("stream-3"), Some(("stream", 3L))))
+    // cross-tier UPGRADE veto: a payload first committed txn-free under
+    // id X, replayed later WITH a freshly-declared txn, is still a
+    // duplicate via X's exact-set membership (a txn-only precedence
+    // check would double-land it)
+    assert(cold.isDuplicate(Some("manual-X"), Some(("newapp", 1L))))
+    // ...while a NEW id under a genuinely higher sequence proceeds
+    assert(!cold.isDuplicate(Some("stream-20"), Some(("stream", 20L))))
+  }
+
   test("row counts are recorded at commit and drive scan accounting") {
     val lake = new DataLakehouse(spark, tempDir("rclake"))
     val bars = (0 until 10).map(i => OhlcvBar("AAPL",
