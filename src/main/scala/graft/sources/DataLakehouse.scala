@@ -1357,15 +1357,29 @@ final class DataLakehouse(
     val live = txnLog.snapshotFiles().toSet
     val rootPath = Paths.get(root)
     val cutoff = System.currentTimeMillis() - retainMs
-    // latest removal time per file, from the log alone (a re-added then
-    // re-removed file must age from its LATEST removal)
-    val removedAt = scala.collection.mutable.HashMap.empty[String, Long]
-    txnLog.commits().foreach { c =>
-      c.removed.foreach { f =>
-        if (removedAt.getOrElse(f, Long.MinValue) < c.timestampMs)
-          removedAt(f) = c.timestampMs
+    // Latest removal time per file. Fast path (retention within the
+    // tombstone horizon — the 7-day default vs 30-day horizon):
+    // checkpoint-carried tombstones + commit tail, O(interval) commit
+    // reads — never a full log replay per maintenance pass (minutes
+    // within days at the declared 100 ms cadence); expired entries are
+    // covered by the mtime fallback below (soundness argument at
+    // removedTombstones). A LONGER retention window cannot trust the
+    // horizon-expired checkpoint view (an expired removal may be younger
+    // than such a cutoff, and mtime under-approximates removal time), so
+    // it pays the full-replay fold — correctness over speed, loudly the
+    // operator's choice of window.
+    val removedAt: collection.Map[String, Long] =
+      if (retainMs <= txnLog.tombstoneHorizonMs) txnLog.removedTombstones()
+      else {
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        txnLog.commits().foreach { c =>
+          c.removed.foreach { f =>
+            if (m.getOrElse(f, Long.MinValue) < c.timestampMs)
+              m(f) = c.timestampMs
+          }
+        }
+        m
       }
-    }
     // both data suffixes: a compacted-away CSV (mixed-format/addFiles
     // tables) must be reclaimed too, not just parquet
     val dataFiles = walkFiles(rootPath)

@@ -29,6 +29,11 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
   * commits — straightforward here because snapshots are pure folds.
   */
 object TxnLog {
+  /** Default checkpoint-carried tombstone horizon: 30 days, > the 7-day
+    * default vacuum retention with margin for operator-chosen windows.
+    */
+  val DefaultTombstoneHorizonMs: Long = 30L * 24 * 3600 * 1000
+
   /** Crash-seam hook for the kill-mid-commit recovery fuzz
     * ([[graft.CrashRecoverySpec]]): a forked child process installs a
     * `Runtime.halt` at a named seam inside the publish protocol;
@@ -118,7 +123,11 @@ object TxnLog {
   }
 }
 
-final class TxnLog(root: String, checkpointInterval: Int = 10) {
+final class TxnLog(root: String, checkpointInterval: Int = 10,
+    // How long removal tombstones stay in checkpoints (Delta's
+    // deletedFileRetentionDuration analog). Vacuum retention may not
+    // exceed it — see [[removedTombstones]] for the soundness argument.
+    val tombstoneHorizonMs: Long = TxnLog.DefaultTombstoneHorizonMs) {
   private val mapper = new ObjectMapper()
   private val logDir: Path = Paths.get(root, "_txn_log")
 
@@ -734,7 +743,13 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       // seed pays a one-time full replay per old table instead of
       // risking a misread; the next checkpoint writes the new field.
       txnHighWater: Option[Map[String, Long]],
-      batchIds: Seq[String])
+      batchIds: Seq[String],
+      // Latest-removal-time tombstones (rel path -> epoch ms) for files
+      // removed within the tombstone horizon — the Delta deleted-file-
+      // retention analog that lets vacuum age dead files from the
+      // checkpoint + tail instead of replaying the whole log. None when
+      // the checkpoint predates the field (full-replay fallback).
+      removedAtMs: Option[Map[String, Long]])
 
   /** Checkpoints carry the full derived read state — live files, newest
     * schema, per-file row counts — so EVERY per-query log resolution
@@ -768,6 +783,16 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       hw.toSeq.sortBy(_._1).foreach { case (k, b) => st.put(k, b) }
       val bi: ArrayNode = node.putArray("batchIds")
       arb.toSeq.sorted.foreach(bi.add)
+      // removal tombstones, EXPIRED past the horizon: entries older than
+      // tombstoneHorizonMs can never matter to a permitted vacuum
+      // (retainMs <= horizon), and keeping them would grow checkpoints
+      // with every file ever removed — rewrite-heavy tables would pay
+      // O(removals) per checkpoint forever
+      val horizonCut = System.currentTimeMillis() - tombstoneHorizonMs
+      val ra: ObjectNode = node.putObject("removedAtMs")
+      removedTombstones(v).toSeq.sortBy(_._1).foreach { case (f, t) =>
+        if (t > horizonCut) ra.put(f, t)
+      }
       val tmp = Files.createTempFile(logDir, ".ckpt", ".tmp")
       Files.write(tmp, mapper.writeValueAsString(node)
         .getBytes(StandardCharsets.UTF_8))
@@ -848,7 +873,10 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
           st.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
         },
         Option(node.get("batchIds"))
-          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil))
+          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil),
+        Option(node.get("removedAtMs")).map { ra =>
+          ra.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+        })
     })})
   }
 
@@ -869,6 +897,40 @@ final class TxnLog(root: String, checkpointInterval: Int = 10) {
       live --= c.removed
     }
     live.toSeq
+  }
+
+  /** Latest removal time per live-then-removed file (rel path ->
+    * epoch ms) at `version` — the tombstones [[DataLakehouse.vacuum]]
+    * ages dead files by. Checkpoint-seeded like [[snapshotFiles]]:
+    * O(interval tail) commit reads when the newest checkpoint carries
+    * the field; full replay on old checkpoints (correctness over speed,
+    * the established migration rule — the next checkpoint writes it).
+    *
+    * SOUNDNESS of horizon expiry (why vacuum stays correct although
+    * old tombstones leave the checkpoint): vacuum requires
+    * retainMs <= tombstoneHorizonMs, so an expired entry's removal is
+    * older than any permitted cutoff — deleting that file was already
+    * legal. The file then ages through vacuum's mtime fallback, which
+    * is conservative for published files (mtime = write time <= removal
+    * time): mtime past the cutoff keeps the file, mtime at-or-before it
+    * deletes a file whose removal was, by expiry, even further past.
+    */
+  def removedTombstones(version: Long = Long.MaxValue): Map[String, Long] = {
+    val upTo = math.min(currentVersion(), version)
+    val (from, init) = latestCheckpoint(upTo) match {
+      case Some(ck) if ck.removedAtMs.isDefined =>
+        (ck.version + 1, ck.removedAtMs.get)
+      case _ => (0L, Map.empty[String, Long])
+    }
+    val m = scala.collection.mutable.HashMap.empty[String, Long] ++ init
+    (from to upTo).foreach { ver =>
+      val c = read(ver)
+      c.removed.foreach { f =>
+        if (m.getOrElse(f, Long.MinValue) < c.timestampMs)
+          m(f) = c.timestampMs
+      }
+    }
+    m.toMap
   }
 
   /** Latest version whose commit timestamp is <= tsMs (time travel

@@ -405,6 +405,57 @@ class TxnSafetySpec extends SparkSpec {
     assert(!cold.isDuplicate(Some("stream-20"), Some(("stream", 20L))))
   }
 
+  test("vacuum removal aging is checkpoint-seeded: O(interval) reads, horizon expiry, guard") {
+    val root = tempDir("txntomb")
+    val log = new TxnLog(root, 10)
+    (0 until 95).foreach { i =>
+      log.commit(added = Seq(s"f$i.parquet"),
+        removed = if (i >= 5) Seq(s"f${i - 5}.parquet") else Nil)
+    }
+    // a COLD instance (the maintenance process) resolves removal times
+    // from the newest checkpoint + tail — never a full log replay (the
+    // pre-fix vacuum re-read every commit per pass: O(commits), minutes
+    // within days at the declared 100 ms cadence)
+    val cold = new TxnLog(root, 10)
+    cold.currentVersion() // head discovery probes, no commit reads
+    val before = cold.commitReads.get()
+    val tombs = cold.removedTombstones()
+    val reads = cold.commitReads.get() - before
+    assert(reads <= 10, s"tombstone resolution parsed $reads commits")
+    // semantics unchanged: equals the full-replay latest-removal fold
+    val full = scala.collection.mutable.HashMap.empty[String, Long]
+    cold.commits().foreach { c =>
+      c.removed.foreach { f =>
+        if (full.getOrElse(f, Long.MinValue) < c.timestampMs)
+          full(f) = c.timestampMs
+      }
+    }
+    assert(tombs == full.toMap)
+
+    // horizon expiry: tombstones older than the horizon leave the next
+    // checkpoint (they can never matter to a permitted vacuum — the
+    // mtime fallback covers those files; soundness note at the resolver)
+    val root2 = tempDir("txntomb2")
+    val fast = new TxnLog(root2, 2, tombstoneHorizonMs = 1L)
+    fast.commit(added = Seq("a.parquet"))
+    fast.commit(added = Seq("b.parquet"), removed = Seq("a.parquet"))
+    Thread.sleep(5)
+    fast.commit(added = Seq("c.parquet")) // v2: checkpoint, tombstone expired
+    fast.commit(added = Seq("d.parquet"))
+    val cold2 = new TxnLog(root2, 2, tombstoneHorizonMs = 1L)
+    assert(!cold2.removedTombstones().contains("a.parquet"))
+
+    // retention beyond the horizon cannot trust the expired checkpoint
+    // view — vacuum falls back to the full-replay fold (correct at any
+    // window, just not O(interval)); a fresh lake deletes nothing
+    val lake = new DataLakehouse(spark, tempDir("tombguard"))
+    lake.ingestBatch(Seq(OhlcvBar("AAPL",
+      new Timestamp(1718409600000L), 100.0, 101.0, 99.0, 100.5, 1000L,
+      AssetClass.Equity)))
+    assert(lake.vacuum(retainMs = 31L * 24 * 3600 * 1000) == 0L)
+    assert(lake.query().df.count() == 1L)
+  }
+
   test("row counts are recorded at commit and drive scan accounting") {
     val lake = new DataLakehouse(spark, tempDir("rclake"))
     val bars = (0 until 10).map(i => OhlcvBar("AAPL",
