@@ -1400,12 +1400,19 @@ final class DataLakehouse(
     // log-dir hygiene rides the same retention cutoff: staged commit/
     // checkpoint tmps a killed writer left behind (crash-seam residue)
     txnLog.sweepStagedTmp(cutoff)
-    if (dead.isEmpty) return 0L
+    // A COMPLETED pass proves every dead file removed <= cutoff is off
+    // disk (deleted now, or never aged into `dead` — possible only when
+    // its removal is past the cutoff, since mtime <= removal). Recording
+    // the cutoff lets checkpoint writes drop the tombstones of those
+    // already-deleted files — the bound that keeps checkpoints small on
+    // rewrite-heavy tables (see TxnLog.recordVacuumCutoff).
+    if (dead.isEmpty) { txnLog.recordVacuumCutoff(cutoff); return 0L }
     // second liveness view, read AFTER the dead list was computed: spares
     // anything a concurrent commit (restore's re-adds) made live again
     val liveNow = txnLog.snapshotFiles().toSet
     val stillDead = dead.filterNot(p => liveNow.contains(rootPath.relativize(p).toString))
     stillDead.foreach(Files.deleteIfExists(_))
+    txnLog.recordVacuumCutoff(cutoff)
     stillDead.size.toLong
   }
 

@@ -34,6 +34,9 @@ object TxnLog {
     */
   val DefaultTombstoneHorizonMs: Long = 30L * 24 * 3600 * 1000
 
+  private val log =
+    org.apache.logging.log4j.LogManager.getLogger("graft.TxnLog")
+
   /** Crash-seam hook for the kill-mid-commit recovery fuzz
     * ([[graft.CrashRecoverySpec]]): a forked child process installs a
     * `Runtime.halt` at a named seam inside the publish protocol;
@@ -310,7 +313,22 @@ final class TxnLog(root: String, checkpointInterval: Int = 10,
 
   private def readUncached(v: Long): Commit = {
     commitReads.incrementAndGet()
-    val node = mapper.readTree(Files.readAllBytes(versionPath(v)))
+    // A commit that exists but won't parse is TABLE corruption, not a
+    // cache miss: commits are the log's source of truth (checkpoints are
+    // derivable caches — see parseCheckpoint's fallback — commits are
+    // not). Fail loudly with the path and the recovery options instead
+    // of a bare Jackson/NPE stack.
+    try readCommitNode(mapper.readTree(Files.readAllBytes(versionPath(v))))
+    catch {
+      case e: java.nio.file.NoSuchFileException => throw e
+      case e: Exception => throw new IllegalStateException(
+        s"commit v$v (${versionPath(v)}) is unreadable — commits are " +
+        "the transaction log's source of truth; restore the file from " +
+        s"a replica or time-travel below version $v", e)
+    }
+  }
+
+  private def readCommitNode(node: JsonNode): Commit = {
     def arr(name: String): Seq[String] =
       Option(node.get(name)).map(_.elements().asScala.map(_.asText()).toSeq)
         .getOrElse(Nil)
@@ -545,7 +563,8 @@ final class TxnLog(root: String, checkpointInterval: Int = 10,
       it.iterator().asScala
         .filter { p =>
           val n = p.getFileName.toString
-          n.endsWith(".tmp") && (n.startsWith(".commit") || n.startsWith(".ckpt"))
+          n.endsWith(".tmp") && (n.startsWith(".commit") ||
+            n.startsWith(".ckpt") || n.startsWith(".vac"))
         }
         .count { p =>
           try Files.getLastModifiedTime(p).toMillis <= cutoffMs &&
@@ -747,9 +766,22 @@ final class TxnLog(root: String, checkpointInterval: Int = 10,
       // Latest-removal-time tombstones (rel path -> epoch ms) for files
       // removed within the tombstone horizon — the Delta deleted-file-
       // retention analog that lets vacuum age dead files from the
-      // checkpoint + tail instead of replaying the whole log. None when
-      // the checkpoint predates the field (full-replay fallback).
-      removedAtMs: Option[Map[String, Long]])
+      // checkpoint + tail instead of replaying the whole log. INLINE
+      // form, legacy: current checkpoints carry only `tombsCount` and
+      // store the map in a sidecar (see writeCheckpoint). None when the
+      // checkpoint predates both forms (full-replay fallback).
+      removedAtMs: Option[Map[String, Long]],
+      // tombsCount == 0 is authoritative "no tombstones" (never written
+      // alongside a ref); None with no ref and no inline map means a
+      // pre-feature checkpoint (full-replay fallback).
+      tombsCount: Option[Int],
+      // Head of the incremental tombstone sidecar chain (see
+      // maybeCheckpoint): where resolution starts, plus the chain/base
+      // bookkeeping the NEXT checkpoint's rebase policy needs.
+      tombs: Option[TombsRef])
+
+  private final case class TombsRef(ref: Long, chainEntries: Long,
+      baseEntries: Long, trimMs: Long)
 
   /** Checkpoints carry the full derived read state — live files, newest
     * schema, per-file row counts — so EVERY per-query log resolution
@@ -783,15 +815,109 @@ final class TxnLog(root: String, checkpointInterval: Int = 10,
       hw.toSeq.sortBy(_._1).foreach { case (k, b) => st.put(k, b) }
       val bi: ArrayNode = node.putArray("batchIds")
       arb.toSeq.sorted.foreach(bi.add)
-      // removal tombstones, EXPIRED past the horizon: entries older than
-      // tombstoneHorizonMs can never matter to a permitted vacuum
-      // (retainMs <= horizon), and keeping them would grow checkpoints
-      // with every file ever removed — rewrite-heavy tables would pay
-      // O(removals) per checkpoint forever
+      // Removal tombstones (the Delta deletedFileRetentionDuration
+      // analog) live OUTSIDE the main checkpoint in an INCREMENTAL
+      // sidecar chain (`checkpoint-v*.tombs.json`), because their cost
+      // profile is unlike the rest of the checkpoint state: only vacuum
+      // reads them, EVERY query parses the main checkpoint, and on a
+      // rewrite-heavy table they outgrow the live state. Both simpler
+      // designs were measured and rejected by the txnlog probe:
+      // inlining 10k ring tombstones cost a 20× snapshot-parse
+      // regression; full-sidecar rewrites cost O(tombstones²/interval)
+      // cumulative IO (the 100k ring stalled — and at the declared
+      // 864k-commit/day cadence even a daily-vacuumed table would pay
+      // ~TB/day of checkpoint IO). Design:
+      //  - per checkpoint, write only the DELTA of removals since the
+      //    previous checkpoint (O(interval)), chained via a `prev`
+      //    pointer in the sidecar itself (resolution follows FILE
+      //    pointers, so it is correct under any publish interleaving);
+      //  - REBASE to a fresh full base — dropping superseded chain
+      //    files — when the chain outgrows the base (geometric, so
+      //    cumulative rebase IO is O(total removals)), or when a
+      //    completed vacuum advanced the trim floor (the old entries
+      //    describe files that vacuum just deleted);
+      //  - trim every write by horizon and vacuum floor (soundness at
+      //    recordVacuumCutoff / removedTombstones); `tombsCount: 0` in
+      //    the main file is authoritative emptiness, so append-only
+      //    tables never touch a sidecar;
+      //  - a lost/corrupt chain is a cache miss: vacuum falls back to
+      //    the full commit replay, loudly.
       val horizonCut = System.currentTimeMillis() - tombstoneHorizonMs
-      val ra: ObjectNode = node.putObject("removedAtMs")
-      removedTombstones(v).toSeq.sortBy(_._1).foreach { case (f, t) =>
-        if (t > horizonCut) ra.put(f, t)
+      val vacuumTrim = lastVacuumCutoff()
+      def keepT(t: Long): Boolean = t > horizonCut && t >= vacuumTrim
+      val prevCk = latestCheckpoint(v - 1)
+      val delta = {
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        commitsBetween(prevCk.map(_.version).getOrElse(-1L), v).foreach { c =>
+          c.removed.foreach { f =>
+            if (m.getOrElse(f, Long.MinValue) < c.timestampMs)
+              m(f) = c.timestampMs
+          }
+        }
+        m.filter { case (_, t) => keepT(t) }.toMap
+      }
+      def writeSidecar(content: Map[String, Long], prev: Long): Unit = {
+        val tn = mapper.createObjectNode()
+        tn.put("prev", prev)
+        val ra: ObjectNode = tn.putObject("removedAtMs")
+        content.toSeq.sortBy(_._1).foreach { case (f, t) => ra.put(f, t) }
+        val ttmp = Files.createTempFile(logDir, ".ckpt-tombs", ".tmp")
+        Files.write(ttmp, mapper.writeValueAsString(tn)
+          .getBytes(StandardCharsets.UTF_8))
+        try Files.move(ttmp, tombsPath(v), StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        catch { case _: java.nio.file.FileSystemException =>
+          Files.deleteIfExists(ttmp)
+        }
+      }
+      def seedCache(m: Map[String, Long]): Unit = {
+        if (tombsCache.size() >= 8) tombsCache.clear()
+        tombsCache.put(v, m)
+      }
+      def putRef(ref: Long, chainE: Long, baseE: Long, trim: Long): Unit = {
+        node.put("tombsRef", ref)
+        node.put("tombsChainEntries", chainE)
+        node.put("tombsBaseEntries", baseE)
+        node.put("tombsTrimMs", trim)
+      }
+      def rebase(): Unit = {
+        // full resolution: chain-cached when warm; one-time full replay
+        // on legacy/pre-feature checkpoints (the migration rule)
+        val full = removedTombstones(v).filter { case (_, t) => keepT(t) }
+        if (full.isEmpty) {
+          node.put("tombsCount", 0)
+          dropSupersededTombs(v) // a trim-to-empty rebase also retires its chain
+        } else {
+          writeSidecar(full, prev = -1L)
+          putRef(v, 0L, full.size.toLong, vacuumTrim)
+          seedCache(full)
+          dropSupersededTombs(v)
+        }
+      }
+      prevCk.flatMap(_.tombs) match {
+        case None if prevCk.exists(_.tombsCount.contains(0)) =>
+          // empty-so-far is authoritative: the delta IS the full state
+          if (delta.isEmpty) node.put("tombsCount", 0)
+          else {
+            writeSidecar(delta, prev = -1L)
+            putRef(v, 0L, delta.size.toLong, vacuumTrim)
+            seedCache(delta)
+          }
+        case None => rebase() // first checkpoint, legacy inline, or pre-feature
+        case Some(tr) =>
+          if (vacuumTrim > tr.trimMs) rebase()
+          else if (delta.isEmpty)
+            putRef(tr.ref, tr.chainEntries, tr.baseEntries, tr.trimMs)
+          else if (tr.chainEntries + delta.size >=
+              math.max(1000L, tr.baseEntries)) rebase()
+          else {
+            writeSidecar(delta, prev = tr.ref)
+            putRef(v, tr.chainEntries + delta.size, tr.baseEntries, tr.trimMs)
+            // seed the resolver when the previous chain is warm, so the
+            // next rebase never re-parses the chain from disk
+            val prevResolved = tombsCache.get(tr.ref)
+            if (prevResolved != null) seedCache(prevResolved ++ delta)
+          }
       }
       val tmp = Files.createTempFile(logDir, ".ckpt", ".tmp")
       Files.write(tmp, mapper.writeValueAsString(node)
@@ -838,24 +964,46 @@ final class TxnLog(root: String, checkpointInterval: Int = 10,
     cachedCkpt.updateAndGet(c => math.max(c, b))
   }
 
-  /** Newest checkpoint at or below `v`, if any. Checkpoints live at fixed
-    * interval multiples, so historical (`v` below the newest) lookups probe
-    * DOWNWARD from floor(v/interval)·interval — normally one hit — rather
-    * than listing the directory.
+  /** Checkpoint versions that exist but failed to parse (bit rot, torn
+    * external copy). Remembered so the fallback walk neither re-parses
+    * nor re-warns per read; a later checkpoint at a NEW version heals
+    * the table (versions are never rewritten, so a bad one stays bad).
+    */
+  private val badCkpts =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Long]()
+
+  /** Newest READABLE checkpoint at or below `v`, if any. Checkpoints
+    * live at fixed interval multiples, so lookups probe DOWNWARD from
+    * the newest (or floor(v/interval)·interval for historical `v`) —
+    * normally one hit — rather than listing the directory. A checkpoint
+    * that exists but fails to parse is SKIPPED with a loud warning, not
+    * fatal: checkpoints are pure caches of the commit fold, so an older
+    * checkpoint — or, worst case, None = full replay — answers every
+    * read identically; commits alone are the source of truth.
     */
   private def latestCheckpoint(v: Long): Option[Checkpoint] = {
+    if (checkpointInterval <= 0) return None
     val newest = newestCheckpointVersion()
-    val best =
+    var k =
       if (newest <= v) newest
-      else if (checkpointInterval <= 0) -1L
-      else {
-        var k = v / checkpointInterval * checkpointInterval
-        while (k > 0 && !probeExists(checkpointPath(k)))
-          k -= checkpointInterval
-        if (k > 0) k else -1L
+      else v / checkpointInterval * checkpointInterval
+    while (k > 0) {
+      // k == newest is already proven to exist by newestCheckpointVersion
+      // — no extra stat on the hot path (the existsProbes cost specs)
+      if (!badCkpts.contains(k) &&
+          (k == newest || probeExists(checkpointPath(k)))) {
+        parseCheckpoint(k) match {
+          case some @ Some(_) => return some
+          case None => // marked bad + warned; keep walking down
+        }
       }
-    if (best < 0) None
-    else Some({
+      k -= checkpointInterval
+    }
+    None
+  }
+
+  private def parseCheckpoint(best: Long): Option[Checkpoint] =
+    try Some({
       if (ckptCache.size() >= 64) ckptCache.clear()
       ckptCache.computeIfAbsent(best, { b =>
       val node = mapper.readTree(Files.readAllBytes(checkpointPath(b)))
@@ -876,9 +1024,25 @@ final class TxnLog(root: String, checkpointInterval: Int = 10,
           .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil),
         Option(node.get("removedAtMs")).map { ra =>
           ra.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+        },
+        Option(node.get("tombsCount")).map(_.asInt()),
+        Option(node.get("tombsRef")).map { r =>
+          TombsRef(r.asLong(),
+            Option(node.get("tombsChainEntries")).map(_.asLong()).getOrElse(0L),
+            Option(node.get("tombsBaseEntries")).map(_.asLong()).getOrElse(0L),
+            Option(node.get("tombsTrimMs")).map(_.asLong())
+              .getOrElse(Long.MinValue))
         })
     })})
-  }
+    catch {
+      case e: Exception =>
+        badCkpts.add(best)
+        TxnLog.log.warn(s"checkpoint v$best (${checkpointPath(best)}) is " +
+          s"unreadable (${e.getClass.getSimpleName}: ${e.getMessage}); " +
+          "falling back to an older checkpoint or full commit replay — " +
+          "checkpoints are caches, commits are the source of truth")
+        None
+    }
 
   /** Live file list (relative paths) at a version (default: latest).
     * Starts from the newest checkpoint <= version, replaying only the
@@ -899,6 +1063,146 @@ final class TxnLog(root: String, checkpointInterval: Int = 10,
     live.toSeq
   }
 
+  private def tombsPath(v: Long): Path =
+    logDir.resolve(f"checkpoint-v$v%08d.tombs.json")
+
+  private val tombsCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Map[String, Long]]()
+
+  /** Resolve the tombstone map whose chain head is the sidecar at `r`:
+    * each sidecar carries its own delta plus a `prev` pointer; merging
+    * newest-over-oldest reproduces the latest-removal fold (a later
+    * delta's timestamp for the same file is by construction later).
+    * None when any link is missing or corrupt — like a corrupt
+    * checkpoint, the caller falls back to a full commit replay
+    * (sidecars are caches of the fold); a loud warning names the file.
+    */
+  private def resolveTombsChain(r: Long): Option[Map[String, Long]] = {
+    val head = tombsCache.get(r)
+    if (head != null) return Some(head)
+    // ITERATIVE walk (a long-lived chain between rebases can run to
+    // thousands of links — recursion overflowed at the 100k ring probe):
+    // collect deltas newest-first until a cached link or the base, then
+    // fold oldest-first so newer entries win.
+    try {
+      val deltas = scala.collection.mutable.ArrayBuffer
+        .empty[Map[String, Long]]
+      var at = r
+      var seedMap = Map.empty[String, Long]
+      var walking = true
+      while (walking) {
+        val cached = tombsCache.get(at)
+        if (cached != null && at != r) { seedMap = cached; walking = false }
+        else {
+          val node = mapper.readTree(Files.readAllBytes(tombsPath(at)))
+          deltas += node.get("removedAtMs").fields().asScala
+            .map(e => e.getKey -> e.getValue.asLong()).toMap
+          val prev = Option(node.get("prev")).map(_.asLong()).getOrElse(-1L)
+          if (prev < 0) walking = false else at = prev
+        }
+      }
+      val merged = deltas.reverseIterator
+        .foldLeft(seedMap)((acc, d) => acc ++ d) // newer wins
+      if (tombsCache.size() >= 8) tombsCache.clear()
+      tombsCache.put(r, merged)
+      Some(merged)
+    } catch {
+      case e: Exception =>
+        TxnLog.log.warn(s"tombstone sidecar chain from ${tombsPath(r)} is " +
+          s"unreadable (${e.getClass.getSimpleName}: ${e.getMessage}); " +
+          "vacuum falls back to a full commit replay — sidecars are " +
+          "caches, commits are the source of truth")
+        None
+    }
+  }
+
+  /** Post-rebase hygiene: sidecars strictly below the new base can never
+    * be referenced by future checkpoints. Historical checkpoints lose
+    * their chain and fall back to full replay — tombstones optimize
+    * vacuum, which reads the head. One directory listing per rebase,
+    * and rebases are geometric/vacuum-cadence rare. Crash leftovers
+    * (died before deleting) are swept by the NEXT rebase's listing.
+    */
+  private def dropSupersededTombs(baseVer: Long): Unit = {
+    if (!Files.isDirectory(logDir)) return
+    val s = Files.list(logDir)
+    try s.iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("checkpoint-v") && n.endsWith(".tombs.json") && {
+          val d = n.stripPrefix("checkpoint-v").takeWhile(_.isDigit)
+          d.nonEmpty && d.toLong < baseVer
+        }
+      }
+      .foreach(p => Files.deleteIfExists(p))
+    finally s.close()
+  }
+
+  /** Bytes a resolver must read for the CURRENT tombstone state — the
+    * newest checkpoint's chain files (probe/test instrumentation).
+    */
+  private[graft] def tombsFootprintBytes(): Long =
+    latestCheckpoint(currentVersion()).flatMap(_.tombs) match {
+      case Some(tr) =>
+        var r = tr.ref
+        var total = 0L
+        var ok = true
+        while (ok && r >= 0) {
+          val p = tombsPath(r)
+          if (!Files.exists(p)) ok = false
+          else {
+            total += Files.size(p)
+            r = Option(mapper.readTree(Files.readAllBytes(p)).get("prev"))
+              .map(_.asLong()).getOrElse(-1L)
+          }
+        }
+        total
+      case None => 0L
+    }
+
+  // --- vacuum-cutoff sidecar ------------------------------------------
+  private val lastVacuumPath = logDir.resolve("_last_vacuum.json")
+
+  /** Highest COMPLETED vacuum cutoff recorded at this root (epoch ms);
+    * Long.MinValue when no vacuum has completed (or the sidecar is
+    * unreadable — it is an optimization hint, never load-bearing).
+    */
+  def lastVacuumCutoff(): Long =
+    try mapper.readTree(Files.readAllBytes(lastVacuumPath))
+      .get("cutoffMs").asLong()
+    catch { case _: Exception => Long.MinValue }
+
+  /** Record that a vacuum with `cutoffMs` COMPLETED its deletion pass.
+    * At that instant every DEAD data file whose latest removal is <=
+    * cutoffMs is off disk (tombstoned files were deleted directly;
+    * horizon-expired ones via the mtime rule, mtime <= removal; a
+    * removal committed concurrently carries a timestamp past the
+    * vacuum's start and so past its cutoff — same-clock-domain
+    * assumption, the one retention itself already makes). Checkpoint
+    * writes may therefore drop tombstones strictly BELOW this mark:
+    * they can only describe files that no longer exist. This is what
+    * bounds checkpoint size on rewrite-heavy tables — without it a
+    * 100 ms-cadence compaction churn would accumulate every removal of
+    * the last 30 days (~26M entries at the declared rate) into every
+    * checkpoint; with it the tombstone set is bounded by removals since
+    * the last completed vacuum.
+    *
+    * Monotone max, atomic replace, crash-safe: a torn or lost sidecar
+    * only costs checkpoint size (no trim), never correctness.
+    */
+  def recordVacuumCutoff(cutoffMs: Long): Unit = {
+    if (!Files.isDirectory(logDir)) return // nothing committed yet
+    val prev = lastVacuumCutoff()
+    if (cutoffMs <= prev) return
+    val node = mapper.createObjectNode()
+    node.put("cutoffMs", cutoffMs)
+    val tmp = Files.createTempFile(logDir, ".vac", ".tmp")
+    Files.write(tmp, mapper.writeValueAsString(node)
+      .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, lastVacuumPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Latest removal time per live-then-removed file (rel path ->
     * epoch ms) at `version` — the tombstones [[DataLakehouse.vacuum]]
     * ages dead files by. Checkpoint-seeded like [[snapshotFiles]]:
@@ -917,11 +1221,17 @@ final class TxnLog(root: String, checkpointInterval: Int = 10,
     */
   def removedTombstones(version: Long = Long.MaxValue): Map[String, Long] = {
     val upTo = math.min(currentVersion(), version)
-    val (from, init) = latestCheckpoint(upTo) match {
-      case Some(ck) if ck.removedAtMs.isDefined =>
-        (ck.version + 1, ck.removedAtMs.get)
-      case _ => (0L, Map.empty[String, Long])
-    }
+    val seed: Option[(Long, Map[String, Long])] =
+      latestCheckpoint(upTo).flatMap { ck =>
+        ck.tombs match {
+          case Some(tr) =>
+            resolveTombsChain(tr.ref).map(m => (ck.version + 1, m))
+          case None if ck.tombsCount.contains(0) =>
+            Some((ck.version + 1, Map.empty[String, Long]))
+          case None => ck.removedAtMs.map(m => (ck.version + 1, m))
+        }
+      }
+    val (from, init) = seed.getOrElse((0L, Map.empty[String, Long]))
     val m = scala.collection.mutable.HashMap.empty[String, Long] ++ init
     (from to upTo).foreach { ver =>
       val c = read(ver)

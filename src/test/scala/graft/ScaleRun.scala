@@ -163,6 +163,32 @@ object ScaleRun {
       println(f"[scale] txnlog cold snapshotMs=$coldSnapMs%.1f " +
         f"window10Ms=$coldWindowMs%.1f fullReplayMs=$fullReplayMs%.1f " +
         f"(files=${coldFiles.size} window=${tail.size} commits=${all.size})")
+      // vacuum tombstone resolution: checkpoint-seeded like the snapshot
+      // (the ring removed n−1 files, the worst rewrite-heavy shape)
+      val t6 = System.nanoTime()
+      val tombs = cold.removedTombstones()
+      val tombMs = (System.nanoTime() - t6) / 1e6
+      // tombstone-state bound: the ring removed n−1 files, all within
+      // the 30-day horizon — before a vacuum record the sidecar CHAIN
+      // carries them all (in O(interval) delta writes + geometric
+      // rebases); after one completed vacuum the next checkpoint rebases
+      // to only the post-vacuum tail, dropping the superseded chain
+      val preTrimBytes = cold.tombsFootprintBytes()
+      Thread.sleep(5)
+      cold.recordVacuumCutoff(System.currentTimeMillis())
+      (0 until 20).foreach { i =>
+        cold.commit(added = Seq(f"post-$i.parquet"),
+          removed = Seq(if (i == 0) f"date=2024-06-15/part-${n - 1}%08d.parquet"
+            else f"post-${i - 1}.parquet"))
+      }
+      val postTrimBytes = cold.tombsFootprintBytes()
+      println(f"[scale] txnlog tombstonesMs=$tombMs%.1f " +
+        f"entries=${tombs.size} tombsChainBytes preVacuum=$preTrimBytes " +
+        f"postVacuum=$postTrimBytes")
+      assert(tombMs <= fullReplayMs / 5,
+        f"tombstone resolution not checkpoint-seeded: $tombMs%.1f vs $fullReplayMs%.1f")
+      assert(postTrimBytes < preTrimBytes / 2,
+        s"vacuum record did not bound checkpoint size: $preTrimBytes -> $postTrimBytes")
       // flat-or-log assertions (medians defend against scheduler noise)
       assert(last <= math.max(3 * first, first + 2.0),
         f"commit latency grew with log length: first=$first%.2f last=$last%.2f")

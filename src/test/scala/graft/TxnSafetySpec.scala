@@ -456,6 +456,111 @@ class TxnSafetySpec extends SparkSpec {
     assert(lake.query().df.count() == 1L)
   }
 
+  test("completed vacuum trims already-deleted tombstones from checkpoints") {
+    // Bare-log tier: recordVacuumCutoff drops strictly-older tombstones
+    // from subsequent checkpoints — the bound that keeps checkpoint size
+    // O(removals since last vacuum) on rewrite-heavy tables, instead of
+    // O(all removals within the 30-day horizon).
+    val root = tempDir("vactrim")
+    val log = new TxnLog(root, 5)
+    (0 until 12).foreach { i =>
+      log.commit(added = Seq(s"f$i.parquet"),
+        removed = if (i > 0) Seq(s"f${i - 1}.parquet") else Nil)
+    }
+    assert(log.removedTombstones().size == 11) // f0..f10, pre-trim
+    Thread.sleep(5) // separate the cutoff from the last commit's ms
+    log.recordVacuumCutoff(System.currentTimeMillis())
+    (12 until 17).foreach(i => log.commit(added = Seq(s"f$i.parquet"),
+      removed = Seq(s"f${i - 1}.parquet")))
+    // checkpoint v15 wrote after the record: only post-vacuum removals
+    // survive (f11..f15); a cold reader seeds from the trimmed view
+    val cold = new TxnLog(root, 5)
+    assert(cold.removedTombstones().keySet ==
+      (11 to 15).map(i => s"f$i.parquet").toSet)
+    // monotone + crash-safe: an older cutoff is a no-op
+    val mark = log.lastVacuumCutoff()
+    log.recordVacuumCutoff(mark - 1000L)
+    assert(log.lastVacuumCutoff() == mark)
+
+    // Lake tier end-to-end: vacuum() records its cutoff on completion,
+    // the physical files it reclaimed lose their tombstones at the next
+    // checkpoint, and a re-run deletes nothing / answers unchanged.
+    val lroot = tempDir("vactrimlake")
+    val lake = new DataLakehouse(spark, lroot)
+    val base = new Timestamp(1718409600000L)
+    (0 until 3).foreach { b =>
+      lake.ingestBatch((0 until 5).map(i => OhlcvBar("AAPL",
+        new Timestamp(base.getTime + (b * 5 + i) * 60000L),
+        100.0, 101.0, 99.0, 100.5, 1000L, AssetClass.Equity)))
+    }
+    lake.compact(maxFilesPerPartition = 0, targetFiles = 1) // removals
+    Thread.sleep(5)
+    assert(lake.vacuum(retainMs = 0L) > 0)
+    assert(lake.txnLog.lastVacuumCutoff() != Long.MinValue)
+    // drive past the next checkpoint boundary; tombstones for the
+    // vacuumed files are gone from the cold-seeded view
+    (0 until 11).foreach { i =>
+      lake.ingestBatch(Seq(OhlcvBar("MSFT",
+        new Timestamp(base.getTime + (100 + i) * 60000L),
+        100.0, 101.0, 99.0, 100.5, 1000L, AssetClass.Equity)))
+    }
+    val coldLake = new TxnLog(lroot)
+    // every removal predated the vacuum cutoff and its file is reclaimed,
+    // so the checkpoint-seeded tombstone view is empty for a cold reader
+    assert(coldLake.removedTombstones().isEmpty)
+    assert(lake.vacuum(retainMs = 0L) == 0L)
+    assert(lake.query().df.count() == 26L)
+  }
+
+  test("corrupt checkpoints are skipped caches; corrupt commits fail loudly") {
+    import java.nio.file.{Files, Paths}
+    val root = tempDir("txncorrupt")
+    val log = new TxnLog(root, 10)
+    (0 until 35).foreach(i => log.commit(added = Seq(s"f$i.parquet")))
+    val truth = log.snapshotFiles().toSet
+    val ckpt = { v: Long =>
+      Paths.get(root, "_txn_log", f"checkpoint-v$v%08d.json") }
+
+    // Bit-rot the NEWEST checkpoint (v30): a cold reader must fall back
+    // to the older checkpoint (v20) — same answer, loud warning, never a
+    // bricked table. Checkpoints are caches; commits are the truth.
+    Files.write(ckpt(30L), "{\"files\": [truncated".getBytes)
+    val cold = new TxnLog(root, 10)
+    assert(cold.snapshotFiles().toSet == truth)
+    // ...and the fallback is remembered: the bad version is not
+    // re-parsed per read (one warn, not one per snapshot)
+    val before = cold.commitReads.get()
+    assert(cold.snapshotFiles().toSet == truth)
+    assert(cold.removedTombstones().isEmpty) // same fallback path
+    // tail replay from v20 costs <= 15 commits per resolution here
+    assert(cold.commitReads.get() - before <= 30)
+
+    // Corrupt EVERY checkpoint: full replay still answers identically.
+    Seq(10L, 20L).foreach(v => Files.write(ckpt(v), Array[Byte](0, 1, 2)))
+    val cold2 = new TxnLog(root, 10)
+    assert(cold2.snapshotFiles().toSet == truth)
+
+    // A NEW checkpoint heals the table for later cold readers: the next
+    // interval commit writes v40 and resolution is checkpoint-seeded again.
+    (35 until 45).foreach(i => cold2.commit(added = Seq(s"f$i.parquet")))
+    assert(Files.exists(ckpt(40L)))
+    val cold3 = new TxnLog(root, 10)
+    cold3.currentVersion()
+    val b3 = cold3.commitReads.get()
+    assert(cold3.snapshotFiles().size == 45)
+    assert(cold3.commitReads.get() - b3 <= 10)
+
+    // A corrupt COMMIT is table corruption, not a cache miss: loud,
+    // actionable failure naming the version — never a silent wrong answer.
+    Files.write(Paths.get(root, "_txn_log", "v00000042.json"),
+      "not json".getBytes)
+    val cold4 = new TxnLog(root, 10)
+    Seq(10L, 20L, 30L, 40L).foreach(v => Files.deleteIfExists(ckpt(v)))
+    val ex = intercept[IllegalStateException] { cold4.snapshotFiles() }
+    assert(ex.getMessage.contains("commit v42"))
+    assert(ex.getMessage.contains("source of truth"))
+  }
+
   test("row counts are recorded at commit and drive scan accounting") {
     val lake = new DataLakehouse(spark, tempDir("rclake"))
     val bars = (0 until 10).map(i => OhlcvBar("AAPL",
