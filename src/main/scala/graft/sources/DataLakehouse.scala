@@ -1354,32 +1354,33 @@ final class DataLakehouse(
     */
   def vacuum(retainMs: Long = DataLakehouse.DefaultVacuumRetainMs): Long = {
     require(retainMs >= 0, s"retainMs must be >= 0: $retainMs")
-    val live = txnLog.snapshotFiles().toSet
+    // Pin ONE version for every log read of this pass: the live set, the
+    // trim floor and the tombstone view must describe the same snapshot,
+    // or a concurrent writer checkpointing mid-vacuum (possibly with a
+    // smaller horizon) could expire entries past a floor this pass
+    // already validated. Files removed AFTER the pin are protected by
+    // the pinned live set (they are live in it, so never in `dead`).
+    val pinned = txnLog.currentVersion()
+    val live = txnLog.snapshotFiles(pinned).toSet
     val rootPath = Paths.get(root)
     val cutoff = System.currentTimeMillis() - retainMs
-    // Latest removal time per file. Fast path (retention within the
-    // tombstone horizon — the 7-day default vs 30-day horizon):
-    // checkpoint-carried tombstones + commit tail, O(interval) commit
+    // Latest removal time per file. Fast path (cutoff at-or-above the
+    // PERSISTED trim floor — the largest horizon cut any writer ever
+    // applied, not this process's config, so horizon knob skew between
+    // writer and maintenance process can never delete inside retention):
+    // checkpoint-seeded tombstones + commit tail, O(interval) commit
     // reads — never a full log replay per maintenance pass (minutes
     // within days at the declared 100 ms cadence); expired entries are
     // covered by the mtime fallback below (soundness argument at
-    // removedTombstones). A LONGER retention window cannot trust the
-    // horizon-expired checkpoint view (an expired removal may be younger
-    // than such a cutoff, and mtime under-approximates removal time), so
-    // it pays the full-replay fold — correctness over speed, loudly the
+    // removedTombstones). A cutoff below the floor cannot trust the
+    // expired view (an expired removal may be younger than such a
+    // cutoff, and file mtime under-approximates removal time), so it
+    // pays the full-replay fold — correctness over speed, loudly the
     // operator's choice of window.
     val removedAt: collection.Map[String, Long] =
-      if (retainMs <= txnLog.tombstoneHorizonMs) txnLog.removedTombstones()
-      else {
-        val m = scala.collection.mutable.HashMap.empty[String, Long]
-        txnLog.commits().foreach { c =>
-          c.removed.foreach { f =>
-            if (m.getOrElse(f, Long.MinValue) < c.timestampMs)
-              m(f) = c.timestampMs
-          }
-        }
-        m
-      }
+      if (cutoff >= txnLog.tombstoneTrimFloor(pinned))
+        txnLog.removedTombstones(pinned)
+      else txnLog.latestRemovalFold(txnLog.commits(pinned))
     // both data suffixes: a compacted-away CSV (mixed-format/addFiles
     // tables) must be reclaimed too, not just parquet
     val dataFiles = walkFiles(rootPath)

@@ -778,7 +778,14 @@ final class TxnLog(root: String, checkpointInterval: Int = 10,
       // Head of the incremental tombstone sidecar chain (see
       // maybeCheckpoint): where resolution starts, plus the chain/base
       // bookkeeping the NEXT checkpoint's rebase policy needs.
-      tombs: Option[TombsRef])
+      tombs: Option[TombsRef],
+      // Largest horizon cut ever APPLIED to this tombstone state (epoch
+      // ms): entries at-or-below it may have been expired. Persisted so
+      // vacuum validates its cutoff against the horizon the WRITER used,
+      // not this process's config — horizon knob skew between writer and
+      // maintenance process must force the full-replay path, never a
+      // silent retention-violating delete.
+      tombsHorizonCutMs: Option[Long])
 
   private final case class TombsRef(ref: Long, chainEntries: Long,
       baseEntries: Long, trimMs: Long)
@@ -846,16 +853,13 @@ final class TxnLog(root: String, checkpointInterval: Int = 10,
       val vacuumTrim = lastVacuumCutoff()
       def keepT(t: Long): Boolean = t > horizonCut && t >= vacuumTrim
       val prevCk = latestCheckpoint(v - 1)
-      val delta = {
-        val m = scala.collection.mutable.HashMap.empty[String, Long]
-        commitsBetween(prevCk.map(_.version).getOrElse(-1L), v).foreach { c =>
-          c.removed.foreach { f =>
-            if (m.getOrElse(f, Long.MinValue) < c.timestampMs)
-              m(f) = c.timestampMs
-          }
-        }
-        m.filter { case (_, t) => keepT(t) }.toMap
-      }
+      // the largest horizon cut EVER applied to this state, persisted so
+      // vacuum validates against the writer's horizon, not its own config
+      node.put("tombsHorizonCutMs", math.max(horizonCut,
+        prevCk.flatMap(_.tombsHorizonCutMs).getOrElse(Long.MinValue)))
+      lazy val delta = latestRemovalFold(
+        commitsBetween(prevCk.map(_.version).getOrElse(-1L), v))
+        .filter { case (_, t) => keepT(t) }.toMap
       def writeSidecar(content: Map[String, Long], prev: Long): Unit = {
         val tn = mapper.createObjectNode()
         tn.put("prev", prev)
@@ -866,8 +870,12 @@ final class TxnLog(root: String, checkpointInterval: Int = 10,
           .getBytes(StandardCharsets.UTF_8))
         try Files.move(ttmp, tombsPath(v), StandardCopyOption.ATOMIC_MOVE,
           StandardCopyOption.REPLACE_EXISTING)
-        catch { case _: java.nio.file.FileSystemException =>
+        catch { case e: java.nio.file.FileSystemException =>
           Files.deleteIfExists(ttmp)
+          // swallow only a lost same-version race (equivalent content
+          // already published); a sidecar that did NOT land must fail the
+          // checkpoint rather than publish a ref to a missing file
+          if (!Files.exists(tombsPath(v))) throw e
         }
       }
       def seedCache(m: Map[String, Long]): Unit = {
@@ -880,19 +888,21 @@ final class TxnLog(root: String, checkpointInterval: Int = 10,
         node.put("tombsBaseEntries", baseE)
         node.put("tombsTrimMs", trim)
       }
+      // superseded-chain cleanup is DEFERRED until the main checkpoint
+      // publishes: dropping first would leave the still-newest previous
+      // checkpoint referencing deleted files if we crash in between
+      var pendingTombsDrop = -1L
       def rebase(): Unit = {
         // full resolution: chain-cached when warm; one-time full replay
         // on legacy/pre-feature checkpoints (the migration rule)
         val full = removedTombstones(v).filter { case (_, t) => keepT(t) }
-        if (full.isEmpty) {
-          node.put("tombsCount", 0)
-          dropSupersededTombs(v) // a trim-to-empty rebase also retires its chain
-        } else {
+        if (full.isEmpty) node.put("tombsCount", 0)
+        else {
           writeSidecar(full, prev = -1L)
           putRef(v, 0L, full.size.toLong, vacuumTrim)
           seedCache(full)
-          dropSupersededTombs(v)
         }
+        pendingTombsDrop = v
       }
       prevCk.flatMap(_.tombs) match {
         case None if prevCk.exists(_.tombsCount.contains(0)) =>
@@ -929,6 +939,11 @@ final class TxnLog(root: String, checkpointInterval: Int = 10,
       }
       TxnLog.seam("ckpt:published")
       cachedCkpt.updateAndGet(c => math.max(c, v)) // exists either way
+      // rebase hygiene runs only after the new checkpoint is live; a
+      // crash before this point leaves the old chain intact (still
+      // referenced), a crash after leaves sweepable leftovers for the
+      // NEXT rebase's listing
+      if (pendingTombsDrop >= 0) dropSupersededTombs(pendingTombsDrop)
     }
 
   /** Newest checkpoint that exists, cache-seeded like [[currentVersion]]:
@@ -1032,7 +1047,8 @@ final class TxnLog(root: String, checkpointInterval: Int = 10,
             Option(node.get("tombsBaseEntries")).map(_.asLong()).getOrElse(0L),
             Option(node.get("tombsTrimMs")).map(_.asLong())
               .getOrElse(Long.MinValue))
-        })
+        },
+        Option(node.get("tombsHorizonCutMs")).map(_.asLong()))
     })})
     catch {
       case e: Exception =>
@@ -1098,6 +1114,11 @@ final class TxnLog(root: String, checkpointInterval: Int = 10,
           deltas += node.get("removedAtMs").fields().asScala
             .map(e => e.getKey -> e.getValue.asLong()).toMap
           val prev = Option(node.get("prev")).map(_.asLong()).getOrElse(-1L)
+          // chain versions strictly decrease by construction: a pointer
+          // that doesn't is CORRUPTION and must take the loud fallback,
+          // not loop forever
+          if (prev >= at) throw new IllegalStateException(
+            s"tombstone chain pointer not decreasing: v$at -> v$prev")
           if (prev < 0) walking = false else at = prev
         }
       }
@@ -1152,8 +1173,10 @@ final class TxnLog(root: String, checkpointInterval: Int = 10,
           if (!Files.exists(p)) ok = false
           else {
             total += Files.size(p)
-            r = Option(mapper.readTree(Files.readAllBytes(p)).get("prev"))
-              .map(_.asLong()).getOrElse(-1L)
+            val prev = Option(mapper.readTree(Files.readAllBytes(p))
+              .get("prev")).map(_.asLong()).getOrElse(-1L)
+            if (prev >= r) ok = false // corrupt pointer; same guard as resolve
+            else r = prev
           }
         }
         total
@@ -1168,7 +1191,10 @@ final class TxnLog(root: String, checkpointInterval: Int = 10,
     * unreadable — it is an optimization hint, never load-bearing).
     */
   def lastVacuumCutoff(): Long =
-    try mapper.readTree(Files.readAllBytes(lastVacuumPath))
+    // existence probe first: tables that never vacuumed would otherwise
+    // pay a thrown-and-swallowed exception per checkpoint write
+    if (!Files.exists(lastVacuumPath)) Long.MinValue
+    else try mapper.readTree(Files.readAllBytes(lastVacuumPath))
       .get("cutoffMs").asLong()
     catch { case _: Exception => Long.MinValue }
 
@@ -1188,19 +1214,30 @@ final class TxnLog(root: String, checkpointInterval: Int = 10,
     * the last completed vacuum.
     *
     * Monotone max, atomic replace, crash-safe: a torn or lost sidecar
-    * only costs checkpoint size (no trim), never correctness.
+    * only costs checkpoint size (no trim), never correctness. The max
+    * is check-then-write with a bounded readback retry; the residual
+    * cross-process race can only regress the floor (less trimming until
+    * the next vacuum) — the safe direction.
+    *
+    * `private[graft]`: the soundness precondition (a COMPLETED deletion
+    * pass) cannot be verified here, so only [[DataLakehouse.vacuum]]
+    * and the probes may call it — a public caller recording a cutoff
+    * without deleting would poison the trim into retention-violating
+    * deletions later.
     */
-  def recordVacuumCutoff(cutoffMs: Long): Unit = {
+  private[graft] def recordVacuumCutoff(cutoffMs: Long): Unit = {
     if (!Files.isDirectory(logDir)) return // nothing committed yet
-    val prev = lastVacuumCutoff()
-    if (cutoffMs <= prev) return
-    val node = mapper.createObjectNode()
-    node.put("cutoffMs", cutoffMs)
-    val tmp = Files.createTempFile(logDir, ".vac", ".tmp")
-    Files.write(tmp, mapper.writeValueAsString(node)
-      .getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, lastVacuumPath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    var attempts = 0
+    while (attempts < 3 && lastVacuumCutoff() < cutoffMs) {
+      attempts += 1
+      val node = mapper.createObjectNode()
+      node.put("cutoffMs", cutoffMs)
+      val tmp = Files.createTempFile(logDir, ".vac", ".tmp")
+      Files.write(tmp, mapper.writeValueAsString(node)
+        .getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, lastVacuumPath, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   /** Latest removal time per live-then-removed file (rel path ->
@@ -1232,16 +1269,51 @@ final class TxnLog(root: String, checkpointInterval: Int = 10,
         }
       }
     val (from, init) = seed.getOrElse((0L, Map.empty[String, Long]))
+    latestRemovalFold((from to upTo).map(read), init).toMap
+  }
+
+  /** The latest-removal fold: a re-added then re-removed file must age
+    * from its NEWEST removal. One definition shared by every production
+    * site (vacuum's full-replay path, checkpoint deltas, tombstone tail
+    * resolution) so a tie-break or semantics change can never drift
+    * between what checkpoints persist and what vacuum recomputes.
+    */
+  private[graft] def latestRemovalFold(cs: Seq[Commit],
+      init: collection.Map[String, Long] = Map.empty)
+      : scala.collection.mutable.HashMap[String, Long] = {
     val m = scala.collection.mutable.HashMap.empty[String, Long] ++ init
-    (from to upTo).foreach { ver =>
-      val c = read(ver)
+    cs.foreach { c =>
       c.removed.foreach { f =>
         if (m.getOrElse(f, Long.MinValue) < c.timestampMs)
           m(f) = c.timestampMs
       }
     }
-    m.toMap
+    m
   }
+
+  /** The floor below which [[removedTombstones]] may be INCOMPLETE: the
+    * largest horizon cut ever applied by any writer of the tombstone
+    * state in force at the head (persisted per checkpoint — see the
+    * Checkpoint field). Vacuum must take the full-replay path when its
+    * retention cutoff is below this floor; comparing against this
+    * process's own horizon config would silently break retention under
+    * writer/maintenance horizon skew. Long.MinValue when resolution is
+    * replay-complete (no checkpoint, or a pre-feature checkpoint whose
+    * tombstones were never trimmed). Vacuum-cutoff trims need no floor:
+    * the files they drop are provably off disk at ANY retention.
+    */
+  def tombstoneTrimFloor(version: Long = Long.MaxValue): Long =
+    latestCheckpoint(math.min(currentVersion(), version)) match {
+      case None => Long.MinValue
+      case Some(ck) => ck.tombsHorizonCutMs.getOrElse {
+        if (ck.tombs.isDefined || ck.tombsCount.isDefined ||
+            ck.removedAtMs.isDefined)
+          // legacy state without a persisted cut: approximate with this
+          // process's horizon (the pre-fix semantics, migration only)
+          System.currentTimeMillis() - tombstoneHorizonMs
+        else Long.MinValue // pre-feature: removedTombstones full-replays
+      }
+    }
 
   /** Latest version whose commit timestamp is <= tsMs (time travel
     * AS OF), by BINARY SEARCH over the version sequence — O(log commits)

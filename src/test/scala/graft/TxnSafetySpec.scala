@@ -512,6 +512,51 @@ class TxnSafetySpec extends SparkSpec {
     assert(lake.query().df.count() == 26L)
   }
 
+  test("horizon skew: the trim floor is the writer's persisted cut, not reader config") {
+    // A writer with an aggressive horizon expires tombstones EARLY; a
+    // maintenance process with the default 30-day horizon must not trust
+    // the trimmed view for a 7-day vacuum (the old retainMs<=ownHorizon
+    // guard would have — and the mtime fallback deletes files whose
+    // removal is inside retention). The floor is persisted per
+    // checkpoint by the writer that applied it.
+    val root = tempDir("txnskew")
+    val writer = new TxnLog(root, 5, tombstoneHorizonMs = 1L)
+    (0 until 5).foreach(i => writer.commit(added = Seq(s"f$i.parquet"),
+      removed = if (i > 0) Seq(s"f${i - 1}.parquet") else Nil))
+    Thread.sleep(10)
+    writer.commit(added = Seq("f5.parquet")) // v5 -> checkpoint, all expired
+    val reader = new TxnLog(root, 5) // DEFAULT horizon: skewed wider
+    assert(reader.removedTombstones().isEmpty) // the trimmed view
+    val floor = reader.tombstoneTrimFloor()
+    // floor reflects the WRITER's 1 ms horizon (recent), so any sane
+    // retention cutoff sits BELOW it -> vacuum takes the full-replay path
+    assert(System.currentTimeMillis() - floor < 60000L, s"floor stale: $floor")
+    val sevenDayCutoff = System.currentTimeMillis() - 7L * 24 * 3600 * 1000
+    assert(sevenDayCutoff < floor)
+    assert(reader.latestRemovalFold(reader.commits()).size == 4)
+  }
+
+  test("tombstone chain cycle is corruption: loud fallback, never a hang") {
+    val root = tempDir("txncycle")
+    val log = new TxnLog(root, 5)
+    (0 until 11).foreach(i => log.commit(added = Seq(s"f$i.parquet"),
+      removed = if (i > 0) Seq(s"f${i - 1}.parquet") else Nil))
+    // chain: base sidecar at v5, delta at v10 pointing back at 5 — bend
+    // the delta's prev pointer onto itself (parseable JSON, bad pointer)
+    import java.nio.file.{Files, Paths}
+    val sidecar = Paths.get(root, "_txn_log", "checkpoint-v00000010.tombs.json")
+    assert(Files.exists(sidecar))
+    val bent = new String(Files.readAllBytes(sidecar), "UTF-8")
+      .replace("\"prev\":5", "\"prev\":10")
+    assert(bent.contains("\"prev\":10"))
+    Files.write(sidecar, bent.getBytes("UTF-8"))
+    val cold = new TxnLog(root, 5)
+    // resolution detects the non-decreasing pointer, warns, and falls
+    // back to the full commit replay — identical answer, bounded time
+    assert(cold.removedTombstones() ==
+      cold.latestRemovalFold(cold.commits()).toMap)
+  }
+
   test("corrupt checkpoints are skipped caches; corrupt commits fail loudly") {
     import java.nio.file.{Files, Paths}
     val root = tempDir("txncorrupt")
