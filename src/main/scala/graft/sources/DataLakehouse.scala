@@ -800,9 +800,39 @@ final class DataLakehouse(
     }
 
   /** Files.walk with the stream closed (leaked directory fds otherwise). */
+  /** Recursive file walk that TOLERATES entries vanishing mid-traversal:
+    * vacuum walks the whole table root while concurrent writers publish
+    * (and clean) `_staging` dirs, so `Files.walk`'s lazy stream — which
+    * throws UncheckedIOException(NoSuchFileException) on a vanished
+    * entry — crashed live-table maintenance (caught by the operations
+    * soak). A skipped-because-vanished file is always safe here: every
+    * caller re-checks existence or liveness before acting.
+    */
   private def walkFiles(p: Path): Seq[Path] = {
-    val s = Files.walk(p)
-    try s.iterator().asScala.toList finally s.close()
+    val out = scala.collection.mutable.ListBuffer.empty[Path]
+    Files.walkFileTree(p, new java.nio.file.SimpleFileVisitor[Path] {
+      // pre-order directory entries, matching Files.walk: the recursive
+      // staging delete reverses this list to get children-before-parent
+      override def preVisitDirectory(d: Path,
+          attrs: java.nio.file.attribute.BasicFileAttributes)
+          : java.nio.file.FileVisitResult = {
+        out += d
+        java.nio.file.FileVisitResult.CONTINUE
+      }
+      override def visitFile(f: Path,
+          attrs: java.nio.file.attribute.BasicFileAttributes)
+          : java.nio.file.FileVisitResult = {
+        out += f
+        java.nio.file.FileVisitResult.CONTINUE
+      }
+      override def visitFileFailed(f: Path, e: java.io.IOException)
+          : java.nio.file.FileVisitResult =
+        java.nio.file.FileVisitResult.CONTINUE // vanished mid-walk: skip
+      override def postVisitDirectory(d: Path, e: java.io.IOException)
+          : java.nio.file.FileVisitResult =
+        java.nio.file.FileVisitResult.CONTINUE // dir vanished: keep going
+    })
+    out.toList
   }
 
   /** Move staged data files (under their date= dirs) into the table root;

@@ -557,6 +557,35 @@ class TxnSafetySpec extends SparkSpec {
       cold.latestRemovalFold(cold.commits()).toMap)
   }
 
+  test("tombstone chain rebases geometrically and retires superseded files") {
+    // 1100 ring commits at interval 10: ~10 removal tombstones per
+    // checkpoint. The chain must cross the 1000-entry rebase knee
+    // exactly once, and the rebase must delete the superseded sidecars —
+    // without it the log dir would hold one sidecar per checkpoint
+    // forever and resolution would walk them all.
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = tempDir("txnrebase")
+    val log = new TxnLog(root, 10)
+    (0 until 1100).foreach { i =>
+      log.commit(added = Seq(s"f$i.parquet"),
+        removed = if (i > 0) Seq(s"f${i - 1}.parquet") else Nil)
+    }
+    val sidecars = {
+      val s = Files.list(Paths.get(root, "_txn_log"))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .count(_.endsWith(".tombs.json"))
+      finally s.close()
+    }
+    // 110 checkpoints wrote 110 sidecars over time; the post-knee rebase
+    // retired everything below its base
+    assert(sidecars <= 30, s"$sidecars sidecars on disk — rebase cleanup broken")
+    // resolution through the rebased chain still equals the full fold
+    val cold = new TxnLog(root, 10)
+    assert(cold.removedTombstones() ==
+      cold.latestRemovalFold(cold.commits()).toMap)
+  }
+
   test("corrupt checkpoints are skipped caches; corrupt commits fail loudly") {
     import java.nio.file.{Files, Paths}
     val root = tempDir("txncorrupt")
