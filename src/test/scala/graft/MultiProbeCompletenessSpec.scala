@@ -1,0 +1,91 @@
+package graft
+
+import scala.util.Random
+
+import graft.operators.SimilaritySearch
+
+/** Property evidence for the q56/q57/q64 oracle upgrades: the gate-corpus
+  * completeness pin (OperatorsSpec) shows the multi-probe config catches
+  * every exact pair ON those corpora; this spec shows it is not a
+  * gate-corpus accident. Random ISOTROPIC corpora (the geometric worst
+  * case for sign-pattern LSH — no cluster structure to lean on) with
+  * pairs PLANTED at controlled cosines bracketing the 0.45 threshold,
+  * across seeds: the q56 config (4 planes x 14 tables x 2 flips, capped
+  * buckets) must return the exact pair restriction — candidates complete
+  * at the threshold itself, verification exact.
+  */
+class MultiProbeCompletenessSpec extends SparkSpec {
+
+  private val dims = 64
+
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** v with cos(u, v) == c exactly: c*û + sqrt(1-c²)*ŵ, w ⊥ u. */
+  private def plant(u: Array[Double], c: Double, rnd: Random): Array[Double] = {
+    val w = Array.fill(dims)(rnd.nextGaussian())
+    val un = math.sqrt(u.map(x => x * x).sum)
+    val uh = u.map(_ / un)
+    val proj = uh.indices.map(i => w(i) * uh(i)).sum
+    val orth = Array.tabulate(dims)(i => w(i) - proj * uh(i))
+    val on = math.sqrt(orth.map(x => x * x).sum)
+    Array.tabulate(dims)(i =>
+      c * uh(i) + math.sqrt(1 - c * c) * orth(i) / on)
+  }
+
+  test("planted pairs at and above the threshold survive across random corpora") {
+    import spark.implicits._
+    val bands = Seq(0.46, 0.48, 0.52, 0.56, 0.65, 0.80)
+    val perBand = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      .withDefaultValue((0L, 0L))
+    (1 to 6).foreach { seed =>
+      val rnd = new Random(seed * 1000L + 7)
+      val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      (0 until 240).foreach(_ => vecs += Array.fill(dims)(rnd.nextGaussian()))
+      bands.foreach { c =>
+        (0 until 8).foreach { _ =>
+          val u = Array.fill(dims)(rnd.nextGaussian())
+          vecs += u
+          vecs += plant(u, c, rnd)
+        }
+      }
+      // ground truth by brute force (planting bookkeeping not trusted:
+      // plants can incidentally pair with noise or each other)
+      val arr = vecs.toArray
+      val exact = (for {
+        i <- arr.indices; j <- arr.indices if i < j
+        if cos(arr(i), arr(j)) >= 0.45
+      } yield (i.toLong, j.toLong)).toSet
+
+      val df = arr.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.map(_.toFloat).toSeq) }
+        .toSeq.toDF("vec_id", "embedding")
+      val got = SimilaritySearch.lshPairs(df, "vec_id", "embedding",
+          threshold = 0.45, numPlanes = 4, numTables = 14,
+          maxBucketSize = 500, probeFlips = 2)
+        .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+
+      val missed = exact.diff(got)
+      val extra = got.diff(exact)
+      assert(extra.isEmpty, s"seed=$seed false positives: $extra") // verified-exact
+      (exact -- Set.empty).foreach { case (i, j) =>
+        val c0 = cos(arr(i.toInt), arr(j.toInt))
+        val band = if (c0 < 0.5) "[0.45,0.50)" else if (c0 < 0.6) "[0.50,0.60)"
+          else "[0.60,1.00]"
+        val (m, t) = perBand(band)
+        perBand(band) = (m + (if (missed.contains((i, j))) 1L else 0L), t + 1L)
+      }
+      assert(missed.isEmpty,
+        s"seed=$seed missed ${missed.size}/${exact.size}: " +
+          missed.take(5).map { case (i, j) =>
+            f"($i,$j cos=${cos(arr(i.toInt), arr(j.toInt))}%.3f)" }.mkString(", "))
+    }
+    info(perBand.toSeq.sortBy(_._1).map { case (b, (m, t)) =>
+      s"$b missed $m/$t" }.mkString("; "))
+  }
+}
