@@ -88,4 +88,45 @@ class MultiProbeCompletenessSpec extends SparkSpec {
     info(perBand.toSeq.sortBy(_._1).map { case (b, (m, t)) =>
       s"$b missed $m/$t" }.mkString("; "))
   }
+
+  test("index-probe path (q64 config): planted cross pairs survive across corpora") {
+    // same property for the STANDING-INDEX shape: corpus vectors indexed
+    // once, a batch probes with flips — the incremental-dedup machinery
+    // behind q64's oracle upgrade. Exact cross restriction required.
+    import spark.implicits._
+    (1 to 3).foreach { seed =>
+      val rnd = new Random(seed * 777L + 13)
+      val corpus = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      (0 until 200).foreach(_ => corpus += Array.fill(dims)(rnd.nextGaussian()))
+      val batch = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      Seq(0.46, 0.52, 0.65).foreach { c =>
+        (0 until 8).foreach { _ =>
+          val u = corpus(rnd.nextInt(corpus.size)) // pair against the corpus
+          batch += plant(u, c, rnd)
+        }
+      }
+      (0 until 40).foreach(_ => batch += Array.fill(dims)(rnd.nextGaussian()))
+      val exactCross = (for {
+        b <- batch.indices; k <- corpus.indices
+        if cos(batch(b), corpus(k)) >= 0.45
+      } yield (b.toLong, 1000L + k)).toSet
+
+      val corpusDf = corpus.zipWithIndex
+        .map { case (v, k) => (1000L + k, v.map(_.toFloat).toSeq) }
+        .toSeq.toDF("vec_id", "embedding")
+      val batchDf = batch.zipWithIndex
+        .map { case (v, b) => (b.toLong, v.map(_.toFloat).toSeq) }
+        .toSeq.toDF("vec_id", "embedding")
+      val idx = SimilaritySearch.lshIndex(
+        corpusDf, "vec_id", "embedding", numTables = 14)
+      try {
+        val got = SimilaritySearch.lshPairsAgainstIndex(
+            batchDf, idx, "vec_id", "embedding",
+            threshold = 0.45, probeFlips = 2)
+          .select($"batch_id", $"corpus_id").as[(Long, Long)].collect().toSet
+        assert(got == exactCross,
+          s"seed=$seed: missing ${exactCross.diff(got)}, extra ${got.diff(exactCross)}")
+      } finally idx.unpersist()
+    }
+  }
 }
