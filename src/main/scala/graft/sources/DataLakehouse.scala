@@ -799,17 +799,24 @@ final class DataLakehouse(
       sb.toString
     }
 
-  /** Files.walk with the stream closed (leaked directory fds otherwise). */
-  /** Recursive file walk that TOLERATES entries vanishing mid-traversal:
-    * vacuum walks the whole table root while concurrent writers publish
-    * (and clean) `_staging` dirs, so `Files.walk`'s lazy stream — which
-    * throws UncheckedIOException(NoSuchFileException) on a vanished
-    * entry — crashed live-table maintenance (caught by the operations
-    * soak). A skipped-because-vanished file is always safe here: every
-    * caller re-checks existence or liveness before acting.
+  /** Recursive file walk that tolerates entries VANISHING mid-traversal
+    * — and ONLY that: vacuum walks the whole table root while concurrent
+    * writers publish (and clean) `_staging` dirs, so `Files.walk`'s lazy
+    * stream — which throws UncheckedIOException(NoSuchFileException) on
+    * a vanished entry — crashed live-table maintenance (caught by the
+    * operations soak). A skipped-because-vanished entry is safe for
+    * every caller (it no longer exists to act on). Any OTHER IOException
+    * (permissions, transient device error) rethrows loudly: swallowing
+    * it would silently DROP a real file — publishStaged would publish a
+    * commit missing a staged data file (silent data loss), and vacuum's
+    * completed-pass invariant behind recordVacuumCutoff would record
+    * files as swept that were never seen.
     */
   private def walkFiles(p: Path): Seq[Path] = {
     val out = scala.collection.mutable.ListBuffer.empty[Path]
+    def vanished(e: java.io.IOException): Boolean =
+      e.isInstanceOf[java.nio.file.NoSuchFileException] ||
+        e.isInstanceOf[java.io.FileNotFoundException]
     Files.walkFileTree(p, new java.nio.file.SimpleFileVisitor[Path] {
       // pre-order directory entries, matching Files.walk: the recursive
       // staging delete reverses this list to get children-before-parent
@@ -827,10 +834,12 @@ final class DataLakehouse(
       }
       override def visitFileFailed(f: Path, e: java.io.IOException)
           : java.nio.file.FileVisitResult =
-        java.nio.file.FileVisitResult.CONTINUE // vanished mid-walk: skip
+        if (vanished(e)) java.nio.file.FileVisitResult.CONTINUE
+        else throw e // real IO error: a silent skip is silent data loss
       override def postVisitDirectory(d: Path, e: java.io.IOException)
           : java.nio.file.FileVisitResult =
-        java.nio.file.FileVisitResult.CONTINUE // dir vanished: keep going
+        if (e == null || vanished(e)) java.nio.file.FileVisitResult.CONTINUE
+        else throw e
     })
     out.toList
   }
@@ -1406,10 +1415,18 @@ final class DataLakehouse(
     // expired view (an expired removal may be younger than such a
     // cutoff, and file mtime under-approximates removal time), so it
     // pays the full-replay fold — correctness over speed, loudly the
-    // operator's choice of window.
+    // operator's choice of window. Note retainMs > tombstoneHorizonMs is
+    // legal BECAUSE of this comparison (the floor routes such cutoffs to
+    // the replay fold); enforcing retainMs <= horizon statically would
+    // only check this process's config, which the floor supersedes.
+    // Map and floor come from ONE checkpoint resolution (tombstoneView):
+    // resolving them via separate calls would let a checkpoint publish
+    // between the reads (with newestCheckpointVersion forward-probing)
+    // hand this pass a view trimmed past the floor it just validated —
+    // version-pinning alone does not pin the checkpoint resolution.
+    val (tombs, trimFloor) = txnLog.tombstoneView(pinned)
     val removedAt: collection.Map[String, Long] =
-      if (cutoff >= txnLog.tombstoneTrimFloor(pinned))
-        txnLog.removedTombstones(pinned)
+      if (cutoff >= trimFloor) tombs
       else txnLog.latestRemovalFold(txnLog.commits(pinned))
     // both data suffixes: a compacted-away CSV (mixed-format/addFiles
     // tables) must be reclaimed too, not just parquet

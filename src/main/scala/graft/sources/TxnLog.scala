@@ -617,8 +617,14 @@ final class TxnLog(root: String, checkpointInterval: Int = 10,
   private def batchStateAt(
       v: Long): (Map[String, Long], Set[String]) = {
     val upTo = math.min(currentVersion(), v)
+    // batchIdsTxnFree gates the seed: an UNMARKED id array (written
+    // before commits-with-txn stopped feeding it) can contain
+    // txn-carried ids whose membership would wrongly veto a committer
+    // reusing that id string under a strictly HIGHER sequence. Such
+    // checkpoints pay the one-time full replay (the established
+    // migration rule); the next checkpoint writes the marked form.
     val (from, hw0, arb0) = latestCheckpoint(upTo) match {
-      case Some(ck) if ck.txnHighWater.isDefined =>
+      case Some(ck) if ck.txnHighWater.isDefined && ck.batchIdsTxnFree =>
         (ck.version + 1, ck.txnHighWater.get, ck.batchIds.toSet)
       case _ => (0L, Map.empty[String, Long], Set.empty[String])
     }
@@ -691,23 +697,49 @@ final class TxnLog(root: String, checkpointInterval: Int = 10,
     }
   }
 
-  /** Has this exact batch id already committed WITHOUT a txn declaration?
-    * Exact set membership — no monotonicity is inferred from the id text.
+  /** Batch id `<app>-<seq>` read-through for [[hasBatch]]: the streaming
+    * committer forms its batch ids as s"$appId-$batchNum" and declares
+    * txn = (appId, batchNum) on the same commit, so an id whose prefix
+    * is a RECORDED txn app and whose suffix is at-or-below that app's
+    * high-water is a committed (or superseded) stream batch. O(1)
+    * against state the checkpoint already carries — nothing new is
+    * persisted. Ids whose prefix matches no recorded app never hit
+    * (a txn-free "day-20240615" backfill cannot be vetoed by this path
+    * unless the caller shares an id namespace with a live stream — the
+    * documented trade-off of the shared `<app>-<seq>` shape).
+    */
+  private def txnShapedHit(batchId: String): Boolean = {
+    val i = batchId.lastIndexOf('-')
+    i > 0 && i < batchId.length - 1 && {
+      val suffix = batchId.substring(i + 1)
+      // <= 18 digits: parseable as a non-negative Long without overflow
+      suffix.length <= 18 && suffix.forall(c => c >= '0' && c <= '9') &&
+        Option(txnHighWater.get(batchId.substring(0, i)))
+          .exists(suffix.toLong <= _.longValue())
+    }
+  }
+
+  /** Has this exact batch id already committed? Two tiers, no
+    * monotonicity ever inferred from the id text alone:
+    *  - exact set membership for ids committed WITHOUT a txn;
+    *  - a read-through for txn-carried ids: an id of the streaming
+    *    shape `<app>-<seq>` whose app is a recorded txn app answers via
+    *    that app's per-commit high-water ([[txnShapedHit]]). Those ids
+    *    are deliberately NOT in the exact set (recording them would
+    *    grow every checkpoint linearly with commit count at the
+    *    declared 100 ms cadence; the high-water is bounded by app
+    *    count), but an external caller probing one still gets the
+    *    truthful answer instead of a silent false.
     * Cross-process visibility: a miss replays only the commit tail this
-    * instance has not yet seen.
-    *
-    * LOUD CONTRACT NOTE: batch ids carried by txn-declaring commits
-    * (`commit(batchId = …, txn = Some(…))` — the streaming path) are
-    * INVISIBLE here by design: their replay guard is the per-app
-    * high-water ([[hasTxn]] / [[isDuplicate]]), and recording them in the
-    * exact set would grow every checkpoint linearly with commit count at
-    * the declared 100 ms cadence (the set is persisted verbatim; the
-    * high-water is bounded by app count). An external caller using this
-    * call as its replay guard must either commit txn-free or guard via
-    * [[isDuplicate]] with the same txn it commits with.
+    * instance has not yet seen. [[isDuplicate]]'s batch tier stays
+    * exact-set-only on purpose: its callers carry the txn they commit
+    * with (the txn tier answers), and read-through there would let an
+    * id-namespace collision veto a genuinely new txn-free commit inside
+    * the commit loop.
     */
   def hasBatch(batchId: String): Boolean =
-    seedThenRefresh(() => exactBatches.contains(batchId))
+    seedThenRefresh(() =>
+      exactBatches.contains(batchId) || txnShapedHit(batchId))
 
   /** Has transaction (appId, seq) — or any LATER sequence of the same
     * app — already committed? Delta txn semantics: sequences are
@@ -763,6 +795,16 @@ final class TxnLog(root: String, checkpointInterval: Int = 10,
       // risking a misread; the next checkpoint writes the new field.
       txnHighWater: Option[Map[String, Long]],
       batchIds: Seq[String],
+      // True iff `batchIds` was written under the txn-free-only rule
+      // (commits carrying a txn record ONLY the high-water; their batch
+      // ids never enter the array). Arrays written before the rule can
+      // contain txn-carried ids, and seeding those would wrongly veto a
+      // committer reusing such an id under a strictly HIGHER sequence —
+      // the false-skip the txn tier exists to prevent. Same migration
+      // treatment as the superseded "streamTxn" field: an unmarked
+      // array is not read, and the seed pays a one-time full replay per
+      // old table (the next checkpoint writes the marked form).
+      batchIdsTxnFree: Boolean,
       // Latest-removal-time tombstones (rel path -> epoch ms) for files
       // removed within the tombstone horizon — the Delta deleted-file-
       // retention analog that lets vacuum age dead files from the
@@ -822,6 +864,9 @@ final class TxnLog(root: String, checkpointInterval: Int = 10,
       hw.toSeq.sortBy(_._1).foreach { case (k, b) => st.put(k, b) }
       val bi: ArrayNode = node.putArray("batchIds")
       arb.toSeq.sorted.foreach(bi.add)
+      // rule marker: this array holds txn-FREE ids only (see the
+      // Checkpoint field note — unmarked arrays are never seeded)
+      node.put("batchIdsTxnFree", true)
       // Removal tombstones (the Delta deletedFileRetentionDuration
       // analog) live OUTSIDE the main checkpoint in an INCREMENTAL
       // sidecar chain (`checkpoint-v*.tombs.json`), because their cost
@@ -1037,6 +1082,7 @@ final class TxnLog(root: String, checkpointInterval: Int = 10,
         },
         Option(node.get("batchIds"))
           .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil),
+        Option(node.get("batchIdsTxnFree")).exists(_.asBoolean()),
         Option(node.get("removedAtMs")).map { ra =>
           ra.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
         },
@@ -1256,20 +1302,46 @@ final class TxnLog(root: String, checkpointInterval: Int = 10,
     * time): mtime past the cutoff keeps the file, mtime at-or-before it
     * deletes a file whose removal was, by expiry, even further past.
     */
-  def removedTombstones(version: Long = Long.MaxValue): Map[String, Long] = {
+  def removedTombstones(version: Long = Long.MaxValue): Map[String, Long] =
+    tombstoneView(version)._1
+
+  /** Tombstones AND the trim floor they are valid above, derived from
+    * ONE checkpoint resolution — the TOCTOU-free form vacuum must use.
+    * Calling [[removedTombstones]] and [[tombstoneTrimFloor]] separately
+    * re-resolves the newest checkpoint per call (and
+    * newestCheckpointVersion forward-probes), so a concurrent checkpoint
+    * publish between the two reads could hand the caller a tombstone
+    * view trimmed past the floor it already validated — a silent
+    * retention violation under writer/maintenance horizon skew. Here
+    * floor and map describe the SAME checkpoint object: when the seed
+    * resolves, the floor is that checkpoint's persisted horizon cut;
+    * when resolution falls back to the full commit replay (no
+    * checkpoint, pre-feature, or corrupt chain) the returned map is
+    * replay-COMPLETE and the floor is Long.MinValue — trustworthy at
+    * any retention cutoff.
+    */
+  def tombstoneView(version: Long = Long.MaxValue): (Map[String, Long], Long) = {
     val upTo = math.min(currentVersion(), version)
+    val ck = latestCheckpoint(upTo)
     val seed: Option[(Long, Map[String, Long])] =
-      latestCheckpoint(upTo).flatMap { ck =>
-        ck.tombs match {
+      ck.flatMap { c =>
+        c.tombs match {
           case Some(tr) =>
-            resolveTombsChain(tr.ref).map(m => (ck.version + 1, m))
-          case None if ck.tombsCount.contains(0) =>
-            Some((ck.version + 1, Map.empty[String, Long]))
-          case None => ck.removedAtMs.map(m => (ck.version + 1, m))
+            resolveTombsChain(tr.ref).map(m => (c.version + 1, m))
+          case None if c.tombsCount.contains(0) =>
+            Some((c.version + 1, Map.empty[String, Long]))
+          case None => c.removedAtMs.map(m => (c.version + 1, m))
         }
       }
+    val floor = seed match {
+      case None => Long.MinValue // full replay below: view is complete
+      case Some(_) => ck.get.tombsHorizonCutMs.getOrElse(
+        // legacy tombstone state without a persisted cut: approximate
+        // with this process's horizon (pre-fix semantics, migration only)
+        System.currentTimeMillis() - tombstoneHorizonMs)
+    }
     val (from, init) = seed.getOrElse((0L, Map.empty[String, Long]))
-    latestRemovalFold((from to upTo).map(read), init).toMap
+    (latestRemovalFold((from to upTo).map(read), init).toMap, floor)
   }
 
   /** The latest-removal fold: a re-added then re-removed file must age
@@ -1301,6 +1373,12 @@ final class TxnLog(root: String, checkpointInterval: Int = 10,
     * replay-complete (no checkpoint, or a pre-feature checkpoint whose
     * tombstones were never trimmed). Vacuum-cutoff trims need no floor:
     * the files they drop are provably off disk at ANY retention.
+    *
+    * TOCTOU NOTE: this call and [[removedTombstones]] each resolve the
+    * newest checkpoint independently — a floor read here does NOT pin
+    * the checkpoint a later tombstone read resolves. Vacuum (and any
+    * caller pairing the two) must use [[tombstoneView]], which derives
+    * both from one checkpoint object.
     */
   def tombstoneTrimFloor(version: Long = Long.MaxValue): Long =
     latestCheckpoint(math.min(currentVersion(), version)) match {

@@ -389,11 +389,17 @@ class TxnSafetySpec extends SparkSpec {
     assert(text.contains("manual-X"))
     assert(!text.contains("stream-1"),
       "txn-carried batch ids must not be checkpoint-persisted")
-    // hasBatch's loud contract: txn-carried ids are invisible here; the
-    // streaming tier's replay guard is hasTxn/isDuplicate
+    // hasBatch read-through: a txn-committed stream batch id answers
+    // TRUE via the per-app high-water (O(1) against checkpoint-carried
+    // state) even though the exact-id array above provably excludes it —
+    // the external-caller sharp edge closed without unbounding
+    // checkpoints. An unseen future sequence still answers false.
     val cold = new TxnLog(root, 5)
     assert(cold.hasBatch("manual-X"))
-    assert(!cold.hasBatch("stream-3"))
+    assert(cold.hasBatch("stream-3"))
+    assert(!cold.hasBatch("stream-20"))
+    // …and ids outside every recorded app's namespace never read through
+    assert(!cold.hasBatch("otherapp-3"))
     assert(cold.hasTxn("stream", 19L))
     assert(cold.isDuplicate(Some("stream-3"), Some(("stream", 3L))))
     // cross-tier UPGRADE veto: a payload first committed txn-free under
@@ -403,6 +409,56 @@ class TxnSafetySpec extends SparkSpec {
     assert(cold.isDuplicate(Some("manual-X"), Some(("newapp", 1L))))
     // ...while a NEW id under a genuinely higher sequence proceeds
     assert(!cold.isDuplicate(Some("stream-20"), Some(("stream", 20L))))
+  }
+
+  test("legacy checkpoints (unmarked batchIds) never seed the exact set") {
+    // Migration hazard (ADVICE r10): id arrays written BEFORE the
+    // txn-free-only rule include txn-carried ids, so seeding them could
+    // wrongly veto a committer reusing such an id under a strictly
+    // HIGHER sequence. An unmarked array must not be read — the seed
+    // pays the one-time full replay instead (the streamTxn precedent).
+    import scala.jdk.CollectionConverters._
+    val root = tempDir("txnlegacyids")
+    val log = new TxnLog(root, 5)
+    log.commit(added = Seq("m.parquet"), batchId = Some("manual-Y"))
+    (0 until 6).foreach { i =>
+      log.commit(added = Seq(s"s$i.parquet"),
+        batchId = Some(s"stream-$i"), txn = Some(("stream", i.toLong)))
+    }
+    // forge the legacy form: strip the rule marker and fold a
+    // txn-carried id into the array, exactly what pre-rule code wrote
+    val logDir = java.nio.file.Paths.get(root, "_txn_log")
+    val ckpt = java.nio.file.Files.list(logDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("checkpoint-"))
+      .toSeq.max
+    val p = logDir.resolve(ckpt)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(java.nio.file.Files.readAllBytes(p))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.remove("batchIdsTxnFree")
+    node.withArray("batchIds").add("stream-4")
+    java.nio.file.Files.write(p, mapper.writeValueAsString(node)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val cold = new TxnLog(root, 5)
+    // the replay-built view is rule-correct: the exact set holds only
+    // the txn-free id, so the higher-sequence reuse of "stream-4"'s id
+    // string is NOT vetoed by set membership…
+    assert(!cold.isDuplicate(Some("stream-4"), Some(("stream", 7L))))
+    // …while genuine replays and the txn-free id still veto
+    assert(cold.isDuplicate(Some("stream-4"), Some(("stream", 4L))))
+    assert(cold.hasBatch("manual-Y"))
+    // and a post-migration checkpoint writes the marked form
+    (6 until 11).foreach { i =>
+      cold.commit(added = Seq(s"t$i.parquet"),
+        batchId = Some(s"stream-$i"), txn = Some(("stream", i.toLong)))
+    }
+    val newest = java.nio.file.Files.list(logDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("checkpoint-"))
+      .toSeq.max
+    val text = new String(java.nio.file.Files.readAllBytes(
+      logDir.resolve(newest)), "UTF-8")
+    assert(newest > ckpt && text.contains("\"batchIdsTxnFree\":true"))
+    assert(!text.contains("stream-4"))
   }
 
   test("vacuum removal aging is checkpoint-seeded: O(interval) reads, horizon expiry, guard") {
