@@ -140,6 +140,47 @@ class FederationSpec extends SparkSpec {
     assert(duck(mNew, count)._2 == Seq(Seq("30")))
   }
 
+  test("array<float> embedding column federates (vector-table shape)") {
+    assume(duckdbAvailable, "python3+duckdb not present")
+    // The embeddings-table shape: an ArrayType(FloatType) data column.
+    // Data-column types never touch duckdbManifest's hive_types map —
+    // DuckDB reads them from the parquet footer as LIST(FLOAT) — so the
+    // duckType fallthrough (`other.sql`) is only ever reached by
+    // PARTITION columns, which are scalar by construction (arrays
+    // cannot be partition keys; the remaining exotic scalar, DECIMAL,
+    // round-trips because Spark's `.sql` name IS the DuckDB spelling).
+    // Array element access and length are dialect-split (DuckDB
+    // 1-based [i]/len, Spark 0-based [i]/size), so this test compares
+    // VALUES of equivalent texts instead of one shared text. Elements
+    // are multiples of 0.25 — float32-exact, so both engines sum
+    // identical doubles and the DECIMAL casts must match bit-for-bit.
+    import spark.implicits._
+    val lake = new DataLakehouse(spark, tempDir("fedvec"))
+    val df = (0 until 32).map { i =>
+      (s"V$i", ts("2024-06-15 09:30:00"),
+        Array.tabulate(8)(j => (i + j) * 0.25f))
+    }.toDF("symbol", "timestamp", "embedding")
+    lake.appendDF(df)
+    val manifest = lake.duckdbManifest()
+    val (dCols, dRows) = duck(manifest,
+      "SELECT count(*) AS n, " +
+        "CAST(sum(embedding[1]) AS DECIMAL(18,4)) AS s0, " +
+        "CAST(sum(len(embedding)) AS BIGINT) AS dims FROM trades")
+    val (sCols, sRows) = sparkSql(lake,
+      "SELECT count(*) AS n, " +
+        "CAST(sum(embedding[0]) AS DECIMAL(18,4)) AS s0, " +
+        "CAST(sum(size(embedding)) AS BIGINT) AS dims FROM trades")
+    assert(dCols == sCols)
+    assert(dRows == sRows, s"duck=$dRows spark=$sRows")
+    assert(dRows.head.head == "32")
+    // per-row access agrees too: the max of the last element
+    val (_, dMax) = duck(manifest,
+      "SELECT CAST(max(embedding[8]) AS DECIMAL(18,4)) AS m FROM trades")
+    val (_, sMax) = sparkSql(lake,
+      "SELECT CAST(max(embedding[7]) AS DECIMAL(18,4)) AS m FROM trades")
+    assert(dMax == sMax, s"duck=$dMax spark=$sMax")
+  }
+
   test("csv-format table federates through read_csv") {
     assume(duckdbAvailable, "python3+duckdb not present")
     val lake = populatedLake(fmt = "csv")
