@@ -200,6 +200,53 @@ object ScaleRun {
       spark.stop(); return
     }
 
+    // 100k-LIVE-FILE checkpoint probe (r10 NOTES candidate #2): per-file
+    // (symbol, ts) stats ride the MAIN checkpoint, so every cold snapshot
+    // parse pays O(live files) JSON. The ring probe above holds live = 1;
+    // this one GROWS the live set (bulk-load shape: 1000 adds/commit,
+    // stats per file) and measures what actually binds at scale — cold
+    // snapshotFiles latency, checkpoint byte size, and the checkpoint-
+    // boundary commit pause — at mult×10k live files. Run at mult 1/5/10
+    // for the curve; the sidecar pattern applies to the stats map iff
+    // cold resolution degrades materially.
+    if (which == "txnlive") {
+      import java.nio.file.Files
+      import scala.jdk.CollectionConverters._
+      val root = Files.createTempDirectory("txnlive").toString
+      val log = new sources.TxnLog(root)
+      val live = mult * 10000
+      val perCommit = 1000
+      val lat = scala.collection.mutable.ArrayBuffer.empty[Double]
+      (0 until live / perCommit).foreach { c =>
+        val rels = (0 until perCommit)
+          .map(i => f"date=2024-06-15/part-${c * perCommit + i}%08d.parquet")
+        val t0 = System.nanoTime()
+        log.commit(added = rels,
+          rowCounts = rels.map(_ -> 100L).toMap,
+          fileStats = rels.map(_ ->
+            sources.TxnLog.FileStat("AAPL", "ZZZZ", 0L, 1000000L)).toMap)
+        lat += (System.nanoTime() - t0) / 1e6
+      }
+      val ckptBytes = Files.list(java.nio.file.Paths.get(root, "_txn_log"))
+        .iterator().asScala
+        .filter(_.getFileName.toString.startsWith("checkpoint-v"))
+        .map(Files.size(_)).maxOption.getOrElse(0L)
+      val cold = new sources.TxnLog(root)
+      val t1 = System.nanoTime()
+      val files = cold.snapshotFiles()
+      val coldSnapMs = (System.nanoTime() - t1) / 1e6
+      val t2 = System.nanoTime()
+      cold.snapshotFiles() // warm: parsed-checkpoint cache hit
+      val warmSnapMs = (System.nanoTime() - t2) / 1e6
+      assert(files.size == live, s"live drifted: ${files.size}")
+      val s = lat.sorted
+      println(f"[scale] txnlive live=$live ckptBytes=$ckptBytes " +
+        f"coldSnapshotMs=$coldSnapMs%.1f warmSnapshotMs=$warmSnapMs%.1f " +
+        f"commitMedianMs=${s(s.size / 2)}%.1f commitMaxMs=${s.last}%.1f")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      spark.stop(); return
+    }
+
     val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
       .select($"doc_id", $"text")
     val big = (0 until mult)
@@ -381,8 +428,9 @@ object ScaleRun {
           f"evps=${(n / wall).toLong}")
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
       }
-      // distributed appendDF leg
-      Seq(2000000L, 8000000L).foreach { rows =>
+      // distributed appendDF leg — 32M rung added r11: the 8M point was
+      // still rising; the curve needs a visible knee (VERDICT r10 #6)
+      Seq(2000000L, 8000000L, 32000000L).foreach { rows =>
         val root = Files.createTempDirectory("ingappend").toString
         val lake = new sources.DataLakehouse(spark, root)
         val df = bars(rows)
@@ -879,6 +927,36 @@ object ScaleRun {
         f"rounds=$rounds components=${comps.getLong(0)} " +
         f"labeled=${comps.getLong(1)} secs=$dt%.1f")
       assert(comps.getLong(0) == 1L && comps.getLong(1) == nNodes)
+      spark.stop(); return
+    }
+
+    // q56's exact config at the 10× corpus, radius law vs the old
+    // single-flip probes: quantifies what the r11 completeness fix costs
+    // and buys where the adaptive law first leaves the gate geometry
+    // (20k vectors -> 8 planes -> law radius 2). Shards rotate the
+    // embedding cyclically (orthogonal transform: within-shard cosine
+    // geometry exact, cross-shard pairs decorrelated — the catalog-sweep
+    // construction), so the TRUE pair set is mult× the base, never
+    // clone-inflated.
+    if (which == "lshprobe") {
+      val dim = 64
+      val rotated = (0 until mult).map { i =>
+        val emb = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+          .select(($"vec_id" + lit(i * 1000000L)).as("vec_id"),
+            expr(s"concat(slice(embedding, ${i % dim + 1}, ${dim - i % dim})," +
+              s" slice(embedding, 1, ${i % dim}))").as("embedding"))
+        emb
+      }.reduce(_ unionAll _).persist()
+      val nv = rotated.count()
+      Seq(1, -1).foreach { radius =>
+        val t = System.nanoTime()
+        val found = operators.SimilaritySearch.lshPairs(rotated,
+          "vec_id", "embedding", threshold = 0.45, numPlanes = 0,
+          numTables = 14, maxBucketSize = 500, probeFlips = -1,
+          probeRadius = radius).count()
+        println(f"[scale] lshprobe vectors=$nv radius=$radius " +
+          f"pairs=$found wall=${(System.nanoTime() - t) / 1e9}%.2f")
+      }
       spark.stop(); return
     }
 
