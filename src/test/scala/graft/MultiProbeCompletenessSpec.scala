@@ -201,6 +201,68 @@ class MultiProbeCompletenessSpec extends SparkSpec {
     }
   }
 
+  test("index-probe path at the 8-plane geometry: ball reachability and recall") {
+    // The standing-index twin of the adaptive-geometry test above:
+    // probing is BATCH-SIDE only (the index stores canonical buckets),
+    // so reachability is the same Hamming-ball predicate — a cross pair
+    // is reachable iff some table's buckets are within the law radius.
+    // Deterministic completeness for reachable pairs + a measured
+    // cross-recall floor at 8 planes / radius 2.
+    import spark.implicits._
+    val numPlanes = 8
+    val numTables = 14
+    val radius = lawRadius(0.45, numPlanes, numTables)
+    assert(radius == 2)
+    var hits = 0L
+    var truth = 0L
+    (1 to 2).foreach { seed =>
+      val rnd = new Random(seed * 4700L + 3)
+      val corpus = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      (0 until 200).foreach(_ => corpus += Array.fill(dims)(rnd.nextGaussian()))
+      val batch = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      Seq(0.46, 0.52, 0.65).foreach { c =>
+        (0 until 10).foreach { _ =>
+          batch += plant(corpus(rnd.nextInt(corpus.size)), c, rnd)
+        }
+      }
+      (0 until 40).foreach(_ => batch += Array.fill(dims)(rnd.nextGaussian()))
+      val cArr = corpus.map(_.map(x => x.toFloat.toDouble)).toArray
+      val bArr = batch.map(_.map(x => x.toFloat.toDouble)).toArray
+      val exactCross = (for {
+        b <- bArr.indices; k <- cArr.indices
+        if cos(bArr(b), cArr(k)) >= 0.45
+      } yield (b.toLong, 1000L + k)).toSet
+      val corpusDf = cArr.zipWithIndex
+        .map { case (v, k) => (1000L + k, v.map(_.toFloat).toSeq) }
+        .toSeq.toDF("vec_id", "embedding")
+      val batchDf = bArr.zipWithIndex
+        .map { case (v, b) => (b.toLong, v.map(_.toFloat).toSeq) }
+        .toSeq.toDF("vec_id", "embedding")
+      val idx = SimilaritySearch.lshIndex(corpusDf, "vec_id", "embedding",
+        numPlanes = numPlanes, numTables = numTables)
+      try {
+        val got = SimilaritySearch.lshPairsAgainstIndex(
+            batchDf, idx, "vec_id", "embedding",
+            threshold = 0.45, probeFlips = -1) // radius via the law
+          .select($"batch_id", $"corpus_id").as[(Long, Long)].collect().toSet
+        assert(got.subsetOf(exactCross),
+          s"seed=$seed false positives: ${got.diff(exactCross).take(3)}")
+        val mustHave = exactCross.filter { case (b, k) =>
+          reachable(bArr(b.toInt), cArr((k - 1000L).toInt),
+            numPlanes, numTables, radius)
+        }
+        val lost = mustHave.diff(got)
+        assert(lost.isEmpty,
+          s"seed=$seed: index path lost ${lost.size} reachable pairs")
+        hits += got.size
+        truth += exactCross.size
+      } finally idx.unpersist()
+    }
+    val recall = hits.toDouble / truth
+    info(f"index path planes=$numPlanes radius=$radius recall=$recall%.4f ($hits/$truth)")
+    assert(recall >= 0.99, f"cross recall $recall%.4f under floor 0.99")
+  }
+
   test("index-probe path (q64 config): planted cross pairs survive across corpora") {
     // same property for the STANDING-INDEX shape: corpus vectors indexed
     // once, a batch probes with flips — the incremental-dedup machinery

@@ -611,6 +611,21 @@ class TxnSafetySpec extends SparkSpec {
     // back to the full commit replay — identical answer, bounded time
     assert(cold.removedTombstones() ==
       cold.latestRemovalFold(cold.commits()).toMap)
+    // tombstoneView contract (the vacuum TOCTOU fix): a fallback that
+    // full-replays is COMPLETE, so its floor is Long.MinValue — vacuum
+    // may trust it at any retention cutoff. The two must come from one
+    // resolution; this pins the (map, floor) pair a corrupt chain yields.
+    val (viewMap, viewFloor) = cold.tombstoneView()
+    assert(viewMap == cold.latestRemovalFold(cold.commits()).toMap)
+    assert(viewFloor == Long.MinValue)
+    // a healthy log's view floor matches the persisted writer cut
+    val healthy = new TxnLog(tempDir("txnviewok"), 5)
+    (0 until 6).foreach(i => healthy.commit(added = Seq(s"g$i.parquet"),
+      removed = if (i > 0) Seq(s"g${i - 1}.parquet") else Nil))
+    val (hMap, hFloor) = healthy.tombstoneView()
+    assert(hMap == healthy.latestRemovalFold(healthy.commits()).toMap)
+    assert(hFloor == healthy.tombstoneTrimFloor())
+    assert(hFloor != Long.MinValue) // checkpoint-seeded: floor is real
   }
 
   test("tombstone chain rebases geometrically and retires superseded files") {
