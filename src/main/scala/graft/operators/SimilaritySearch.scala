@@ -156,7 +156,12 @@ object SimilaritySearch {
     * cosine 0.45, k = 4, flips = 2, 14 tables takes per-pair miss from
     * ~21 % (8 plain tables) to < 10⁻³ — measured ZERO missed pairs on
     * both gate corpora with ≥ 2 colliding tables per pair (the
-    * OperatorsSpec equality pin).
+    * OperatorsSpec equality pin). Past the gate geometry single flips
+    * hit a structural ceiling — buckets differing in ≥ 2 planes are
+    * unreachable at any flip count — so the probe set is a Hamming
+    * BALL whose radius follows [[resolveRadius]] (the flips-vs-planes
+    * law; MultiProbeCompletenessSpec pins the envelope through the
+    * 16-plane geometry).
     *
     * @param threshold exact-cosine cutoff applied to verified candidates
     * @param numPlanes 0 (default) = the [[adaptivePlanes]] sizing law
