@@ -201,6 +201,46 @@ class MultiProbeCompletenessSpec extends SparkSpec {
     }
   }
 
+  test("probe kernel: codegen == interpreted eval; ball exact, duplicate-free") {
+    // LshProbeBuckets implements the closest-plane selection and the
+    // combination odometer TWICE (nullSafeEval + doGenCode); a drift
+    // between them would silently skew candidate sets only on whichever
+    // path a plan happens to take. Random dots arrays across a
+    // (flips, radius) grid: the DataFrame projection (codegen) must be
+    // element-for-element the direct expression eval, and both must be
+    // EXACTLY the Hamming ball — every ≤radius subset of the flips
+    // closest planes once, canonical bucket first, no duplicates.
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val rnd = new Random(99)
+    val dotsRows = (0 until 40).map(_ => Array.fill(12)(rnd.nextGaussian() * 0.3))
+    Seq((2, 1), (4, 2), (8, 2), (12, 3), (12, 1)).foreach { case (flips, radius) =>
+      val viaCodegen = dotsRows.map(d => Tuple1(d.toSeq)).toDF("ds")
+        .select(graft.functions.LshProbe.probeBucketsFast(
+          spark, $"ds", flips, radius).as("p"))
+        .as[Seq[Long]].collect()
+      dotsRows.zip(viaCodegen).foreach { case (ds, cg) =>
+        val ev = graft.functions.LshProbeBuckets(
+            Literal.create(ds.toSeq, ArrayType(DoubleType)),
+            Literal(flips), Literal(radius))
+          .eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+        assert(ev == cg, s"flips=$flips radius=$radius: eval != codegen")
+        val canonical = ds.indices.filter(ds(_) >= 0)
+          .foldLeft(0L)((m, i) => m | (1L << i))
+        val closest = ds.indices.sortBy(i => (math.abs(ds(i)), i)).take(flips)
+        val ball = (0 to radius).flatMap(s =>
+          closest.combinations(s).map(_.foldLeft(canonical)(
+            (m, i) => m ^ (1L << i)))).toSet
+        assert(cg.head == canonical)
+        assert(cg.size == graft.functions.LshProbe.probeCount(flips, radius))
+        assert(cg.distinct.size == cg.size, "duplicate probe bucket")
+        assert(cg.toSet == ball, s"flips=$flips radius=$radius: ball mismatch")
+      }
+    }
+  }
+
   test("index-probe path at the 8-plane geometry: ball reachability and recall") {
     // The standing-index twin of the adaptive-geometry test above:
     // probing is BATCH-SIDE only (the index stores canonical buckets),
