@@ -201,6 +201,49 @@ class MultiProbeCompletenessSpec extends SparkSpec {
     }
   }
 
+  test("the law is threshold-aware: 16 planes at cosine 0.9 is complete at radius 2") {
+    // The 16-plane floor above is a LOW-threshold (0.45) artifact —
+    // sign-pattern collision p = 1 − θ/π barely clears coin-flip there.
+    // At the production near-dup threshold (0.9, p ≈ 0.86) the law
+    // resolves radius 2 with a 4e-6 per-pair bound, so completeness
+    // extends through the geometry a ~8M-vector corpus would get.
+    import spark.implicits._
+    val numPlanes = 16
+    val radius = lawRadius(0.9, numPlanes, 14)
+    assert(radius == 2, s"law drifted at high threshold: $radius")
+    var missedTotal = 0
+    (1 to 2).foreach { seed =>
+      val rnd = new Random(seed * 8800L + 1)
+      val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      (0 until 240).foreach(_ => vecs += Array.fill(dims)(rnd.nextGaussian()))
+      Seq(0.905, 0.93, 0.96).foreach { c =>
+        (0 until 10).foreach { _ =>
+          val u = Array.fill(dims)(rnd.nextGaussian())
+          vecs += u
+          vecs += plant(u, c, rnd)
+        }
+      }
+      val arr = vecs.map(_.map(x => x.toFloat.toDouble)).toArray
+      val exact = (for {
+        i <- arr.indices; j <- arr.indices if i < j
+        if cos(arr(i), arr(j)) >= 0.9
+      } yield (i.toLong, j.toLong)).toSet
+      val df = arr.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.map(_.toFloat).toSeq) }
+        .toSeq.toDF("vec_id", "embedding")
+      val got = SimilaritySearch.lshPairs(df, "vec_id", "embedding",
+          threshold = 0.9, numPlanes = numPlanes, numTables = 14,
+          probeFlips = -1)
+        .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+      assert(got.subsetOf(exact), s"seed=$seed false positives")
+      missedTotal += exact.diff(got).size
+      assert(exact.size >= 30, s"seed=$seed: too few true pairs to test")
+      assert(exact.diff(got).isEmpty,
+        s"seed=$seed missed ${exact.diff(got).size}/${exact.size} at 0.9")
+    }
+    info(s"16 planes @ 0.9: radius=$radius missed=$missedTotal")
+  }
+
   test("probe kernel: codegen == interpreted eval; ball exact, duplicate-free") {
     // LshProbeBuckets implements the closest-plane selection and the
     // combination odometer TWICE (nullSafeEval + doGenCode); a drift
