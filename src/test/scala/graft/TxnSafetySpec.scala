@@ -409,6 +409,14 @@ class TxnSafetySpec extends SparkSpec {
     assert(cold.isDuplicate(Some("manual-X"), Some(("newapp", 1L))))
     // ...while a NEW id under a genuinely higher sequence proceeds
     assert(!cold.isDuplicate(Some("stream-20"), Some(("stream", 20L))))
+    // THE ASYMMETRY, pinned: hasBatch reads stream-shaped ids through
+    // the high-water (truthful answer for external probes), but
+    // isDuplicate's batch tier does NOT — a txn-free committer that
+    // happens to reuse a live stream's id string must still be allowed
+    // to land (read-through inside the commit guard would turn an id
+    // namespace collision into a silently skipped batch).
+    assert(cold.hasBatch("stream-3"))
+    assert(!cold.isDuplicate(Some("stream-3"), None))
   }
 
   test("legacy checkpoints (unmarked batchIds) never seed the exact set") {
