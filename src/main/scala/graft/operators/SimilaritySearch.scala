@@ -274,11 +274,19 @@ object SimilaritySearch {
       // candidates ≈ all pairs; re-scoring a pair once per colliding
       // table (~5×) is far cheaper than shuffling the candidate mass.
       // Broadcasts are SIZE-GATED on the known row counts, never forced
-      // blind: past the gate Catalyst plans shuffle joins keyed on
-      // (tbl, bucket) and id — the same partitioned shape the classic
-      // branch scales by — so the fusion (verify-before-dedup) survives
-      // a 1000-executor corpus even when nothing is broadcastable.
-      val bcLimit = 64L << 20 // conservative half of the 128 MiB task arena
+      // blind. The gate is the pipeline's OPERATIVE memory bound and
+      // must admit the vector relation at realistic sizes: past it, the
+      // vector attach becomes an id-keyed SortMergeJoin whose LEFT side
+      // is the un-deduped candidate mass — measured at 128k vectors /
+      // 11 planes / radius 3, that sort tried to spill ~26G candidate
+      // rows (hundreds of GB) and filled the disk, where the broadcast
+      // form streams the same rows through two BHJs at ~1 ns/candidate
+      // and touches no disk at all. 256 MiB covers ~500k dim-64 vectors
+      // — routine for the 8-32 GiB executors a 100 TB cluster runs;
+      // beyond it, co-locate the corpus as a bucketed table (see
+      // sources/Bucketing.scala) so the verify join is shuffle-free, or
+      // use the exact indexed path (crossover note at resolveRadius).
+      val bcLimit = 256L << 20
       def gated(d: DataFrame, estBytes: Long): DataFrame =
         if (estBytes <= bcLimit) broadcast(d) else d
       val vecBytes = 24L + 8L * dim
@@ -663,7 +671,7 @@ object SimilaritySearch {
     // joins on corpus_id with only int pairs on the moving side, the
     // shape that survives a corpus no executor set can broadcast.
     val n = index.vectors.count() // persisted relation — one cheap job
-    val bcLimit = 64L << 20
+    val bcLimit = 256L << 20 // the operative memory bound; see lshPairs
     val vecBytes = 24L + 8L * index.dim
     def gated(d: DataFrame, estBytes: Long): DataFrame =
       if (estBytes <= bcLimit) broadcast(d) else d

@@ -940,6 +940,10 @@ object ScaleRun {
     // clone-inflated.
     if (which == "lshprobe") {
       val dim = 64
+      // rotations alias at mult > dim (shard i and i+dim share a
+      // rotation, so their vectors pair as exact clones — bucket-stress
+      // shape, but the "true pairs = mult× base" claim breaks)
+      require(mult <= dim, s"rotation shards alias beyond ${dim}x: $mult")
       val rotated = (0 until mult).map { i =>
         val emb = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
           .select(($"vec_id" + lit(i * 1000000L)).as("vec_id"),
