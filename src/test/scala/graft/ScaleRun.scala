@@ -952,13 +952,14 @@ object ScaleRun {
         emb
       }.reduce(_ unionAll _).persist()
       val nv = rotated.count()
+      val thr = args.lift(2).map(_.toDouble).getOrElse(0.45)
       Seq(1, -1).foreach { radius =>
         val t = System.nanoTime()
         val found = operators.SimilaritySearch.lshPairs(rotated,
-          "vec_id", "embedding", threshold = 0.45, numPlanes = 0,
+          "vec_id", "embedding", threshold = thr, numPlanes = 0,
           numTables = 14, maxBucketSize = 500, probeFlips = -1,
           probeRadius = radius).count()
-        println(f"[scale] lshprobe vectors=$nv radius=$radius " +
+        println(f"[scale] lshprobe vectors=$nv threshold=$thr radius=$radius " +
           f"pairs=$found wall=${(System.nanoTime() - t) / 1e9}%.2f")
       }
       spark.stop(); return
