@@ -194,12 +194,18 @@ object LshProbe {
   // builder alive and silently drop the radius
   private val fnName = "graft_lsh_probe_ball"
 
-  /** Probe count for a (flips, radius) ball, canonical bucket included. */
+  /** Probe count for a (flips, radius) ball, canonical bucket included.
+    * Early-exits once the running total clears the 4096 kernel cap:
+    * callers only compare against the cap, and summing the full series
+    * for a large explicit radius at flips near 64 would overflow the
+    * Long mid-series (C(64, 32) alone exceeds 2^63) — a wrapped total
+    * could slip under the cap and size a negative per-row array.
+    */
   def probeCount(flips: Int, radius: Int): Long = {
     var total = 1L
     var binom = 1L
     var s = 1
-    while (s <= radius && s <= flips) {
+    while (s <= radius && s <= flips && total <= 4096) {
       binom = binom * (flips - s + 1) / s
       total += binom
       s += 1

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.broadcast
+
+/** The size gate in front of every FORCED `broadcast()` hint the dedup /
+  * similarity verify pipelines plant (the hints deliberately exceed
+  * `spark.sql.autoBroadcastJoinThreshold` — a measured design choice: at
+  * 128k vectors the un-broadcast verify join degraded to a SortMergeJoin
+  * whose left side was the un-deduped candidate mass and spilled ~26G rows
+  * to disk-death, where the broadcast form streams the same rows through
+  * BHJs touching no disk). Past the gate the hint is DROPPED, not
+  * escalated: the join degrades to the id-keyed shuffle form, which
+  * completes where a forced broadcast would fail the build.
+  *
+  * The limit is the RAW-BYTE estimate of the relation (row count × payload
+  * bytes); resident heap for a broadcast HashedRelation is typically 2-4×
+  * that. The default (256 MiB estimated, ~0.5-1 GiB resident) assumes the
+  * 8-32 GiB executors a 100 TB cluster runs; on small-heap deployments set
+  * `spark.graft.broadcastGateBytes` to about heap/16 so the gate tracks
+  * the memory actually available instead of a hard constant.
+  */
+private[graft] object BroadcastGate {
+
+  val confKey = "spark.graft.broadcastGateBytes"
+
+  val defaultBytes: Long = 256L << 20
+
+  def bytes(df: DataFrame): Long =
+    df.sparkSession.conf.getOption(confKey)
+      .map(java.lang.Long.parseLong).getOrElse(defaultBytes)
+
+  /** `broadcast(df)` when the raw-byte estimate fits the gate, `df`
+    * untouched otherwise.
+    */
+  def gated(df: DataFrame, estBytes: Long): DataFrame =
+    if (estBytes <= bytes(df)) broadcast(df) else df
+}

@@ -133,9 +133,14 @@ object Dedup {
     // Exact-Jaccard verification of candidates only: intersection counts
     // come from joining the (small, broadcastable) pair set against the
     // exploded shingle relation — the shingle sets are never materialized
-    // as arrays, and set sizes are a cheap count per id.
+    // as arrays, and set sizes are a cheap count per id. The broadcast is
+    // SIZE-GATED ([[gatedPairs]]) on the corpus-scale path; with
+    // persist = false the inputs are small by contract (the streaming
+    // within-batch pass) and the hint stays forced — a count job plus a
+    // cache registration per micro-batch would cost more than it guards.
     val sizes = shex.groupBy($"id").agg(count(lit(1)).as("n"))
-    val inter = broadcast(cand)
+    val candGated = if (persist) gatedPairs(cached(cand)) else broadcast(cand)
+    val inter = candGated
       .join(shex.select($"id".as("a_id"), $"h"), "a_id")
       .join(shex.select($"id".as("b_id"), $"h".as("h_b")), Seq("b_id"))
       .filter($"h" === $"h_b")
@@ -198,6 +203,7 @@ object Dedup {
                else dfAgg).filter($"df" > 1).select($"sh")
     val sh2 = sh.join(hot, "sh").persist()
     var shShared: DataFrame = null
+    var plausibleP: DataFrame = null
     val candInter = sh2.as("a")
       .join(sh2.as("b"), $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
@@ -247,7 +253,8 @@ object Dedup {
           .select($"a_id", $"b_id")
         shShared = sh.join(
           dfAgg.filter($"df" > 1).select($"sh"), "sh").persist()
-        broadcast(plausible)
+        plausibleP = plausible.persist()
+        gatedPairs(plausibleP)
           .join(shShared.select($"doc_id".as("a_id"), $"sh"), "a_id")
           // equi-join on BOTH (b_id, sh): each surviving row IS one
           // shared shingle — joining on b_id alone would cross a's
@@ -264,8 +271,25 @@ object Dedup {
         $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
       .filter($"jaccard" >= threshold)
       .select($"a_id", $"b_id", round($"jaccard", 4).as("jaccard"))
-    materializeAndRelease(pairs, Seq(sh, sh2) ++ Option(shShared))
+    materializeAndRelease(pairs,
+      Seq(sh, sh2) ++ Option(shShared) ++ Option(plausibleP))
   }
+
+  /** Candidate-pair broadcast gate for the exact-verification tails: the
+    * pair relation arrives PERSISTED (so its generating join runs once —
+    * the measuring count and the verify join share the blocks), is
+    * counted, and broadcasts only under [[BroadcastGate]]. Past the gate
+    * the hint is dropped and the verify join degrades to the id-keyed
+    * shuffle form — slower, but it completes where a forced broadcast
+    * build fails (the forced form's measured headroom: 11.1M pairs,
+    * 255 s, 8g heap; a past-headroom corpus used to die loudly there).
+    * The degrade is safe precisely because these joins are keyed on pair
+    * ids on BOTH sides — unlike the vector path's candidate-mass join
+    * (SimilaritySearch gate note), nothing un-deduped reaches a sort.
+    * 48 bytes/row estimated: two longs plus row padding.
+    */
+  private def gatedPairs(cand: DataFrame): DataFrame =
+    BroadcastGate.gated(cand, cand.count() * 48L)
 
   /** Eagerly materialize `result` into the cache, then release the plan's
     * internally-persisted intermediates — they have served their (single
@@ -406,10 +430,12 @@ object Dedup {
 
   /** Exact-verification tail shared by the candidate-generation schemes:
     * recount |x∩y| over the FULL shingle relation restricted to candidate
-    * pairs, attach sizes, filter on exact Jaccard. Candidates broadcast —
-    * they are the post-filter survivors (bounded by the true pair count ×
-    * a small factor), not the quadratic candidate space; at sizes where
-    * even that overflows, drop the hint and let AQE pick the join.
+    * pairs, attach sizes, filter on exact Jaccard. Candidates broadcast
+    * under the [[gatedPairs]] size gate — they are the post-filter
+    * survivors (bounded by the true pair count × a small factor), not
+    * the quadratic candidate space; past the gate the hint drops and the
+    * recount becomes an id-keyed shuffle join, which completes where a
+    * forced broadcast build would fail.
     */
   private def verifyJaccardCandidates(
       cand: DataFrame,
@@ -418,7 +444,7 @@ object Dedup {
       threshold: Double): DataFrame = {
     val spark = cand.sparkSession
     import spark.implicits._
-    broadcast(cand)
+    gatedPairs(cand.persist())
       .join(sh.select($"doc_id".as("a_id"), $"sh"), "a_id")
       // equi-join on BOTH (b_id, sh): each surviving row IS one shared
       // shingle (see jaccardPairs' capped path)
@@ -483,6 +509,7 @@ object Dedup {
     // hot in the corpus alone still fans out per batch occurrence).
     // Only the capped branch forces (and therefore persists) df2.
     var df2Persisted = false
+    var plausibleP: DataFrame = null
     lazy val df2 = {
       df2Persisted = true
       bSh.select($"sh").union(cSh.select($"sh"))
@@ -523,7 +550,8 @@ object Dedup {
             ($"nb" + $"nc" - $"imax") >= threshold)
           .select($"batch_id", $"corpus_id")
         val shared = df2.filter($"df" > 1).select($"sh")
-        broadcast(plausible)
+        plausibleP = plausible.persist()
+        gatedPairs(plausibleP)
           .join(bSh.join(shared, "sh"), "batch_id")
           .join(cSh.join(shared, "sh"), Seq("corpus_id", "sh"))
           .groupBy($"batch_id", $"corpus_id").agg(count(lit(1)).as("inter"))
@@ -536,7 +564,8 @@ object Dedup {
       .filter($"jaccard" >= threshold)
       .select($"batch_id", $"corpus_id", round($"jaccard", 4).as("jaccard"))
     materializeAndRelease(pairs,
-      Seq(bSh, cSh) ++ (if (df2Persisted) Seq(df2) else Nil))
+      Seq(bSh, cSh) ++ (if (df2Persisted) Seq(df2) else Nil) ++
+        Option(plausibleP))
   }
 
   /** Incremental MinHash-LSH: near-dup pairs between a new batch and the

@@ -174,7 +174,14 @@ object SimilaritySearch {
     * @param probeRadius Hamming-ball radius over the f closest planes;
     *        -1 (default) = the [[resolveRadius]] law (radius 1 at the
     *        gate geometry — single flips, unchanged — growing with
-    *        planes so at-threshold recall survives the adaptive sizing)
+    *        planes so at-threshold recall survives the adaptive sizing),
+    *        PLUS the [[resolveTables]] growth arm: where the radius cap
+    *        still misses the 1e-3 per-pair bar, tables grow additively
+    *        (existing tables keep their hyperplanes — the candidate set
+    *        only widens) to the smallest count reaching it, capped at
+    *        [[maxGrownTables]] with the residual [[missBound]] logged;
+    *        0 = single-bit flips only (the pre-law behavior, no growth);
+    *        explicit r ≥ 1 pins the radius and the table count
     * @return (a_id, b_id, cosine) with a_id < b_id, one row per pair
     */
   def lshPairs(
@@ -188,7 +195,31 @@ object SimilaritySearch {
       seed: Long = 42L,
       persist: Boolean = true,
       probeFlips: Int = 0,
-      probeRadius: Int = -1): DataFrame = {
+      probeRadius: Int = -1): DataFrame =
+    lshPairsImpl(df, idCol, vecCol, threshold, numPlanes, numTables,
+      maxBucketSize, seed, persist, probeFlips, probeRadius,
+      allowBlocked = true, cacheSink = null)
+
+  /** The lshPairs body. `allowBlocked = false` pins the monolithic fused
+    * pipeline (used by [[lshPairsBlocked]]'s passes — a pass must never
+    * re-split). `cacheSink`, when non-null, collects every relation this
+    * call persists so the caller can release them once the result is
+    * materialized (the blocked driver's per-pass hygiene).
+    */
+  private[operators] def lshPairsImpl(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numPlanes: Int,
+      numTables: Int,
+      maxBucketSize: Int,
+      seed: Long,
+      persist: Boolean,
+      probeFlips: Int,
+      probeRadius: Int,
+      allowBlocked: Boolean,
+      cacheSink: scala.collection.mutable.Buffer[DataFrame]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // Norms once (n rows), so verification does only the fused dot. With
@@ -198,7 +229,12 @@ object SimilaritySearch {
     // subtrees); blocks die with the session. persist = false is for
     // repeated small-input calls (the streaming within-batch pass) where
     // an unreleased cache per call would leak.
-    def cached(d: DataFrame): DataFrame = if (persist) d.persist() else d
+    def cached(d: DataFrame): DataFrame =
+      if (persist) {
+        val p = d.persist()
+        if (cacheSink != null) cacheSink += p
+        p
+      } else d
     val e = cached(normedVectors(df, idCol, vecCol, "id", "v", "nrm"))
     val firstRow = e.select(size($"v")).take(1)
     if (firstRow.isEmpty) { // empty corpus: no pairs, and no dim to bucket by
@@ -214,15 +250,50 @@ object SimilaritySearch {
     // pass is bounded by them): numPlanes = 0 → the sizing law,
     // probeFlips = -1 → the plane-matched probe count.
     val n = e.count()
+    // BEYOND-GATE ROUTING: the fused verify is scale-safe only while the
+    // vector relation broadcasts — past the gate the SMJ degrade sorts
+    // the un-deduped candidate mass (measured disk-death at 128k
+    // vectors, r11). When this corpus provably cannot broadcast but a
+    // blocked split can (2..maxBlockedChunks chunk-pair passes each
+    // under the gate), route to [[lshPairsBlocked]] — identical pair set
+    // (superset under a bucket cap), memory-bounded at any corpus size.
+    if (allowBlocked && persist) {
+      val c = blockedChunks(n, dim, BroadcastGate.bytes(df))
+      if (c >= 2 && c <= maxBlockedChunks) {
+        e.unpersist(blocking = false)
+        return lshPairsBlocked(df, idCol, vecCol, threshold, numPlanes,
+          numTables, maxBucketSize, seed, probeFlips, probeRadius, c)
+      }
+    }
     val planes = if (numPlanes > 0) numPlanes else adaptivePlanes(n)
     val flips = resolveFlips(probeFlips, planes)
     val radius = resolveRadius(probeRadius, threshold, planes, numTables, flips)
+    // Table growth ([[resolveTables]]) only when the law owns the radius
+    // (probeRadius = -1): an explicit radius or flips = 0 is a deliberate
+    // opt-down and keeps the caller's table count. Gate configs are
+    // untouched (4 planes × 14 tables at 0.45: bound 1.1e-5, no growth);
+    // the arm engages exactly where the radius cap used to leave a
+    // silent floor (12+ planes at loose thresholds).
+    val tables =
+      if (probeRadius == -1 && flips > 0)
+        resolveTables(numTables, threshold, planes, radius)
+      else numTables
+    if (flips > 0) {
+      val bound = missBound(threshold, planes, tables, radius)
+      if (bound > 1e-3)
+        org.apache.logging.log4j.LogManager.getLogger(getClass).warn(
+          f"lshPairs geometry planes=$planes tables=$tables radius=$radius " +
+            f"misses up to $bound%.3g of at-threshold pairs " +
+            f"(threshold=$threshold%.2f, recall floor ${1 - bound}%.4f, " +
+            "table growth capped) — consider the exact indexed path; " +
+            "the bound is SimilaritySearch.missBound(...)")
+    }
 
     // (id, table, dots) once — canonical buckets AND probe flips derive
     // from the same cached dots, so the expensive hyperplane projection
     // runs once however many probe shapes read it.
     val dotsRel = cached(tableDotsRelation(e, "id", "v",
-      planes, numTables, dim, seed))
+      planes, tables, dim, seed))
     // (id, table, bucket) rows — ints only, numTables per vector.
     val bucketed = dotsRel
       .select($"id", $"tbl", bucketFromDots(planes).as("bucket"))
@@ -281,20 +352,24 @@ object SimilaritySearch {
       // 11 planes / radius 3, that sort tried to spill ~26G candidate
       // rows (hundreds of GB) and filled the disk, where the broadcast
       // form streams the same rows through two BHJs at ~1 ns/candidate
-      // and touches no disk at all. 256 MiB covers ~500k dim-64 vectors
-      // — routine for the 8-32 GiB executors a 100 TB cluster runs;
-      // beyond it, co-locate the corpus as a bucketed table (see
-      // sources/Bucketing.scala) so the verify join is shuffle-free, or
-      // use the exact indexed path (crossover note at resolveRadius).
-      val bcLimit = 256L << 20
+      // and touches no disk at all. The default gate (256 MiB estimated,
+      // [[BroadcastGate]]) covers ~500k dim-64 vectors — routine for the
+      // 8-32 GiB executors a 100 TB cluster runs; small-heap deployments
+      // lower it via spark.graft.broadcastGateBytes. Beyond it the
+      // routing above has already split the corpus into gate-sized
+      // chunk pairs ([[lshPairsBlocked]]) so every pass stays on this
+      // broadcast path — bucketed co-location CANNOT save the SMJ form
+      // (the candidate side is born at runtime; any sort/exchange of
+      // 10-40G candidate rows is the disk-kill), so the degrade below
+      // remains reachable only through an explicit gate opt-out.
       def gated(d: DataFrame, estBytes: Long): DataFrame =
-        if (estBytes <= bcLimit) broadcast(d) else d
+        BroadcastGate.gated(d, estBytes)
       val vecBytes = 24L + 8L * dim
       val probes = dotsRel.select($"id", $"tbl",
         explode(graft.functions.LshProbe.probeBucketsFast(
           spark, $"ds", flips, radius)).as("bucket"))
       probes.as("p")
-        .join(gated(capped.as("c"), n * numTables * 24L),
+        .join(gated(capped.as("c"), n * tables * 24L),
           $"p.tbl" === $"c.tbl" && $"p.bucket" === $"c.bucket" &&
             $"p.id" =!= $"c.id")
         .join(gated(e.select($"id".as("pid"), $"v".as("p_v"), $"nrm".as("p_n")),
@@ -309,6 +384,133 @@ object SimilaritySearch {
           greatest($"p.id", $"c.id").as("b_id"), $"cos")
         .groupBy($"a_id", $"b_id").agg(first($"cos").as("c0"))
         .select($"a_id", $"b_id", round($"c0", 4).as("cosine"))
+    }
+  }
+
+  /** Chunk count for the blocked-broadcast arm: the smallest C whose
+    * chunk-PAIR unions (2n/C vectors) fit the broadcast gate. ≤ 1 means
+    * the whole corpus broadcasts (no blocking); a non-positive gate
+    * disables blocking entirely (the explicit opt-out: the SMJ degrade
+    * becomes reachable again, which the gate-equality specs exercise).
+    */
+  private[operators] def blockedChunks(n: Long, dim: Int,
+      gateBytes: Long): Int = {
+    if (gateBytes <= 0L) return 1
+    val vecBytes = 24L + 8L * dim
+    val c = (2L * n * vecBytes + gateBytes - 1L) / gateBytes
+    math.min(c, Int.MaxValue.toLong).toInt
+  }
+
+  /** Past [[maxBlockedChunks]] a pass itself no longer fits the gate
+    * budget shape (≈16M dim-64 vectors at the default gate) — the
+    * prescription out there is the exact indexed path or a higher
+    * threshold, not more blocking.
+    */
+  private[operators] val maxBlockedChunks = 64
+
+  /** BLOCKED-BROADCAST all-pairs LSH — the beyond-gate arm of
+    * [[lshPairs]] (classic block-nested-loop decomposition, the shape
+    * distributed all-pairs similarity joins use when neither side fits
+    * memory — cf. Vernica et al., SIGMOD 2010). Why it exists: past the
+    * broadcast gate the fused verify degrades to a SortMergeJoin that
+    * SORTS the un-deduped candidate mass — measured at 128k vectors
+    * (r11) that sort spilled ~26G rows and filled the disk, and no
+    * bucketed co-location fixes it (the candidate side is born at
+    * runtime with arbitrary distribution; ANY exchange or sort of
+    * 10-40G candidate rows is the disk-kill). The only scale-safe
+    * shape keeps verification map-side. So: split the corpus into C
+    * deterministic hash-chunks (pmod(xxhash64(id), C)) sized so any
+    * chunk PAIR fits the gate, run the fused broadcast pipeline once
+    * per self-pass (i, i) and once per cross-pass (i, j) on the
+    * chunk-pair union, keep each cross-pass's cross-chunk pairs only,
+    * and union the C(C+1)/2 passes.
+    *
+    * Cost model: candidate/verify work ≈ 2× the monolithic form (each
+    * cross-pass regenerates the union's within-chunk candidates only to
+    * filter them; the self-passes re-add ~1/C); bucketing/dots ≈ C×
+    * (cheap, narrow); peak broadcast memory = one chunk pair ≤ the
+    * gate, AT ANY CORPUS SIZE. Disk: zero — candidates never leave
+    * their codegen stage, exactly as within the gate.
+    *
+    * Result contract: geometry is pinned from the FULL corpus (planes
+    * from [[adaptivePlanes]](n), radius/tables from the laws) and every
+    * vector's buckets depend only on (vector, seed, planes, tables), so
+    * with maxBucketSize = 0 the pair set is EXACTLY the monolithic
+    * broadcast form's (BroadcastGateSpec pins it). With a cap > 0,
+    * populations are measured per pass (2n/C ≤ n rows), so caps trip
+    * no more often than monolithic: the result is a verified SUPERSET —
+    * the cap exists to bound per-pass skew work, and the pass IS the
+    * unit of work. Returned EAGERLY materialized and cached (pass
+    * intermediates must be released before returning, which requires
+    * computing the result first — the jaccardPairs contract); the
+    * caller owns `unpersist()`.
+    *
+    * @param chunks 0 (default) = auto from the [[BroadcastGate]] budget;
+    *        explicit c ≥ 2 pins the split (the equality spec's lever)
+    */
+  def lshPairsBlocked(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numPlanes: Int = 0,
+      numTables: Int = 8,
+      maxBucketSize: Int = 0,
+      seed: Long = 42L,
+      probeFlips: Int = 0,
+      probeRadius: Int = -1,
+      chunks: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dimRow = df.select(size(VectorOps.toDoubles(col(vecCol)))).take(1)
+    val n = if (dimRow.isEmpty) 0L else df.count()
+    val c =
+      if (chunks >= 2) chunks
+      else if (dimRow.isEmpty) 1
+      else blockedChunks(n, dimRow.head.getInt(0), BroadcastGate.bytes(df))
+    if (c <= 1)
+      return lshPairsImpl(df, idCol, vecCol, threshold, numPlanes,
+        numTables, maxBucketSize, seed, persist = true, probeFlips,
+        probeRadius, allowBlocked = false, cacheSink = null)
+    require(c <= maxBlockedChunks,
+      s"corpus needs $c chunks (> $maxBlockedChunks): past the blocked " +
+        "envelope — use the exact indexed path or raise the threshold")
+    // geometry pinned from the FULL corpus before splitting: a pass must
+    // bucket exactly as the monolithic run would
+    val planes = if (numPlanes > 0) numPlanes else adaptivePlanes(n)
+    def chunkOf(idExpr: Column): Column = pmod(xxhash64(idExpr), lit(c))
+    val results = scala.collection.mutable.Buffer.empty[DataFrame]
+    try {
+      for (i <- 0 until c; j <- i until c) {
+        val input =
+          if (i == j) df.filter(chunkOf(col(idCol)) === i)
+          else df.filter(chunkOf(col(idCol)) === i or
+            chunkOf(col(idCol)) === j)
+        val sink = scala.collection.mutable.Buffer.empty[DataFrame]
+        val pass = lshPairsImpl(input, idCol, vecCol, threshold, planes,
+          numTables, maxBucketSize, seed, persist = true, probeFlips,
+          probeRadius, allowBlocked = false, cacheSink = sink)
+        // a cross-pass keeps cross-chunk pairs only — its within-chunk
+        // pairs belong to (and are produced by) the self-passes
+        val kept =
+          if (i == j) pass
+          else pass.filter(chunkOf($"a_id") =!= chunkOf($"b_id"))
+        val out = kept.persist()
+        try out.count()
+        catch {
+          case t: Throwable => out.unpersist(blocking = false); throw t
+        } finally sink.foreach(_.unpersist(blocking = false))
+        results += out
+      }
+      val all = results.reduce(_ unionAll _).persist()
+      try all.count()
+      catch {
+        case t: Throwable => all.unpersist(blocking = false); throw t
+      } finally results.foreach(_.unpersist(blocking = false))
+      all
+    } catch {
+      case t: Throwable =>
+        results.foreach(_.unpersist(blocking = false)); throw t
     }
   }
 
@@ -386,34 +588,89 @@ object SimilaritySearch {
     * and the law picks radius 2 (4.5e-4, 37 probes/table). The cap
     * bounds cost: the ball is Σ C(flips, s), exponential in radius —
     * where the capped radius still misses the 1e-3 bar (12+ planes at
-    * cosine 0.45) the bound above IS the documented recall floor, and
-    * MultiProbeCompletenessSpec measures it. The bound treats the d
+    * cosine 0.45) [[resolveTables]] grows the table count to close it
+    * (lshPairs only — a standing index's geometry is pinned, so the
+    * index path logs the residual [[missBound]] instead), and
+    * MultiProbeCompletenessSpec measures both arms. The bound treats the d
     * differing planes as covered by the flips-closest selection — the
     * query-directed property (Lv VLDB'07): differing planes are exactly
     * the small-|dot| ones; the spec validates the approximation.
     */
   private[operators] def resolveRadius(probeRadius: Int, threshold: Double,
       numPlanes: Int, numTables: Int, flips: Int): Int = {
+    require(probeRadius >= -1,
+      s"probeRadius must be -1 (the law), 0 (single flips) or >= 1: $probeRadius")
     if (flips <= 0) return 0
+    // 0 = explicit opt-down to the pre-law single-bit-flip probes
+    // (radius 1) — NOT the law: a caller spelling out 0 is asking for
+    // plain flip behavior, and silently handing back the law radius
+    // would multiply their probe cost unasked.
+    if (probeRadius == 0) return 1
     if (probeRadius >= 1) return math.min(probeRadius, flips)
     val cap = math.min(3, flips)
-    val p = 1.0 -
-      math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
-    def missBound(r: Int): Double = {
-      var cum = 0.0
-      var binom = 1.0
-      var d = 0
-      while (d <= r) {
-        if (d > 0) binom = binom * (numPlanes - d + 1) / d
-        cum += binom * math.pow(p, numPlanes - d) * math.pow(1 - p, d)
-        d += 1
-      }
-      math.pow(1.0 - math.min(cum, 1.0), numTables)
-    }
     var r = 1
-    while (r < cap && missBound(r) > 1e-3) r += 1
+    while (r < cap && missBound(threshold, numPlanes, numTables, r) > 1e-3)
+      r += 1
     r
   }
+
+  /** Per-pair AT-THRESHOLD miss bound of a (planes, tables, radius)
+    * geometry — the machine-readable recall floor (recall ≥ 1 − bound for
+    * pairs at the threshold itself; strictly better above it). Public so
+    * a caller can decide between the LSH and exact paths on a number
+    * instead of a docs caveat. Derivation at [[resolveRadius]]: a pair at
+    * cosine θ differs per table in Binomial(planes, 1 − p) planes with
+    * p = 1 − θ/π, the per-table hit ceiling is P[d ≤ radius], and tables
+    * are independent (OR-construction).
+    */
+  def missBound(threshold: Double, numPlanes: Int, numTables: Int,
+      radius: Int): Double =
+    math.pow(1.0 - perTableHit(threshold, numPlanes, radius), numTables)
+
+  private def perTableHit(threshold: Double, numPlanes: Int,
+      radius: Int): Double = {
+    val p = 1.0 -
+      math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    var cum = 0.0
+    var binom = 1.0
+    var d = 0
+    while (d <= radius) {
+      if (d > 0) binom = binom * (numPlanes - d + 1) / d
+      cum += binom * math.pow(p, numPlanes - d) * math.pow(1 - p, d)
+      d += 1
+    }
+    math.min(cum, 1.0)
+  }
+
+  /** THE TABLE-GROWTH ARM of the probe law: when the radius cap (3)
+    * binds before the 1e-3 per-pair miss bar — 12+ planes at a loose
+    * threshold, i.e. multi-million-vector corpora deduped near 0.45 —
+    * radius can't buy completeness (the ball is exponential in radius)
+    * but tables still can (the bound is exponential in T): grow to the
+    * smallest T reaching 1e-3, capped at [[maxGrownTables]]. Growth is
+    * strictly additive — tables t < numTables keep their seed-derived
+    * hyperplanes, so the candidate set is a superset of the ungrown
+    * geometry's and verification stays exact: results only gain true
+    * pairs. Where even the cap can't reach the bar (20+ planes at 0.45,
+    * ≈134M+ vectors) the residual bound is returned alongside and logged
+    * — the caller's signal to take the exact indexed path.
+    */
+  private[operators] def resolveTables(numTables: Int, threshold: Double,
+      numPlanes: Int, radius: Int): Int = {
+    val hit = perTableHit(threshold, numPlanes, radius)
+    if (math.pow(1.0 - hit, numTables) <= 1e-3) numTables
+    else if (hit <= 0.0) numTables // growth can't help a zero-hit geometry
+    else {
+      val need = math.ceil(math.log(1e-3) / math.log(1.0 - hit)).toInt
+      math.max(numTables, math.min(need, maxGrownTables))
+    }
+  }
+
+  /** Ceiling for [[resolveTables]]: 64 tables ≈ 4.6× the gate config's
+    * probe mass — past it the per-table hit is so weak that the LSH path
+    * has lost to the exact indexed one anyway.
+    */
+  private[operators] val maxGrownTables = 64
 
   /** (idAs, vAs, nrmAs): vectors as doubles plus their L2 norm — the
     * common head of every LSH relation. Column names are parameters
@@ -631,6 +888,20 @@ object SimilaritySearch {
     val flips = resolveFlips(probeFlips, index.numPlanes)
     val radius = resolveRadius(probeRadius, threshold,
       index.numPlanes, index.numTables, flips)
+    // A standing index's geometry is PINNED (it stores canonical buckets
+    // for exactly numTables seed-derived tables), so the lshPairs table-
+    // growth arm cannot apply here — where the capped radius leaves the
+    // law's 1e-3 bar unmet, surface the machine-readable floor instead.
+    if (flips > 0) {
+      val bound = missBound(threshold, index.numPlanes, index.numTables, radius)
+      if (bound > 1e-3)
+        org.apache.logging.log4j.LogManager.getLogger(getClass).warn(
+          f"lshPairsAgainstIndex geometry planes=${index.numPlanes} " +
+            f"tables=${index.numTables} radius=$radius misses up to " +
+            f"$bound%.3g of at-threshold pairs (threshold=$threshold%.2f, " +
+            f"recall floor ${1 - bound}%.4f; index geometry pinned) — " +
+            "rebuild the index with more tables or use the exact path")
+    }
     // Batch-side query-directed multi-probe (see [[graft.functions.LshProbeBuckets]]):
     // the increment probes its exact buckets PLUS its `probeFlips`
     // closest-plane flips per table. Probing is batch-side only — the
@@ -671,10 +942,10 @@ object SimilaritySearch {
     // joins on corpus_id with only int pairs on the moving side, the
     // shape that survives a corpus no executor set can broadcast.
     val n = index.vectors.count() // persisted relation — one cheap job
-    val bcLimit = 256L << 20 // the operative memory bound; see lshPairs
     val vecBytes = 24L + 8L * index.dim
+    // the operative memory bound; see lshPairs and [[BroadcastGate]]
     def gated(d: DataFrame, estBytes: Long): DataFrame =
-      if (estBytes <= bcLimit) broadcast(d) else d
+      BroadcastGate.gated(d, estBytes)
     index.buckets
       .join(broadcast(bCapped), Seq("tbl", "bucket"))
       .select($"batch_id", $"corpus_id")

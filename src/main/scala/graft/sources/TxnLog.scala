@@ -712,8 +712,15 @@ final class TxnLog(root: String, checkpointInterval: Int = 10,
     val i = batchId.lastIndexOf('-')
     i > 0 && i < batchId.length - 1 && {
       val suffix = batchId.substring(i + 1)
-      // <= 18 digits: parseable as a non-negative Long without overflow
+      // <= 18 digits: parseable as a non-negative Long without overflow.
+      // CANONICAL forms only ("0" or no leading zero): the committer
+      // writes s"$appId-$batchNum" unpadded, so "stream-03" is an id it
+      // can never have produced — answering true for it (03 parses to
+      // 3 <= high-water) would veto a genuinely new batch from an
+      // external txn-free caller using zero-padded ids in a colliding
+      // app namespace.
       suffix.length <= 18 && suffix.forall(c => c >= '0' && c <= '9') &&
+        (suffix == "0" || suffix.charAt(0) != '0') &&
         Option(txnHighWater.get(batchId.substring(0, i)))
           .exists(suffix.toLong <= _.longValue())
     }

@@ -1,0 +1,171 @@
+package graft
+
+import graft.operators.{BroadcastGate, Dedup, SimilaritySearch}
+
+/** The r12 gate unification: every FORCED candidate-pair broadcast in the
+  * dedup / similarity verify tails now passes through [[BroadcastGate]] —
+  * past the gate the hint DROPS and the verify join degrades to the
+  * id-keyed shuffle form instead of failing the broadcast build (the
+  * r11-measured forced-broadcast headroom was 11.1M pairs). Result
+  * equality is the contract: the hint is a physical-plan choice, so the
+  * gated (shuffle) and ungated (broadcast) forms must return identical
+  * pair sets. Forcing the degrade here is one conf flip: gate = 0 bytes.
+  */
+class BroadcastGateSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docs = Tables.load(spark, dir, "documents")
+
+  private def withGate[T](bytes: Long)(f: => T): T = {
+    spark.conf.set(BroadcastGate.confKey, bytes.toString)
+    try f
+    finally spark.conf.unset(BroadcastGate.confKey)
+  }
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[String] = {
+    import spark.implicits._
+    val cols = df.columns.toSeq
+    df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .collect().map(_.mkString("|")).toSet
+  }
+
+  test("gate default and conf override") {
+    assert(BroadcastGate.bytes(docs) == (256L << 20))
+    withGate(1024L) { assert(BroadcastGate.bytes(docs) == 1024L) }
+  }
+
+  test("minhash verify tail: shuffle degrade == broadcast form") {
+    val hinted = pairSet(Dedup.minhashPairs(docs, "doc_id", "text",
+      threshold = 0.5))
+    val degraded = withGate(0L) {
+      pairSet(Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5))
+    }
+    assert(degraded == hinted && hinted.nonEmpty)
+  }
+
+  test("prefix (PPJoin) verify tail: shuffle degrade == broadcast form") {
+    val hinted = pairSet(Dedup.jaccardPairsPrefix(docs, "doc_id", "text",
+      threshold = 0.5))
+    val degraded = withGate(0L) {
+      pairSet(Dedup.jaccardPairsPrefix(docs, "doc_id", "text",
+        threshold = 0.5))
+    }
+    assert(degraded == hinted && hinted.nonEmpty)
+  }
+
+  test("capped-jaccard recount tail: shuffle degrade == broadcast form") {
+    // maxPostingList > 0 is the branch whose plausible-pair recount
+    // carried the forced broadcast
+    val hinted = pairSet(Dedup.jaccardPairs(docs, "doc_id", "text",
+      threshold = 0.5, maxPostingList = 64))
+    val degraded = withGate(0L) {
+      pairSet(Dedup.jaccardPairs(docs, "doc_id", "text",
+        threshold = 0.5, maxPostingList = 64))
+    }
+    assert(degraded == hinted && hinted.nonEmpty)
+  }
+
+  test("incremental jaccard-vs-corpus recount tail: shuffle degrade == broadcast form") {
+    import org.apache.spark.sql.functions._
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val hinted = pairSet(Dedup.jaccardPairsAgainst(batch, corpus,
+      "doc_id", "text", threshold = 0.5, maxPostingList = 64))
+    val degraded = withGate(0L) {
+      pairSet(Dedup.jaccardPairsAgainst(batch, corpus,
+        "doc_id", "text", threshold = 0.5, maxPostingList = 64))
+    }
+    assert(degraded == hinted && hinted.nonEmpty)
+  }
+
+  test("blocked-broadcast arm: explicit chunks == monolithic (cap = 0)") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val mono = pairSet(SimilaritySearch.lshPairs(emb, "vec_id", "embedding",
+      threshold = 0.45, numPlanes = 4, numTables = 14, probeFlips = 2))
+    Seq(2, 3, 5).foreach { c =>
+      val blocked = SimilaritySearch.lshPairsBlocked(emb, "vec_id",
+        "embedding", threshold = 0.45, numPlanes = 4, numTables = 14,
+        probeFlips = 2, chunks = c)
+      try assert(pairSet(blocked) == mono && mono.nonEmpty, s"chunks=$c")
+      finally blocked.unpersist(blocking = false)
+    }
+  }
+
+  test("blocked-broadcast arm: lshPairs auto-routes past the gate, result unchanged") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val mono = SimilaritySearch.lshPairs(emb, "vec_id", "embedding",
+      threshold = 0.45, numPlanes = 4, numTables = 14, probeFlips = 2)
+    assert(mono.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "under the gate lshPairs must stay the lazy monolithic plan")
+    val monoSet = pairSet(mono)
+    // 500 dim-64 vectors estimate 268 kB; a 150 kB gate forces C = 4 —
+    // the corpus provably cannot broadcast but chunk pairs can, so
+    // lshPairs must route to the blocked arm (observable: the result
+    // comes back materialized-and-cached) and return the same pairs.
+    val routed = withGate(150L * 1024) {
+      SimilaritySearch.lshPairs(emb, "vec_id", "embedding",
+        threshold = 0.45, numPlanes = 4, numTables = 14, probeFlips = 2)
+    }
+    try {
+      assert(routed.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+        "past the gate lshPairs must route to the blocked arm")
+      assert(pairSet(routed) == monoSet && monoSet.nonEmpty)
+    } finally routed.unpersist(blocking = false)
+  }
+
+  test("blocked-broadcast arm: per-pass bucket caps are a verified superset") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.load(spark, dir, "embeddings")
+    // a cap small enough to actually trip on the 500-vector corpus:
+    // per-pass populations (~n/chunks per bucket cell) trip it no more
+    // often than the monolithic full-corpus populations, so blocked may
+    // only ADD pairs — and every added pair is still exact-verified
+    val mono = pairSet(SimilaritySearch.lshPairs(emb, "vec_id", "embedding",
+      threshold = 0.45, numPlanes = 4, numTables = 14, probeFlips = 2,
+      maxBucketSize = 40))
+    val blocked = SimilaritySearch.lshPairsBlocked(emb, "vec_id",
+      "embedding", threshold = 0.45, numPlanes = 4, numTables = 14,
+      probeFlips = 2, maxBucketSize = 40, chunks = 3)
+    try {
+      val bSet = pairSet(blocked)
+      assert(mono.subsetOf(bSet), s"blocked lost ${(mono -- bSet).size} pairs")
+      assert(blocked.filter(col("cosine") < 0.45).count() == 0L)
+    } finally blocked.unpersist(blocking = false)
+  }
+
+  test("fused verify plan: broadcast within the gate, SMJ only on explicit opt-out") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    def plan(d: org.apache.spark.sql.DataFrame): String =
+      d.queryExecution.executedPlan.toString
+    val fused = plan(SimilaritySearch.lshPairs(emb, "vec_id", "embedding",
+      threshold = 0.45, numPlanes = 4, numTables = 14, probeFlips = 2))
+    assert(fused.contains("BroadcastHashJoin"))
+    assert(!fused.contains("SortMergeJoin"),
+      "candidate mass must never reach a sort within the gate")
+    // the opt-out leg drops OUR hint; Catalyst's own
+    // autoBroadcastJoinThreshold would still pick BHJ for a corpus this
+    // small, so suppress it to expose the hint-free join choice
+    val optOut = withGate(0L) {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try plan(SimilaritySearch.lshPairs(emb, "vec_id", "embedding",
+        threshold = 0.45, numPlanes = 4, numTables = 14, probeFlips = 2))
+      finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+    assert(optOut.contains("SortMergeJoin"),
+      "gate <= 0 is the documented opt-out back to the shuffle join")
+  }
+
+  test("LSH fused verify: shuffle degrade == broadcast form") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val hinted = pairSet(SimilaritySearch.lshPairs(emb, "vec_id",
+      "embedding", threshold = 0.45, numPlanes = 4, numTables = 14,
+      maxBucketSize = 500, probeFlips = 2))
+    val degraded = withGate(0L) {
+      pairSet(SimilaritySearch.lshPairs(emb, "vec_id", "embedding",
+        threshold = 0.45, numPlanes = 4, numTables = 14,
+        maxBucketSize = 500, probeFlips = 2))
+    }
+    assert(degraded == hinted && hinted.nonEmpty)
+  }
+}

@@ -129,31 +129,52 @@ class MultiProbeCompletenessSpec extends SparkSpec {
     r
   }
 
+  /** The resolveTables growth arm, rebuilt independently: where the
+    * capped radius leaves the per-pair miss above 1e-3, the smallest
+    * table count reaching it, capped at 64. */
+  private def lawTables(threshold: Double, planes: Int, tables: Int,
+      radius: Int): Int = {
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val hit = math.min(1.0, (0 to radius).map { d =>
+      (1 to d).map(i => (planes - i + 1).toDouble / i).product *
+        math.pow(p, planes - d) * math.pow(1 - p, d)
+    }.sum)
+    if (math.pow(1 - hit, tables) <= 1e-3 || hit <= 0.0) tables
+    else math.max(tables,
+      math.min(math.ceil(math.log(1e-3) / math.log(1 - hit)).toInt, 64))
+  }
+
   test("adaptive geometries (8/12/16 planes): ball-probe completeness and recall floors") {
     // The r10 envelope gap: candidate completeness was proven only at
     // the 4-plane gate geometry, while the adaptive sizing law gives
     // larger corpora 8+ planes — where single-bit flips can NEVER reach
     // a pair whose buckets differ in >= 2 planes. The radius law
-    // (resolveRadius) closes it. Two claims per geometry, on random
-    // isotropic corpora with pairs planted bracketing the threshold:
+    // (resolveRadius) closes it through 8 planes; where the radius cap
+    // binds (12/16 planes at cosine 0.45) the r12 TABLE-GROWTH arm
+    // (resolveTables) grows the table count to the 1e-3 bar — closing
+    // the 16-plane 0.952 measured floor r11 documented. Two claims per
+    // geometry, on random isotropic corpora with pairs planted
+    // bracketing the threshold:
     //  1. DETERMINISTIC mechanism completeness: every exact pair within
-    //     ball radius of some table (driver-rebuilt predicate) IS
-    //     returned, and nothing below threshold ever is — the kernel,
-    //     explode, joins and dedup lose nothing the geometry reaches.
-    //  2. MEASURED recall >= the documented floor implied by the law's
-    //     miss bound (1e-3 where the bound holds; lower where the
-    //     radius cap binds — 12/16 planes at cosine 0.45).
+    //     ball radius of some GROWN table (driver-rebuilt predicate —
+    //     pairs reachable only in tables 14..T-1 prove the engine
+    //     actually probes the grown set) IS returned, and nothing below
+    //     threshold ever is.
+    //  2. MEASURED recall >= 0.99 at EVERY geometry (the law's bound is
+    //     <= 1e-3 everywhere once growth engages: 8 planes r=2 T=14
+    //     bound 4.5e-4; 12 planes r=3 T=17 8.0e-4; 16 planes r=3 T=50
+    //     8.8e-4 — r11's ungrown 16-plane floor measured 0.952, so the
+    //     0.99 floor also discriminates growth-off regressions).
     import spark.implicits._
-    // (planes, tables, recall floor). Floors sit under the analytic
-    // per-pair bounds with margin for band mix and seed noise:
-    // 8 planes r=2 bound 4.5e-4 -> 0.99; 12 planes r=3 (cap) bound
-    // 2.6e-3 -> 0.98; 16 planes r=3 (cap) bound 0.139 at the threshold
-    // itself, diluted by the planted above-threshold bands -> 0.85.
-    val geoms = Seq((8, 14, 0.99), (12, 14, 0.98), (16, 14, 0.85))
+    val geoms = Seq((8, 14, 0.99), (12, 14, 0.99), (16, 14, 0.99))
     geoms.foreach { case (numPlanes, numTables, floor) =>
       val radius = lawRadius(0.45, numPlanes, numTables)
       assert(radius == (if (numPlanes == 8) 2 else 3),
         s"law drifted: planes=$numPlanes radius=$radius")
+      val grownTables = lawTables(0.45, numPlanes, numTables, radius)
+      assert(grownTables == (numPlanes match {
+        case 8 => 14; case 12 => 17; case 16 => 50
+      }), s"growth law drifted: planes=$numPlanes tables=$grownTables")
       var hits = 0L
       var truth = 0L
       (1 to 2).foreach { seed =>
@@ -184,7 +205,7 @@ class MultiProbeCompletenessSpec extends SparkSpec {
         assert(got.subsetOf(exact),
           s"planes=$numPlanes seed=$seed false positives: ${got.diff(exact).take(3)}")
         val mustHave = exact.filter { case (i, j) =>
-          reachable(arr(i.toInt), arr(j.toInt), numPlanes, numTables, radius)
+          reachable(arr(i.toInt), arr(j.toInt), numPlanes, grownTables, radius)
         }
         val lost = mustHave.diff(got)
         assert(lost.isEmpty,
@@ -194,11 +215,30 @@ class MultiProbeCompletenessSpec extends SparkSpec {
         truth += exact.size
       }
       val recall = hits.toDouble / truth
-      info(f"planes=$numPlanes radius=$radius recall=$recall%.4f " +
-        f"($hits%d/$truth%d, floor $floor%.2f)")
+      info(f"planes=$numPlanes radius=$radius tables=$grownTables " +
+        f"recall=$recall%.4f ($hits%d/$truth%d, floor $floor%.2f)")
       assert(recall >= floor,
         f"planes=$numPlanes measured recall $recall%.4f under floor $floor%.2f")
     }
+  }
+
+  test("the growth arm is bounded and surfaced: 20 planes at 0.45 caps at 64 tables") {
+    // Past the growth ceiling (20+ planes at a loose threshold — the
+    // ~134M-vector regime) completeness is out of the LSH path's reach;
+    // the engine's contract is a machine-readable residual: missBound is
+    // public, and lshPairs logs it. Pin the numbers so the contract
+    // can't silently drift: radius caps at 3, tables cap at 64, and the
+    // residual bound stays in (1e-3, 0.1) — i.e. a documented ~0.94
+    // at-threshold floor rather than either completeness or collapse.
+    val radius = lawRadius(0.45, 20, 14)
+    assert(radius == 3)
+    assert(lawTables(0.45, 20, 14, radius) == 64)
+    val residual = SimilaritySearch.missBound(0.45, 20, 64, 3)
+    assert(residual > 1e-3 && residual < 0.1,
+      f"20-plane residual drifted: $residual%.4g")
+    // and the threshold-awareness twin: the same geometry at 0.9 needs
+    // no growth at all
+    assert(lawTables(0.9, 20, 14, lawRadius(0.9, 20, 14)) == 14)
   }
 
   test("the law is threshold-aware: 16 planes at cosine 0.9 is complete at radius 2") {
@@ -282,6 +322,18 @@ class MultiProbeCompletenessSpec extends SparkSpec {
         assert(cg.toSet == ball, s"flips=$flips radius=$radius: ball mismatch")
       }
     }
+    // probeCount overflow pin (ADVICE r11): summing the full binomial
+    // series at flips near 64 with a large explicit radius overflows a
+    // Long (C(64,32) alone exceeds 2^63) — a wrapped total could slip
+    // under the 4096 kernel cap and size a negative per-row array. The
+    // early-exit must leave absurd geometries LOUDLY over the cap.
+    Seq((64, 32), (64, 64), (48, 24)).foreach { case (f, r) =>
+      val c = graft.functions.LshProbe.probeCount(f, r)
+      assert(c > 4096, s"probeCount($f,$r) wrapped under the cap: $c")
+    }
+    // …while exact small counts are untouched by the early-exit
+    assert(graft.functions.LshProbe.probeCount(16, 3) == 697L)
+    assert(graft.functions.LshProbe.probeCount(12, 3) == 299L)
   }
 
   test("index-probe path at the 8-plane geometry: ball reachability and recall") {

@@ -930,6 +930,85 @@ object ScaleRun {
       spark.stop(); return
     }
 
+    // BEYOND-GATE rung (r12): the blocked-broadcast arm at a corpus the
+    // 256 MiB gate provably cannot broadcast (~512k dim-64 vectors,
+    // est 549 MB for a chunk-pair union -> auto C=3, 6 passes). The r11
+    // run at this regime was the disk-kill (SMJ sorting ~26G candidate
+    // rows filled the disk in 5 min); the claim under test is the
+    // opposite outcome: lshPairs AUTO-ROUTES to lshPairsBlocked and the
+    // run completes with every pass on the broadcast path and ZERO
+    // shuffle/sort spill growth on disk. Shards are composite orthogonal
+    // transforms (cyclic rotation x deterministic sign-flip mask):
+    // within-shard cosine geometry exact, cross-shard decorrelated, so
+    // true pairs scale with shard count, never clone-inflated. Usage:
+    //   lshblocked <shards> [threshold]    (vectors = 2000 x shards)
+    // Equality leg at an overlapping rung both forms can run (e.g. 64
+    // shards = 128k, gate-admissible -> monolithic; blocked forced to
+    // chunks=3): lshblockedeq <shards> [threshold].
+    if (which == "lshblocked" || which == "lshblockedeq") {
+      val dim = 64
+      val shards = mult
+      val thr = args.lift(2).map(_.toDouble).getOrElse(0.9)
+      val base = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+      val corpus = (0 until shards).map { i =>
+        val rot = i % dim
+        val rotated =
+          if (rot == 0) $"embedding"
+          else expr(s"concat(slice(embedding, ${rot + 1}, ${dim - rot})," +
+            s" slice(embedding, 1, $rot))")
+        // sign-flip mask m = i / dim: coordinate c flips when
+        // xxhash64(m, c) is odd — a diagonal orthogonal transform, so
+        // composition with the rotation stays orthogonal
+        val m = i / dim
+        val emb =
+          if (m == 0) rotated
+          else expr(s"transform($rotated, (x, c) -> " +
+            s"CASE WHEN pmod(xxhash64($m, c), 2) = 0 THEN x ELSE -x END)")
+        base.select(($"vec_id" + lit(i * 1000000L)).as("vec_id"),
+          emb.as("embedding"))
+      }.reduce(_ unionAll _).persist()
+      val nv = corpus.count()
+      def freeG: Double =
+        new java.io.File("/tmp").getUsableSpace / 1e9
+      if (which == "lshblockedeq") {
+        // pair-set equality where BOTH forms run: monolithic (broadcast,
+        // auto C=1 at this size) vs the blocked decomposition forced to
+        // chunks=3. exceptAll in both directions — not just counts.
+        val mono = operators.SimilaritySearch.lshPairs(corpus,
+          "vec_id", "embedding", threshold = thr, numTables = 14,
+          probeFlips = -1)
+          .select($"a_id", $"b_id").persist()
+        val nMono = mono.count()
+        val blocked = operators.SimilaritySearch.lshPairsBlocked(corpus,
+          "vec_id", "embedding", threshold = thr, numTables = 14,
+          probeFlips = -1, chunks = 3)
+        val b2 = blocked.select($"a_id", $"b_id")
+        val missing = mono.exceptAll(b2).count()
+        val extra = b2.exceptAll(mono).count()
+        println(f"[scale] lshblockedeq vectors=$nv threshold=$thr " +
+          f"mono=$nMono blocked=${blocked.count()} " +
+          f"missing=$missing extra=$extra")
+        assert(missing == 0L && extra == 0L,
+          s"blocked != monolithic: missing=$missing extra=$extra")
+        spark.stop(); return
+      }
+      val d0 = freeG
+      val t = System.nanoTime()
+      val pairs = operators.SimilaritySearch.lshPairs(corpus,
+        "vec_id", "embedding", threshold = thr, numTables = 14,
+        probeFlips = -1)
+      val found = pairs.count()
+      val wall = (System.nanoTime() - t) / 1e9
+      // blocked results return persisted; routing is observable there
+      val routed = pairs.storageLevel.useMemory || pairs.storageLevel.useDisk
+      println(f"[scale] lshblocked vectors=$nv threshold=$thr " +
+        f"pairs=$found wall=$wall%.1f routedToBlocked=$routed " +
+        f"diskFreeBeforeG=$d0%.1f diskFreeAfterG=$freeG%.1f")
+      assert(routed, "expected auto-routing to the blocked arm")
+      pairs.unpersist(blocking = false)
+      spark.stop(); return
+    }
+
     // q56's exact config at the 10× corpus, radius law vs the old
     // single-flip probes: quantifies what the r11 completeness fix costs
     // and buys where the adaptive law first leaves the gate geometry

@@ -400,6 +400,16 @@ class TxnSafetySpec extends SparkSpec {
     assert(!cold.hasBatch("stream-20"))
     // …and ids outside every recorded app's namespace never read through
     assert(!cold.hasBatch("otherapp-3"))
+    // NON-CANONICAL numeric suffixes never read through (ADVICE r11):
+    // the committer writes s"$appId-$batchNum" unpadded, so "stream-03"
+    // is an id it can never have produced — parsing it to 3 and
+    // answering true would veto a genuinely new batch from an external
+    // zero-padding caller sharing the app namespace. "0" itself stays
+    // canonical.
+    assert(!cold.hasBatch("stream-03"))
+    assert(!cold.hasBatch("stream-003"))
+    assert(cold.hasBatch("stream-0"))
+    assert(!cold.hasBatch("stream-00"))
     assert(cold.hasTxn("stream", 19L))
     assert(cold.isDuplicate(Some("stream-3"), Some(("stream", 3L))))
     // cross-tier UPGRADE veto: a payload first committed txn-free under
