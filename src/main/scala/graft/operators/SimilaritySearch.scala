@@ -495,19 +495,28 @@ object SimilaritySearch {
         val kept =
           if (i == j) pass
           else pass.filter(chunkOf($"a_id") =!= chunkOf($"b_id"))
-        val out = kept.persist()
-        try out.count()
-        catch {
-          case t: Throwable => out.unpersist(blocking = false); throw t
-        } finally sink.foreach(_.unpersist(blocking = false))
+        // LOCAL CHECKPOINT, not persist: materializes the pass AND cuts
+        // its lineage. The cut is load-bearing — a persisted pass result
+        // retains the pass plan (InMemoryRelation keeps it for
+        // recompute), including its BroadcastExchange hash relations
+        // (~3 gate-sized builds per pass, the dominant resident cost),
+        // so a C-pass run accumulates C× the per-pass broadcast budget:
+        // measured OOM at 6 passes / 8g heap on the 512k rung. With the
+        // dependencies dropped at materialization, each iteration's
+        // broadcasts die with its locals. The blocks hold only true
+        // pairs; a lost block cannot recompute (lineage is gone) — the
+        // accepted local-checkpoint trade the CC rounds already make.
+        val out = try kept.localCheckpoint(true)
+          finally sink.foreach(_.unpersist(blocking = false))
         results += out
       }
       val all = results.reduce(_ unionAll _).persist()
-      try all.count()
+      try { all.count(); all }
       catch {
         case t: Throwable => all.unpersist(blocking = false); throw t
-      } finally results.foreach(_.unpersist(blocking = false))
-      all
+      }
+      // pass-checkpoint blocks are pair-sized; they back `all`'s
+      // recompute path while it lives and die with it via the cleaner
     } catch {
       case t: Throwable =>
         results.foreach(_.unpersist(blocking = false)); throw t

@@ -18,7 +18,12 @@ object ScaleRun {
     val which = args.headOption.getOrElse("simhash")
     val mult = args.lift(1).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      // 32 matches Bench; rungs whose shuffles carry billions of rows
+      // (e.g. the past-headroom minhash degrade) override it the way a
+      // real cluster would — partitions sized so a partition's sort/agg
+      // state fits task memory
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -950,7 +955,7 @@ object ScaleRun {
       val shards = mult
       val thr = args.lift(2).map(_.toDouble).getOrElse(0.9)
       val base = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
-      val corpus = (0 until shards).map { i =>
+      val corpus0 = (0 until shards).map { i =>
         val rot = i % dim
         val rotated =
           if (rot == 0) $"embedding"
@@ -966,7 +971,17 @@ object ScaleRun {
             s"CASE WHEN pmod(xxhash64($m, c), 2) = 0 THEN x ELSE -x END)")
         base.select(($"vec_id" + lit(i * 1000000L)).as("vec_id"),
           emb.as("embedding"))
-      }.reduce(_ unionAll _).persist()
+      }
+      val shardsDf = corpus0.reduce(_ unionAll _)
+      // plant ~1% exact clones under far-offset ids: the base corpus has
+      // no 0.9-cosine pairs, and an equality/zero-disk claim over an
+      // EMPTY result set proves nothing. Clone ids hash into different
+      // chunks than their originals, so the cross-pass path is exercised
+      // by pairs that must actually survive it.
+      val corpus = shardsDf.unionAll(
+        shardsDf.filter(pmod(xxhash64($"vec_id"), lit(100)) === 0)
+          .select(($"vec_id" + lit(1000000000000L)).as("vec_id"),
+            $"embedding")).persist()
       val nv = corpus.count()
       def freeG: Double =
         new java.io.File("/tmp").getUsableSpace / 1e9
