@@ -446,7 +446,8 @@ object SimilaritySearch {
     * caller owns `unpersist()`.
     *
     * @param chunks 0 (default) = auto from the [[BroadcastGate]] budget;
-    *        explicit c ≥ 2 pins the split (the equality spec's lever)
+    *        1 = explicit monolithic (no split); c ≥ 2 pins the split
+    *        (the equality spec's lever)
     */
   def lshPairsBlocked(
       df: DataFrame,
@@ -465,7 +466,8 @@ object SimilaritySearch {
     val dimRow = df.select(size(VectorOps.toDoubles(col(vecCol)))).take(1)
     val n = if (dimRow.isEmpty) 0L else df.count()
     val c =
-      if (chunks >= 2) chunks
+      if (chunks == 1) 1 // explicit monolithic
+      else if (chunks >= 2) chunks
       else if (dimRow.isEmpty) 1
       else blockedChunks(n, dimRow.head.getInt(0), BroadcastGate.bytes(df))
     if (c <= 1)

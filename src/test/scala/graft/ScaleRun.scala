@@ -994,14 +994,15 @@ object ScaleRun {
           probeFlips = -1)
           .select($"a_id", $"b_id").persist()
         val nMono = mono.count()
+        val blockedChunks = args.lift(3).map(_.toInt).getOrElse(3)
         val blocked = operators.SimilaritySearch.lshPairsBlocked(corpus,
           "vec_id", "embedding", threshold = thr, numTables = 14,
-          probeFlips = -1, chunks = 3)
+          probeFlips = -1, chunks = blockedChunks)
         val b2 = blocked.select($"a_id", $"b_id")
         val missing = mono.exceptAll(b2).count()
         val extra = b2.exceptAll(mono).count()
         println(f"[scale] lshblockedeq vectors=$nv threshold=$thr " +
-          f"mono=$nMono blocked=${blocked.count()} " +
+          f"chunks=$blockedChunks mono=$nMono blocked=${blocked.count()} " +
           f"missing=$missing extra=$extra")
         assert(missing == 0L && extra == 0L,
           s"blocked != monolithic: missing=$missing extra=$extra")
