@@ -239,9 +239,13 @@ object SimilaritySearch {
     val firstRow = e.select(size($"v")).take(1)
     if (firstRow.isEmpty) { // empty corpus: no pairs, and no dim to bucket by
       if (persist) e.unpersist()
-      return e.sparkSession.emptyDataFrame
-        .select(lit(0L).as("a_id"), lit(0L).as("b_id"),
-          lit(0.0).as("cosine")).limit(0)
+      // type-faithful empty result (a_id/b_id carry the ID column's own
+      // type): a blocked run unions per-pass results, and a hard-coded
+      // bigint schema from an empty pass would fail the union for
+      // non-long id columns
+      return df.limit(0)
+        .select(col(idCol).as("a_id"), col(idCol).as("b_id"),
+          lit(0.0).as("cosine"))
     }
     val dim = firstRow.head.getInt(0)
     // Geometry resolution (ONE count job against the cached relation,

@@ -134,6 +134,27 @@ class BroadcastGateSpec extends SparkSpec {
     } finally blocked.unpersist(blocking = false)
   }
 
+  test("blocked-broadcast arm: string ids survive empty chunk pairs") {
+    // an empty pass returns the type-faithful empty result — a
+    // hard-coded bigint schema there would fail the cross-pass union
+    // for non-long id columns exactly when some chunk pair is empty
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 6).map(i =>
+      (s"doc-$i", Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = (vecs :+ ("doc-clone", vecs.head._2)).toDF("id", "vec")
+    val blocked = SimilaritySearch.lshPairsBlocked(df, "id", "vec",
+      threshold = 0.9, numPlanes = 4, numTables = 14, probeFlips = 2,
+      chunks = 5) // 15 passes over 7 docs: some pairs are empty
+    try {
+      assert(blocked.schema("a_id").dataType ==
+        org.apache.spark.sql.types.StringType)
+      val got = blocked.select("a_id", "b_id").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got.contains(("doc-0", "doc-clone")), s"got $got")
+    } finally blocked.unpersist(blocking = false)
+  }
+
   test("fused verify plan: broadcast within the gate, SMJ only on explicit opt-out") {
     val emb = Tables.load(spark, dir, "embeddings")
     def plan(d: org.apache.spark.sql.DataFrame): String =
