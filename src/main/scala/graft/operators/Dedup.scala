@@ -871,7 +871,12 @@ object Dedup {
       "corpus_id")
     // equi-join on BOTH (corpus_id, h): each surviving row IS one shared
     // shingle hash — joining on corpus_id alone would cross the batch
-    // doc's shingles with the corpus doc's before filtering
+    // doc's shingles with the corpus doc's before filtering.
+    // Deliberately NOT [[gatedPairs]]-gated: cand is bounded by the
+    // increment (batch × matches), small by this function's contract —
+    // a persist+count per micro-batch would cost the streaming caller
+    // more than the gate guards, and the failure mode past the contract
+    // is the loud broadcast-build error, not a silent spill.
     val inter = broadcast(cand)
       .join(bEx, "batch_id")
       .join(cExCand, Seq("corpus_id", "h"))

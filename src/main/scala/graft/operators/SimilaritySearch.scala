@@ -268,30 +268,36 @@ object SimilaritySearch {
         return lshPairsBlocked(df, idCol, vecCol, threshold, numPlanes,
           numTables, maxBucketSize, seed, probeFlips, probeRadius, c)
       }
-    }
-    val planes = if (numPlanes > 0) numPlanes else adaptivePlanes(n)
-    val flips = resolveFlips(probeFlips, planes)
-    val radius = resolveRadius(probeRadius, threshold, planes, numTables, flips)
-    // Table growth ([[resolveTables]]) only when the law owns the radius
-    // (probeRadius = -1): an explicit radius or flips = 0 is a deliberate
-    // opt-down and keeps the caller's table count. Gate configs are
-    // untouched (4 planes × 14 tables at 0.45: bound 1.1e-5, no growth);
-    // the arm engages exactly where the radius cap used to leave a
-    // silent floor (12+ planes at loose thresholds).
-    val tables =
-      if (probeRadius == -1 && flips > 0)
-        resolveTables(numTables, threshold, planes, radius)
-      else numTables
-    if (flips > 0) {
-      val bound = missBound(threshold, planes, tables, radius)
-      if (bound > 1e-3)
+      if (c > maxBlockedChunks)
+        // past the blocked envelope the monolithic SMJ degrade below is
+        // the measured disk-kill regime — don't reach it silently
         org.apache.logging.log4j.LogManager.getLogger(getClass).warn(
-          f"lshPairs geometry planes=$planes tables=$tables radius=$radius " +
-            f"misses up to $bound%.3g of at-threshold pairs " +
-            f"(threshold=$threshold%.2f, recall floor ${1 - bound}%.4f, " +
-            "table growth capped) — consider the exact indexed path; " +
-            "the bound is SimilaritySearch.missBound(...)")
+          s"lshPairs corpus needs $c gate-sized chunks " +
+            s"(> $maxBlockedChunks, the blocked envelope): the verify " +
+            "join will NOT broadcast and its sort spills the candidate " +
+            "mass — use the exact indexed path, raise " +
+            s"${BroadcastGate.confKey}, or raise the threshold")
     }
+    // Geometry laws via [[resolveGeometry]] (ONE source of truth with
+    // the public pre-flight). Table growth only when the law owns the
+    // radius (probeRadius = -1): an explicit radius or flips = 0 is a
+    // deliberate opt-down and keeps the caller's table count. Gate
+    // configs are untouched (4 planes × 14 tables at 0.45: bound
+    // 1.1e-5, no growth); the arm engages exactly where the radius cap
+    // used to leave a silent floor (12+ planes at loose thresholds).
+    val geom = resolveGeometry(n, threshold, numPlanes, numTables,
+      probeFlips, probeRadius)
+    val planes = geom.planes
+    val flips = geom.flips
+    val radius = geom.radius
+    val tables = geom.tables
+    if (flips > 0 && geom.missBound > 1e-3)
+      org.apache.logging.log4j.LogManager.getLogger(getClass).warn(
+        f"lshPairs geometry planes=$planes tables=$tables radius=$radius " +
+          f"misses up to ${geom.missBound}%.3g of at-threshold pairs " +
+          f"(threshold=$threshold%.2f, recall floor ${1 - geom.missBound}%.4f, " +
+          "table growth capped) — consider the exact indexed path; " +
+          "the bound is SimilaritySearch.resolveGeometry(...).missBound")
 
     // (id, table, dots) once — canonical buckets AND probe flips derive
     // from the same cached dots, so the expensive hyperplane projection
@@ -636,11 +642,39 @@ object SimilaritySearch {
     * instead of a docs caveat. Derivation at [[resolveRadius]]: a pair at
     * cosine θ differs per table in Binomial(planes, 1 − p) planes with
     * p = 1 − θ/π, the per-table hit ceiling is P[d ≤ radius], and tables
-    * are independent (OR-construction).
+    * are independent (OR-construction). radius 0 gives the classic
+    * exact-bucket bound (1 − p^planes)^tables.
     */
   def missBound(threshold: Double, numPlanes: Int, numTables: Int,
       radius: Int): Double =
     math.pow(1.0 - perTableHit(threshold, numPlanes, radius), numTables)
+
+  /** The geometry [[lshPairs]] will actually run for a given corpus size
+    * and parameterization, laws applied — planes from [[adaptivePlanes]],
+    * flips from [[resolveFlips]], radius from [[resolveRadius]], tables
+    * from the [[resolveTables]] growth arm — plus its [[missBound]].
+    * THE single source of truth (lshPairs resolves through this), and
+    * the public pre-flight: a caller planning a 100 TB dedup asks for
+    * the geometry first and routes to the exact path when the returned
+    * floor is unacceptable, instead of discovering it in a log line.
+    */
+  final case class LshGeometry(planes: Int, tables: Int, flips: Int,
+      radius: Int, missBound: Double)
+
+  def resolveGeometry(n: Long, threshold: Double, numPlanes: Int = 0,
+      numTables: Int = 8, probeFlips: Int = 0,
+      probeRadius: Int = -1): LshGeometry = {
+    val planes = if (numPlanes > 0) numPlanes else adaptivePlanes(n)
+    val flips = resolveFlips(probeFlips, planes)
+    val radius = resolveRadius(probeRadius, threshold, planes, numTables,
+      flips)
+    val tables =
+      if (probeRadius == -1 && flips > 0)
+        resolveTables(numTables, threshold, planes, radius)
+      else numTables
+    LshGeometry(planes, tables, flips, radius,
+      missBound(threshold, planes, tables, radius))
+  }
 
   private def perTableHit(threshold: Double, numPlanes: Int,
       radius: Int): Double = {

@@ -175,6 +175,16 @@ class MultiProbeCompletenessSpec extends SparkSpec {
       assert(grownTables == (numPlanes match {
         case 8 => 14; case 12 => 17; case 16 => 50
       }), s"growth law drifted: planes=$numPlanes tables=$grownTables")
+      // the ENGINE's resolved geometry must equal the independent
+      // rebuild — resolveGeometry is the single source of truth lshPairs
+      // runs through, so this pins the whole law stack, not just recall
+      val g = SimilaritySearch.resolveGeometry(0L, 0.45, numPlanes,
+        numTables, probeFlips = -1)
+      assert((g.planes, g.tables, g.radius) ==
+        ((numPlanes, grownTables, radius)),
+        s"engine geometry drifted from the law rebuild: $g")
+      assert(g.missBound <= 1e-3,
+        f"grown geometry still over the bar: ${g.missBound}%.3g")
       var hits = 0L
       var truth = 0L
       (1 to 2).foreach { seed =>
@@ -236,9 +246,16 @@ class MultiProbeCompletenessSpec extends SparkSpec {
     val residual = SimilaritySearch.missBound(0.45, 20, 64, 3)
     assert(residual > 1e-3 && residual < 0.1,
       f"20-plane residual drifted: $residual%.4g")
+    // the engine's own pre-flight reports the same capped geometry and
+    // surfaces the residual machine-readably
+    val g = SimilaritySearch.resolveGeometry(0L, 0.45, 20, 14,
+      probeFlips = -1)
+    assert(g.radius == 3 && g.tables == 64 && g.missBound == residual, s"$g")
     // and the threshold-awareness twin: the same geometry at 0.9 needs
     // no growth at all
     assert(lawTables(0.9, 20, 14, lawRadius(0.9, 20, 14)) == 14)
+    assert(SimilaritySearch.resolveGeometry(0L, 0.9, 20, 14,
+      probeFlips = -1).tables == 14)
   }
 
   test("the law is threshold-aware: 16 planes at cosine 0.9 is complete at radius 2") {
