@@ -28,7 +28,17 @@ private[graft] object BroadcastGate {
 
   def bytes(df: DataFrame): Long =
     df.sparkSession.conf.getOption(confKey)
-      .map(java.lang.Long.parseLong).getOrElse(defaultBytes)
+      .map { v =>
+        try java.lang.Long.parseLong(v.trim)
+        catch {
+          // a bare NumberFormatException mid-query never names the conf
+          // — fail with the key and offending value so the fix is
+          // obvious from the error alone
+          case e: NumberFormatException => throw new IllegalArgumentException(
+            s"$confKey must be a byte count in decimal long form, " +
+              s"got '$v'", e)
+        }
+      }.getOrElse(defaultBytes)
 
   /** `broadcast(df)` when the raw-byte estimate fits the gate, `df`
     * untouched otherwise.

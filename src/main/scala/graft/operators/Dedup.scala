@@ -65,7 +65,11 @@ object Dedup {
     *        m²/2 candidate pairs — the skew bomb at corpus scale. Capping
     *        trades recall ONLY on documents that collide with > cap others
     *        (which are overwhelmingly boilerplate/templates in practice).
-    * @return (a_id, b_id, jaccard) with a_id < b_id, one row per pair
+    * @return (a_id, b_id, jaccard) with a_id < b_id, one row per pair.
+    *         With persist = true: EAGERLY materialized and cached under
+    *         the [[jaccardPairs]] contract (internal caches released
+    *         before returning; the caller owns the result's
+    *         `unpersist()`). With persist = false: a lazy plan.
     */
   def minhashPairs(
       df: DataFrame,
@@ -90,7 +94,9 @@ object Dedup {
     // between samples). persist = false is for REPEATED small-input calls
     // (the streaming within-batch pass) where an unreleased cache per
     // call would leak: bounded recompute instead.
-    def cached(d: DataFrame): DataFrame = if (persist) d.persist() else d
+    val caches = scala.collection.mutable.Buffer.empty[DataFrame]
+    def cached(d: DataFrame): DataFrame =
+      if (persist) { val p = d.persist(); caches += p; p } else d
 
     // Exploded (id, shingle-hash) relation: each shingle STRING is hashed
     // exactly once; the numHashes minhash "permutations" re-hash the
@@ -145,13 +151,19 @@ object Dedup {
       .join(shex.select($"id".as("b_id"), $"h".as("h_b")), Seq("b_id"))
       .filter($"h" === $"h_b")
       .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("inter"))
-    inter
+    val pairs = inter
       .join(sizes.select($"id".as("a_id"), $"n".as("na")), "a_id")
       .join(sizes.select($"id".as("b_id"), $"n".as("nb")), "b_id")
       .withColumn("jaccard",
         $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
       .filter($"jaccard" >= threshold)
       .select($"a_id", $"b_id", round($"jaccard", 4).as("jaccard"))
+    // the gate's measuring job already made the corpus path eager at
+    // call time — finish the jaccardPairs contract: materialize the
+    // (pair-sized) result, release the internal caches, caller owns the
+    // result's unpersist(). The persist = false streaming path stays a
+    // lazy plan (nothing was cached, the broadcast hint stays forced).
+    if (persist) materializeAndRelease(pairs, caches.toSeq) else pairs
   }
 
   /** EXACT n-gram-Jaccard near-dup pairs via a shingle inverted index —
@@ -286,10 +298,34 @@ object Dedup {
     * The degrade is safe precisely because these joins are keyed on pair
     * ids on BOTH sides — unlike the vector path's candidate-mass join
     * (SimilaritySearch gate note), nothing un-deduped reaches a sort.
-    * 48 bytes/row estimated: two longs plus row padding.
+    *
+    * Width comes from the SCHEMA, not a hard-coded two-long guess
+    * (id columns are arbitrary-typed — string ids are first-class on
+    * the blocked paths, and long string ids under a 48 B/row assumption
+    * could push an over-gate relation into a forced broadcast): 16 B
+    * row header/padding + 8 B per field slot + fixed-type payloads,
+    * with variable-length columns contributing their measured byte
+    * totals — summed in the SAME job that counts the rows, so the
+    * measuring pass (which doubles as the cache materialization the
+    * verify join shares) stays a single job. The (bigint, bigint) pair
+    * shape resolves to the previous 48 B/row exactly.
     */
-  private def gatedPairs(cand: DataFrame): DataFrame =
-    BroadcastGate.gated(cand, cand.count() * 48L)
+  private def gatedPairs(cand: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    val fields = cand.schema.fields
+    val isVar = fields.map(f =>
+      f.dataType == StringType || f.dataType == BinaryType)
+    val fixedPerRow = 16L + fields.zip(isVar).map { case (f, v) =>
+      8L + (if (v) 0L else f.dataType.defaultSize.toLong)
+    }.sum
+    val varCols = fields.zip(isVar).collect { case (f, true) => f.name }.toSeq
+    val aggs = count(lit(1)) +:
+      varCols.map(c => coalesce(sum(octet_length(col(c))), lit(0L)))
+    val r = cand.agg(aggs.head, aggs.tail: _*).head()
+    val rows = r.getLong(0)
+    val varBytes = varCols.indices.map(i => r.getLong(i + 1)).sum
+    BroadcastGate.gated(cand, rows * fixedPerRow + varBytes)
+  }
 
   /** Eagerly materialize `result` into the cache, then release the plan's
     * internally-persisted intermediates — they have served their (single
@@ -351,6 +387,11 @@ object Dedup {
     * `maxPostingList` escape hatch costs recall), whereas prefixes here
     * exclude hot shingles BY ORDER with exactness intact. Reach for this
     * form exactly when you would otherwise need `maxPostingList`.
+    *
+    * @return (a_id, b_id, jaccard) with a_id < b_id — EAGERLY
+    *         materialized and cached under the [[jaccardPairs]] contract
+    *         (internal caches released before returning; the caller owns
+    *         the result's `unpersist()`)
     */
   def jaccardPairsPrefix(
       df: DataFrame,
@@ -425,7 +466,8 @@ object Dedup {
     // shingles) is provably count-preserving, while `sizes` stays over
     // the FULL sets so the jaccard denominator is exact.
     verifyJaccardCandidates(
-      cand, withDf.filter($"df" > 1).select($"doc_id", $"sh"), sizes, threshold)
+      cand, withDf.filter($"df" > 1).select($"doc_id", $"sh"), sizes,
+      threshold, intermediates = Seq(sh, withDf, prefix))
   }
 
   /** Exact-verification tail shared by the candidate-generation schemes:
@@ -441,10 +483,17 @@ object Dedup {
       cand: DataFrame,
       sh: DataFrame,
       sizes: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      intermediates: Seq[DataFrame]): DataFrame = {
     val spark = cand.sparkSession
     import spark.implicits._
-    gatedPairs(cand.persist())
+    // cand persists because the gate's measuring job and the verify
+    // join share its blocks; it joins the caller's intermediates in the
+    // materializeAndRelease list below — the gate made this tail eager
+    // (the measuring job runs at call time), so an unreleased cache per
+    // call would accumulate in a long-lived session
+    val candP = cand.persist()
+    val pairs = gatedPairs(candP)
       .join(sh.select($"doc_id".as("a_id"), $"sh"), "a_id")
       // equi-join on BOTH (b_id, sh): each surviving row IS one shared
       // shingle (see jaccardPairs' capped path)
@@ -456,6 +505,7 @@ object Dedup {
         $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
       .filter($"jaccard" >= threshold)
       .select($"a_id", $"b_id", round($"jaccard", 4).as("jaccard"))
+    materializeAndRelease(pairs, intermediates :+ candP)
   }
 
   /** Incremental near-dup detection: EXACT n-gram-Jaccard pairs between a

@@ -254,16 +254,37 @@ object SimilaritySearch {
     // pass is bounded by them): numPlanes = 0 → the sizing law,
     // probeFlips = -1 → the plane-matched probe count.
     val n = e.count()
-    // BEYOND-GATE ROUTING: the fused verify is scale-safe only while the
-    // vector relation broadcasts — past the gate the SMJ degrade sorts
-    // the un-deduped candidate mass (measured disk-death at 128k
-    // vectors, r11). When this corpus provably cannot broadcast but a
-    // blocked split can (2..maxBlockedChunks chunk-pair passes each
-    // under the gate), route to [[lshPairsBlocked]] — identical pair set
-    // (superset under a bucket cap), memory-bounded at any corpus size.
+    // Geometry laws via [[resolveGeometry]] (ONE source of truth with
+    // the public pre-flight) — resolved BEFORE the routing decision
+    // below, because the fused verify broadcasts THREE relations (two
+    // vector projections at n·vecBytes each plus the capped bucket
+    // relation at n·tables·24) and the table-growth arm can take tables
+    // to 50-64 exactly in the large-n/loose-threshold regime routing
+    // targets: a chunk pair sized on vector bytes alone could still
+    // carry an over-gate bucket relation whose dropped hint degrades
+    // the probes join to the SMJ sort. Table growth only when the law
+    // owns the radius (probeRadius = -1): an explicit radius or
+    // flips = 0 is a deliberate opt-down and keeps the caller's table
+    // count. Gate configs are untouched (4 planes × 14 tables at 0.45:
+    // bound 1.1e-5, no growth); the arm engages exactly where the
+    // radius cap used to leave a silent floor (12+ planes at loose
+    // thresholds).
+    val geom = resolveGeometry(n, threshold, numPlanes, numTables,
+      probeFlips, probeRadius)
+    // BEYOND-GATE ROUTING: the fused verify is scale-safe only while
+    // its relations broadcast — past the gate the SMJ degrade sorts the
+    // un-deduped candidate mass (measured disk-death at 128k vectors,
+    // r11). Route to [[lshPairsBlocked]] only when the monolithic
+    // broadcast provably does NOT fit (per-relation bytes > gate, i.e.
+    // C ≥ 3 — a corpus whose chunk arithmetic says C = 2 fits the gate
+    // whole, and its only cross-pass IS the monolithic run, so routing
+    // there would double candidate/verify work for zero peak-memory
+    // benefit) and a blocked split can (≤ maxBlockedChunks chunk-pair
+    // passes each under the gate) — identical pair set (superset under
+    // a bucket cap), memory-bounded at any corpus size.
     if (allowBlocked && persist) {
-      val c = blockedChunks(n, dim, BroadcastGate.bytes(df))
-      if (c >= 2 && c <= maxBlockedChunks) {
+      val c = blockedChunks(n, dim, geom.tables, BroadcastGate.bytes(df))
+      if (c >= 3 && c <= maxBlockedChunks) {
         e.unpersist(blocking = false)
         return lshPairsBlocked(df, idCol, vecCol, threshold, numPlanes,
           numTables, maxBucketSize, seed, probeFlips, probeRadius, c)
@@ -278,15 +299,6 @@ object SimilaritySearch {
             "mass — use the exact indexed path, raise " +
             s"${BroadcastGate.confKey}, or raise the threshold")
     }
-    // Geometry laws via [[resolveGeometry]] (ONE source of truth with
-    // the public pre-flight). Table growth only when the law owns the
-    // radius (probeRadius = -1): an explicit radius or flips = 0 is a
-    // deliberate opt-down and keeps the caller's table count. Gate
-    // configs are untouched (4 planes × 14 tables at 0.45: bound
-    // 1.1e-5, no growth); the arm engages exactly where the radius cap
-    // used to leave a silent floor (12+ planes at loose thresholds).
-    val geom = resolveGeometry(n, threshold, numPlanes, numTables,
-      probeFlips, probeRadius)
     val planes = geom.planes
     val flips = geom.flips
     val radius = geom.radius
@@ -398,16 +410,24 @@ object SimilaritySearch {
   }
 
   /** Chunk count for the blocked-broadcast arm: the smallest C whose
-    * chunk-PAIR unions (2n/C vectors) fit the broadcast gate. ≤ 1 means
-    * the whole corpus broadcasts (no blocking); a non-positive gate
-    * disables blocking entirely (the explicit opt-out: the SMJ degrade
-    * becomes reachable again, which the gate-equality specs exercise).
+    * chunk-PAIR unions (2n/C vectors) fit EVERY per-pass broadcast under
+    * the gate. The fused verify broadcasts three relations per pass —
+    * two vector projections at vecBytes/vector and the capped bucket
+    * relation at tables·24/vector — each gated individually, so the
+    * binding width is the per-vector MAX of the two shapes (at dim 64
+    * the vectors dominate through 22 tables; past that — the table-
+    * growth regime — the bucket relation does, e.g. tables = 50 is
+    * 1200 B/vec vs 536 B/vec). C ≤ 2 means the whole corpus broadcasts
+    * (n·width ≤ gate — no blocking is useful: the C = 2 cross-pass IS
+    * the monolithic run); a non-positive gate disables blocking
+    * entirely (the explicit opt-out: the SMJ degrade becomes reachable
+    * again, which the gate-equality specs exercise).
     */
-  private[operators] def blockedChunks(n: Long, dim: Int,
+  private[graft] def blockedChunks(n: Long, dim: Int, tables: Int,
       gateBytes: Long): Int = {
     if (gateBytes <= 0L) return 1
-    val vecBytes = 24L + 8L * dim
-    val c = (2L * n * vecBytes + gateBytes - 1L) / gateBytes
+    val width = math.max(24L + 8L * dim, 24L * tables)
+    val c = (2L * n * width + gateBytes - 1L) / gateBytes
     math.min(c, Int.MaxValue.toLong).toInt
   }
 
@@ -417,6 +437,17 @@ object SimilaritySearch {
     * threshold, not more blocking.
     */
   private[operators] val maxBlockedChunks = 64
+
+  /** Conf key selecting [[lshPairsBlocked]]'s RELIABLE pass-checkpoint
+    * mode: when set to a directory, each pass's result is checkpointed
+    * there (survives executor loss — the cluster-safe mode for long
+    * C(C+1)/2-pass runs) instead of localCheckpoint blocks (the local
+    * default, where a lost block silently loses that pass's pairs
+    * because the lineage cut is deliberate). The caller owns the
+    * directory's lifecycle: point it at job-scoped scratch storage and
+    * clean it when the returned result is released.
+    */
+  val blockedCheckpointDirKey = "spark.graft.blockedCheckpointDir"
 
   /** BLOCKED-BROADCAST all-pairs LSH — the beyond-gate arm of
     * [[lshPairs]] (classic block-nested-loop decomposition, the shape
@@ -477,9 +508,18 @@ object SimilaritySearch {
     val n = if (dimRow.isEmpty) 0L else df.count()
     val c =
       if (chunks == 1) 1 // explicit monolithic
-      else if (chunks >= 2) chunks
+      else if (chunks >= 2) chunks // explicit split pin (the spec lever)
       else if (dimRow.isEmpty) 1
-      else blockedChunks(n, dimRow.head.getInt(0), BroadcastGate.bytes(df))
+      else {
+        val auto = blockedChunks(n, dimRow.head.getInt(0),
+          resolveGeometry(n, threshold, numPlanes, numTables, probeFlips,
+            probeRadius).tables,
+          BroadcastGate.bytes(df))
+        // auto ≤ 2 ⇒ the monolithic broadcast fits the gate whole —
+        // a 2-split's cross-pass would BE the monolithic run, so the
+        // 3-pass decomposition buys no peak memory, only ~2× work
+        if (auto <= 2) 1 else auto
+      }
     if (c <= 1)
       return lshPairsImpl(df, idCol, vecCol, threshold, numPlanes,
         numTables, maxBucketSize, seed, persist = true, probeFlips,
@@ -491,6 +531,18 @@ object SimilaritySearch {
     // bucket exactly as the monolithic run would
     val planes = if (numPlanes > 0) numPlanes else adaptivePlanes(n)
     def chunkOf(idExpr: Column): Column = pmod(xxhash64(idExpr), lit(c))
+    // Pass-materialization mode. Default: localCheckpoint — blocks live
+    // on this JVM's executors, lineage CUT (load-bearing, see below).
+    // With spark.graft.blockedCheckpointDir set: RELIABLE checkpoint to
+    // that directory — same lineage cut, but pass results survive
+    // executor loss, which on a real cluster a C(C+1)/2-pass run lives
+    // long enough to see (a lost localCheckpoint block cannot recompute
+    // and would silently drop that pass's true pairs). The conf names a
+    // job-scoped scratch dir the CALLER owns (checkpoint files are not
+    // self-deleting; clean the dir when the result is released).
+    val reliableDir = spark.conf.getOption(blockedCheckpointDirKey)
+      .filter(_.nonEmpty)
+    reliableDir.foreach(spark.sparkContext.setCheckpointDir)
     val results = scala.collection.mutable.Buffer.empty[DataFrame]
     try {
       for (i <- 0 until c; j <- i until c) {
@@ -507,19 +559,25 @@ object SimilaritySearch {
         val kept =
           if (i == j) pass
           else pass.filter(chunkOf($"a_id") =!= chunkOf($"b_id"))
-        // LOCAL CHECKPOINT, not persist: materializes the pass AND cuts
-        // its lineage. The cut is load-bearing — a persisted pass result
+        // CHECKPOINT, not persist: materializes the pass AND cuts its
+        // lineage. The cut is load-bearing — a persisted pass result
         // retains the pass plan (InMemoryRelation keeps it for
         // recompute), including its BroadcastExchange hash relations
         // (~3 gate-sized builds per pass, the dominant resident cost),
         // so a C-pass run accumulates C× the per-pass broadcast budget:
         // measured OOM at 6 passes / 8g heap on the 512k rung. With the
         // dependencies dropped at materialization, each iteration's
-        // broadcasts die with its locals. The blocks hold only true
-        // pairs; a lost block cannot recompute (lineage is gone) — the
-        // accepted local-checkpoint trade the CC rounds already make.
-        val out = try kept.localCheckpoint(true)
-          finally sink.foreach(_.unpersist(blocking = false))
+        // broadcasts die with its locals. Local mode (default): blocks
+        // hold only true pairs, but a lost block cannot recompute
+        // (lineage is gone) — the accepted local-checkpoint trade the
+        // CC rounds already make. Reliable mode (conf dir set): pass
+        // files survive executor loss; the trade is write-through IO
+        // per pass (pair-sized — true pairs only, tiny next to the
+        // candidate mass that never leaves its codegen stage).
+        val out = try {
+          if (reliableDir.isDefined) kept.checkpoint(eager = true)
+          else kept.localCheckpoint(true)
+        } finally sink.foreach(_.unpersist(blocking = false))
         results += out
       }
       val all = results.reduce(_ unionAll _).persist()

@@ -35,6 +35,74 @@ class BroadcastGateSpec extends SparkSpec {
     withGate(1024L) { assert(BroadcastGate.bytes(docs) == 1024L) }
   }
 
+  test("malformed gate conf fails naming the key and the value") {
+    spark.conf.set(BroadcastGate.confKey, "256m")
+    try {
+      val e = intercept[IllegalArgumentException] { BroadcastGate.bytes(docs) }
+      assert(e.getMessage.contains(BroadcastGate.confKey) &&
+        e.getMessage.contains("256m"))
+    } finally spark.conf.unset(BroadcastGate.confKey)
+  }
+
+  test("blockedChunks sizes on the widest per-pass broadcast (vectors OR buckets)") {
+    val gate = 1L << 20
+    // dim 64 / 8 tables: vectors dominate (536 B/vec vs 192) — the
+    // pre-r13 arithmetic, unchanged
+    assert(SimilaritySearch.blockedChunks(10000L, 64, 8, gate) ==
+      ((2L * 10000 * 536 + gate - 1) / gate).toInt)
+    // dim 16 / 50 tables (the table-growth regime the blocked arm
+    // targets): the capped bucket relation at tables·24 = 1200 B/vec
+    // dwarfs the 152 B vectors — sizing on vectors alone would under-
+    // split ~8× and every pass would silently drop the bucket hint
+    assert(SimilaritySearch.blockedChunks(10000L, 16, 50, gate) ==
+      ((2L * 10000 * 1200 + gate - 1) / gate).toInt)
+    // non-positive gate disables blocking (the explicit opt-out)
+    assert(SimilaritySearch.blockedChunks(10000L, 64, 8, 0L) == 1)
+  }
+
+  test("lshPairs does NOT route while the monolithic broadcast fits the gate") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    // 500 dim-64 vectors estimate 268 kB; a 300 kB gate admits the
+    // monolithic broadcast whole, yet the old c >= 2 arithmetic
+    // (2n·width = 536 kB -> C = 2) would have routed it to 3 passes of
+    // ~2x candidate/verify work for zero peak-memory benefit. Under the
+    // fits-the-gate rule the plan must stay the lazy monolithic form.
+    val under = withGate(300L * 1024) {
+      SimilaritySearch.lshPairs(emb, "vec_id", "embedding",
+        threshold = 0.45, numPlanes = 4, numTables = 14, probeFlips = 2)
+    }
+    assert(under.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "a gate-admissible corpus must not route to the blocked arm")
+  }
+
+  test("blocked arm: reliable-checkpoint mode == localCheckpoint mode, files on disk") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val local = SimilaritySearch.lshPairsBlocked(emb, "vec_id",
+      "embedding", threshold = 0.45, numPlanes = 4, numTables = 14,
+      probeFlips = 2, chunks = 3)
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft-blocked-ckpt").toFile
+    spark.conf.set(SimilaritySearch.blockedCheckpointDirKey,
+      ckptDir.getAbsolutePath)
+    val reliable =
+      try SimilaritySearch.lshPairsBlocked(emb, "vec_id", "embedding",
+        threshold = 0.45, numPlanes = 4, numTables = 14,
+        probeFlips = 2, chunks = 3)
+      finally spark.conf.unset(SimilaritySearch.blockedCheckpointDirKey)
+    try {
+      assert(pairSet(reliable) == pairSet(local) && pairSet(local).nonEmpty)
+      // the mode actually wrote pass checkpoints (not a silent fallback
+      // to local blocks): the scratch dir holds RDD checkpoint data
+      def walk(f: java.io.File): Iterator[java.io.File] =
+        Iterator(f) ++ Option(f.listFiles).iterator.flatten.flatMap(walk)
+      assert(walk(ckptDir).exists(f => f.isFile && f.getName.startsWith("part-")),
+        s"no checkpoint part files under $ckptDir")
+    } finally {
+      local.unpersist(blocking = false)
+      reliable.unpersist(blocking = false)
+    }
+  }
+
   test("minhash verify tail: shuffle degrade == broadcast form") {
     val hinted = pairSet(Dedup.minhashPairs(docs, "doc_id", "text",
       threshold = 0.5))
