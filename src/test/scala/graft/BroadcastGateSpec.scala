@@ -60,6 +60,34 @@ class BroadcastGateSpec extends SparkSpec {
     assert(SimilaritySearch.blockedChunks(10000L, 64, 8, 0L) == 1)
   }
 
+  test("tables-dominant geometry routes where vector-only sizing silently degraded") {
+    // The ADVICE-r12 failure scenario, end-to-end: dim-64 vectors at a
+    // 16-plane/θ=0.45 geometry grow tables to 50 (the r12 law), so the
+    // capped bucket relation weighs 50·24 = 1200 B/vec against 536 B/vec
+    // of vectors. At a 430 kB gate the 500-vector corpus reads
+    // 268 kB of vectors (fits — the old vector-only arithmetic saw no
+    // reason to route) but 600 kB of buckets (does NOT fit — the probes
+    // join would silently drop its hint and degrade to the SMJ sort).
+    // Geometry-aware sizing must route to the blocked arm instead
+    // (C = ceil(1.2 MB / 430 kB) = 3) and return the monolithic pair set.
+    val emb = Tables.load(spark, dir, "embeddings")
+    val geom = SimilaritySearch.resolveGeometry(500L, 0.45,
+      numPlanes = 16, numTables = 8, probeFlips = -1)
+    assert(geom.tables == 50, s"law drift: expected 50 tables, got $geom")
+    val mono = pairSet(SimilaritySearch.lshPairs(emb, "vec_id", "embedding",
+      threshold = 0.45, numPlanes = 16, numTables = 8, probeFlips = -1))
+    val routed = withGate(430L * 1024) {
+      SimilaritySearch.lshPairs(emb, "vec_id", "embedding",
+        threshold = 0.45, numPlanes = 16, numTables = 8, probeFlips = -1)
+    }
+    try {
+      assert(routed.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+        "an over-gate bucket relation must route to the blocked arm " +
+          "even when the vectors alone would fit")
+      assert(pairSet(routed) == mono && mono.nonEmpty)
+    } finally routed.unpersist(blocking = false)
+  }
+
   test("lshPairs does NOT route while the monolithic broadcast fits the gate") {
     val emb = Tables.load(spark, dir, "embeddings")
     // 500 dim-64 vectors estimate 268 kB; a 300 kB gate admits the
