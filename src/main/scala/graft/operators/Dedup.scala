@@ -310,7 +310,15 @@ object Dedup {
     * verify join shares) stays a single job. The (bigint, bigint) pair
     * shape resolves to the previous 48 B/row exactly.
     */
-  private def gatedPairs(cand: DataFrame): DataFrame = {
+  private def gatedPairs(cand: DataFrame): DataFrame =
+    BroadcastGate.gated(cand, pairRelationBytes(cand))
+
+  /** The measuring job behind [[gatedPairs]], package-visible so the
+    * width arithmetic is spec-pinnable on its own: one aggregate over
+    * the (persisted) pair relation returning its estimated broadcast
+    * bytes.
+    */
+  private[graft] def pairRelationBytes(cand: DataFrame): Long = {
     import org.apache.spark.sql.types.{BinaryType, StringType}
     val fields = cand.schema.fields
     val isVar = fields.map(f =>
@@ -324,7 +332,7 @@ object Dedup {
     val r = cand.agg(aggs.head, aggs.tail: _*).head()
     val rows = r.getLong(0)
     val varBytes = varCols.indices.map(i => r.getLong(i + 1)).sum
-    BroadcastGate.gated(cand, rows * fixedPerRow + varBytes)
+    rows * fixedPerRow + varBytes
   }
 
   /** Eagerly materialize `result` into the cache, then release the plan's

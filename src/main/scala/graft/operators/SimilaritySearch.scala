@@ -542,7 +542,21 @@ object SimilaritySearch {
     // self-deleting; clean the dir when the result is released).
     val reliableDir = spark.conf.getOption(blockedCheckpointDirKey)
       .filter(_.nonEmpty)
+    // The context checkpoint dir is GLOBAL SparkContext state a caller
+    // may own for their own checkpoint() calls — save it and restore on
+    // every exit so routing through the blocked arm never permanently
+    // redirects (or un-sets) where unrelated checkpoints land. Safe to
+    // restore as soon as the pass loop ends: every pass checkpoint is
+    // eager, and a materialized ReliableCheckpointRDD reads its own
+    // recorded path, not the current dir. (Restoring re-resolves a
+    // fresh UUID subdir under the caller's original dir — same
+    // ownership tree, which is the contract that matters.)
+    val prevCheckpointDir =
+      if (reliableDir.isDefined) spark.sparkContext.getCheckpointDir else None
     reliableDir.foreach(spark.sparkContext.setCheckpointDir)
+    def restoreCheckpointDir(): Unit = reliableDir.foreach { _ =>
+      spark.sparkContext.setCheckpointDir(prevCheckpointDir.orNull)
+    }
     val results = scala.collection.mutable.Buffer.empty[DataFrame]
     try {
       for (i <- 0 until c; j <- i until c) {
@@ -590,7 +604,7 @@ object SimilaritySearch {
     } catch {
       case t: Throwable =>
         results.foreach(_.unpersist(blocking = false)); throw t
-    }
+    } finally restoreCheckpointDir()
   }
 
   /** Standing hyperplane-LSH index over an embedding corpus — the vector

@@ -110,6 +110,8 @@ class BroadcastGateSpec extends SparkSpec {
       probeFlips = 2, chunks = 3)
     val ckptDir = java.nio.file.Files
       .createTempDirectory("graft-blocked-ckpt").toFile
+    assert(spark.sparkContext.getCheckpointDir.isEmpty,
+      "precondition: no context checkpoint dir before the reliable run")
     spark.conf.set(SimilaritySearch.blockedCheckpointDirKey,
       ckptDir.getAbsolutePath)
     val reliable =
@@ -118,6 +120,11 @@ class BroadcastGateSpec extends SparkSpec {
         probeFlips = 2, chunks = 3)
       finally spark.conf.unset(SimilaritySearch.blockedCheckpointDirKey)
     try {
+      // the context checkpoint dir is global SparkContext state — the
+      // blocked arm must leave it exactly as found (unset here), not
+      // permanently redirect unrelated checkpoint() calls to its scratch
+      assert(spark.sparkContext.getCheckpointDir.isEmpty,
+        "reliable mode leaked its scratch dir into the SparkContext")
       assert(pairSet(reliable) == pairSet(local) && pairSet(local).nonEmpty)
       // the mode actually wrote pass checkpoints (not a silent fallback
       // to local blocks): the scratch dir holds RDD checkpoint data
@@ -129,6 +136,54 @@ class BroadcastGateSpec extends SparkSpec {
       local.unpersist(blocking = false)
       reliable.unpersist(blocking = false)
     }
+  }
+
+  test("blocked arm: reliable mode restores a caller-owned checkpoint dir") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val callerDir = java.nio.file.Files
+      .createTempDirectory("graft-caller-ckpt").toFile.getAbsolutePath
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-blocked-scratch").toFile.getAbsolutePath
+    spark.sparkContext.setCheckpointDir(callerDir)
+    try {
+      val before = spark.sparkContext.getCheckpointDir.get
+      assert(before.contains(callerDir))
+      spark.conf.set(SimilaritySearch.blockedCheckpointDirKey, scratch)
+      val reliable =
+        try SimilaritySearch.lshPairsBlocked(emb, "vec_id", "embedding",
+          threshold = 0.45, numPlanes = 4, numTables = 14,
+          probeFlips = 2, chunks = 2)
+        finally spark.conf.unset(SimilaritySearch.blockedCheckpointDirKey)
+      try {
+        // restored under the caller's tree (restore re-resolves a fresh
+        // UUID subdir — ownership, not bit-identity, is the contract),
+        // NOT left pointing at the blocked arm's scratch dir
+        val after = spark.sparkContext.getCheckpointDir
+        assert(after.exists(_.contains(callerDir)),
+          s"checkpoint dir not restored to the caller's: $after")
+        assert(!after.exists(_.contains(scratch)))
+        assert(pairSet(reliable).nonEmpty)
+      } finally reliable.unpersist(blocking = false)
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
+  test("pair-relation width comes from the schema, not a two-long guess") {
+    import spark.implicits._
+    // (bigint, bigint) resolves to the documented 48 B/row exactly —
+    // 16 B header + 2 × (8 B slot + 8 B long payload)
+    val longs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("a_id", "b_id")
+    assert(Dedup.pairRelationBytes(longs) == 3L * 48L)
+    // string ids contribute their measured UTF-8 octets on top of the
+    // fixed slots (16 + 2·8 = 32 B/row) — the ADVICE-r12 failure mode
+    // was long string ids under the 48 B guess pushing an over-gate
+    // relation into a forced broadcast
+    val strs = Seq(("doc-00001", "x"), ("é", "doc-2")).toDF("a_id", "b_id")
+    val octets = "doc-00001".getBytes("UTF-8").length +
+      "x".getBytes("UTF-8").length + "é".getBytes("UTF-8").length +
+      "doc-2".getBytes("UTF-8").length
+    assert(Dedup.pairRelationBytes(strs) == 2L * 32L + octets)
+    // an empty relation measures zero (no NPE from the null SUM)
+    assert(Dedup.pairRelationBytes(strs.limit(0)) == 0L)
   }
 
   test("minhash verify tail: shuffle degrade == broadcast form") {
