@@ -45,4 +45,26 @@ private[graft] object BroadcastGate {
     */
   def gated(df: DataFrame, estBytes: Long): DataFrame =
     if (estBytes <= bytes(df)) broadcast(df) else df
+
+  /** Release `caches` if `body` throws before the pipeline's own release
+    * path takes ownership of them. The eager pair pipelines run jobs
+    * mid-build — the gate's measuring aggregate (and the LSH geometry
+    * count) execute at call time — so a failure there (executor loss,
+    * task OOM on a skewed corpus, a malformed gate conf, job
+    * cancellation) would otherwise strand every internally-persisted
+    * intermediate in the CacheManager; in a long-lived session each
+    * retried call strands another corpus-sized set, the exact
+    * accumulation the eager-release contract exists to prevent.
+    * Releasing twice is a no-op, so the happy path's own release
+    * composes safely. NonFatal only: a `return` out of `body` travels as
+    * a ControlThrowable and must NOT trigger the release (the returned
+    * plan may read the caches); fatal VM errors are unrecoverable either
+    * way.
+    */
+  def releasingOnFailure[T](caches: => Seq[DataFrame])(body: => T): T =
+    try body
+    catch {
+      case scala.util.control.NonFatal(t) =>
+        caches.foreach(_.unpersist(blocking = false)); throw t
+    }
 }

@@ -145,25 +145,27 @@ object Dedup {
     // within-batch pass) and the hint stays forced — a count job plus a
     // cache registration per micro-batch would cost more than it guards.
     val sizes = shex.groupBy($"id").agg(count(lit(1)).as("n"))
-    val candGated = if (persist) gatedPairs(cached(cand)) else broadcast(cand)
-    val inter = candGated
-      .join(shex.select($"id".as("a_id"), $"h"), "a_id")
-      .join(shex.select($"id".as("b_id"), $"h".as("h_b")), Seq("b_id"))
-      .filter($"h" === $"h_b")
-      .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("inter"))
-    val pairs = inter
-      .join(sizes.select($"id".as("a_id"), $"n".as("na")), "a_id")
-      .join(sizes.select($"id".as("b_id"), $"n".as("nb")), "b_id")
-      .withColumn("jaccard",
-        $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
-      .filter($"jaccard" >= threshold)
-      .select($"a_id", $"b_id", round($"jaccard", 4).as("jaccard"))
-    // the gate's measuring job already made the corpus path eager at
-    // call time — finish the jaccardPairs contract: materialize the
-    // (pair-sized) result, release the internal caches, caller owns the
-    // result's unpersist(). The persist = false streaming path stays a
-    // lazy plan (nothing was cached, the broadcast hint stays forced).
-    if (persist) materializeAndRelease(pairs, caches.toSeq) else pairs
+    releasingOnFailure(caches.toSeq) {
+      val candGated = if (persist) gatedPairs(cached(cand)) else broadcast(cand)
+      val inter = candGated
+        .join(shex.select($"id".as("a_id"), $"h"), "a_id")
+        .join(shex.select($"id".as("b_id"), $"h".as("h_b")), Seq("b_id"))
+        .filter($"h" === $"h_b")
+        .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("inter"))
+      val pairs = inter
+        .join(sizes.select($"id".as("a_id"), $"n".as("na")), "a_id")
+        .join(sizes.select($"id".as("b_id"), $"n".as("nb")), "b_id")
+        .withColumn("jaccard",
+          $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
+        .filter($"jaccard" >= threshold)
+        .select($"a_id", $"b_id", round($"jaccard", 4).as("jaccard"))
+      // the gate's measuring job already made the corpus path eager at
+      // call time — finish the jaccardPairs contract: materialize the
+      // (pair-sized) result, release the internal caches, caller owns the
+      // result's unpersist(). The persist = false streaming path stays a
+      // lazy plan (nothing was cached, the broadcast hint stays forced).
+      if (persist) materializeAndRelease(pairs, caches.toSeq) else pairs
+    }
   }
 
   /** EXACT n-gram-Jaccard near-dup pairs via a shingle inverted index —
@@ -223,68 +225,70 @@ object Dedup {
     // Uncapped, candidate intersections ARE the exact intersections (only
     // df==1 shingles were dropped, and those intersect nothing); capped,
     // recount over the full relation so values stay exact.
-    val inter =
-      if (maxPostingList <= 0) candInter
-      else {
-        // The recount pass dominates the capped path on boilerplate-
-        // heavy corpora (ScaleRun skewbomb): candidate generation is
-        // cheap, but recounting every candidate against the full
-        // shingle relation pays |candidates| × |doc shingles|. Two
-        // result-preserving cuts:
-        //
-        // 1. UPPER-BOUND PRUNE before the recount. The candidate's
-        //    cold-intersection count is exact over df <= cap shingles;
-        //    the hot remainder is bounded by min(hotA, hotB), each
-        //    doc's count of df > cap shingles. j is monotone in inter,
-        //    so imax := coldInter + min(hotA, hotB) bounds the true
-        //    jaccard from above — a pair with
-        //    imax/(na+nb-imax) < t provably cannot reach the
-        //    threshold. On a template corpus this eliminates the
-        //    boiler-only candidate mass (their cold overlap is tiny
-        //    and min(hot) ~ template size), leaving the recount only
-        //    genuinely-plausible pairs.
-        // 2. Recount over df > 1 shingles ONLY — a df == 1 shingle
-        //    exists in exactly one document, so it can never survive
-        //    the (b_id, sh) equi-join (the argument that drops df == 1
-        //    from candidate generation). On natural text the majority
-        //    of shingles are df == 1.
-        val hotCount = sh.join(
-            dfAgg.filter($"df" > maxPostingList).select($"sh"), "sh")
-          .groupBy($"doc_id").agg(count(lit(1)).as("hc"))
-        val plausible = candInter
-          .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), "a_id")
-          .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), "b_id")
-          .join(hotCount.select($"doc_id".as("a_id"), $"hc".as("ha")),
-            Seq("a_id"), "left")
-          .join(hotCount.select($"doc_id".as("b_id"), $"hc".as("hb")),
-            Seq("b_id"), "left")
-          .withColumn("imax", $"inter" +
-            least(coalesce($"ha", lit(0L)), coalesce($"hb", lit(0L))))
-          .filter($"imax".cast("double") /
-            ($"na" + $"nb" - $"imax") >= threshold)
-          .select($"a_id", $"b_id")
-        shShared = sh.join(
-          dfAgg.filter($"df" > 1).select($"sh"), "sh").persist()
-        plausibleP = plausible.persist()
-        gatedPairs(plausibleP)
-          .join(shShared.select($"doc_id".as("a_id"), $"sh"), "a_id")
-          // equi-join on BOTH (b_id, sh): each surviving row IS one
-          // shared shingle — joining on b_id alone would cross a's
-          // shingles with b's (|a|·|b| intermediate rows per pair)
-          // before filtering
-          .join(shShared.select($"doc_id".as("b_id"), $"sh"),
-            Seq("b_id", "sh"))
-          .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("inter"))
-      }
-    val pairs = inter
-      .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), "a_id")
-      .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), "b_id")
-      .withColumn("jaccard",
-        $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
-      .filter($"jaccard" >= threshold)
-      .select($"a_id", $"b_id", round($"jaccard", 4).as("jaccard"))
-    materializeAndRelease(pairs,
-      Seq(sh, sh2) ++ Option(shShared) ++ Option(plausibleP))
+    releasingOnFailure(Seq(sh, sh2) ++ Option(shShared) ++ Option(plausibleP)) {
+      val inter =
+        if (maxPostingList <= 0) candInter
+        else {
+          // The recount pass dominates the capped path on boilerplate-
+          // heavy corpora (ScaleRun skewbomb): candidate generation is
+          // cheap, but recounting every candidate against the full
+          // shingle relation pays |candidates| × |doc shingles|. Two
+          // result-preserving cuts:
+          //
+          // 1. UPPER-BOUND PRUNE before the recount. The candidate's
+          //    cold-intersection count is exact over df <= cap shingles;
+          //    the hot remainder is bounded by min(hotA, hotB), each
+          //    doc's count of df > cap shingles. j is monotone in inter,
+          //    so imax := coldInter + min(hotA, hotB) bounds the true
+          //    jaccard from above — a pair with
+          //    imax/(na+nb-imax) < t provably cannot reach the
+          //    threshold. On a template corpus this eliminates the
+          //    boiler-only candidate mass (their cold overlap is tiny
+          //    and min(hot) ~ template size), leaving the recount only
+          //    genuinely-plausible pairs.
+          // 2. Recount over df > 1 shingles ONLY — a df == 1 shingle
+          //    exists in exactly one document, so it can never survive
+          //    the (b_id, sh) equi-join (the argument that drops df == 1
+          //    from candidate generation). On natural text the majority
+          //    of shingles are df == 1.
+          val hotCount = sh.join(
+              dfAgg.filter($"df" > maxPostingList).select($"sh"), "sh")
+            .groupBy($"doc_id").agg(count(lit(1)).as("hc"))
+          val plausible = candInter
+            .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), "a_id")
+            .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), "b_id")
+            .join(hotCount.select($"doc_id".as("a_id"), $"hc".as("ha")),
+              Seq("a_id"), "left")
+            .join(hotCount.select($"doc_id".as("b_id"), $"hc".as("hb")),
+              Seq("b_id"), "left")
+            .withColumn("imax", $"inter" +
+              least(coalesce($"ha", lit(0L)), coalesce($"hb", lit(0L))))
+            .filter($"imax".cast("double") /
+              ($"na" + $"nb" - $"imax") >= threshold)
+            .select($"a_id", $"b_id")
+          shShared = sh.join(
+            dfAgg.filter($"df" > 1).select($"sh"), "sh").persist()
+          plausibleP = plausible.persist()
+          gatedPairs(plausibleP)
+            .join(shShared.select($"doc_id".as("a_id"), $"sh"), "a_id")
+            // equi-join on BOTH (b_id, sh): each surviving row IS one
+            // shared shingle — joining on b_id alone would cross a's
+            // shingles with b's (|a|·|b| intermediate rows per pair)
+            // before filtering
+            .join(shShared.select($"doc_id".as("b_id"), $"sh"),
+              Seq("b_id", "sh"))
+            .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("inter"))
+        }
+      val pairs = inter
+        .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), "a_id")
+        .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), "b_id")
+        .withColumn("jaccard",
+          $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
+        .filter($"jaccard" >= threshold)
+        .select($"a_id", $"b_id", round($"jaccard", 4).as("jaccard"))
+      materializeAndRelease(pairs,
+        Seq(sh, sh2) ++ Option(shShared) ++ Option(plausibleP))
+    }
   }
 
   /** Candidate-pair broadcast gate for the exact-verification tails: the
@@ -356,6 +360,11 @@ object Dedup {
     } finally intermediates.foreach(_.unpersist(blocking = false))
     out
   }
+
+  // release-on-failure for the job-running build regions below — shared
+  // with the vector twin's pipelines
+  private def releasingOnFailure[T](caches: => Seq[DataFrame])(body: => T): T =
+    BroadcastGate.releasingOnFailure(caches)(body)
 
   /** EXACT n-gram-Jaccard near-dup pairs via PREFIX FILTERING — the
     * All-Pairs / PPJoin candidate-generation scheme (Bayardo et al.,
@@ -501,19 +510,21 @@ object Dedup {
     // (the measuring job runs at call time), so an unreleased cache per
     // call would accumulate in a long-lived session
     val candP = cand.persist()
-    val pairs = gatedPairs(candP)
-      .join(sh.select($"doc_id".as("a_id"), $"sh"), "a_id")
-      // equi-join on BOTH (b_id, sh): each surviving row IS one shared
-      // shingle (see jaccardPairs' capped path)
-      .join(sh.select($"doc_id".as("b_id"), $"sh"), Seq("b_id", "sh"))
-      .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("inter"))
-      .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), "a_id")
-      .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), "b_id")
-      .withColumn("jaccard",
-        $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
-      .filter($"jaccard" >= threshold)
-      .select($"a_id", $"b_id", round($"jaccard", 4).as("jaccard"))
-    materializeAndRelease(pairs, intermediates :+ candP)
+    releasingOnFailure(intermediates :+ candP) {
+      val pairs = gatedPairs(candP)
+        .join(sh.select($"doc_id".as("a_id"), $"sh"), "a_id")
+        // equi-join on BOTH (b_id, sh): each surviving row IS one shared
+        // shingle (see jaccardPairs' capped path)
+        .join(sh.select($"doc_id".as("b_id"), $"sh"), Seq("b_id", "sh"))
+        .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("inter"))
+        .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), "a_id")
+        .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), "b_id")
+        .withColumn("jaccard",
+          $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
+        .filter($"jaccard" >= threshold)
+        .select($"a_id", $"b_id", round($"jaccard", 4).as("jaccard"))
+      materializeAndRelease(pairs, intermediates :+ candP)
+    }
   }
 
   /** Incremental near-dup detection: EXACT n-gram-Jaccard pairs between a
@@ -590,40 +601,43 @@ object Dedup {
     // the recount — kills the boilerplate candidate mass) and the
     // df > 1 recount restriction (a combined-df 1 shingle exists on one
     // side only and cannot intersect).
-    val inter =
-      if (maxPostingList <= 0) candInter
-      else {
-        val hot = df2.filter($"df" > maxPostingList).select($"sh")
-        val bHot = bSh.join(hot, "sh")
-          .groupBy($"batch_id").agg(count(lit(1)).as("ha"))
-        val cHot = cSh.join(hot, "sh")
-          .groupBy($"corpus_id").agg(count(lit(1)).as("hb"))
-        val plausible = candInter
-          .join(bSizes, "batch_id").join(cSizes, "corpus_id")
-          .join(bHot, Seq("batch_id"), "left")
-          .join(cHot, Seq("corpus_id"), "left")
-          .withColumn("imax", $"inter" +
-            least(coalesce($"ha", lit(0L)), coalesce($"hb", lit(0L))))
-          .filter($"imax".cast("double") /
-            ($"nb" + $"nc" - $"imax") >= threshold)
-          .select($"batch_id", $"corpus_id")
-        val shared = df2.filter($"df" > 1).select($"sh")
-        plausibleP = plausible.persist()
-        gatedPairs(plausibleP)
-          .join(bSh.join(shared, "sh"), "batch_id")
-          .join(cSh.join(shared, "sh"), Seq("corpus_id", "sh"))
-          .groupBy($"batch_id", $"corpus_id").agg(count(lit(1)).as("inter"))
-      }
-    val pairs = inter
-      .join(bSizes, "batch_id")
-      .join(cSizes, "corpus_id")
-      .withColumn("jaccard",
-        $"inter".cast("double") / ($"nb" + $"nc" - $"inter"))
-      .filter($"jaccard" >= threshold)
-      .select($"batch_id", $"corpus_id", round($"jaccard", 4).as("jaccard"))
-    materializeAndRelease(pairs,
-      Seq(bSh, cSh) ++ (if (df2Persisted) Seq(df2) else Nil) ++
-        Option(plausibleP))
+    releasingOnFailure(Seq(bSh, cSh) ++
+        (if (df2Persisted) Seq(df2) else Nil) ++ Option(plausibleP)) {
+      val inter =
+        if (maxPostingList <= 0) candInter
+        else {
+          val hot = df2.filter($"df" > maxPostingList).select($"sh")
+          val bHot = bSh.join(hot, "sh")
+            .groupBy($"batch_id").agg(count(lit(1)).as("ha"))
+          val cHot = cSh.join(hot, "sh")
+            .groupBy($"corpus_id").agg(count(lit(1)).as("hb"))
+          val plausible = candInter
+            .join(bSizes, "batch_id").join(cSizes, "corpus_id")
+            .join(bHot, Seq("batch_id"), "left")
+            .join(cHot, Seq("corpus_id"), "left")
+            .withColumn("imax", $"inter" +
+              least(coalesce($"ha", lit(0L)), coalesce($"hb", lit(0L))))
+            .filter($"imax".cast("double") /
+              ($"nb" + $"nc" - $"imax") >= threshold)
+            .select($"batch_id", $"corpus_id")
+          val shared = df2.filter($"df" > 1).select($"sh")
+          plausibleP = plausible.persist()
+          gatedPairs(plausibleP)
+            .join(bSh.join(shared, "sh"), "batch_id")
+            .join(cSh.join(shared, "sh"), Seq("corpus_id", "sh"))
+            .groupBy($"batch_id", $"corpus_id").agg(count(lit(1)).as("inter"))
+        }
+      val pairs = inter
+        .join(bSizes, "batch_id")
+        .join(cSizes, "corpus_id")
+        .withColumn("jaccard",
+          $"inter".cast("double") / ($"nb" + $"nc" - $"inter"))
+        .filter($"jaccard" >= threshold)
+        .select($"batch_id", $"corpus_id", round($"jaccard", 4).as("jaccard"))
+      materializeAndRelease(pairs,
+        Seq(bSh, cSh) ++ (if (df2Persisted) Seq(df2) else Nil) ++
+          Option(plausibleP))
+    }
   }
 
   /** Incremental MinHash-LSH: near-dup pairs between a new batch and the

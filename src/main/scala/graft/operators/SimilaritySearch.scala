@@ -229,14 +229,23 @@ object SimilaritySearch {
     // subtrees); blocks die with the session. persist = false is for
     // repeated small-input calls (the streaming within-batch pass) where
     // an unreleased cache per call would leak.
+    // tracked for release-on-failure: the geometry count and the gate's
+    // conf reads run jobs/parses mid-build, and a failure there must not
+    // strand the registrations in a long-lived session (the happy path
+    // deliberately leaves them cached — the returned plan reads them;
+    // callers/cacheSink own that release)
+    val localCaches = scala.collection.mutable.Buffer.empty[DataFrame]
     def cached(d: DataFrame): DataFrame =
       if (persist) {
         val p = d.persist()
+        localCaches += p
         if (cacheSink != null) cacheSink += p
         p
       } else d
+    def guarded[T](body: => T): T =
+      BroadcastGate.releasingOnFailure(localCaches.toSeq)(body)
     val e = cached(normedVectors(df, idCol, vecCol, "id", "v", "nrm"))
-    val firstRow = e.select(size($"v")).take(1)
+    val firstRow = guarded(e.select(size($"v")).take(1))
     if (firstRow.isEmpty) { // empty corpus: no pairs, and no dim to bucket by
       if (persist) e.unpersist()
       // type-faithful empty result (a_id/b_id carry the ID column's own
@@ -253,7 +262,7 @@ object SimilaritySearch {
     // persist = false the inputs are small by contract and the extra
     // pass is bounded by them): numPlanes = 0 → the sizing law,
     // probeFlips = -1 → the plane-matched probe count.
-    val n = e.count()
+    val n = guarded(e.count())
     // Geometry laws via [[resolveGeometry]] (ONE source of truth with
     // the public pre-flight) — resolved BEFORE the routing decision
     // below, because the fused verify broadcasts THREE relations (two
@@ -283,7 +292,8 @@ object SimilaritySearch {
     // passes each under the gate) — identical pair set (superset under
     // a bucket cap), memory-bounded at any corpus size.
     if (allowBlocked && persist) {
-      val c = blockedChunks(n, dim, geom.tables, BroadcastGate.bytes(df))
+      val c = guarded(blockedChunks(n, dim, geom.tables,
+        BroadcastGate.bytes(df)))
       if (c >= 3 && c <= maxBlockedChunks) {
         e.unpersist(blocking = false)
         return lshPairsBlocked(df, idCol, vecCol, threshold, numPlanes,
@@ -385,7 +395,7 @@ object SimilaritySearch {
       // 10-40G candidate rows is the disk-kill), so the degrade below
       // remains reachable only through an explicit gate opt-out.
       def gated(d: DataFrame, estBytes: Long): DataFrame =
-        BroadcastGate.gated(d, estBytes)
+        guarded(BroadcastGate.gated(d, estBytes)) // conf parse can throw
       val vecBytes = 24L + 8L * dim
       val probes = dotsRel.select($"id", $"tbl",
         explode(graft.functions.LshProbe.probeBucketsFast(
@@ -438,14 +448,21 @@ object SimilaritySearch {
     */
   private[operators] val maxBlockedChunks = 64
 
-  /** Conf key selecting [[lshPairsBlocked]]'s RELIABLE pass-checkpoint
-    * mode: when set to a directory, each pass's result is checkpointed
-    * there (survives executor loss — the cluster-safe mode for long
-    * C(C+1)/2-pass runs) instead of localCheckpoint blocks (the local
-    * default, where a lost block silently loses that pass's pairs
-    * because the lineage cut is deliberate). The caller owns the
-    * directory's lifecycle: point it at job-scoped scratch storage and
-    * clean it when the returned result is released.
+  /** Conf key selecting [[lshPairsBlocked]]'s RELIABLE pass-
+    * materialization mode: when set to a directory, each pass's
+    * (pair-sized) result is written as parquet under a per-call unique
+    * subdirectory and read back (survives executor loss — the
+    * cluster-safe mode for long C(C+1)/2-pass runs) instead of
+    * localCheckpoint blocks (the local default, where a lost block
+    * silently loses that pass's pairs because the lineage cut is
+    * deliberate). Plain table files, NOT the SparkContext checkpoint
+    * machinery: `setCheckpointDir` is process-global mutable state — a
+    * concurrent unrelated `checkpoint()` call during the pass window
+    * would land its files in scratch the caller is told to delete, and
+    * the resolved dir cannot be restored without nesting a fresh UUID
+    * level per run. The caller owns the directory's lifecycle: point it
+    * at job-scoped scratch storage and clean it when the returned
+    * result is released (the result reads these files while it lives).
     */
   val blockedCheckpointDirKey = "spark.graft.blockedCheckpointDir"
 
@@ -533,30 +550,23 @@ object SimilaritySearch {
     def chunkOf(idExpr: Column): Column = pmod(xxhash64(idExpr), lit(c))
     // Pass-materialization mode. Default: localCheckpoint — blocks live
     // on this JVM's executors, lineage CUT (load-bearing, see below).
-    // With spark.graft.blockedCheckpointDir set: RELIABLE checkpoint to
-    // that directory — same lineage cut, but pass results survive
-    // executor loss, which on a real cluster a C(C+1)/2-pass run lives
-    // long enough to see (a lost localCheckpoint block cannot recompute
-    // and would silently drop that pass's true pairs). The conf names a
-    // job-scoped scratch dir the CALLER owns (checkpoint files are not
-    // self-deleting; clean the dir when the result is released).
+    // With spark.graft.blockedCheckpointDir set: RELIABLE parquet
+    // write-and-read-back under a per-call unique subdir — same lineage
+    // cut, but pass results survive executor loss, which on a real
+    // cluster a C(C+1)/2-pass run lives long enough to see (a lost
+    // localCheckpoint block cannot recompute and would silently drop
+    // that pass's true pairs). Deliberately NOT sc.setCheckpointDir +
+    // Dataset.checkpoint: that mutates process-global state for the
+    // whole pass window (racing concurrent blocked runs and redirecting
+    // any unrelated checkpoint() into scratch the caller deletes), and
+    // the resolved dir cannot be restored without nesting a UUID level
+    // per run. The per-call subdir keeps concurrent reliable runs
+    // sharing one conf dir collision-free; the conf names a job-scoped
+    // scratch dir the CALLER owns (pass files are not self-deleting;
+    // clean the dir when the returned result is released).
     val reliableDir = spark.conf.getOption(blockedCheckpointDirKey)
       .filter(_.nonEmpty)
-    // The context checkpoint dir is GLOBAL SparkContext state a caller
-    // may own for their own checkpoint() calls — save it and restore on
-    // every exit so routing through the blocked arm never permanently
-    // redirects (or un-sets) where unrelated checkpoints land. Safe to
-    // restore as soon as the pass loop ends: every pass checkpoint is
-    // eager, and a materialized ReliableCheckpointRDD reads its own
-    // recorded path, not the current dir. (Restoring re-resolves a
-    // fresh UUID subdir under the caller's original dir — same
-    // ownership tree, which is the contract that matters.)
-    val prevCheckpointDir =
-      if (reliableDir.isDefined) spark.sparkContext.getCheckpointDir else None
-    reliableDir.foreach(spark.sparkContext.setCheckpointDir)
-    def restoreCheckpointDir(): Unit = reliableDir.foreach { _ =>
-      spark.sparkContext.setCheckpointDir(prevCheckpointDir.orNull)
-    }
+      .map(d => s"$d/run-${java.util.UUID.randomUUID()}")
     val results = scala.collection.mutable.Buffer.empty[DataFrame]
     try {
       for (i <- 0 until c; j <- i until c) {
@@ -564,33 +574,44 @@ object SimilaritySearch {
           if (i == j) df.filter(chunkOf(col(idCol)) === i)
           else df.filter(chunkOf(col(idCol)) === i or
             chunkOf(col(idCol)) === j)
+        // the whole pass — construction included — sits inside the
+        // sink-releasing try: lshPairsImpl runs its geometry count
+        // mid-call, and a failure there must release what the sink
+        // already tracks (its own internal guard also releases; the
+        // double release is a no-op)
         val sink = scala.collection.mutable.Buffer.empty[DataFrame]
-        val pass = lshPairsImpl(input, idCol, vecCol, threshold, planes,
-          numTables, maxBucketSize, seed, persist = true, probeFlips,
-          probeRadius, allowBlocked = false, cacheSink = sink)
-        // a cross-pass keeps cross-chunk pairs only — its within-chunk
-        // pairs belong to (and are produced by) the self-passes
-        val kept =
-          if (i == j) pass
-          else pass.filter(chunkOf($"a_id") =!= chunkOf($"b_id"))
-        // CHECKPOINT, not persist: materializes the pass AND cuts its
-        // lineage. The cut is load-bearing — a persisted pass result
-        // retains the pass plan (InMemoryRelation keeps it for
+        // MATERIALIZE AND CUT LINEAGE, not persist: a persisted pass
+        // result retains the pass plan (InMemoryRelation keeps it for
         // recompute), including its BroadcastExchange hash relations
         // (~3 gate-sized builds per pass, the dominant resident cost),
         // so a C-pass run accumulates C× the per-pass broadcast budget:
         // measured OOM at 6 passes / 8g heap on the 512k rung. With the
         // dependencies dropped at materialization, each iteration's
-        // broadcasts die with its locals. Local mode (default): blocks
-        // hold only true pairs, but a lost block cannot recompute
-        // (lineage is gone) — the accepted local-checkpoint trade the
-        // CC rounds already make. Reliable mode (conf dir set): pass
-        // files survive executor loss; the trade is write-through IO
-        // per pass (pair-sized — true pairs only, tiny next to the
-        // candidate mass that never leaves its codegen stage).
+        // broadcasts die with its locals. Local mode (default):
+        // localCheckpoint blocks hold only true pairs, but a lost block
+        // cannot recompute (lineage is gone) — the accepted
+        // local-checkpoint trade the CC rounds already make. Reliable
+        // mode (conf dir set): one job writes the pass as parquet, the
+        // read-back plan depends only on the files (full lineage cut,
+        // executor-loss-proof); the trade is write-through IO per pass
+        // (pair-sized — true pairs only, tiny next to the candidate
+        // mass that never leaves its codegen stage).
         val out = try {
-          if (reliableDir.isDefined) kept.checkpoint(eager = true)
-          else kept.localCheckpoint(true)
+          val pass = lshPairsImpl(input, idCol, vecCol, threshold, planes,
+            numTables, maxBucketSize, seed, persist = true, probeFlips,
+            probeRadius, allowBlocked = false, cacheSink = sink)
+          // a cross-pass keeps cross-chunk pairs only — its within-chunk
+          // pairs belong to (and are produced by) the self-passes
+          val kept =
+            if (i == j) pass
+            else pass.filter(chunkOf($"a_id") =!= chunkOf($"b_id"))
+          reliableDir match {
+            case Some(d) =>
+              val path = s"$d/pass-$i-$j"
+              kept.write.mode("overwrite").parquet(path)
+              spark.read.parquet(path)
+            case None => kept.localCheckpoint(true)
+          }
         } finally sink.foreach(_.unpersist(blocking = false))
         results += out
       }
@@ -599,12 +620,14 @@ object SimilaritySearch {
       catch {
         case t: Throwable => all.unpersist(blocking = false); throw t
       }
-      // pass-checkpoint blocks are pair-sized; they back `all`'s
-      // recompute path while it lives and die with it via the cleaner
+      // pass materializations are pair-sized; they back `all`'s
+      // recompute path while it lives (local blocks die with it via the
+      // cleaner; reliable pass files live until the caller cleans the
+      // scratch dir)
     } catch {
       case t: Throwable =>
         results.foreach(_.unpersist(blocking = false)); throw t
-    } finally restoreCheckpointDir()
+    }
   }
 
   /** Standing hyperplane-LSH index over an embedding corpus — the vector

@@ -120,9 +120,10 @@ class BroadcastGateSpec extends SparkSpec {
         probeFlips = 2, chunks = 3)
       finally spark.conf.unset(SimilaritySearch.blockedCheckpointDirKey)
     try {
-      // the context checkpoint dir is global SparkContext state — the
-      // blocked arm must leave it exactly as found (unset here), not
-      // permanently redirect unrelated checkpoint() calls to its scratch
+      // reliable mode is plain parquet files, NOT the SparkContext
+      // checkpoint machinery — the process-global checkpoint dir must
+      // never be touched (a concurrent unrelated checkpoint() call
+      // would otherwise land in scratch the caller deletes)
       assert(spark.sparkContext.getCheckpointDir.isEmpty,
         "reliable mode leaked its scratch dir into the SparkContext")
       assert(pairSet(reliable) == pairSet(local) && pairSet(local).nonEmpty)
@@ -138,7 +139,7 @@ class BroadcastGateSpec extends SparkSpec {
     }
   }
 
-  test("blocked arm: reliable mode restores a caller-owned checkpoint dir") {
+  test("blocked arm: reliable mode leaves a caller-owned checkpoint dir untouched") {
     val emb = Tables.load(spark, dir, "embeddings")
     val callerDir = java.nio.file.Files
       .createTempDirectory("graft-caller-ckpt").toFile.getAbsolutePath
@@ -146,8 +147,8 @@ class BroadcastGateSpec extends SparkSpec {
       .createTempDirectory("graft-blocked-scratch").toFile.getAbsolutePath
     spark.sparkContext.setCheckpointDir(callerDir)
     try {
-      val before = spark.sparkContext.getCheckpointDir.get
-      assert(before.contains(callerDir))
+      val before = spark.sparkContext.getCheckpointDir
+      assert(before.exists(_.contains(callerDir)))
       spark.conf.set(SimilaritySearch.blockedCheckpointDirKey, scratch)
       val reliable =
         try SimilaritySearch.lshPairsBlocked(emb, "vec_id", "embedding",
@@ -155,13 +156,14 @@ class BroadcastGateSpec extends SparkSpec {
           probeFlips = 2, chunks = 2)
         finally spark.conf.unset(SimilaritySearch.blockedCheckpointDirKey)
       try {
-        // restored under the caller's tree (restore re-resolves a fresh
-        // UUID subdir — ownership, not bit-identity, is the contract),
-        // NOT left pointing at the blocked arm's scratch dir
-        val after = spark.sparkContext.getCheckpointDir
-        assert(after.exists(_.contains(callerDir)),
-          s"checkpoint dir not restored to the caller's: $after")
-        assert(!after.exists(_.contains(scratch)))
+        // BIT-IDENTICAL, not merely same-tree: reliable mode writes its
+        // own parquet files and must never read or write the global
+        // checkpoint-dir state (a setCheckpointDir save/restore can
+        // only re-resolve a fresh nested UUID level, so exact equality
+        // here proves the machinery is not used at all)
+        assert(spark.sparkContext.getCheckpointDir == before,
+          s"checkpoint dir changed: $before -> " +
+            s"${spark.sparkContext.getCheckpointDir}")
         assert(pairSet(reliable).nonEmpty)
       } finally reliable.unpersist(blocking = false)
     } finally spark.sparkContext.setCheckpointDir(null)
@@ -184,6 +186,51 @@ class BroadcastGateSpec extends SparkSpec {
     assert(Dedup.pairRelationBytes(strs) == 2L * 32L + octets)
     // an empty relation measures zero (no NPE from the null SUM)
     assert(Dedup.pairRelationBytes(strs.limit(0)) == 0L)
+  }
+
+  test("a failing gate releases every internal cache (no stranding on error)") {
+    // The eager pair pipelines run the gate's measuring job mid-build —
+    // a failure there (here: the malformed-conf throw, which fires AFTER
+    // the measuring aggregate has materialized the persisted
+    // intermediates) must release them, or every retried call in a
+    // long-lived session strands another corpus-sized cache set.
+    // getPersistentRDDs is the external observable: its registrations
+    // must be exactly what they were before the failed calls.
+    import org.apache.spark.sql.functions.col
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    spark.conf.set(BroadcastGate.confKey, "not-a-number")
+    try {
+      intercept[IllegalArgumentException] {
+        Dedup.jaccardPairsPrefix(docs, "doc_id", "text", threshold = 0.5)
+      }
+      intercept[IllegalArgumentException] {
+        Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      }
+      intercept[IllegalArgumentException] {
+        Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5,
+          maxPostingList = 64)
+      }
+      intercept[IllegalArgumentException] {
+        Dedup.jaccardPairsAgainst(docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+          threshold = 0.5, maxPostingList = 64)
+      }
+      // the vector twin: lshPairs registers its normed-vector cache and
+      // runs the geometry count before the routing block reads the conf
+      intercept[IllegalArgumentException] {
+        SimilaritySearch.lshPairs(Tables.load(spark, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.45, numPlanes = 4,
+          numTables = 14, probeFlips = 2)
+      }
+    } finally spark.conf.unset(BroadcastGate.confKey)
+    val after = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    // no NEW registrations may survive the failures. (Subset, not
+    // equality: the CacheManager is plan-keyed, so a failing call that
+    // shares a plan with an earlier caller's still-live cache releases
+    // the SHARED entry — correctness-safe, the plan recomputes from
+    // lineage — and that legitimately removes a pre-existing key.)
+    assert((after -- before).isEmpty,
+      s"stranded cached RDDs after failed gated calls: ${after -- before}")
   }
 
   test("minhash verify tail: shuffle degrade == broadcast form") {
@@ -304,6 +351,23 @@ class BroadcastGateSpec extends SparkSpec {
         .map(r => (r.getString(0), r.getString(1))).toSet
       assert(got.contains(("doc-0", "doc-clone")), s"got $got")
     } finally blocked.unpersist(blocking = false)
+    // the reliable leg: empty passes must round-trip through the parquet
+    // write-and-read-back with the string id schema intact (an empty
+    // pass writes a schema-only file; a schema drift would fail the
+    // cross-pass union exactly here)
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-blocked-empty").toFile.getAbsolutePath
+    spark.conf.set(SimilaritySearch.blockedCheckpointDirKey, scratch)
+    val reliable =
+      try SimilaritySearch.lshPairsBlocked(df, "id", "vec",
+        threshold = 0.9, numPlanes = 4, numTables = 14, probeFlips = 2,
+        chunks = 5)
+      finally spark.conf.unset(SimilaritySearch.blockedCheckpointDirKey)
+    try {
+      val got = reliable.select("a_id", "b_id").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got.contains(("doc-0", "doc-clone")), s"got $got")
+    } finally reliable.unpersist(blocking = false)
   }
 
   test("fused verify plan: broadcast within the gate, SMJ only on explicit opt-out") {

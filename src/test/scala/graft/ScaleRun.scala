@@ -955,12 +955,12 @@ object ScaleRun {
       val shards = mult
       val thr = args.lift(2).map(_.toDouble).getOrElse(0.9)
       // SPARK_GRAFT_BLOCKED_CKPT_DIR routes the blocked passes through
-      // the RELIABLE checkpoint mode (cluster-safe pass materialization)
-      // instead of localCheckpoint blocks — the r13 rung lever
+      // the RELIABLE materialization mode (cluster-safe parquet pass
+      // files) instead of localCheckpoint blocks — the r13 rung lever
       val ckpt = sys.env.get("SPARK_GRAFT_BLOCKED_CKPT_DIR").filter(_.nonEmpty)
       ckpt.foreach { d =>
         spark.conf.set(operators.SimilaritySearch.blockedCheckpointDirKey, d)
-        println(s"[scale] blocked passes -> reliable checkpoints under $d")
+        println(s"[scale] blocked passes -> reliable parquet files under $d")
       }
       val base = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
       val corpus0 = (0 until shards).map { i =>
