@@ -56,15 +56,18 @@ private[graft] object BroadcastGate {
     * retried call strands another corpus-sized set, the exact
     * accumulation the eager-release contract exists to prevent.
     * Releasing twice is a no-op, so the happy path's own release
-    * composes safely. NonFatal only: a `return` out of `body` travels as
-    * a ControlThrowable and must NOT trigger the release (the returned
-    * plan may read the caches); fatal VM errors are unrecoverable either
-    * way.
+    * composes safely. NonFatal plus InterruptedException: a `return` out
+    * of `body` travels as a ControlThrowable and must NOT trigger the
+    * release (the returned plan may read the caches); a driver-thread
+    * interrupt mid-measuring-job (timeout frameworks cancelling the
+    * call) IS a covered cancellation — no plan survives it to need the
+    * caches; fatal VM errors are unrecoverable either way.
     */
   def releasingOnFailure[T](caches: => Seq[DataFrame])(body: => T): T =
     try body
     catch {
-      case scala.util.control.NonFatal(t) =>
+      case t if scala.util.control.NonFatal(t) ||
+          t.isInstanceOf[InterruptedException] =>
         caches.foreach(_.unpersist(blocking = false)); throw t
     }
 }

@@ -218,6 +218,11 @@ object Dedup {
     val sh2 = sh.join(hot, "sh").persist()
     var shShared: DataFrame = null
     var plausibleP: DataFrame = null
+    // ONE list for both release paths (failure guard + happy-path
+    // materializeAndRelease) so a future intermediate can't be added to
+    // one and silently stranded on the other
+    def allCaches: Seq[DataFrame] =
+      Seq(sh, sh2) ++ Option(shShared) ++ Option(plausibleP)
     val candInter = sh2.as("a")
       .join(sh2.as("b"), $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
@@ -225,7 +230,7 @@ object Dedup {
     // Uncapped, candidate intersections ARE the exact intersections (only
     // df==1 shingles were dropped, and those intersect nothing); capped,
     // recount over the full relation so values stay exact.
-    releasingOnFailure(Seq(sh, sh2) ++ Option(shShared) ++ Option(plausibleP)) {
+    releasingOnFailure(allCaches) {
       val inter =
         if (maxPostingList <= 0) candInter
         else {
@@ -286,8 +291,7 @@ object Dedup {
           $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
         .filter($"jaccard" >= threshold)
         .select($"a_id", $"b_id", round($"jaccard", 4).as("jaccard"))
-      materializeAndRelease(pairs,
-        Seq(sh, sh2) ++ Option(shShared) ++ Option(plausibleP))
+      materializeAndRelease(pairs, allCaches)
     }
   }
 
@@ -584,6 +588,11 @@ object Dedup {
       bSh.select($"sh").union(cSh.select($"sh"))
         .groupBy($"sh").agg(count(lit(1)).as("df")).persist()
     }
+    // ONE list for both release paths (failure guard + happy-path
+    // materializeAndRelease); guards on df2Persisted so building the
+    // list never forces the lazy cache
+    def allCaches: Seq[DataFrame] = Seq(bSh, cSh) ++
+      (if (df2Persisted) Seq(df2) else Nil) ++ Option(plausibleP)
     val (bCand, cCand) =
       if (maxPostingList > 0) {
         val ok = df2.filter($"df" <= maxPostingList).select($"sh")
@@ -601,8 +610,7 @@ object Dedup {
     // the recount — kills the boilerplate candidate mass) and the
     // df > 1 recount restriction (a combined-df 1 shingle exists on one
     // side only and cannot intersect).
-    releasingOnFailure(Seq(bSh, cSh) ++
-        (if (df2Persisted) Seq(df2) else Nil) ++ Option(plausibleP)) {
+    releasingOnFailure(allCaches) {
       val inter =
         if (maxPostingList <= 0) candInter
         else {
@@ -634,9 +642,7 @@ object Dedup {
           $"inter".cast("double") / ($"nb" + $"nc" - $"inter"))
         .filter($"jaccard" >= threshold)
         .select($"batch_id", $"corpus_id", round($"jaccard", 4).as("jaccard"))
-      materializeAndRelease(pairs,
-        Seq(bSh, cSh) ++ (if (df2Persisted) Seq(df2) else Nil) ++
-          Option(plausibleP))
+      materializeAndRelease(pairs, allCaches)
     }
   }
 

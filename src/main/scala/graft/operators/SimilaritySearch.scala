@@ -278,8 +278,8 @@ object SimilaritySearch {
     // bound 1.1e-5, no growth); the arm engages exactly where the
     // radius cap used to leave a silent floor (12+ planes at loose
     // thresholds).
-    val geom = resolveGeometry(n, threshold, numPlanes, numTables,
-      probeFlips, probeRadius)
+    val geom = guarded(resolveGeometry(n, threshold, numPlanes, numTables,
+      probeFlips, probeRadius)) // the laws' requires can throw post-count
     // BEYOND-GATE ROUTING: the fused verify is scale-safe only while
     // its relations broadcast — past the gate the SMJ degrade sorts the
     // un-deduped candidate mass (measured disk-death at 128k vectors,
@@ -567,6 +567,13 @@ object SimilaritySearch {
     val reliableDir = spark.conf.getOption(blockedCheckpointDirKey)
       .filter(_.nonEmpty)
       .map(d => s"$d/run-${java.util.UUID.randomUUID()}")
+    // the run dir is logged (and best-effort deleted on failure below)
+    // because the UUID is generated here: without either, a failed run's
+    // orphan pass files would be indistinguishable from a concurrent
+    // live run's in a shared scratch dir
+    reliableDir.foreach(d =>
+      org.apache.logging.log4j.LogManager.getLogger(getClass).info(
+        s"lshPairsBlocked reliable pass files under $d"))
     val results = scala.collection.mutable.Buffer.empty[DataFrame]
     try {
       for (i <- 0 until c; j <- i until c) {
@@ -626,7 +633,18 @@ object SimilaritySearch {
       // scratch dir)
     } catch {
       case t: Throwable =>
-        results.foreach(_.unpersist(blocking = false)); throw t
+        results.foreach(_.unpersist(blocking = false))
+        // a failed run's pass files back nothing — delete its run dir
+        // (best-effort: never mask the original failure) so retried
+        // failures don't accumulate orphans in a shared scratch dir
+        reliableDir.foreach { d =>
+          try {
+            val p = new org.apache.hadoop.fs.Path(d)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+          } catch { case _: Throwable => () }
+        }
+        throw t
     }
   }
 

@@ -223,6 +223,14 @@ class BroadcastGateSpec extends SparkSpec {
           numTables = 14, probeFlips = 2)
       }
     } finally spark.conf.unset(BroadcastGate.confKey)
+    // a post-count throw that is NOT the gate conf: the geometry laws'
+    // own require fires after the corpus cache is materialized — same
+    // no-stranding contract
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.lshPairs(Tables.load(spark, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.45, probeFlips = 2,
+        probeRadius = -2)
+    }
     val after = spark.sparkContext.getPersistentRDDs.keySet.toSet
     // no NEW registrations may survive the failures. (Subset, not
     // equality: the CacheManager is plan-keyed, so a failing call that
