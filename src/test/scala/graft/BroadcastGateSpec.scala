@@ -169,6 +169,61 @@ class BroadcastGateSpec extends SparkSpec {
     } finally spark.sparkContext.setCheckpointDir(null)
   }
 
+  test("blocked arm: a failed reliable run deletes its orphan pass files") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{assert_true, lit, pmod, when, xxhash64}
+    val rnd = new scala.util.Random(11)
+    // through parquet, NOT a LocalRelation: ConvertToLocalRelation would
+    // fold the poison projection at OPTIMIZATION time (evaluating every
+    // row's vec before any chunk filter applies), failing even the
+    // self-pass — a file scan keeps evaluation per-row behind the
+    // pushed-down chunk filter, which is also the realistic input shape
+    val baseDir = java.nio.file.Files
+      .createTempDirectory("graft-blocked-poison").toFile.getAbsolutePath
+    (0 until 40).map(i =>
+      (s"v-$i", Seq.fill(16)(rnd.nextGaussian().toFloat))).toDF("id", "vec")
+      .write.mode("overwrite").parquet(baseDir)
+    val base = spark.read.parquet(baseDir)
+    // a poison row in chunk 1 (and not the dim-probe's first row): the
+    // (0,0) self-pass filters it out, completes, and WRITES its pass
+    // files; the (0,1) cross-pass evaluates its vec and fails — the
+    // failed run must then remove its whole run-UUID dir so retried
+    // failures cannot accumulate orphans in a shared scratch dir
+    val poison = base.select($"id")
+      .where(pmod(xxhash64($"id"), lit(2)) === 1 && $"id" =!= "v-0")
+      .head().getString(0)
+    val df = base.withColumn("vec",
+      when(assert_true($"id" =!= lit(poison)).isNull, $"vec"))
+    // pushdown proof, and the reason the (0,0) self-pass completes: the
+    // chunk filter excludes the poison row BEFORE its vec is evaluated.
+    // If this ever stopped holding, the self-pass would fail too, no
+    // pass files would exist, and this pin would go vacuous.
+    assert(df.filter(pmod(xxhash64($"id"), lit(2)) === 0)
+      .select($"vec").collect().nonEmpty)
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-blocked-fail").toFile
+    spark.conf.set(SimilaritySearch.blockedCheckpointDirKey,
+      scratch.getAbsolutePath)
+    try {
+      val e = intercept[Exception] {
+        SimilaritySearch.lshPairsBlocked(df, "id", "vec", threshold = 0.9,
+          numPlanes = 4, numTables = 14, probeFlips = 2, chunks = 2)
+      }
+      // the failure must be the poison row's assert (the cross-pass),
+      // not some earlier probe — otherwise this pin is vacuous (no pass
+      // files would have been written before the cleanup)
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString("\n")
+      assert(msgs.contains("not true") || msgs.contains(poison),
+        s"unexpected failure source:\n$msgs")
+    } finally spark.conf.unset(SimilaritySearch.blockedCheckpointDirKey)
+    def walk(f: java.io.File): Iterator[java.io.File] =
+      Iterator(f) ++ Option(f.listFiles).iterator.flatten.flatMap(walk)
+    assert(!walk(scratch).exists(_.getName.startsWith("run-")),
+      "failed run left orphan pass files in the scratch dir")
+  }
+
   test("pair-relation width comes from the schema, not a two-long guess") {
     import spark.implicits._
     // (bigint, bigint) resolves to the documented 48 B/row exactly —
