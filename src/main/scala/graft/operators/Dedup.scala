@@ -695,10 +695,16 @@ object Dedup {
       rowsPerBand: Int,
       shingleLen: Int) {
     /** Materialize the persisted relations (e.g. before timing probes). */
-    def build(): this.type = {
-      shingleHashes.count(); bands.count(); sizes.count()
-      bucketCounts.count(); this
-    }
+    def build(): this.type =
+      // self-release on failure: fluent `minhashIndex(...).build()`
+      // callers never receive the reference, so nothing else could
+      // unpersist it
+      try {
+        shingleHashes.count(); bands.count(); sizes.count()
+        bucketCounts.count(); this
+      } catch {
+        case scala.util.control.NonFatal(t) => unpersist(); throw t
+      }
     def unpersist(): Unit = {
       shingleHashes.unpersist(blocking = false)
       bands.unpersist(blocking = false)
@@ -839,14 +845,21 @@ object Dedup {
     val bEx = shingleHashRelation(batch, idCol, "corpus_id", textCol,
       shingleLen).persist()
     val bBand = bandRelation(bEx, "corpus_id", numBands, rowsPerBand).persist()
-    bEx.write.mode("overwrite").parquet(s"$path/shingles/append=$appendId")
-    bBand.write.mode("overwrite").parquet(s"$path/bands/append=$appendId")
-    bEx.groupBy($"corpus_id").agg(count(lit(1)).as("nc"))
-      .write.mode("overwrite").parquet(s"$path/sizes/append=$appendId")
-    bBand.groupBy($"band", $"bucket").agg(count(lit(1)).as("partial"))
-      .write.mode("overwrite").parquet(s"$path/bucket_counts/append=$appendId")
-    bEx.unpersist(blocking = false)
-    bBand.unpersist(blocking = false)
+    // unpersist in finally: the caches are transient write-side state,
+    // and a failed write (the appender retries — that is the overwrite
+    // partition's whole point) must not strand them
+    try {
+      bEx.write.mode("overwrite").parquet(s"$path/shingles/append=$appendId")
+      bBand.write.mode("overwrite").parquet(s"$path/bands/append=$appendId")
+      bEx.groupBy($"corpus_id").agg(count(lit(1)).as("nc"))
+        .write.mode("overwrite").parquet(s"$path/sizes/append=$appendId")
+      bBand.groupBy($"band", $"bucket").agg(count(lit(1)).as("partial"))
+        .write.mode("overwrite")
+        .parquet(s"$path/bucket_counts/append=$appendId")
+    } finally {
+      bEx.unpersist(blocking = false)
+      bBand.unpersist(blocking = false)
+    }
   }
 
   private[operators] def requireAppendId(appendId: String): Unit =

@@ -665,9 +665,11 @@ object SimilaritySearch {
       numTables: Int,
       dim: Int,
       seed: Long) {
-    def build(): this.type = {
-      vectors.count(); buckets.count(); bucketCounts.count(); this
-    }
+    def build(): this.type =
+      // self-release on failure: fluent `lshIndex(...).build()` callers
+      // never receive the reference, so nothing else could unpersist it
+      try { vectors.count(); buckets.count(); bucketCounts.count(); this }
+      catch { case scala.util.control.NonFatal(t) => unpersist(); throw t }
     def unpersist(): Unit = {
       vectors.unpersist(blocking = false)
       buckets.unpersist(blocking = false)
@@ -924,14 +926,18 @@ object SimilaritySearch {
     import spark.implicits._
     val e = normedVectors(corpus, idCol, vecCol, "corpus_id", "v", "nrm")
       .persist()
-    val firstRow = e.select(size($"v")).take(1)
-    val dim = if (firstRow.isEmpty) 0 else firstRow.head.getInt(0)
-    val planes = if (numPlanes > 0) numPlanes else adaptivePlanes(e.count())
-    val bucketed = hyperplaneBucketRelation(e, "corpus_id", "v",
-      planes, numTables, dim, seed).persist()
-    val counts = bucketed.groupBy($"tbl", $"bucket")
-      .agg(count(lit(1)).as("population")).persist()
-    LshIndex(e, bucketed, counts, planes, numTables, dim, seed)
+    // the dim probe and the sizing count run jobs before the caller ever
+    // holds the index — a failure there must not strand the corpus cache
+    BroadcastGate.releasingOnFailure(Seq(e)) {
+      val firstRow = e.select(size($"v")).take(1)
+      val dim = if (firstRow.isEmpty) 0 else firstRow.head.getInt(0)
+      val planes = if (numPlanes > 0) numPlanes else adaptivePlanes(e.count())
+      val bucketed = hyperplaneBucketRelation(e, "corpus_id", "v",
+        planes, numTables, dim, seed).persist()
+      val counts = bucketed.groupBy($"tbl", $"bucket")
+        .agg(count(lit(1)).as("population")).persist()
+      LshIndex(e, bucketed, counts, planes, numTables, dim, seed)
+    }
   }
 
   /** Persist an [[LshIndex]] as parquet tables — same durability contract
@@ -1006,12 +1012,20 @@ object SimilaritySearch {
       .persist()
     val bucketed = hyperplaneBucketRelation(e, "corpus_id", "v",
       numPlanes, numTables, dim, seed).persist()
-    e.write.mode("overwrite").parquet(s"$path/vectors/append=$appendId")
-    bucketed.write.mode("overwrite").parquet(s"$path/buckets/append=$appendId")
-    bucketed.groupBy($"tbl", $"bucket").agg(count(lit(1)).as("partial"))
-      .write.mode("overwrite").parquet(s"$path/bucket_counts/append=$appendId")
-    e.unpersist(blocking = false)
-    bucketed.unpersist(blocking = false)
+    // unpersist in finally: the caches are transient write-side state,
+    // and a failed write (the appender retries — that is the overwrite
+    // partition's whole point) must not strand them
+    try {
+      e.write.mode("overwrite").parquet(s"$path/vectors/append=$appendId")
+      bucketed.write.mode("overwrite")
+        .parquet(s"$path/buckets/append=$appendId")
+      bucketed.groupBy($"tbl", $"bucket").agg(count(lit(1)).as("partial"))
+        .write.mode("overwrite")
+        .parquet(s"$path/bucket_counts/append=$appendId")
+    } finally {
+      e.unpersist(blocking = false)
+      bucketed.unpersist(blocking = false)
+    }
   }
 
   /** Probe a standing [[LshIndex]] with a batch of new embeddings — the
@@ -1386,13 +1400,18 @@ object SimilaritySearch {
         zip_with($"v", element_at(centLit, $"cell" + 1),
           (a, b) => a - b).as("res"))
       .persist()
-    val books = fitPqCodebooks(residuals, "id", "res", m, codebookSize,
-      iters, seed + 1000)
-    val encoded = pqEncode(residuals, "id", "res", books,
-      carryCols = Seq("cell")).persist()
-    encoded.count() // materialize the (m bytes/row) codes ...
-    residuals.unpersist(blocking = false) // ... then free the wide residuals
-    IvfPqIndex(encoded, centroids, books)
+    // the codebook fit and the encode materialization run jobs before
+    // the caller holds the index — release both caches on failure
+    var encoded: DataFrame = null
+    BroadcastGate.releasingOnFailure(Seq(residuals) ++ Option(encoded)) {
+      val books = fitPqCodebooks(residuals, "id", "res", m, codebookSize,
+        iters, seed + 1000)
+      encoded = pqEncode(residuals, "id", "res", books,
+        carryCols = Seq("cell")).persist()
+      encoded.count() // materialize the (m bytes/row) codes ...
+      residuals.unpersist(blocking = false) // ... then free the wide residuals
+      IvfPqIndex(encoded, centroids, books)
+    }
   }
 
   /** Probe `nprobe` cells and ADC-score residual codes; optionally

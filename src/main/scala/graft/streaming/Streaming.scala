@@ -332,9 +332,13 @@ object Streaming {
         val w = org.apache.spark.sql.expressions.Window.orderBy(
           col("timestamp").desc, xxhash64(allCols.toIndexedSeq: _*))
         val r = batch.withColumn("_rk", row_number().over(w)).persist()
-        r.filter(col("_rk") > cap).drop("_rk")
-          .withColumn("_evicted_at", current_timestamp())
-          .write.mode("overwrite").parquet(evictDir)
+        // the eviction write runs before the admission try/finally owns
+        // `r` — release it here if that write fails (the batch retries)
+        graft.operators.BroadcastGate.releasingOnFailure(Seq(r)) {
+          r.filter(col("_rk") > cap).drop("_rk")
+            .withColumn("_evicted_at", current_timestamp())
+            .write.mode("overwrite").parquet(evictDir)
+        }
         (r.filter(col("_rk") <= cap.toInt).drop("_rk"), Some(r))
       case _ =>
         // a REPLAYED batch that is no longer over the cap (cap raised,
@@ -633,9 +637,13 @@ object Streaming {
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") === 1).drop("_rk")
       .persist() // materialize fully before any source partition vanishes
-    val n = latest.count()
-    latest.write.mode("overwrite").parquet(s"$stateDir/append=base")
-    latest.unpersist(blocking = false)
+    // unpersist in finally: a failed compaction write retries and must
+    // not strand the state cache per attempt
+    val n = try {
+      val c = latest.count()
+      latest.write.mode("overwrite").parquet(s"$stateDir/append=base")
+      c
+    } finally latest.unpersist(blocking = false)
     olds.foreach { dir =>
       val files = Files.walk(dir)
       try files.sorted(java.util.Comparator.reverseOrder())
