@@ -699,11 +699,10 @@ object Dedup {
       // self-release on failure: fluent `minhashIndex(...).build()`
       // callers never receive the reference, so nothing else could
       // unpersist it
-      try {
+      BroadcastGate.releasingOnFailure(
+        Seq(shingleHashes, bands, sizes, bucketCounts)) {
         shingleHashes.count(); bands.count(); sizes.count()
         bucketCounts.count(); this
-      } catch {
-        case scala.util.control.NonFatal(t) => unpersist(); throw t
       }
     def unpersist(): Unit = {
       shingleHashes.unpersist(blocking = false)

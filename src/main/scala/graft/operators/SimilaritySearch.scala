@@ -668,8 +668,9 @@ object SimilaritySearch {
     def build(): this.type =
       // self-release on failure: fluent `lshIndex(...).build()` callers
       // never receive the reference, so nothing else could unpersist it
-      try { vectors.count(); buckets.count(); bucketCounts.count(); this }
-      catch { case scala.util.control.NonFatal(t) => unpersist(); throw t }
+      BroadcastGate.releasingOnFailure(Seq(vectors, buckets, bucketCounts)) {
+        vectors.count(); buckets.count(); bucketCounts.count(); this
+      }
     def unpersist(): Unit = {
       vectors.unpersist(blocking = false)
       buckets.unpersist(blocking = false)

@@ -180,9 +180,15 @@ class BroadcastGateSpec extends SparkSpec {
     // pushed-down chunk filter, which is also the realistic input shape
     val baseDir = java.nio.file.Files
       .createTempDirectory("graft-blocked-poison").toFile.getAbsolutePath
+    // ONE file: the blocked arm's dim probe take(1)s the first row of
+    // the first split, and multi-file split packing could put the
+    // poison row there — a pre-pass probe failure would make this pin
+    // vacuous again (failure message indistinguishable, no files ever
+    // written). A single file reads in row order, so the probe
+    // deterministically sees v-0, which the poison pick excludes.
     (0 until 40).map(i =>
       (s"v-$i", Seq.fill(16)(rnd.nextGaussian().toFloat))).toDF("id", "vec")
-      .write.mode("overwrite").parquet(baseDir)
+      .coalesce(1).write.mode("overwrite").parquet(baseDir)
     val base = spark.read.parquet(baseDir)
     // a poison row in chunk 1 (and not the dim-probe's first row): the
     // (0,0) self-pass filters it out, completes, and WRITES its pass
