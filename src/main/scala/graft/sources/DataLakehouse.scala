@@ -120,7 +120,12 @@ final class DataLakehouse(
       AssetClass.all.contains(b.asset_class)
 
   /** Buffered single-record ingest with auto-flush at batchSize
-    * (lakehouse.py:253-273, S6). Returns true if accepted.
+    * (lakehouse.py:253-273, S6). Returns true if accepted. An INVALID
+    * bar dead-letters immediately (one small write job — the DLQ is
+    * auditable the moment the record is rejected, the spec-pinned
+    * contract); a feed expecting malformed floods should use
+    * [[ingestBatch]], which dead-letters each batch's rejects in one
+    * write.
     */
   def ingest(bar: OhlcvBar): Boolean = {
     if (!isValid(bar)) { totalErrors += 1; deadLetter(Seq(bar)); false }
@@ -155,13 +160,19 @@ final class DataLakehouse(
     // Large batches: distribute row encoding across cores (a LocalRelation
     // from createDataset serializes on the driver single-threaded, which
     // becomes the ingest bottleneck well before the parquet write does).
+    val rows = buffer.toSeq
     val df =
-      if (buffer.size >= 50000)
-        spark.createDataset(spark.sparkContext.parallelize(buffer.toSeq,
+      if (rows.size >= 50000)
+        spark.createDataset(spark.sparkContext.parallelize(rows,
           spark.sparkContext.defaultParallelism)).toDF()
-      else spark.createDataset(buffer.toSeq).toDF()
-    buffer.clear()
-    appendDF(df)
+      else spark.createDataset(rows).toDF()
+    val partitions = appendDF(df)
+    // drop the flushed rows only AFTER the commit landed: clearing first
+    // silently discarded every accepted bar when the append failed
+    // (constraint rejection, txn contention, IO) — not committed, not
+    // buffered, not dead-lettered
+    buffer.dropInPlace(rows.size)
+    partitions
   }
 
   /** Dead-letter queue for rejected records (README.md:39-40, S10).
@@ -661,9 +672,41 @@ final class DataLakehouse(
       require(r.startsWith(s"${partitionCols.head}="),
         s"not under a ${partitionCols.head}= partition: $r")
     }
+    // Registered files participate in every future read, so the table's
+    // invariants apply to them exactly as to an appended batch:
+    //  - parquet schemas pass the same case-insensitive conflict checks
+    //    as an append and the merged schema is RECORDED — a re-typed
+    //    column in an external file must fail HERE, loudly, not crash
+    //    the vectorized reader at query time far from this call (CSV
+    //    carries no schema: it reads under the live schema, so there is
+    //    nothing to validate at registration);
+    //  - registered CHECK constraints must hold over the files' rows —
+    //    a scan, paid only when constraints exist (the same atomic
+    //    promise every other write path keeps).
+    val prevSchema = txnLog.schemaAt()
+    val pqRels = rels.filterNot(_.endsWith(".csv"))
+    val schemaOut =
+      if (pqRels.isEmpty) None
+      else {
+        val inferred = spark.read.option("basePath", root)
+          .parquet(pqRels.map(r => s"$root/$r"): _*).schema
+        // partition columns are directory-encoded: they carry no file
+        // bytes to conflict, and reads resolve them under the RECORDED
+        // schema's type — inference here would say DATE where the table
+        // records STRING, a false conflict
+        val fileSchema = StructType(inferred.fields.filterNot(f =>
+          partitionCols.exists(_.equalsIgnoreCase(f.name))))
+        val merged = mergedSchemaJson(prevSchema, fileSchema)
+        if (prevSchema.contains(merged)) None else Some(merged)
+      }
+    val expected = txnLog.constraintsAt()
+    if (expected.exists(e => TxnLog.decodeConstraints(e).nonEmpty))
+      enforceConstraints(readRels(rels, liveSchema), "addFiles", expected)
     val (counts, stats, blooms) = commitMeta(rels)
     txnLog.commit(added = rels, rowCounts = counts, fileStats = stats,
-      blooms = blooms)
+      blooms = blooms, schemaJson = schemaOut,
+      expectedSchema = Some(prevSchema),
+      expectedConstraints = Some(expected))
   }
 
   /** Per-file metadata for freshly published files — row counts AND
@@ -896,7 +939,15 @@ final class DataLakehouse(
     val t0 = System.nanoTime()
     require(eq.values.forall(_ != null), "eq lookup values must be non-null")
     val version = asOfVersion
-      .orElse(asOfTimestampMs.map(txnLog.versionAsOf))
+      .orElse(asOfTimestampMs.map { ms =>
+        val v = txnLog.versionAsOf(ms)
+        // -1 = before table history. restore() treats it as an error
+        // sentinel; silently resolving it here returned an empty
+        // snapshot, indistinguishable from a genuinely empty table
+        require(v >= 0, s"no committed snapshot at or before " +
+          s"timestamp $ms (table history starts later)")
+        v
+      })
       .getOrElse(Long.MaxValue)
     val pruned = prunedFiles(symbol, start, end, version, eq)
 
@@ -913,30 +964,11 @@ final class DataLakehouse(
         .asInstanceOf[StructType])
       .getOrElse(schemaWithDate)
 
-    // Per-file format dispatch (reference lakehouse.py:469-475 scans
-    // mixed parquet/CSV within one partition dir): the live set splits by
-    // suffix, each side reads with its own source, then unions. A
-    // homogeneous table (the norm) takes exactly one branch — no extra
-    // plan nodes vs the single-format read.
-    def readPaths(fmt: String, rels: Seq[String]) = {
-      // mergeSchema: union the file schemas so later commits may add
-      // columns without rewrite (README.md:29 / §1.2).
-      val reader =
-        if (mergeSchema && fmt == "parquet")
-          spark.read.option("mergeSchema", "true").option("basePath", root)
-        else spark.read.schema(versionSchema).option("basePath", root)
-      reader.format(fmt)
-        .option("header", fmt == "csv")
-        .load(rels.map(rel => s"$root/$rel"): _*)
-    }
-    val (csvRels, pqRels) = pruned.partition(_.endsWith(".csv"))
-    val sides = Seq("parquet" -> pqRels, "csv" -> csvRels)
-      .filter(_._2.nonEmpty).map((readPaths _).tupled)
-    val base =
-      if (sides.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          versionSchema)
-      else sides.reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
+    // Per-file format dispatch via the shared readRels (reference
+    // lakehouse.py:469-475 scans mixed parquet/CSV within one partition
+    // dir). A homogeneous table (the norm) takes exactly one branch — no
+    // extra plan nodes vs the single-format read.
+    val base = readRels(pruned, versionSchema, mergeSchema)
 
     val unsorted = (Seq(
       symbol.map(s => col("symbol") === s),
@@ -1070,8 +1102,16 @@ final class DataLakehouse(
     SqlDml.intercept(this, text2, tableName).foreach(df => return df)
     val vRe = s"(?i)\\b$t\\s+FOR\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)".r
     val tsRe = s"(?i)\\b$t\\s+FOR\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'".r
-    val versions = vRe.findAllMatchIn(text2).map(_.group(1).toLong).toSeq.distinct
-    val stamps = tsRe.findAllMatchIn(text2).map(_.group(1)).toSeq.distinct
+    // quote-aware like the table_changes rewrite above: a string literal
+    // mentioning the pin syntax must neither pin the snapshot nor be
+    // rewritten (stripping inside it would corrupt the literal)
+    val quotedAt = SqlDml.quotedMask(text2)
+    def pins(re: scala.util.matching.Regex) =
+      re.findAllMatchIn(text2).filter(m => !quotedAt(m.start)).toSeq
+    val vPins = pins(vRe)
+    val tsPins = pins(tsRe)
+    val versions = vPins.map(_.group(1).toLong).distinct
+    val stamps = tsPins.map(_.group(1)).distinct
     require(versions.size + stamps.size <= 1,
       s"at most one FOR VERSION/TIMESTAMP AS OF pin per statement, " +
         s"got versions=$versions timestamps=$stamps")
@@ -1081,10 +1121,18 @@ final class DataLakehouse(
         query(asOfTimestampMs =
           Some(java.sql.Timestamp.valueOf(stamps.head).getTime)).df
       else query().df
-    // quoteReplacement: a '$' or '\' in the table name must be literal in
-    // the rewritten statement, not a regex group reference
-    val rep = java.util.regex.Matcher.quoteReplacement(tableName)
-    val stripped = tsRe.replaceAllIn(vRe.replaceAllIn(text2, rep), rep)
+    // strip ONLY the unquoted pin matches, splicing the bare table name
+    // back in their place (matches are non-overlapping and disjoint
+    // between the two regexes — VERSION vs TIMESTAMP keywords)
+    val stripped = {
+      val sb = new StringBuilder
+      var pos = 0
+      (vPins ++ tsPins).sortBy(_.start).foreach { m =>
+        sb.append(text2.substring(pos, m.start)).append(tableName)
+        pos = m.end
+      }
+      sb.append(text2.substring(pos)).toString
+    }
     snapshot.createOrReplaceTempView(tableName)
     spark.sql(stripped)
   }
@@ -1120,16 +1168,33 @@ final class DataLakehouse(
     * parquet/CSV tables read correctly); `basePath` surfaces the Hive
     * partition columns.
     */
-  private def readRels(rels: Seq[String], schema: StructType): DataFrame = {
+  /** Per-file format dispatch (reference lakehouse.py:469-475 scans
+    * mixed parquet/CSV within one partition dir) — THE shared reader for
+    * every path that materializes a rel list (query, changes, merge,
+    * row-ops, addFiles constraint check): the set splits by suffix, each
+    * side reads with its own source, then unions; an empty set yields an
+    * empty frame WITH the schema. `mergeSchema = true` unions the
+    * parquet file schemas so later commits may add columns without
+    * rewrite (§1.2). One implementation — the former per-call-site
+    * copies had already drifted on empty-set and mergeSchema handling.
+    */
+  private def readRels(rels: Seq[String], schema: StructType,
+      mergeSchema: Boolean = false): DataFrame = {
     val (csvRels, pqRels) = rels.partition(_.endsWith(".csv"))
-    Seq("parquet" -> pqRels, "csv" -> csvRels)
+    val sides = Seq("parquet" -> pqRels, "csv" -> csvRels)
       .filter(_._2.nonEmpty)
       .map { case (fmt, rs) =>
-        spark.read.schema(schema).option("basePath", root)
-          .format(fmt).option("header", fmt == "csv")
+        val reader =
+          if (mergeSchema && fmt == "parquet")
+            spark.read.option("mergeSchema", "true").option("basePath", root)
+          else spark.read.schema(schema).option("basePath", root)
+        reader.format(fmt).option("header", fmt == "csv")
           .load(rs.map(r => s"$root/$r"): _*)
       }
-      .reduce(_.unionByName(_))
+    if (sides.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else sides.reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
   }
 
   /** Map `input_file_name()`'s URI back to a root-relative path. The URI
@@ -1258,7 +1323,12 @@ final class DataLakehouse(
     require(keys.nonEmpty, "merge needs at least one key column")
     val schema = liveSchema
     val srcKeys = source.select(keys.map(col): _*)
-    require(srcKeys.groupBy(keys.map(col): _*)
+    // uniqueness guards REPLACE ambiguity only — null-keyed rows never
+    // match (SQL equality, per the contract above) and always insert, so
+    // several of them are not ambiguous; groupBy's null-safe grouping
+    // would otherwise falsely reject them
+    require(srcKeys.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n")).filter(col("n") > 1).isEmpty,
       s"merge source must be unique on (${keys.mkString(",")})")
     val live = txnLog.snapshotFiles()
@@ -1442,7 +1512,11 @@ final class DataLakehouse(
         removedAt.get(rootPath.relativize(p).toString) match {
           case Some(t) => t <= cutoff
           case None => // orphan: no commit ever referenced it
-            Files.getLastModifiedTime(p).toMillis <= cutoff
+            // vanished between the walk and this stat (e.g. a losing
+            // appendDF cleaning its already-published staged files):
+            // nothing to delete — the same tolerance walkFiles carries
+            try Files.getLastModifiedTime(p).toMillis <= cutoff
+            catch { case _: java.nio.file.NoSuchFileException => false }
         }
       }
     // log-dir hygiene rides the same retention cutoff: staged commit/
@@ -1541,26 +1615,13 @@ final class DataLakehouse(
       .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[StructType])
       .getOrElse(schemaWithDate)
-    def readRels(rels: Seq[String]): DataFrame = {
-      val (csvRels, pqRels) = rels.partition(_.endsWith(".csv"))
-      val sides = Seq("parquet" -> pqRels, "csv" -> csvRels)
-        .filter(_._2.nonEmpty).map { case (fmt, rs) =>
-          spark.read.schema(schema).option("basePath", root).format(fmt)
-            .option("header", fmt == "csv")
-            .load(rs.map(rel => s"$root/$rel"): _*)
-        }
-      if (sides.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else sides.reduce(_.unionByName(_))
-    }
 
     if (netRemoved.isEmpty)
-      readRels(netAdded).withColumn("_change_type", lit("insert"))
+      readRels(netAdded, schema).withColumn("_change_type", lit("insert"))
     else {
       val cols = schema.fieldNames.toSeq
-      val signed = readRels(netAdded).withColumn("_w", lit(1L))
-        .unionByName(readRels(netRemoved).withColumn("_w", lit(-1L)))
+      val signed = readRels(netAdded, schema).withColumn("_w", lit(1L))
+        .unionByName(readRels(netRemoved, schema).withColumn("_w", lit(-1L)))
       signed.groupBy(cols.map(col): _*)
         .agg(sum(col("_w")).as("_delta"))
         .filter(col("_delta") =!= 0L)

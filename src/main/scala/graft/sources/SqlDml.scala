@@ -395,6 +395,13 @@ private[sources] object SqlDml {
   // parser accepts) and paren depth; every split/search primitive reads
   // the shared mask, so an escaping fix lands in exactly one place.
 
+  /** Quoted-run membership per character — DataLakehouse.sql's AS OF pin
+    * stripper reads it so `FOR VERSION/TIMESTAMP AS OF` inside a string
+    * literal is never treated as a pin (the same guarantee
+    * [[rewriteTableChanges]] carries for table_changes).
+    */
+  private[sources] def quotedMask(s: String): Array[Boolean] = scanMask(s)._1
+
   /** Per-character (insideQuotedRun, parenDepth) for `s`. Depth
     * convention: an opening `(` carries the OUTER depth and its matching
     * `)` carries that same depth again — so "top level" is uniformly

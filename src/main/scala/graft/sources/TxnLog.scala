@@ -515,7 +515,17 @@ final class TxnLog(root: String, checkpointInterval: Int = 10,
         // rows would be lost in this process
         recordIdempotence(batchId, txn)
         TxnLog.seam("commit:recorded")
-        maybeCheckpoint(v)
+        // the commit IS durable at this point and checkpoints are pure
+        // caches (readers fall back to an older checkpoint or a full
+        // replay) — a checkpoint-write failure must not surface as a
+        // failed commit: the caller would retry rows that actually
+        // landed, and a txn-free batch would double-land
+        try maybeCheckpoint(v)
+        catch {
+          case scala.util.control.NonFatal(t) => TxnLog.log.warn(
+            s"checkpoint at v$v failed (cache only — commit is durable, " +
+              "readers fall back to an older checkpoint or full replay)", t)
+        }
         return v
       } catch {
         // ONLY the lost-race signal retries; a broader FileSystemException
@@ -579,14 +589,30 @@ final class TxnLog(root: String, checkpointInterval: Int = 10,
     catch {
       case e: java.nio.file.FileAlreadyExistsException => throw e
       case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+        // NoSuchFileException (tmp swept by a concurrent retainMs=0
+        // vacuum) is a FileSystemException and lands HERE, not just
+        // genuine no-hardlink mounts — so read the staged bytes BEFORE
+        // creating the target: reading first turns a vanished tmp into
+        // the documented loud NoSuchFileException with no target
+        // created, where create-first published a permanent EMPTY
+        // commit file that bricked every future read of this version.
+        val bytes = Files.readAllBytes(tmp)
         val ch = java.nio.channels.FileChannel.open(target,
           java.nio.file.StandardOpenOption.CREATE_NEW,
           java.nio.file.StandardOpenOption.WRITE)
         try {
-          val buf = java.nio.ByteBuffer.wrap(Files.readAllBytes(tmp))
+          val buf = java.nio.ByteBuffer.wrap(bytes)
           while (buf.hasRemaining) ch.write(buf)
           ch.force(true)
-        } finally ch.close()
+        } catch {
+          // a mid-write failure (disk full) must not LEAVE the partial
+          // target: CREATE_NEW means it is ours alone to remove, and an
+          // abandoned truncated commit file is permanent corruption
+          case t: Throwable =>
+            try { ch.close(); Files.deleteIfExists(target) }
+            catch { case _: Throwable => () }
+            throw t
+        } finally if (ch.isOpen) ch.close()
     }
 
   // ---- batch idempotence (T6 exactly-once: foreachBatch replays

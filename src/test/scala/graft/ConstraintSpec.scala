@@ -231,4 +231,43 @@ class ConstraintSpec extends SparkSpec {
     assert(lake.constraints.isEmpty)
     assert(lake.query().count == 1)
   }
+
+  test("a failed flush keeps the buffered bars for retry") {
+    val lake = new DataLakehouse(spark, tempDir("constr-flushkeep"))
+    lake.addConstraint("sane_volume", "volume < 100")
+    // a structurally-valid bar that violates the CHECK at flush time
+    assert(lake.ingest(bar("AAPL", "2024-06-15 09:30:00", volume = 5000L)))
+    val e = intercept[IllegalStateException] { lake.flush() }
+    assert(e.getMessage.contains("sane_volume"))
+    // the accepted bar SURVIVES the failed flush: clear-before-append
+    // silently discarded it (not committed, not buffered, not DLQ'd)
+    assert(lake.bufferedCount == 1)
+    lake.dropConstraint("sane_volume")
+    assert(lake.flush() > 0)
+    assert(lake.bufferedCount == 0)
+    assert(lake.query().df.count() == 1)
+  }
+
+  test("addFiles enforces CHECK constraints on registered external files") {
+    val lake = new DataLakehouse(spark, tempDir("constr-addfiles"))
+    lake.ingestBatch(Seq(bar("AAPL", "2024-06-15 09:30:00")))
+    lake.addConstraint("sane_volume", "volume < 1000000")
+    // an external parquet violating the CHECK, written under a partition
+    // dir by an outside producer (no lake write path involved)
+    val extDir = s"${lake.root}/date=2024-06-16"
+    lake.query().df.drop("date")
+      .withColumn("timestamp",
+        lit(Timestamp.valueOf("2024-06-16 09:30:00")))
+      .withColumn("volume", lit(99999999L))
+      .coalesce(1).write.mode("append").parquet(extDir)
+    val rel = new java.io.File(extDir).listFiles()
+      .map(_.getName).find(_.endsWith(".parquet"))
+      .map(f => s"date=2024-06-16/$f").get
+    val before = lake.txnLog.currentVersion()
+    val e = intercept[IllegalStateException] { lake.addFiles(Seq(rel)) }
+    assert(e.getMessage.contains("sane_volume"))
+    // registration rejected ATOMICALLY: no commit, table reads clean
+    assert(lake.txnLog.currentVersion() == before)
+    assert(lake.query().df.count() == 1)
+  }
 }

@@ -460,4 +460,16 @@ class LakehouseSpec extends SparkSpec {
     assert(lake2.query().count == 3)
     assert(lake2.txnLog.currentVersion() == 0L) // no second commit
   }
+
+  test("AS OF timestamp before table history fails loudly, not silently empty") {
+    val lake = newLake()
+    lake.ingestBatch(sampleBars)
+    // versionAsOf resolves -1 for a pre-history timestamp — restore()
+    // treats that as an error sentinel, and the read path must too: a
+    // silent empty snapshot is indistinguishable from an empty table
+    val e = intercept[IllegalArgumentException] {
+      lake.query(asOfTimestampMs = Some(0L))
+    }
+    assert(e.getMessage.contains("no committed snapshot"))
+  }
 }

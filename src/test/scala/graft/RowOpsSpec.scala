@@ -210,4 +210,21 @@ class RowOpsSpec extends SparkSpec {
     assert(lake.compactImpl(0, 2, () => ()) >= 0)
     assert(lake.query().df.filter(col("symbol") === "AAPL").count() == 0)
   }
+
+  test("null-keyed source rows are never ambiguous: they always insert") {
+    val lake = seeded()
+    import spark.implicits._
+    // two rows whose merge key is NULL: SQL equality matches nothing, so
+    // neither can REPLACE a target row — the uniqueness precheck (which
+    // guards replace ambiguity only) must not reject them under its
+    // null-safe grouping; per the contract they both insert
+    val src = Seq(bar("X", "2024-06-15 09:30:00", 1.0),
+      bar("X", "2024-06-15 09:30:00", 2.0)).toDF()
+      .withColumn("symbol", lit(null).cast("string"))
+    val before = lake.query().count
+    val (replaced, inserted) = lake.merge(src, Seq("symbol", "timestamp"))
+    assert(replaced == 0 && inserted == 2)
+    assert(lake.query().df.filter(col("symbol").isNull).count() == 2)
+    assert(lake.query().count == before + 2)
+  }
 }

@@ -345,4 +345,24 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(df.filter(col("venue") === "XNAS").count() == 1)
     assert(df.filter(col("venue").isNull).count() == 2)
   }
+
+  test("addFiles rejects an external file that re-types a recorded column") {
+    val lake = seeded()
+    // an external parquet whose `volume` is DOUBLE where the table
+    // records LONG: registration must fail HERE with the append-path
+    // conflict message, not crash the vectorized reader at query time
+    val extDir = s"${lake.root}/date=2024-06-17"
+    lake.query().df.drop("date")
+      .withColumn("timestamp",
+        lit(java.sql.Timestamp.valueOf("2024-06-17 09:30:00")))
+      .withColumn("volume", col("volume").cast("double"))
+      .coalesce(1).write.mode("append").parquet(extDir)
+    val rel = new java.io.File(extDir).listFiles()
+      .map(_.getName).find(_.endsWith(".parquet"))
+      .map(f => s"date=2024-06-17/$f").get
+    val before = lake.txnLog.currentVersion()
+    val e = intercept[IllegalArgumentException] { lake.addFiles(Seq(rel)) }
+    assert(e.getMessage.contains("schema conflict"))
+    assert(lake.txnLog.currentVersion() == before)
+  }
 }

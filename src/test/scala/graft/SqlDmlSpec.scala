@@ -445,4 +445,21 @@ class SqlDmlSpec extends SparkSpec {
       .filter(_.startsWith("graft_changes_trades"))
     assert(views.distinct.length >= 2, s"expected root-scoped views, got ${views.mkString(",")}")
   }
+
+  test("a string literal mentioning the AS OF pin is neither a pin nor rewritten") {
+    val lake = seeded() // v0 = 4 rows, head (v1) = 8 rows
+    val l = "trades FOR VERSION AS OF 0"
+    // quote-blind matching would pin the statement to v0 (4 rows) AND
+    // mangle the literal to 'trades' — quote-aware handling reads the
+    // head and leaves the literal intact, so the tautology holds over
+    // all 8 rows
+    val n = lake.sql(s"SELECT count(*) AS n FROM trades WHERE '$l' = '$l'")
+      .collect()(0).getLong(0)
+    assert(n == 8)
+    // and a REAL pin still works alongside the quote-awareness
+    val pinned = lake.sql(
+      "SELECT count(*) AS n FROM trades FOR VERSION AS OF 0")
+      .collect()(0).getLong(0)
+    assert(pinned == 4)
+  }
 }
