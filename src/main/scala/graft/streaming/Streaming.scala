@@ -352,13 +352,26 @@ object Streaming {
       // coalesce: a row with NULL constraint fields (e.g. a malformed
       // feed line parsed permissively) must land in the DLQ — with bare
       // `!barValid` its three-valued NULL fails BOTH filters and the row
-      // vanishes silently
-      val valid = admitted.filter(coalesce(model.barValid, lit(false)))
-      val invalid = admitted.filter(!coalesce(model.barValid, lit(false)))
+      // vanishes silently. barValid covers the OHLCV constraint fields
+      // only, so the IDENTITY fields are gated here too: a line whose
+      // symbol or timestamp parsed to null (bad epoch text, missing FIX
+      // tag 55/60 on an otherwise checksum-valid message) is malformed —
+      // admitting it would write a NULL-timestamp row into the
+      // default-null partition, invisible to date pruning
+      val admissible = coalesce(model.barValid, lit(false)) &&
+        col("symbol").isNotNull && col("timestamp").isNotNull
+      val valid = admitted.filter(admissible)
+      val invalid = admitted.filter(!admissible)
+      val dlqDir = s"${lake.root}/_dlq/batch=$streamId-$batchId"
       if (!invalid.isEmpty)
         invalid.withColumn("_rejected_at", current_timestamp())
-          .write.mode("overwrite")
-          .parquet(s"${lake.root}/_dlq/batch=$streamId-$batchId")
+          .write.mode("overwrite").parquet(dlqDir)
+      else
+        // replay hygiene, the _evicted branch's twin: a replayed batch
+        // whose invalid set became empty (ring cap now evicts what the
+        // first attempt dead-lettered) must clear the previous attempt's
+        // DLQ partition or those rows double-count against _evicted
+        deleteDirIfExists(dlqDir)
       // txn declares the per-stream monotone epoch (Delta txn action):
       // replays no-op against the checkpoint-carried high-water; the
       // batchId string stays for the audit trail
@@ -384,7 +397,16 @@ object Streaming {
     */
   def evictedCount(lake: DataLakehouse): Long = {
     val dir = java.nio.file.Paths.get(lake.root, "_evicted")
-    if (java.nio.file.Files.isDirectory(dir))
+    // file-less is a state the replay cleanup itself creates (the last
+    // batch=… subdir deleted, parent left): reading it would throw
+    // schema-inference AnalysisException instead of answering 0
+    def hasFile: Boolean = {
+      val s = java.nio.file.Files.walk(dir)
+      try s.anyMatch(p => java.nio.file.Files.isRegularFile(p) &&
+        p.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    if (java.nio.file.Files.isDirectory(dir) && hasFile)
       lake.spark.read.parquet(s"${lake.root}/_evicted").count()
     else 0L
   }
@@ -644,12 +666,7 @@ object Streaming {
       latest.write.mode("overwrite").parquet(s"$stateDir/append=base")
       c
     } finally latest.unpersist(blocking = false)
-    olds.foreach { dir =>
-      val files = Files.walk(dir)
-      try files.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
-      finally files.close()
-    }
+    olds.foreach(dir => deleteDirIfExists(dir.toString))
     n
   }
 
@@ -686,9 +703,11 @@ object Streaming {
       df: DataFrame,
       keys: Seq[String],
       tsCol: String,
-      watermarkDelay: String = "10 minutes"): DataFrame =
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(keys.nonEmpty, "dedupWithinWatermark needs at least one key")
     df.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+  }
 
   /** Streaming incremental corpus dedup — the production daily loop as a
     * stream: each micro-batch of documents is deduplicated in TWO passes:
