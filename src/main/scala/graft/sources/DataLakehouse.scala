@@ -688,8 +688,23 @@ final class DataLakehouse(
     val schemaOut =
       if (pqRels.isEmpty) None
       else {
-        val inferred = spark.read.option("basePath", root)
-          .parquet(pqRels.map(r => s"$root/$r"): _*).schema
+        // mergeSchema folds EVERY file's footer into the inference —
+        // the default samples ONE footer, so a re-typed column in a
+        // non-sampled file would bypass the conflict checks below and
+        // the recorded merged schema, deferring the failure to the
+        // vectorized reader at query time (the exact outcome this
+        // validation exists to prevent). A cross-FILE type conflict
+        // surfaces as Spark's own merge failure, rethrown as the same
+        // loud registration-time conflict an append would get.
+        val inferred =
+          try spark.read.option("basePath", root)
+            .option("mergeSchema", "true")
+            .parquet(pqRels.map(r => s"$root/$r"): _*).schema
+          catch { case e: org.apache.spark.SparkException =>
+            throw new IllegalArgumentException(
+              "addFiles schema conflict: registered parquet files " +
+                s"disagree on a column's type (${e.getMessage})", e)
+          }
         // partition columns are directory-encoded: they carry no file
         // bytes to conflict, and reads resolve them under the RECORDED
         // schema's type — inference here would say DATE where the table

@@ -585,7 +585,10 @@ final class TxnLog(root: String, checkpointInterval: Int = 10,
   }
 
   private def publishExclusive(target: Path, tmp: Path): Unit =
-    try Files.createLink(target, tmp)
+    // seam("publish:link") lets a spec throw FileSystemException here to
+    // drive the no-hardlink fallback in-process (the mount itself links
+    // fine); production pays one volatile null read
+    try { TxnLog.seam("publish:link"); Files.createLink(target, tmp) }
     catch {
       case e: java.nio.file.FileAlreadyExistsException => throw e
       case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
@@ -597,22 +600,39 @@ final class TxnLog(root: String, checkpointInterval: Int = 10,
         // created, where create-first published a permanent EMPTY
         // commit file that bricked every future read of this version.
         val bytes = Files.readAllBytes(tmp)
-        val ch = java.nio.channels.FileChannel.open(target,
-          java.nio.file.StandardOpenOption.CREATE_NEW,
-          java.nio.file.StandardOpenOption.WRITE)
-        try {
-          val buf = java.nio.ByteBuffer.wrap(bytes)
-          while (buf.hasRemaining) ch.write(buf)
-          ch.force(true)
-        } catch {
-          // a mid-write failure (disk full) must not LEAVE the partial
-          // target: CREATE_NEW means it is ours alone to remove, and an
-          // abandoned truncated commit file is permanent corruption
+        def writeInto(createOpt: java.nio.file.OpenOption,
+            seamName: String): Unit = {
+          val ch = java.nio.channels.FileChannel.open(target,
+            createOpt, java.nio.file.StandardOpenOption.WRITE)
+          try {
+            // after open, before bytes: a spec-thrown exception here is
+            // a simulated mid-write failure on an already-claimed slot
+            TxnLog.seam(seamName)
+            val buf = java.nio.ByteBuffer.wrap(bytes)
+            while (buf.hasRemaining) ch.write(buf)
+            ch.force(true)
+          } finally ch.close()
+        }
+        try writeInto(java.nio.file.StandardOpenOption.CREATE_NEW,
+          "publish:fallback-claimed")
+        catch {
+          // target created by a concurrent committer — slot genuinely
+          // taken, nothing of ours exists: propagate the claim failure
+          case e: java.nio.file.FileAlreadyExistsException => throw e
+          // a mid-write failure (disk full) after CREATE_NEW succeeded
+          // must NOT delete the claimed slot: a concurrent committer
+          // that already saw FileAlreadyExists at this version treats
+          // it as taken and publishes the NEXT one, so deleting leaves
+          // a version GAP — and head discovery assumes contiguity, so
+          // cold-start readers would resolve head BELOW the gap and
+          // silently lose every later commit. Retry the bytes into the
+          // slot we own; if that fails too, LEAVE the partial file — a
+          // loud broken version beats silently truncated history.
           case t: Throwable =>
-            try { ch.close(); Files.deleteIfExists(target) }
-            catch { case _: Throwable => () }
-            throw t
-        } finally if (ch.isOpen) ch.close()
+            try writeInto(java.nio.file.StandardOpenOption.TRUNCATE_EXISTING,
+              "publish:fallback-retry")
+            catch { case r: Throwable => t.addSuppressed(r); throw t }
+        }
     }
 
   // ---- batch idempotence (T6 exactly-once: foreachBatch replays

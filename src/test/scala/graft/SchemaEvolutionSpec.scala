@@ -365,4 +365,34 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(e.getMessage.contains("schema conflict"))
     assert(lake.txnLog.currentVersion() == before)
   }
+
+  test("addFiles folds EVERY file's footer: conflict in a non-sampled file still rejected") {
+    // ADVICE r13: schema inference without mergeSchema samples ONE
+    // footer, so registering [conforming, re-typed] in one call let the
+    // conflict ride into the table whenever the conforming file was the
+    // sampled one — deferring the crash to the vectorized reader at
+    // query time. With mergeSchema the cross-file conflict fails HERE
+    // regardless of file order.
+    val lake = seeded()
+    val extDir = s"${lake.root}/date=2024-06-18"
+    val base = lake.query().df.drop("date")
+      .withColumn("timestamp",
+        lit(java.sql.Timestamp.valueOf("2024-06-18 09:30:00")))
+    // two files in one dir: one conforming, one re-typing `volume`
+    base.coalesce(1).write.mode("append").parquet(extDir)
+    base.withColumn("volume", col("volume").cast("double"))
+      .coalesce(1).write.mode("append").parquet(extDir)
+    val rels = new java.io.File(extDir).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).sorted
+      .map(f => s"date=2024-06-18/$f").toSeq
+    assert(rels.size == 2)
+    val before = lake.txnLog.currentVersion()
+    // both orders: whichever file a single-footer sample would pick,
+    // the merged inference must reject the pair
+    Seq(rels, rels.reverse).foreach { rs =>
+      val e = intercept[IllegalArgumentException] { lake.addFiles(rs) }
+      assert(e.getMessage.contains("schema conflict"), s"unexpected: $e")
+    }
+    assert(lake.txnLog.currentVersion() == before)
+  }
 }

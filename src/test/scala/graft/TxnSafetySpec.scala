@@ -724,6 +724,66 @@ class TxnSafetySpec extends SparkSpec {
     assert(ex.getMessage.contains("source of truth"))
   }
 
+  // --- publishExclusive no-hardlink fallback (ADVICE r13): a mid-write
+  // failure on the CREATE_NEW-claimed slot must never DELETE it — a
+  // concurrent committer that already saw FileAlreadyExists at v has
+  // moved on to v+1, and head discovery assumes contiguous versions, so
+  // a gap at v silently truncates every later commit for cold readers.
+
+  private def withPublishSeam(handler: String => Unit)(body: => Unit): Unit = {
+    TxnLog.crashSeam = handler
+    try body finally TxnLog.crashSeam = null
+  }
+
+  test("publish fallback: mid-write failure retries into the claimed slot") {
+    val root = tempDir("pubretry")
+    val log = new TxnLog(root)
+    log.commit(added = Seq("f0.parquet")) // v0 via the normal link path
+    val failedOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+    withPublishSeam {
+      case "publish:link" =>
+        throw new java.nio.file.FileSystemException("seam: no hardlinks")
+      case "publish:fallback-claimed" =>
+        // one simulated disk hiccup after CREATE_NEW claimed the slot
+        if (failedOnce.compareAndSet(false, true))
+          throw new java.io.IOException("seam: mid-write failure")
+      case _ => ()
+    } {
+      assert(log.commit(added = Seq("f1.parquet")) == 1L)
+    }
+    // the retry landed the REAL bytes: a cold reader resolves both commits
+    val cold = new TxnLog(root)
+    assert(cold.currentVersion() == 1L)
+    assert(cold.snapshotFiles().toSet == Set("f0.parquet", "f1.parquet"))
+  }
+
+  test("publish fallback: double failure leaves the slot occupied — loud, no gap") {
+    val root = tempDir("publoud")
+    val log = new TxnLog(root)
+    log.commit(added = Seq("f0.parquet"))
+    withPublishSeam {
+      case "publish:link" =>
+        throw new java.nio.file.FileSystemException("seam: no hardlinks")
+      case s if s.startsWith("publish:fallback") =>
+        throw new java.io.IOException(s"seam: $s failure")
+      case _ => ()
+    } {
+      intercept[java.io.IOException] { log.commit(added = Seq("f1.parquet")) }
+    }
+    // the claimed slot stays on disk (empty — the failure point), so a
+    // concurrent/next committer lands ABOVE it, never inside the gap
+    val v1 = java.nio.file.Paths.get(root, "_txn_log", "v00000001.json")
+    assert(java.nio.file.Files.exists(v1) &&
+      java.nio.file.Files.size(v1) == 0L)
+    assert(new TxnLog(root).commit(added = Seq("f2.parquet")) == 2L)
+    // cold-start head discovery sees v2 (no silent head=v0 truncation),
+    // and reading through the broken v1 fails LOUDLY naming the version
+    val cold = new TxnLog(root)
+    assert(cold.currentVersion() == 2L)
+    val ex = intercept[IllegalStateException] { cold.snapshotFiles() }
+    assert(ex.getMessage.contains("v1"))
+  }
+
   test("row counts are recorded at commit and drive scan accounting") {
     val lake = new DataLakehouse(spark, tempDir("rclake"))
     val bars = (0 until 10).map(i => OhlcvBar("AAPL",
