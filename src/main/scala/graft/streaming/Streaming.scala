@@ -38,6 +38,22 @@ final case class ClosedBar(symbol: String, barStartMs: Long, open: Double,
   */
 object Streaming {
 
+  /** Crash-seam hook for the quote-state compaction protocol specs (the
+    * [[graft.sources.TxnLog.crashSeam]] pattern): a spec installs a
+    * handler that THROWS at a named seam — `compact:staged-written`
+    * (replacement partition staged, not yet visible) or
+    * `compact:renamed` (replacement visible, old partitions not yet
+    * removed) — simulating a crash at that protocol boundary; every
+    * window's on-disk state is reachable this way because the protocol
+    * holds no in-memory state a real kill would additionally lose.
+    * Production never sets it: each seam costs one volatile null read.
+    */
+  @volatile private[graft] var compactSeam: String => Unit = null
+  @inline private def seam(name: String): Unit = {
+    val h = compactSeam
+    if (h != null) h(name)
+  }
+
   /** File-source streaming ingest (S9/T1/T2/S10): parquet files dropped in
     * `sourceDir` are validated, appended to the lakehouse in one txn-log
     * commit per micro-batch, and rejects land in the DLQ — all inside
@@ -348,6 +364,12 @@ object Streaming {
         deleteDirIfExists(evictDir)
         (batch, None)
     }
+    // the admitted plan is executed up to three times below (the
+    // invalid-emptiness probe, the DLQ write, appendDF) — unpersisted,
+    // each execution re-runs the FULL upstream parse (FIX/CSV incl. the
+    // checksum kernel) per micro-batch; cache it for the batch's
+    // lifetime and release in the same finally that owns `ranked`
+    admitted.persist()
     try {
       // coalesce: a row with NULL constraint fields (e.g. a malformed
       // feed line parsed permissively) must land in the DLQ — with bare
@@ -378,7 +400,10 @@ object Streaming {
       lake.appendDF(valid, batchId = Some(s"$streamId-$batchId"),
         txn = Some((streamId, batchId)))
       ()
-    } finally ranked.foreach(_.unpersist(blocking = false))
+    } finally {
+      admitted.unpersist(blocking = false)
+      ranked.foreach(_.unpersist(blocking = false))
+    }
   }
 
   private def deleteDirIfExists(dir: String): Unit = {
@@ -460,23 +485,34 @@ object Streaming {
         col("session_window.end").as("session_end"), col("n_events"))
 
   /** Custom stateful streaming operator (SURVEY §2.9 /
-    * KeyValueGroupedDataset.mapGroupsWithState): running exact VWAP per
-    * symbol, state carried across micro-batches. Emits one update per
+    * KeyValueGroupedDataset.flatMapGroupsWithState): running exact VWAP
+    * per symbol, state carried across micro-batches. Emits one update per
     * touched symbol per batch (Update output mode). State is two doubles
     * and a count per live symbol — bounded by symbol cardinality, not
     * stream length.
+    *
+    * Zero-volume contract: volume-0 ticks are legal input and accumulate
+    * into state (the tick count advances), but a symbol emits NO update
+    * until its cumulative volume is positive — there is no
+    * volume-weighted price of zero traded volume, and the former
+    * unconditional emission produced NaN (0/0), the kind of value that
+    * poisons a downstream aggregate unnoticed. The first emission after
+    * volume arrives covers every tick seen so far.
     */
   def runningVwap(ticks: Dataset[SymbolTick]): Dataset[VwapUpdate] = {
     import ticks.sparkSession.implicits._
     ticks
       .groupByKey(_.symbol)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
         (sym: String, it: Iterator[SymbolTick], state: GroupState[VwapState]) =>
           val s1 = it.foldLeft(state.getOption.getOrElse(VwapState(0, 0, 0))) {
             (s, t) => VwapState(s.pv + t.price * t.volume, s.vol + t.volume, s.n + 1)
           }
           state.update(s1)
-          VwapUpdate(sym, s1.pv / s1.vol, s1.n)
+          if (s1.vol > 0) Iterator.single(VwapUpdate(sym, s1.pv / s1.vol, s1.n))
+          else Iterator.empty
       }
   }
 
@@ -573,10 +609,10 @@ object Streaming {
     * trade. Because the state table keeps the per-symbol newest quote of
     * EACH batch (not only the global newest), a late trade still finds a
     * quote at-or-before its own timestamp at batch granularity. State
-    * growth is O(symbols × quote batches) rows — compact by re-saving
-    * the per-symbol latest as a fresh `append=base` when batch count
-    * grows large. State lives entirely on disk: a replaced driver
-    * continues from the table.
+    * growth is O(symbols × quote batches) rows — [[compactQuoteState]]
+    * collapses it to one row per symbol when batch count grows large.
+    * State lives entirely on disk: a replaced driver continues from the
+    * table.
     *
     * Quote schema: (qsymbol, qts, qid, bid, ask) — qid is a unique quote
     * sequence number (the as-of tie-breaker); trade schema must carry a
@@ -617,55 +653,96 @@ object Streaming {
 
   /** One quote micro-batch: keep only the per-symbol newest quote (a
     * symbols-sized window reduction — state grows by at most one row per
-    * symbol per batch) and overwrite this batch's own state partition.
+    * symbol per batch) and write this batch's own state partition.
+    *
+    * REPLAY: a partition whose previous attempt fully committed
+    * (`_SUCCESS` present) is left untouched. The reduction is
+    * deterministic and foreachBatch redelivers the same rows under the
+    * same batchId, so a rewrite would produce identical bytes — while
+    * its overwrite's delete-then-write would transiently VANISH the
+    * partition's files under a concurrent [[processEnrichBatch]] scan
+    * of the state dir, terminating the enrich query with
+    * FileNotFoundException. A crashed previous attempt (no `_SUCCESS` —
+    * at most uncommitted temporary files, never reader-visible rows) is
+    * overwritten as before.
     */
   private[graft] def processQuoteStateBatch(
       batch: DataFrame, batchId: Long, stateDir: String): Unit = {
+    val target = java.nio.file.Paths.get(stateDir, s"append=b$batchId")
+    if (java.nio.file.Files.exists(target.resolve("_SUCCESS"))) return
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qsymbol")).orderBy(col("qts").desc, col("qid").desc)
     batch.withColumn("_rk", row_number().over(w))
       .filter(col("_rk") === 1).drop("_rk")
-      .write.mode("overwrite").parquet(s"$stateDir/append=b$batchId")
+      .write.mode("overwrite").parquet(target.toString)
   }
 
   /** Compact the quote-state table to ONE row per symbol (the global
-    * newest quote), written as a fresh `append=base` partition; the
-    * per-batch append partitions are then removed. Run when batch count
-    * has grown the state past what probe-time pruning should pay for.
-    * Tradeoff (documented on [[quoteStateStream]]): compaction forfeits
-    * the per-batch HISTORY, so late trades older than the compaction
-    * point resolve to the newest retained quote at-or-before them —
-    * current-trade enrichment is unchanged. Crash-safe: `append=base` is
-    * written BEFORE old partitions are removed, and every retained base
-    * row also exists in some append partition until the removes happen,
-    * so a reader never sees less state than before.
+    * newest quote), replacing every existing partition with a fresh
+    * `append=base-<runId>` partition. Run when batch count has grown the
+    * state past what probe-time pruning should pay for. Tradeoff
+    * (documented on [[quoteStateStream]]): compaction forfeits the
+    * per-batch HISTORY, so late trades older than the compaction point
+    * resolve to the newest retained quote at-or-before them —
+    * current-trade enrichment is unchanged.
+    *
+    * Crash-safe at EVERY compaction, not just the first: the reduction
+    * is written to an underscore-prefixed staging dir (invisible to
+    * Spark's file listing), atomically renamed into place as a NEW
+    * uniquely-named partition, and only THEN are the partitions listed
+    * at entry removed — so every retained row is durably visible in
+    * some partition at every instant. The former in-place overwrite of
+    * `append=base` deleted the ONLY durable copy of previously-compacted
+    * rows before rewriting it from cache: a crash (or a cache-evicted
+    * recompute re-reading its half-deleted own source) mid-write lost
+    * them on every compaction after the first. A crash here instead
+    * leaves either the old partitions intact (pre-rename — staging
+    * residue is invisible and swept by the next run) or a state where
+    * the new partition coexists with not-yet-removed olds — duplicate
+    * identical rows that every reader's per-symbol reduction already
+    * collapses, and that the next compaction removes. Rename atomicity
+    * assumes a POSIX-rename filesystem (HDFS/local); single maintenance
+    * caller at a time.
     */
   def compactQuoteState(spark: SparkSession, stateDir: String): Long = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val root = Paths.get(stateDir)
     if (!Files.isDirectory(root)) return 0L
     import scala.jdk.CollectionConverters._
-    val olds = {
+    def listDirs(prefix: String) = {
       val s = Files.list(root)
-      try s.iterator().asScala
-        .filter(p => Files.isDirectory(p) &&
-          p.getFileName.toString.startsWith("append="))
-        .filterNot(_.getFileName.toString == "append=base").toList
+      try s.iterator().asScala.filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith(prefix)).toList
       finally s.close()
     }
+    // staging residue from a crashed prior run was never reader-visible:
+    // sweep it before this run stages its own
+    listDirs("_staged-base-").foreach(d => deleteDirIfExists(d.toString))
+    // EVERY partition visible now (prior base-* included) is superseded
+    // by the reduction below; the replacement is created after this
+    // listing, so it can never appear here
+    val olds = listDirs("append=")
+    if (olds.isEmpty) return 0L
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val staged = root.resolve(s"_staged-base-$runId")
+    val target = root.resolve(s"append=base-$runId")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qsymbol")).orderBy(col("qts").desc, col("qid").desc)
     val latest = spark.read.parquet(stateDir).drop("append")
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") === 1).drop("_rk")
-      .persist() // materialize fully before any source partition vanishes
+      .persist() // one compute for count + write (eviction-safe either
+                 // way: the source partitions outlive the staged write)
     // unpersist in finally: a failed compaction write retries and must
     // not strand the state cache per attempt
     val n = try {
       val c = latest.count()
-      latest.write.mode("overwrite").parquet(s"$stateDir/append=base")
+      latest.write.mode("overwrite").parquet(staged.toString)
       c
     } finally latest.unpersist(blocking = false)
+    seam("compact:staged-written")
+    Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)
+    seam("compact:renamed")
     olds.foreach(dir => deleteDirIfExists(dir.toString))
     n
   }
@@ -673,13 +750,27 @@ object Streaming {
   /** One trade micro-batch: as-of join against the arrived quote state
     * (absent state → null-quoted trades, same columns) and overwrite this
     * batch's output partition.
+    *
+    * The state read runs unsynchronized with [[processQuoteStateBatch]]
+    * and [[compactQuoteState]]. Replayed quote batches no longer touch
+    * committed partitions (the `_SUCCESS` skip), so the common race is
+    * gone at the source; `ignoreMissingFiles` covers the remaining
+    * legitimate vanish window — compaction removing superseded
+    * partitions after its replacement landed — where a scan that listed
+    * before the rename must SKIP the removed file (its rows are
+    * duplicated in the replacement) instead of terminating the enrich
+    * query with FileNotFoundException. A skipped file can at worst make
+    * a trade resolve as-of slightly older arrived state for that one
+    * batch — within the documented arrived-state contract; run
+    * compaction quiescent if even that matters.
     */
   private[graft] def processEnrichBatch(
       batch: DataFrame, batchId: Long, stateDir: String, outDir: String): Unit = {
     val spark = batch.sparkSession
     val state =
       if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(stateDir)))
-        Some(spark.read.parquet(stateDir).drop("append"))
+        Some(spark.read.option("ignoreMissingFiles", "true")
+          .parquet(stateDir).drop("append"))
       else None
     val enriched = state match {
       case Some(quotes) =>

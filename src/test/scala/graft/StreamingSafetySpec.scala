@@ -128,6 +128,28 @@ class StreamingSafetySpec extends SparkSpec {
     assert(Streaming.evictedCount(lake2) == 0)
   }
 
+  test("processIngestBatch executes the upstream parse exactly once per micro-batch") {
+    // the admitted plan feeds three sinks (invalid-emptiness probe, DLQ
+    // write, lake append); unpersisted, EACH re-ran the full upstream
+    // parse — FIX/CSV incl. the checksum kernel — per micro-batch. A
+    // partition-level probe upstream of the batch counts executions;
+    // one partition makes the count exact (a partial first action could
+    // otherwise cache only the partitions it touched).
+    val lake = new DataLakehouse(spark, tempDir("probelake"))
+    val acc = spark.sparkContext.longAccumulator("parse-probe")
+    val rows = (0 until 5).map { i =>
+      OhlcvBar(s"SYM$i", Timestamp.valueOf("2024-06-15 10:30:00"),
+        150, 155, 149, 153, 1000L + i, AssetClass.Equity)
+    } :+ OhlcvBar("BAD", Timestamp.valueOf("2024-06-15 10:31:00"),
+      150, 155, 149, 153, -5L, AssetClass.Equity) // negative volume → DLQ
+    val batch = spark.createDataset(rows).coalesce(1)
+      .mapPartitions { it => acc.add(1); it }.toDF()
+    Streaming.processIngestBatch(lake, batch, 0L, "probe", None)
+    assert(lake.query().count == 5)
+    assert(lake.deadLetterCount() == 1)
+    assert(acc.value == 1L, s"parse executed ${acc.value}x for one batch")
+  }
+
   test("ring admission end-to-end: ingestStream caps a real micro-batch") {
     val lake = new DataLakehouse(spark, tempDir("ringe2e"))
     val src = tempDir("ringe2esrc")

@@ -192,7 +192,8 @@ class StreamingSpec extends SparkSpec {
     assert(kept == 2L)
     val state = spark.read.parquet(stateDir)
     assert(state.count() == 2)
-    assert(state.select("append").distinct().as[String].collect().toSeq == Seq("base"))
+    val parts = state.select("append").distinct().as[String].collect().toSeq
+    assert(parts.size == 1 && parts.head.startsWith("base-"), parts)
     // current trades enrich identically to pre-compaction state
     val trades = Seq((1L, "AAPL", new Timestamp(t0 + 30000L), 101.5),
       (2L, "GOOG", new Timestamp(t0 + 30000L), 50.5))
@@ -204,6 +205,114 @@ class StreamingSpec extends SparkSpec {
     // idempotent: compacting again is a no-op shape (still 2 rows, base only)
     assert(Streaming.compactQuoteState(spark, stateDir) == 2L)
     assert(spark.read.parquet(stateDir).count() == 2)
+  }
+
+  /** The r13 weak flag: second-and-later compactions overwrote
+    * `append=base` IN PLACE while base held the ONLY durable copy of
+    * previously-compacted rows — a crash mid-write lost them. The staged
+    * write + atomic-rename protocol must survive a kill at every
+    * boundary: mid-staged-write (strictly less on disk than the
+    * staged-written seam — nothing visible changed yet), after staging
+    * before rename, and after rename before old-partition removal.
+    */
+  test("compaction crash at any seam after two compactions loses no quote state") {
+    val stateDir = tempDir("asofk-state")
+    val t0 = 1718445600000L
+    def qb(rows: (String, Long, Long)*) =
+      rows.map { case (s, off, id) =>
+        (s, new Timestamp(t0 + off), id, 100.0 + id, 101.0 + id) }
+        .toDF("qsymbol", "qts", "qid", "bid", "ask")
+    def latestBySymbol(): Map[String, Long] =
+      spark.read.parquet(stateDir).drop("append")
+        .groupBy($"qsymbol").agg(max_by($"qid", struct($"qts", $"qid")).as("qid"))
+        .as[(String, Long)].collect().toMap
+    // two batches, FIRST compaction (clean): GOOG's only durable copy
+    // now lives in the compacted partition
+    Streaming.processQuoteStateBatch(qb(("AAPL", 0L, 1L), ("GOOG", 0L, 2L)), 0L, stateDir)
+    Streaming.processQuoteStateBatch(qb(("AAPL", 10000L, 3L)), 1L, stateDir)
+    assert(Streaming.compactQuoteState(spark, stateDir) == 2L)
+    // fresh batch, then kill the SECOND compaction at each seam
+    Streaming.processQuoteStateBatch(qb(("AAPL", 20000L, 4L)), 2L, stateDir)
+    val expected = Map("AAPL" -> 4L, "GOOG" -> 2L)
+    assert(latestBySymbol() == expected)
+    Seq("compact:staged-written", "compact:renamed").foreach { at =>
+      Streaming.compactSeam =
+        n => if (n == at) throw new RuntimeException(s"kill at $n")
+      try {
+        val e = intercept[RuntimeException] {
+          Streaming.compactQuoteState(spark, stateDir)
+        }
+        assert(e.getMessage.contains(at))
+      } finally Streaming.compactSeam = null
+      // no previously-compacted row lost at this crash point — readers
+      // resolve the identical per-symbol state
+      assert(latestBySymbol() == expected, s"state lost after kill at $at")
+    }
+    // a clean re-run converges: exactly one partition, exact rows
+    assert(Streaming.compactQuoteState(spark, stateDir) == 2L)
+    assert(latestBySymbol() == expected)
+    val parts = spark.read.parquet(stateDir).select("append")
+      .distinct().as[String].collect().toSeq
+    assert(parts.size == 1 && parts.head.startsWith("base-"), parts)
+    // staging residue from the killed runs was swept by the clean run
+    val strays = new java.io.File(stateDir).listFiles()
+      .map(_.getName).filter(_.startsWith("_staged-base-")).toSeq
+    assert(strays.isEmpty, strays)
+  }
+
+  test("replayed quote batch leaves its committed state partition untouched") {
+    val stateDir = tempDir("asofrp-state")
+    val t0 = 1718445600000L
+    val quotes = Seq(("AAPL", new Timestamp(t0), 1L, 99.0, 101.0))
+      .toDF("qsymbol", "qts", "qid", "bid", "ask")
+    Streaming.processQuoteStateBatch(quotes, 0L, stateDir)
+    def listing(): Set[(String, Long)] = {
+      val d = java.nio.file.Paths.get(stateDir, "append=b0")
+      val s = java.nio.file.Files.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(p => (p.getFileName.toString,
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)).toSet
+      } finally s.close()
+    }
+    val before = listing()
+    // replay: the committed partition is immutable — no delete-then-write
+    // window for a concurrent enrich scan to fall into
+    Streaming.processQuoteStateBatch(quotes, 0L, stateDir)
+    assert(listing() == before)
+    assert(spark.read.parquet(stateDir).count() == 1)
+  }
+
+  test("quote-batch replays concurrent with enrich scans: no failures, serial output") {
+    val stateDir = tempDir("asofcc-state")
+    val outDir = tempDir("asofcc-out")
+    val t0 = 1718445600000L
+    val q0 = Seq(("AAPL", new Timestamp(t0), 1L, 99.0, 101.0))
+      .toDF("qsymbol", "qts", "qid", "bid", "ask")
+    val q1 = Seq(("AAPL", new Timestamp(t0 + 10000L), 2L, 100.0, 102.0))
+      .toDF("qsymbol", "qts", "qid", "bid", "ask")
+    val trades = Seq((1L, "AAPL", new Timestamp(t0 + 30000L), 101.5))
+      .toDF("trade_id", "symbol", "ts", "price")
+    Streaming.processQuoteStateBatch(q0, 0L, stateDir)
+    Streaming.processQuoteStateBatch(q1, 1L, stateDir)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    @volatile var replayErr: Throwable = null
+    val replayer = new Thread(() => {
+      try while (!stop.get()) {
+        Streaming.processQuoteStateBatch(q0, 0L, stateDir)
+        Streaming.processQuoteStateBatch(q1, 1L, stateDir)
+      } catch { case t: Throwable => replayErr = t }
+    })
+    replayer.start()
+    try {
+      (0 until 6).foreach { i =>
+        Streaming.processEnrichBatch(trades, i.toLong, stateDir, outDir)
+        val qid = spark.read.parquet(s"$outDir/batch=$i")
+          .select($"qid").as[Long].collect().toSeq
+        assert(qid == Seq(2L), s"iteration $i resolved $qid")
+      }
+    } finally { stop.set(true); replayer.join() }
+    assert(replayErr == null, s"replayer failed: $replayErr")
   }
 
   test("checkpointed restart: processed files skipped, new files ingested once") {
@@ -238,7 +347,7 @@ class StreamingSpec extends SparkSpec {
     assert(lake.query().df.select("symbol", "timestamp").distinct().count() == 8)
   }
 
-  test("mapGroupsWithState: running VWAP carries state across micro-batches") {
+  test("stateful running VWAP carries state across micro-batches") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[SymbolTick]
     val q = Streaming.runningVwap(mem.toDS())
@@ -257,6 +366,29 @@ class StreamingSpec extends SparkSpec {
         .filter($"symbol" === "AAPL").orderBy($"nTicks".desc).head()
       assert(r2.getAs[Long]("nTicks") == 3)
       assert(math.abs(r2.getAs[Double]("vwap") - (10.0*100 + 20.0*100 + 30.0*200) / 400.0) < 1e-12)
+    } finally q.stop()
+  }
+
+  test("runningVwap holds emission until a symbol has traded volume") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[SymbolTick]
+    val q = Streaming.runningVwap(mem.toDS())
+      .writeStream.format("memory").queryName("vwap_zero_test")
+      .outputMode("update").start()
+    try {
+      // batch 1: only zero-volume ticks (legal input) — no update may be
+      // emitted; the former contract emitted NaN (0/0) here, a value
+      // that poisons any downstream aggregate unnoticed
+      mem.addData(SymbolTick("AAPL", 10.0, 0), SymbolTick("AAPL", 12.0, 0))
+      q.processAllAvailable()
+      assert(spark.table("vwap_zero_test").filter($"symbol" === "AAPL").isEmpty)
+      // batch 2: volume arrives — the first emission covers ALL ticks
+      // seen so far (state accumulated through the held batches)
+      mem.addData(SymbolTick("AAPL", 20.0, 100))
+      q.processAllAvailable()
+      val r = spark.table("vwap_zero_test").filter($"symbol" === "AAPL").head()
+      assert(r.getAs[Double]("vwap") == 20.0)
+      assert(r.getAs[Long]("nTicks") == 3)
     } finally q.stop()
   }
 
