@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   *    are scanned; their per-key partial aggregates MERGE into the
   *    standing state by key. Cost tracks the increment, not the table.
   *  - Any commit in the range that REMOVES files (compaction, DELETE/
-  *    UPDATE/MERGE rewrites) forces a full rebuild at the current
-  *    snapshot — removals can take back rows already folded into the
-  *    state, which decomposable partials cannot un-merge. (Compaction is
+  *    UPDATE/MERGE rewrites) or ADDS non-parquet files (CSV appends,
+  *    mixed-format addFiles — the delta scan is a schema'd parquet
+  *    read) forces a full rebuild at the current snapshot — removals
+  *    can take back rows already folded into the state, which
+  *    decomposable partials cannot un-merge. (Compaction is
   *    row-preserving, but the log doesn't distinguish it from a
   *    row-changing rewrite, so the sound default is rebuild; a rewrite
   *    marker in the commit would upgrade this.)
@@ -69,14 +71,22 @@ object IncrementalView {
     // commits), not O(log length) per call
     val range = lake.txnLog.commitsBetween(last, cur)
     val anyRemovals = range.exists(_.removed.nonEmpty)
+    val addedAll = range.flatMap(_.added)
+    // a non-parquet (CSV) add cannot ride the delta fast path: the scan
+    // below is a schema'd parquet read. Filtering such files OUT of the
+    // delta — the former behavior — advanced the cursor with their rows
+    // never folded into the state: a silently stale view on any lake
+    // that appends CSV (format="csv" tables, mixed-format addFiles).
+    // Rebuild instead: correct over fast, and parquet-only lakes — the
+    // steady-state streaming path — never pay it.
+    val anyNonParquet = addedAll.exists(!_.endsWith(".parquet"))
     val (partials, mode, nFiles) =
-      if (anyRemovals || last < 0L) {
+      if (anyRemovals || anyNonParquet || last < 0L) {
         // full rebuild at the current snapshot
         (partialAgg(lake.query(asOfVersion = Some(cur)).df),
           if (last < 0L) "initial" else "rebuild", -1L)
       } else {
-        val added = range.flatMap(_.added)
-          .filter(_.endsWith(".parquet"))
+        val added = addedAll
         if (added.isEmpty)
           (loadState(spark, viewDir, last), "noop_merge", 0L)
         else {
@@ -100,14 +110,24 @@ object IncrementalView {
     Files.write(tmp, cur.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, cursorPath(viewDir), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    // previous state dir is now unreferenced
-    val prev = Paths.get(stateDir(viewDir, last))
-    if (last >= 0L && Files.isDirectory(prev)) {
-      val s = Files.walk(prev)
-      try s.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
-      finally s.close()
-    }
+    // every state dir but the one the cursor now references is
+    // unreferenced — the direct predecessor AND any stray left by a
+    // refresh that crashed between cursor publish and its own cleanup
+    // (deleting only `last` left those strays on disk forever)
+    val dirs = Files.list(Paths.get(viewDir))
+    try {
+      import scala.jdk.CollectionConverters._
+      dirs.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("state-v") &&
+          p.getFileName.toString != s"state-v$cur")
+        .foreach { d =>
+          val s = Files.walk(d)
+          try s.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+          finally s.close()
+        }
+    } finally dirs.close()
     RefreshStats(last, cur, mode, nFiles)
   }
 

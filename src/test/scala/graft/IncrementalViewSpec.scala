@@ -75,6 +75,43 @@ class IncrementalViewSpec extends SparkSpec {
     assertMatchesFull(lake, viewDir)
   }
 
+  test("CSV appends force a rebuild instead of silently never folding") {
+    // the delta fast path is a schema'd parquet read; the former
+    // behavior FILTERED non-parquet adds out of the delta and advanced
+    // the cursor anyway — on a format="csv" lake every refresh after the
+    // first was a noop_merge that silently dropped the new rows from
+    // the view forever
+    val lake = new DataLakehouse(spark, tempDir("mv-lake4"),
+      batchSize = 1000, format = "csv")
+    val viewDir = tempDir("mv-view4")
+    lake.ingestBatch((0 until 10).map(i => bar(0, i, "AAPL")))
+    assert(IncrementalView.refresh(lake, viewDir).mode == "initial")
+    assertMatchesFull(lake, viewDir)
+    lake.ingestBatch((10 until 20).map(i => bar(1, i, "GOOG")))
+    val s = IncrementalView.refresh(lake, viewDir)
+    assert(s.mode == "rebuild", s)
+    assertMatchesFull(lake, viewDir) // GOOG rows ARE in the view
+  }
+
+  test("refresh sweeps stray state dirs from a crashed predecessor") {
+    val lake = new DataLakehouse(spark, tempDir("mv-lake5"), batchSize = 1000)
+    val viewDir = tempDir("mv-view5")
+    lake.ingestBatch((0 until 10).map(i => bar(0, i, "AAPL")))
+    IncrementalView.refresh(lake, viewDir)
+    // a refresh killed between cursor publish and its own cleanup
+    // leaves an unreferenced state dir; the next refresh must sweep it
+    // (deleting only the direct predecessor left it on disk forever)
+    val stray = java.nio.file.Paths.get(viewDir, "state-v99")
+    java.nio.file.Files.createDirectories(stray)
+    lake.ingestBatch((10 until 15).map(i => bar(0, i, "AAPL")))
+    IncrementalView.refresh(lake, viewDir)
+    assert(!java.nio.file.Files.exists(stray))
+    val dirs = new java.io.File(viewDir).listFiles()
+      .map(_.getName).filter(_.startsWith("state-v")).toSeq
+    assert(dirs == Seq(s"state-v${IncrementalView.currentVersion(viewDir)}"), dirs)
+    assertMatchesFull(lake, viewDir)
+  }
+
   test("row-level delete invalidates folded state via rebuild") {
     val lake = new DataLakehouse(spark, tempDir("mv-lake3"), batchSize = 1000)
     val viewDir = tempDir("mv-view3")
