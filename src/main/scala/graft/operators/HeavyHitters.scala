@@ -37,7 +37,7 @@ object HeavyHitters {
     require(m > 0, "capacity m must be positive")
     val spark = df.sparkSession
     import spark.implicits._
-    // (pid, key, lowerCount, partitionDecrements)
+    // (pid, key, lowerCount, partitionDecrements, real-item flag)
     val partials = df
       .select(spark_partition_id().as("pid"), col(keyCol).cast("string").as("k"))
       .as[(Int, String)]
@@ -62,14 +62,25 @@ object HeavyHitters {
               dead.foreach(counters.remove)
           }
         }
-        counters.iterator.map { case (k, c) => (pid, k, c, decrements) }
-      }(Encoders.product[(Int, String, Long, Long)])
-      .toDF("pid", "k", "cnt", "d")
-    // Σ d_p: one row per partition (d repeats on each of its rows)
+        // a summary can end EMPTY with decrements > 0 (the final sweep
+        // evicted every counter): its d_p rides ONLY on emitted rows, so
+        // dropping the partition silently SHRANK Σ d_p and the sandwich
+        // bound under-reported — emit a keyless carrier row (real=false:
+        // it feeds the error bound, never the item counts)
+        if (counters.nonEmpty)
+          counters.iterator.map { case (k, c) => (pid, k, c, decrements, true) }
+        else if (decrements > 0)
+          Iterator.single((pid, null: String, 0L, decrements, false))
+        else Iterator.empty
+      }(Encoders.product[(Int, String, Long, Long, Boolean)])
+      .toDF("pid", "k", "cnt", "d", "real")
+    // Σ d_p: one row per partition (d repeats on each of its rows);
+    // carrier rows participate here and only here
     val errBound = broadcast(
       partials.groupBy($"pid").agg(max($"d").as("dp"))
         .agg(coalesce(sum($"dp"), lit(0L)).as("err_bound")))
     partials
+      .filter($"real")
       .groupBy($"k")
       .agg(sum($"cnt").as("est_count"))
       .crossJoin(errBound)

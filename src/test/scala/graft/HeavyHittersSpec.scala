@@ -39,6 +39,24 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("a partition whose final sweep empties its summary still feeds the error bound") {
+    // m=2, partition 0 stream [a, b, c]: c triggers the sweep, a and b
+    // hit zero and evict, c is never stored — the summary ends EMPTY
+    // with one decrement. d_p rode only on emitted rows, so this
+    // partition's decrement silently vanished from Σ d_p and a's
+    // sandwich bound was violated: true count 6 > est 5 + err 0.
+    val p0 = Seq("a", "b", "c").toDF("k").coalesce(1)
+    val p1 = Seq.fill(5)("a").toDF("k").coalesce(1)
+    val s = HeavyHitters.summarize(p0.union(p1), "k", m = 2).collect()
+    val a = s.find(_.getAs[String]("k") == "a").get
+    val est = a.getAs[Long]("est_count")
+    val err = a.getAs[Long]("err_bound")
+    assert(est == 5L)
+    assert(6L <= est + err, s"true 6 > est $est + err $err")
+    // the carrier row never surfaces as an item
+    assert(s.forall(_.getAs[String]("k") != null))
+  }
+
   test("small m: planted heavies always surface in the top-k") {
     val rnd = new scala.util.Random(7)
     // n = 3*500 + 2000 = 3500 over 8 partitions, m=32:
