@@ -85,4 +85,64 @@ class StreamingCrashSpec extends SparkSpec {
       .flatMap(_.batchId).filter(_.startsWith("crash-"))
     assert(batchCommits.sorted == Seq("crash-0", "crash-1", "crash-2"))
   }
+
+  test("hard-killed second compaction loses no quote state at either seam") {
+    // The in-process seam spec (StreamingSpec) proves the protocol
+    // windows; this is the cross-process twin — a real halt(9) in a
+    // forked JVM whose half-finished jobs and caches are actually gone —
+    // plus the torn-staged-write disk state a kill inside the parquet
+    // write would leave (planted deterministically: garbage bytes in a
+    // staged dir, which is invisible to readers and swept by the next
+    // run).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val stateDir = tempDir("ccrash-state")
+    val t0 = 1718445600000L
+    def qb(rows: (String, Long, Long)*) =
+      rows.map { case (s, off, id) =>
+        (s, new Timestamp(t0 + off), id, 100.0 + id, 101.0 + id) }
+        .toDF("qsymbol", "qts", "qid", "bid", "ask")
+    def latestBySymbol(): Map[String, Long] =
+      spark.read.parquet(stateDir).drop("append")
+        .groupBy($"qsymbol")
+        .agg(max_by($"qid", struct($"qts", $"qid")).as("qid"))
+        .as[(String, Long)].collect().toMap
+    Streaming.processQuoteStateBatch(
+      qb(("AAPL", 0L, 1L), ("GOOG", 0L, 2L)), 0L, stateDir)
+    Streaming.processQuoteStateBatch(qb(("AAPL", 10000L, 3L)), 1L, stateDir)
+    assert(Streaming.compactQuoteState(spark, stateDir) == 2L)
+    Streaming.processQuoteStateBatch(qb(("AAPL", 20000L, 4L)), 2L, stateDir)
+    val expected = Map("AAPL" -> 4L, "GOOG" -> 2L)
+    assert(latestBySymbol() == expected)
+
+    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+    Seq("compact:staged-written", "compact:renamed").foreach { seam =>
+      val pb = new ProcessBuilder(
+        (Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g",
+          "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+          "-cp", sys.props("java.class.path"),
+          "graft.QuoteCompactCrashMain", stateDir, seam)): _*)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+      val p = pb.start()
+      assert(p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+        s"compaction crash child hung at $seam")
+      assert(p.exitValue() == 9, s"child exited ${p.exitValue()} at $seam")
+      assert(latestBySymbol() == expected, s"state lost after kill at $seam")
+    }
+
+    // torn staged write: garbage part file in a dead run's staging dir —
+    // never reader-visible, swept by the clean run below
+    val torn = Paths.get(stateDir, "_staged-base-deadbeef")
+    java.nio.file.Files.createDirectories(torn)
+    java.nio.file.Files.write(torn.resolve("part-00000.parquet"),
+      Array[Byte](0x50, 0x41, 0x52, 0x7f, 0x00, 0x01))
+    assert(latestBySymbol() == expected)
+
+    assert(Streaming.compactQuoteState(spark, stateDir) == 2L)
+    assert(latestBySymbol() == expected)
+    val names = new java.io.File(stateDir).listFiles().map(_.getName).toSeq
+    assert(names.count(_.startsWith("append=")) == 1, names)
+    assert(!names.exists(_.startsWith("_staged-base-")), names)
+  }
 }
