@@ -128,6 +128,73 @@ class StreamingSafetySpec extends SparkSpec {
     assert(Streaming.evictedCount(lake2) == 0)
   }
 
+  test("quote-state protocol fuzz: random batch/compact/kill interleavings never lose state") {
+    // The deterministic seam specs pin each crash window once; this fuzz
+    // composes them — random quote batches, clean compactions, and
+    // compactions killed at a random seam — asserting after EVERY op
+    // that the reader-visible per-symbol latest equals the model (max by
+    // (qts, qid) over all committed quotes). Fixed seeds, the
+    // TombstoneFuzzSpec pattern.
+    import org.apache.spark.sql.functions.{col, max_by, struct}
+    Seq(11L, 23L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val stateDir = tempDir(s"qfuzz$seed")
+      val t0 = 1718445600000L
+      val model = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      var nextQid = 1L
+      var nextBatch = 0L
+      def hasState: Boolean = {
+        val fs = new java.io.File(stateDir).listFiles()
+        fs != null && fs.exists(_.getName.startsWith("append="))
+      }
+      def latestBySymbol(): Map[String, Long] =
+        if (!hasState) Map.empty
+        else spark.read.parquet(stateDir).drop("append")
+          .groupBy(col("qsymbol"))
+          .agg(max_by(col("qid"), struct(col("qts"), col("qid"))).as("qid"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      def expected: Map[String, Long] = model.map { case (s, (_, q)) => s -> q }.toMap
+      (0 until 20).foreach { _ =>
+        rnd.nextInt(5) match {
+          case 0 | 1 | 2 => // quote batch: 1-3 symbols, random ts offsets
+            val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
+              val sym = s"S${rnd.nextInt(4)}"
+              val ts = t0 + rnd.nextInt(100000)
+              val qid = nextQid; nextQid += 1
+              model.get(sym) match {
+                case Some((mts, _)) if mts > ts => () // older quote: keep
+                case _ => model(sym) = (ts, qid) // qid strictly increases,
+                  // so an equal-ts later quote wins the (qts, qid) order
+              }
+              (sym, new Timestamp(ts), qid, 100.0, 101.0)
+            }
+            import spark.implicits._
+            Streaming.processQuoteStateBatch(
+              rows.toDF("qsymbol", "qts", "qid", "bid", "ask"),
+              nextBatch, stateDir)
+            nextBatch += 1
+          case 3 => // clean compaction
+            Streaming.compactQuoteState(spark, stateDir)
+          case 4 => // compaction killed at a random protocol seam
+            val at = if (rnd.nextBoolean()) "compact:staged-written"
+                     else "compact:renamed"
+            Streaming.compactSeam =
+              n => if (n == at) throw new RuntimeException(s"kill at $n")
+            try {
+              if (hasState) // partition-less state: compaction no-ops
+                intercept[RuntimeException] {  // before any seam fires
+                  Streaming.compactQuoteState(spark, stateDir)
+                }
+            } finally Streaming.compactSeam = null
+        }
+        assert(latestBySymbol() == expected, s"seed=$seed diverged")
+      }
+      // a clean compaction converges whatever the kill history left
+      Streaming.compactQuoteState(spark, stateDir)
+      assert(latestBySymbol() == expected, s"seed=$seed post-converge")
+    }
+  }
+
   test("processIngestBatch executes the upstream parse exactly once per micro-batch") {
     // the admitted plan feeds three sinks (invalid-emptiness probe, DLQ
     // write, lake append); unpersisted, EACH re-ran the full upstream
