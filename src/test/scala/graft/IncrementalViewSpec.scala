@@ -112,6 +112,41 @@ class IncrementalViewSpec extends SparkSpec {
     assertMatchesFull(lake, viewDir)
   }
 
+  test("refresh fuzz: random append/delete/compact/refresh mixes always match full recompute") {
+    // composes the deterministic mode specs: whatever interleaving of
+    // appends, row deletes, compactions, and refreshes occurs, a refresh
+    // must leave the view equal to a full recompute of the current
+    // snapshot. Fixed seeds, the TombstoneFuzzSpec pattern.
+    import org.apache.spark.sql.functions.col
+    Seq(5L, 17L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val lake = new DataLakehouse(spark, tempDir(s"mv-fuzz$seed"),
+        batchSize = 1000)
+      val viewDir = tempDir(s"mv-fuzzv$seed")
+      var nextI = 0
+      def append(): Unit = {
+        val n = 3 + rnd.nextInt(5)
+        lake.ingestBatch((nextI until nextI + n).map(i =>
+          bar(rnd.nextInt(3), i, s"SYM${rnd.nextInt(3)}")))
+        nextI += n
+      }
+      append()
+      IncrementalView.refresh(lake, viewDir)
+      assertMatchesFull(lake, viewDir)
+      (0 until 12).foreach { _ =>
+        rnd.nextInt(4) match {
+          case 0 | 1 => append()
+          case 2 if lake.query().count > 4 =>
+            lake.deleteWhere(col("volume") >= 1000L + 10L * (nextI - 2))
+          case 2 => ()
+          case 3 => lake.compact(maxFilesPerPartition = 0)
+        }
+        IncrementalView.refresh(lake, viewDir)
+        assertMatchesFull(lake, viewDir)
+      }
+    }
+  }
+
   test("row-level delete invalidates folded state via rebuild") {
     val lake = new DataLakehouse(spark, tempDir("mv-lake3"), batchSize = 1000)
     val viewDir = tempDir("mv-view3")
