@@ -111,6 +111,61 @@ object ScaleRun {
     // live), flat in commit count, warm AND from a cold process); and
     // windowed reads (table_changes pollers, incremental-view refresh)
     // pay O(window), never O(log). No Spark jobs — this is pure log IO.
+    // Quote-state protocol scale probe (the r14 compaction rewrite):
+    // state with mult×100 batch partitions × 50 symbols — the
+    // long-running-enrichment shape compaction exists for. Claims under
+    // test: enrich (batch AsOfJoin against the state) degrades with
+    // partition count only through listing/scan width, compaction is one
+    // bounded job whose output is exactly one row per symbol, and enrich
+    // over the compacted state is strictly cheaper. Uses ONE partitioned
+    // write to build the state (the per-batch reduction invariant — one
+    // row per (batch, symbol) — holds by construction).
+    if (which == "quotestate") {
+      import org.apache.spark.sql.functions.{concat, lit, timestamp_micros}
+      val nBatches = mult * 100
+      val nSymbols = 50
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("qstate-scale").toString
+      val baseUs = 1718445600000000L
+      spark.range(nBatches.toLong * nSymbols).select(
+          concat(lit("S"), $"id" % nSymbols).as("qsymbol"),
+          timestamp_micros(lit(baseUs) + $"id" * 1000000L).as("qts"),
+          $"id".as("qid"),
+          ($"id" % 97).cast("double").as("bid"),
+          ($"id" % 97 + 1).cast("double").as("ask"),
+          concat(lit("b"), ($"id" / nSymbols).cast("long")).as("append"))
+        .write.mode("overwrite").partitionBy("append").parquet(stateDir)
+      val trades = spark.range(100000).select(
+        $"id".as("trade_id"),
+        concat(lit("S"), $"id" % nSymbols).as("symbol"),
+        timestamp_micros(lit(baseUs) + lit(nBatches.toLong * nSymbols * 1000000L)).as("ts"),
+        ($"id" % 101).cast("double").as("price"))
+      def timeEnrich(tag: String): Double = {
+        val out = java.nio.file.Files
+          .createTempDirectory(s"qenrich-$tag").toString
+        val t0 = System.nanoTime()
+        graft.streaming.Streaming.processEnrichBatch(trades, 0L, stateDir, out)
+        val ms = (System.nanoTime() - t0) / 1e6
+        val got = spark.read.parquet(s"$out/batch=0")
+        assert(got.count() == 100000)
+        assert(got.filter($"qid".isNull).count() == 0, "unenriched trades")
+        ms
+      }
+      val pre = timeEnrich("pre")
+      val t0 = System.nanoTime()
+      val kept = graft.streaming.Streaming.compactQuoteState(spark, stateDir)
+      val compactMs = (System.nanoTime() - t0) / 1e6
+      assert(kept == nSymbols, s"kept $kept, want $nSymbols")
+      val parts = new java.io.File(stateDir).listFiles()
+        .map(_.getName).count(_.startsWith("append="))
+      assert(parts == 1, s"$parts partitions after compaction")
+      val post = timeEnrich("post")
+      println(f"[quotestate] batches=$nBatches symbols=$nSymbols " +
+        f"enrich_pre=${pre / 1000}%.2fs compact=${compactMs / 1000}%.2fs " +
+        f"enrich_post=${post / 1000}%.2fs")
+      spark.stop(); return
+    }
+
     if (which == "txnlog") {
       import java.nio.file.Files
       val root = Files.createTempDirectory("txnscale").toString
