@@ -830,6 +830,18 @@ object Dedup {
     * the operation IDEMPOTENT: a replayed increment (streaming batch
     * redelivery, retried job) overwrites its own partition instead of
     * double-counting rows — the txn-DLQ pattern applied to the index.
+    *
+    * Crash window, documented honestly: the four tables commit
+    * SEQUENTIALLY, so a crash mid-call leaves the increment partially
+    * visible (e.g. bands without sizes). Within the single-writer loop
+    * this is harmless — the stream's replay excludes its own appendId,
+    * recomputes the identical split, and overwrites all four partitions
+    * BEFORE any later batch probes — but an OUT-OF-BAND reader loading
+    * the index inside that window can silently miss pairs involving the
+    * half-appended docs (a sizes inner join drops them). Readers outside
+    * the owning stream should load only after the owner is quiescent; a
+    * manifest-committed index (the txn-log table layer) is the upgrade
+    * path if that contract ever needs to go away.
     */
   def appendToMinhashIndex(
       path: String,

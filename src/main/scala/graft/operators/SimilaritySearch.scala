@@ -998,7 +998,13 @@ object SimilaritySearch {
   }
 
   /** Append an ACCEPTED embedding increment to a durable index —
-    * idempotent via the per-increment overwrite partition. */
+    * idempotent via the per-increment overwrite partition. Same
+    * sequential-commit crash window as
+    * [[graft.operators.Dedup.appendToMinhashIndex]] (three tables here):
+    * harmless inside the single-writer loop (replay overwrites all three
+    * before any later batch probes), but an out-of-band reader loading
+    * inside the window can miss pairs of the half-appended vectors —
+    * load only after the owning stream is quiescent. */
   def appendToLshIndex(
       path: String,
       batch: DataFrame,
