@@ -651,34 +651,119 @@ object Streaming {
       }
       .start()
 
+  /** Fixed quote-state schema — (qsymbol, qts, qid, bid, ask), the
+    * [[quoteStateStream]] column contract. Passed EXPLICITLY to every
+    * state read so planning never runs schema inference against a file
+    * that a concurrent maintenance pass could remove between listing and
+    * the footer read.
+    */
+  private[graft] val quoteStateSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("qsymbol", StringType),
+      StructField("qts", TimestampType),
+      StructField("qid", LongType),
+      StructField("bid", DoubleType),
+      StructField("ask", DoubleType)))
+  }
+
+  /** Explicit per-partition commit marker. `_SUCCESS` also counts as
+    * committed (it proves job commit), but the writer stamps its OWN
+    * marker so committed-ness never depends on
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs` staying at its
+    * default in the deployment.
+    */
+  private[graft] val QuoteCommitMarker = "_GRAFT_COMMITTED"
+
+  /** Tombstone marking a partition superseded by a compaction — its rows
+    * live on (reduced) in the compaction's `append=base-*` replacement.
+    * The files themselves are retained one retention window and deleted
+    * by a LATER compaction, so an in-flight scan that listed the
+    * partition keeps reading intact bytes (snapshot isolation, the same
+    * deferred-deletion discipline as the txn-log vacuum).
+    */
+  private[graft] val QuoteSupersededMarker = "_SUPERSEDED"
+
+  /** Committed = job-committed parquet, proven by either marker.
+    * Compaction replacements (`append=base-*`) are committed by
+    * construction: the name only exists after the staged write finished
+    * and was atomically renamed into place.
+    */
+  private def quoteDirCommitted(d: java.nio.file.Path): Boolean =
+    d.getFileName.toString.startsWith("append=base-") ||
+      java.nio.file.Files.exists(d.resolve("_SUCCESS")) ||
+      java.nio.file.Files.exists(d.resolve(QuoteCommitMarker))
+
+  private def listQuoteDirs(root: java.nio.file.Path,
+      prefix: String): List[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.list(root)
+    try s.iterator().asScala.filter(p => java.nio.file.Files.isDirectory(p) &&
+      p.getFileName.toString.startsWith(prefix)).toList
+    finally s.close()
+  }
+
+  /** The reader-visible quote-state snapshot at this instant: committed,
+    * non-superseded partitions. Superseded partitions are excluded at
+    * LISTING time — their retained rows are duplicated (reduced) in the
+    * replacement partition, so skipping them loses nothing a reader is
+    * entitled to and restores flat scan cost the moment a compaction
+    * lands, without waiting for physical deletion.
+    */
+  private[graft] def liveQuotePartitions(
+      stateDir: String): List[java.nio.file.Path] = {
+    val root = java.nio.file.Paths.get(stateDir)
+    if (!java.nio.file.Files.isDirectory(root)) Nil
+    else listQuoteDirs(root, "append=").filter(d => quoteDirCommitted(d) &&
+      !java.nio.file.Files.exists(d.resolve(QuoteSupersededMarker)))
+  }
+
+  /** Snapshot-isolated read of the quote-state table (empty relation when
+    * no partition has committed yet). Leaf partition dirs are read
+    * directly under the explicit [[quoteStateSchema]] — no partition
+    * discovery, no schema-inference footer IO.
+    */
+  def readQuoteState(spark: SparkSession, stateDir: String): DataFrame = {
+    val live = liveQuotePartitions(stateDir)
+    if (live.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        quoteStateSchema)
+    else
+      spark.read.schema(quoteStateSchema)
+        .option("ignoreMissingFiles", "true")
+        .parquet(live.map(_.toString): _*)
+  }
+
   /** One quote micro-batch: keep only the per-symbol newest quote (a
     * symbols-sized window reduction — state grows by at most one row per
-    * symbol per batch) and write this batch's own state partition.
+    * symbol per batch) and write this batch's own state partition,
+    * stamping [[QuoteCommitMarker]] once the write commits.
     *
-    * REPLAY: a partition whose previous attempt fully committed
-    * (`_SUCCESS` present) is left untouched. The reduction is
-    * deterministic and foreachBatch redelivers the same rows under the
-    * same batchId, so a rewrite would produce identical bytes — while
-    * its overwrite's delete-then-write would transiently VANISH the
-    * partition's files under a concurrent [[processEnrichBatch]] scan
-    * of the state dir, terminating the enrich query with
-    * FileNotFoundException. A crashed previous attempt (no `_SUCCESS` —
-    * at most uncommitted temporary files, never reader-visible rows) is
-    * overwritten as before.
+    * REPLAY: a partition whose previous attempt fully committed (either
+    * marker present) is left untouched. The reduction is deterministic
+    * and foreachBatch redelivers the same rows under the same batchId,
+    * so a rewrite would produce identical bytes — while its overwrite's
+    * delete-then-write would transiently VANISH the partition's files
+    * under a concurrent [[processEnrichBatch]] scan of the state dir. A
+    * crashed previous attempt (no marker — at most uncommitted temporary
+    * files, never reader-visible rows) is overwritten as before.
     */
   private[graft] def processQuoteStateBatch(
       batch: DataFrame, batchId: Long, stateDir: String): Unit = {
     val target = java.nio.file.Paths.get(stateDir, s"append=b$batchId")
-    if (java.nio.file.Files.exists(target.resolve("_SUCCESS"))) return
+    if (quoteDirCommitted(target)) return
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qsymbol")).orderBy(col("qts").desc, col("qid").desc)
     batch.withColumn("_rk", row_number().over(w))
       .filter(col("_rk") === 1).drop("_rk")
       .write.mode("overwrite").parquet(target.toString)
+    java.nio.file.Files.write(target.resolve(QuoteCommitMarker),
+      Array.emptyByteArray)
   }
 
   /** Compact the quote-state table to ONE row per symbol (the global
-    * newest quote), replacing every existing partition with a fresh
+    * newest quote), superseding every committed partition with a fresh
     * `append=base-<runId>` partition. Run when batch count has grown the
     * state past what probe-time pruning should pay for. Tradeoff
     * (documented on [[quoteStateStream]]): compaction forfeits the
@@ -686,49 +771,73 @@ object Streaming {
     * resolve to the newest retained quote at-or-before them —
     * current-trade enrichment is unchanged.
     *
-    * Crash-safe at EVERY compaction, not just the first: the reduction
+    * Crash safety (every compaction, not just the first): the reduction
     * is written to an underscore-prefixed staging dir (invisible to
-    * Spark's file listing), atomically renamed into place as a NEW
-    * uniquely-named partition, and only THEN are the partitions listed
-    * at entry removed — so every retained row is durably visible in
-    * some partition at every instant. The former in-place overwrite of
-    * `append=base` deleted the ONLY durable copy of previously-compacted
-    * rows before rewriting it from cache: a crash (or a cache-evicted
-    * recompute re-reading its half-deleted own source) mid-write lost
-    * them on every compaction after the first. A crash here instead
-    * leaves either the old partitions intact (pre-rename — staging
-    * residue is invisible and swept by the next run) or a state where
-    * the new partition coexists with not-yet-removed olds — duplicate
-    * identical rows that every reader's per-symbol reduction already
-    * collapses, and that the next compaction removes. Rename atomicity
-    * assumes a POSIX-rename filesystem (HDFS/local); single maintenance
-    * caller at a time.
+    * readers), atomically renamed into place as a NEW uniquely-named
+    * partition, and only THEN are the superseded partitions marked — so
+    * every retained row is durably visible in some partition at every
+    * instant. A crash leaves either the old partitions intact
+    * (pre-rename — staging residue is invisible and swept by the next
+    * run) or the replacement coexisting with not-yet-marked olds:
+    * duplicate identical rows that every reader's per-symbol reduction
+    * collapses and the next compaction re-supersedes.
+    *
+    * Snapshot isolation against concurrent readers, two rules:
+    *
+    *  1. Superseded partitions are TOMBSTONED (`_SUPERSEDED` marker),
+    *     not deleted — physical deletion is deferred to a LATER
+    *     compaction, and only once the tombstone is older than
+    *     `tombstoneRetentionMs` (the txn-log vacuum's retention-window
+    *     discipline). A scan that listed a partition before this run's
+    *     rename therefore keeps reading intact files; scans listing
+    *     after the rename skip tombstoned partitions
+    *     ([[liveQuotePartitions]]) and read the replacement. A scan can
+    *     observe missing files only if it outlives the retention window
+    *     AND spans a subsequent compaction — the documented bound (set
+    *     retention above the slowest expected scan; `ignoreMissingFiles`
+    *     downgrades even that case to arrived-state staleness, never a
+    *     query failure).
+    *  2. Only partitions COMMITTED at the entry listing are superseded.
+    *     An in-flight quote batch whose write commits after the
+    *     reduction read below keeps its partition — its rows are NOT in
+    *     the replacement, so removing it would silently lose state when
+    *     compaction runs concurrently with a live [[quoteStateStream]].
+    *     It is compacted by the next run instead.
+    *
+    * Rename atomicity assumes a POSIX-rename filesystem (HDFS/local);
+    * single maintenance caller at a time.
     */
-  def compactQuoteState(spark: SparkSession, stateDir: String): Long = {
+  def compactQuoteState(spark: SparkSession, stateDir: String,
+      tombstoneRetentionMs: Long = 10L * 60L * 1000L): Long = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val root = Paths.get(stateDir)
     if (!Files.isDirectory(root)) return 0L
-    import scala.jdk.CollectionConverters._
-    def listDirs(prefix: String) = {
-      val s = Files.list(root)
-      try s.iterator().asScala.filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith(prefix)).toList
-      finally s.close()
-    }
     // staging residue from a crashed prior run was never reader-visible:
     // sweep it before this run stages its own
-    listDirs("_staged-base-").foreach(d => deleteDirIfExists(d.toString))
-    // EVERY partition visible now (prior base-* included) is superseded
-    // by the reduction below; the replacement is created after this
+    listQuoteDirs(root, "_staged-base-")
+      .foreach(d => deleteDirIfExists(d.toString))
+    // deferred deletion: partitions tombstoned by a PREVIOUS run and out
+    // of retention go now — any scan still holding them listed before
+    // that run's rename and has since had the full retention window
+    val cutoff = System.currentTimeMillis() - math.max(0L, tombstoneRetentionMs)
+    listQuoteDirs(root, "append=").foreach { d =>
+      val ts = d.resolve(QuoteSupersededMarker)
+      if (Files.exists(ts) && Files.getLastModifiedTime(ts).toMillis <= cutoff)
+        deleteDirIfExists(d.toString)
+    }
+    // supersede set: committed partitions only (rule 2 above) — prior
+    // base-* included; this run's replacement is created after the
     // listing, so it can never appear here
-    val olds = listDirs("append=")
+    val olds = listQuoteDirs(root, "append=").filter(d =>
+      quoteDirCommitted(d) && !Files.exists(d.resolve(QuoteSupersededMarker)))
     if (olds.isEmpty) return 0L
     val runId = java.util.UUID.randomUUID().toString.take(8)
     val staged = root.resolve(s"_staged-base-$runId")
     val target = root.resolve(s"append=base-$runId")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qsymbol")).orderBy(col("qts").desc, col("qid").desc)
-    val latest = spark.read.parquet(stateDir).drop("append")
+    val latest = spark.read.schema(quoteStateSchema)
+      .parquet(olds.map(_.toString): _*)
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") === 1).drop("_rk")
       .persist() // one compute for count + write (eviction-safe either
@@ -743,7 +852,8 @@ object Streaming {
     seam("compact:staged-written")
     Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)
     seam("compact:renamed")
-    olds.foreach(dir => deleteDirIfExists(dir.toString))
+    olds.foreach(d => Files.write(d.resolve(QuoteSupersededMarker),
+      Array.emptyByteArray))
     n
   }
 
@@ -752,25 +862,28 @@ object Streaming {
     * batch's output partition.
     *
     * The state read runs unsynchronized with [[processQuoteStateBatch]]
-    * and [[compactQuoteState]]. Replayed quote batches no longer touch
-    * committed partitions (the `_SUCCESS` skip), so the common race is
-    * gone at the source; `ignoreMissingFiles` covers the remaining
-    * legitimate vanish window — compaction removing superseded
-    * partitions after its replacement landed — where a scan that listed
-    * before the rename must SKIP the removed file (its rows are
-    * duplicated in the replacement) instead of terminating the enrich
-    * query with FileNotFoundException. A skipped file can at worst make
-    * a trade resolve as-of slightly older arrived state for that one
-    * batch — within the documented arrived-state contract; run
-    * compaction quiescent if even that matters.
+    * and [[compactQuoteState]], yet resolves a CONSISTENT snapshot:
+    * [[liveQuotePartitions]] pins the committed, non-superseded
+    * partition set once at listing, the read carries the explicit
+    * [[quoteStateSchema]] (no inference footer IO against a file a
+    * maintenance pass could remove), and compaction's deferred deletion
+    * guarantees every listed file stays intact for the tombstone
+    * retention window. Replayed quote batches never touch committed
+    * partitions (the commit-marker skip), and a partition committing
+    * mid-scan simply misses this batch's snapshot — the documented
+    * arrived-state contract. `ignoreMissingFiles` remains as the final
+    * backstop for a scan that outlives the retention window: such a scan
+    * degrades to slightly older arrived state, never a query failure.
     */
   private[graft] def processEnrichBatch(
       batch: DataFrame, batchId: Long, stateDir: String, outDir: String): Unit = {
     val spark = batch.sparkSession
+    val live = liveQuotePartitions(stateDir)
     val state =
-      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(stateDir)))
-        Some(spark.read.option("ignoreMissingFiles", "true")
-          .parquet(stateDir).drop("append"))
+      if (live.nonEmpty)
+        Some(spark.read.schema(quoteStateSchema)
+          .option("ignoreMissingFiles", "true")
+          .parquet(live.map(_.toString): _*))
       else None
     val enriched = state match {
       case Some(quotes) =>

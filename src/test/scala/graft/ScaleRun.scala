@@ -135,6 +135,16 @@ object ScaleRun {
           ($"id" % 97 + 1).cast("double").as("ask"),
           concat(lit("b"), ($"id" / nSymbols).cast("long")).as("append"))
         .write.mode("overwrite").partitionBy("append").parquet(stateDir)
+      // the bulk partitionBy write leaves one _SUCCESS at the ROOT; the
+      // protocol's committed-ness is PER-PARTITION (streaming writers
+      // stamp each batch dir) — stamp the synthetic dirs the same way
+      new java.io.File(stateDir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("append="))
+        .foreach { d =>
+          java.nio.file.Files.write(
+            d.toPath.resolve(graft.streaming.Streaming.QuoteCommitMarker),
+            Array.emptyByteArray)
+        }
       val trades = spark.range(100000).select(
         $"id".as("trade_id"),
         concat(lit("S"), $"id" % nSymbols).as("symbol"),
@@ -156,9 +166,8 @@ object ScaleRun {
       val kept = graft.streaming.Streaming.compactQuoteState(spark, stateDir)
       val compactMs = (System.nanoTime() - t0) / 1e6
       assert(kept == nSymbols, s"kept $kept, want $nSymbols")
-      val parts = new java.io.File(stateDir).listFiles()
-        .map(_.getName).count(_.startsWith("append="))
-      assert(parts == 1, s"$parts partitions after compaction")
+      val parts = graft.streaming.Streaming.liveQuotePartitions(stateDir).size
+      assert(parts == 1, s"$parts live partitions after compaction")
       val post = timeEnrich("post")
       println(f"[quotestate] batches=$nBatches symbols=$nSymbols " +
         f"enrich_pre=${pre / 1000}%.2fs compact=${compactMs / 1000}%.2fs " +

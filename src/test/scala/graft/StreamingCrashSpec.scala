@@ -141,8 +141,12 @@ class StreamingCrashSpec extends SparkSpec {
 
     assert(Streaming.compactQuoteState(spark, stateDir) == 2L)
     assert(latestBySymbol() == expected)
+    // exactly one LIVE partition; superseded ones linger tombstoned until
+    // retention lapses (deferred deletion = reader snapshot isolation)
+    val live = Streaming.liveQuotePartitions(stateDir)
+      .map(_.getFileName.toString)
+    assert(live.size == 1 && live.head.startsWith("append=base-"), live)
     val names = new java.io.File(stateDir).listFiles().map(_.getName).toSeq
-    assert(names.count(_.startsWith("append=")) == 1, names)
     assert(!names.exists(_.startsWith("_staged-base-")), names)
   }
 }

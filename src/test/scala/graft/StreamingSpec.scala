@@ -190,10 +190,13 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(stateDir).count() == 4) // 3 AAPL + 1 GOOG
     val kept = Streaming.compactQuoteState(spark, stateDir)
     assert(kept == 2L)
-    val state = spark.read.parquet(stateDir)
-    assert(state.count() == 2)
-    val parts = state.select("append").distinct().as[String].collect().toSeq
-    assert(parts.size == 1 && parts.head.startsWith("base-"), parts)
+    // the reader-visible snapshot is the reduced replacement alone; the
+    // superseded batch partitions stay on disk (tombstoned, deferred
+    // deletion) but no reader lists them
+    assert(Streaming.readQuoteState(spark, stateDir).count() == 2)
+    val parts = Streaming.liveQuotePartitions(stateDir)
+      .map(_.getFileName.toString)
+    assert(parts.size == 1 && parts.head.startsWith("append=base-"), parts)
     // current trades enrich identically to pre-compaction state
     val trades = Seq((1L, "AAPL", new Timestamp(t0 + 30000L), 101.5),
       (2L, "GOOG", new Timestamp(t0 + 30000L), 50.5))
@@ -202,9 +205,11 @@ class StreamingSpec extends SparkSpec {
     val out = spark.read.parquet(outDir).select($"trade_id", $"qid")
       .as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 4L, 2L -> 2L))
-    // idempotent: compacting again is a no-op shape (still 2 rows, base only)
+    // idempotent: compacting again is a no-op shape (still 2 rows, one
+    // live base partition)
     assert(Streaming.compactQuoteState(spark, stateDir) == 2L)
-    assert(spark.read.parquet(stateDir).count() == 2)
+    assert(Streaming.readQuoteState(spark, stateDir).count() == 2)
+    assert(Streaming.liveQuotePartitions(stateDir).size == 1)
   }
 
   /** The r13 weak flag: second-and-later compactions overwrote
@@ -248,16 +253,143 @@ class StreamingSpec extends SparkSpec {
       // resolve the identical per-symbol state
       assert(latestBySymbol() == expected, s"state lost after kill at $at")
     }
-    // a clean re-run converges: exactly one partition, exact rows
+    // a clean re-run converges: exactly one LIVE partition, exact rows
+    // (tombstoned predecessors linger until their retention lapses —
+    // that deferral is the snapshot-isolation mechanism, not residue)
     assert(Streaming.compactQuoteState(spark, stateDir) == 2L)
     assert(latestBySymbol() == expected)
-    val parts = spark.read.parquet(stateDir).select("append")
-      .distinct().as[String].collect().toSeq
-    assert(parts.size == 1 && parts.head.startsWith("base-"), parts)
+    val parts = Streaming.liveQuotePartitions(stateDir)
+      .map(_.getFileName.toString)
+    assert(parts.size == 1 && parts.head.startsWith("append=base-"), parts)
+    assert(Streaming.readQuoteState(spark, stateDir)
+      .groupBy($"qsymbol").agg(max_by($"qid", struct($"qts", $"qid")))
+      .as[(String, Long)].collect().toMap == expected)
     // staging residue from the killed runs was swept by the clean run
     val strays = new java.io.File(stateDir).listFiles()
       .map(_.getName).filter(_.startsWith("_staged-base-")).toSeq
     assert(strays.isEmpty, strays)
+  }
+
+  test("compaction defers deletion: tombstoned partitions survive one run, a later run past retention removes them") {
+    val stateDir = tempDir("asoft-state")
+    val t0 = 1718445600000L
+    def qb(rows: (String, Long, Long)*) =
+      rows.map { case (s, off, id) =>
+        (s, new Timestamp(t0 + off), id, 100.0 + id, 101.0 + id) }
+        .toDF("qsymbol", "qts", "qid", "bid", "ask")
+    Streaming.processQuoteStateBatch(qb(("AAPL", 0L, 1L)), 0L, stateDir)
+    Streaming.processQuoteStateBatch(qb(("AAPL", 10000L, 2L)), 1L, stateDir)
+    def dirNames(): Set[String] = new java.io.File(stateDir).listFiles()
+      .map(_.getName).filter(_.startsWith("append=")).toSet
+    assert(Streaming.compactQuoteState(spark, stateDir) == 1L)
+    // superseded batch partitions still on disk, tombstoned — a scan
+    // that listed them before the rename keeps reading intact files
+    assert(dirNames().size == 3, dirNames())
+    Seq("append=b0", "append=b1").foreach { d =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+        stateDir, d, Streaming.QuoteSupersededMarker)), d)
+    }
+    // but readers never list them
+    assert(Streaming.liveQuotePartitions(stateDir).size == 1)
+    assert(Streaming.readQuoteState(spark, stateDir).count() == 1)
+    // within retention the next run keeps them (default 10 min)
+    assert(Streaming.compactQuoteState(spark, stateDir) == 1L)
+    assert(dirNames().exists(_ == "append=b0"), dirNames())
+    // past retention they go: the two batch dirs AND the first two
+    // compactions' superseded base partitions
+    assert(Streaming.compactQuoteState(spark, stateDir,
+      tombstoneRetentionMs = 0L) == 1L)
+    val after = dirNames()
+    assert(!after.contains("append=b0") && !after.contains("append=b1"),
+      after)
+    assert(Streaming.readQuoteState(spark, stateDir).count() == 1)
+  }
+
+  test("quote batch committing mid-compaction keeps its rows (never superseded unseen)") {
+    // the live-stream-concurrent-with-compaction race: a quote batch
+    // whose partition dir exists (write in flight) when compaction lists,
+    // and whose write COMMITS after compaction's reduction read but
+    // before it marks superseded partitions. Its rows are not in the
+    // replacement, so superseding (or deleting) it would silently lose
+    // committed state. The protocol only supersedes partitions that were
+    // COMMITTED at the entry listing — the in-flight batch survives and
+    // the next compaction folds it.
+    val stateDir = tempDir("asofi-state")
+    val t0 = 1718445600000L
+    def qb(rows: (String, Long, Long)*) =
+      rows.map { case (s, off, id) =>
+        (s, new Timestamp(t0 + off), id, 100.0 + id, 101.0 + id) }
+        .toDF("qsymbol", "qts", "qid", "bid", "ask")
+    Streaming.processQuoteStateBatch(qb(("AAPL", 0L, 1L)), 0L, stateDir)
+    // in-flight partition: dir exists, nothing committed yet
+    val inflight = java.nio.file.Paths.get(stateDir, "append=b1")
+    java.nio.file.Files.createDirectories(inflight.resolve("_temporary"))
+    val lateBatch = qb(("AAPL", 20000L, 7L))
+    Streaming.compactSeam = n =>
+      if (n == "compact:staged-written") { // reduction read is done; the
+        Streaming.compactSeam = null       // in-flight write now commits
+        Streaming.processQuoteStateBatch(lateBatch, 1L, stateDir)
+      }
+    try {
+      assert(Streaming.compactQuoteState(spark, stateDir) == 1L)
+    } finally Streaming.compactSeam = null
+    // the late batch's partition is live and its newer quote visible
+    assert(!java.nio.file.Files.exists(
+      inflight.resolve(Streaming.QuoteSupersededMarker)))
+    val latest = Streaming.readQuoteState(spark, stateDir)
+      .groupBy($"qsymbol").agg(max_by($"qid", struct($"qts", $"qid")))
+      .as[(String, Long)].collect().toMap
+    assert(latest == Map("AAPL" -> 7L), latest)
+    // the next compaction folds it into the new base
+    assert(Streaming.compactQuoteState(spark, stateDir) == 1L)
+    assert(Streaming.readQuoteState(spark, stateDir)
+      .select($"qid").as[Long].collect().toSeq == Seq(7L))
+  }
+
+  test("enrich scans concurrent with a compaction loop resolve exactly the quiescent answer") {
+    // the r14 residual: a scan whose listing raced the compaction swap
+    // could transiently resolve older arrived state. With tombstoned
+    // (not deleted) supersession and commit-marker listing, every scan
+    // resolves a consistent snapshot — so under a continuously running
+    // compaction loop, enrichment of current trades must EQUAL the
+    // quiescent answer on every iteration, not merely not crash.
+    val stateDir = tempDir("asofq-state")
+    val outDir = tempDir("asofq-out")
+    val t0 = 1718445600000L
+    val syms = Seq("AAPL", "GOOG", "MSFT")
+    (0 until 10).foreach { b =>
+      val rows = syms.zipWithIndex.map { case (s, i) =>
+        val qid = (b * syms.size + i + 1).toLong
+        (s, new Timestamp(t0 + b * 1000L), qid, 100.0 + qid, 101.0 + qid)
+      }
+      Streaming.processQuoteStateBatch(
+        rows.toDF("qsymbol", "qts", "qid", "bid", "ask"), b.toLong, stateDir)
+    }
+    val trades = syms.zipWithIndex.map { case (s, i) =>
+      (i.toLong + 1L, s, new Timestamp(t0 + 60000L), 100.0) }
+      .toDF("trade_id", "symbol", "ts", "price")
+    // quiescent answer: newest qid per symbol (batch 9's rows)
+    val expected = syms.zipWithIndex
+      .map { case (_, i) => (i.toLong + 1L, (9 * syms.size + i + 1).toLong) }
+      .toMap
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    @volatile var compactErr: Throwable = null
+    val compactor = new Thread(() => {
+      try while (!stop.get()) {
+        Streaming.compactQuoteState(spark, stateDir)
+        Thread.sleep(2)
+      } catch { case t: Throwable => compactErr = t }
+    })
+    compactor.start()
+    try {
+      (0 until 10).foreach { i =>
+        Streaming.processEnrichBatch(trades, i.toLong, stateDir, outDir)
+        val got = spark.read.parquet(s"$outDir/batch=$i")
+          .select($"trade_id", $"qid").as[(Long, Long)].collect().toMap
+        assert(got == expected, s"iteration $i resolved $got")
+      }
+    } finally { stop.set(true); compactor.join() }
+    assert(compactErr == null, s"compactor failed: $compactErr")
   }
 
   test("replayed quote batch leaves its committed state partition untouched") {
