@@ -789,11 +789,19 @@ object Dedup {
       s""""rowsPerBand":${index.rowsPerBand},"shingleLen":${index.shingleLen}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(path, "index_meta.json"),
       meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the manifest publishes LAST: a crash anywhere above leaves a
+    // manifest-less (hence unloadable) index, never a torn-but-readable one
+    DurableIndex.initManifest(path)
   }
 
   /** Load a durable [[MinhashIndex]] written by [[saveMinhashIndex]] /
     * grown by [[appendToMinhashIndex]]. Relations come back persisted;
     * partial bucket counts are re-aggregated on load.
+    *
+    * Visibility resolves from the [[DurableIndex]] manifest: only
+    * manifest-committed appends are read, so a load concurrent with (or
+    * after a crash of) an in-flight append sees the WHOLE prior index
+    * and none of the increment — never bands without sizes.
     */
   def loadMinhashIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
@@ -801,15 +809,14 @@ object Dedup {
     import spark.implicits._
     val (numBands, rowsPerBand, shingleLen) = loadIndexMeta(path)
     // the append=<id> partition column is a durability artifact, not part
-    // of the relations — used only to EXCLUDE the named append partitions
-    // (a replaying increment must not see its own prior partial append),
-    // then selected away. Exclusion is partition pruning: the skipped
-    // appends' files are never read.
-    def part(sub: String): DataFrame = {
-      val df = spark.read.parquet(s"$path/$sub")
-      if (excludeAppends.isEmpty) df
-      else df.filter(!$"append".isin(excludeAppends: _*))
-    }
+    // of the relations — used only to SELECT the manifest-committed
+    // appends minus the caller's exclusions (a replaying increment must
+    // not see its own prior partial append), then selected away.
+    // Selection is partition pruning: unlisted appends' files are never
+    // read.
+    val vis = DurableIndex.visible(path, excludeAppends)
+    def part(sub: String): DataFrame =
+      spark.read.parquet(s"$path/$sub").filter($"append".isin(vis: _*))
     val counts = part("bucket_counts")
       .groupBy($"band", $"bucket").agg(sum($"partial").as("population"))
     MinhashIndex(
@@ -828,20 +835,17 @@ object Dedup {
     *
     * `appendId` names the increment's partition (`append=<id>`) and makes
     * the operation IDEMPOTENT: a replayed increment (streaming batch
-    * redelivery, retried job) overwrites its own partition instead of
-    * double-counting rows — the txn-DLQ pattern applied to the index.
+    * redelivery, retried job) whose prior attempt fully committed is a
+    * NO-OP (rewriting intact, manifest-visible partitions would
+    * transiently empty them under a concurrent reader); one whose prior
+    * attempt crashed overwrites partitions no reader could list.
     *
-    * Crash window, documented honestly: the four tables commit
-    * SEQUENTIALLY, so a crash mid-call leaves the increment partially
-    * visible (e.g. bands without sizes). Within the single-writer loop
-    * this is harmless — the stream's replay excludes its own appendId,
-    * recomputes the identical split, and overwrites all four partitions
-    * BEFORE any later batch probes — but an OUT-OF-BAND reader loading
-    * the index inside that window can silently miss pairs involving the
-    * half-appended docs (a sizes inner join drops them). Readers outside
-    * the owning stream should load only after the owner is quiescent; a
-    * manifest-committed index (the txn-log table layer) is the upgrade
-    * path if that contract ever needs to go away.
+    * Atomicity: the four tables still WRITE sequentially, but none is
+    * reader-visible until [[DurableIndex.commitAppend]] republishes the
+    * manifest as the final step — an out-of-band [[loadMinhashIndex]]
+    * at ANY instant (including after a crash between table writes) sees
+    * either the whole increment or none of it, never bands without
+    * sizes.
     */
   def appendToMinhashIndex(
       path: String,
@@ -852,6 +856,7 @@ object Dedup {
     val spark = batch.sparkSession
     import spark.implicits._
     requireAppendId(appendId)
+    if (DurableIndex.isCommitted(path, appendId)) return
     val (numBands, rowsPerBand, shingleLen) = loadIndexMeta(path)
     val bEx = shingleHashRelation(batch, idCol, "corpus_id", textCol,
       shingleLen).persist()
@@ -861,9 +866,12 @@ object Dedup {
     // partition's whole point) must not strand them
     try {
       bEx.write.mode("overwrite").parquet(s"$path/shingles/append=$appendId")
+      DurableIndex.seam("minhash:shingles-written")
       bBand.write.mode("overwrite").parquet(s"$path/bands/append=$appendId")
+      DurableIndex.seam("minhash:bands-written")
       bEx.groupBy($"corpus_id").agg(count(lit(1)).as("nc"))
         .write.mode("overwrite").parquet(s"$path/sizes/append=$appendId")
+      DurableIndex.seam("minhash:sizes-written")
       bBand.groupBy($"band", $"bucket").agg(count(lit(1)).as("partial"))
         .write.mode("overwrite")
         .parquet(s"$path/bucket_counts/append=$appendId")
@@ -871,6 +879,7 @@ object Dedup {
       bEx.unpersist(blocking = false)
       bBand.unpersist(blocking = false)
     }
+    DurableIndex.commitAppend(path, appendId)
   }
 
   private[operators] def requireAppendId(appendId: String): Unit =
@@ -887,29 +896,34 @@ object Dedup {
     * table works for (a_id, b_id, jaccard) text pairs and
     * (a_id, b_id, cosine) embedding pairs.
     */
-  def savePairs(pairs: DataFrame, path: String): Unit =
+  def savePairs(pairs: DataFrame, path: String): Unit = {
     pairs.write.mode("overwrite").parquet(s"$path/append=base")
+    DurableIndex.initManifest(path)
+  }
 
   /** Append an increment's pairs (batch-vs-corpus + within-batch) under
-    * an `append=<id>` overwrite partition — same idempotent-replay
-    * contract as [[appendToMinhashIndex]].
+    * an `append=<id>` partition — same manifest-committed idempotent
+    * contract as [[appendToMinhashIndex]] (one table here, so the
+    * manifest additionally shields readers from a partially
+    * job-committed parquet write).
     */
   def appendPairs(path: String, pairs: DataFrame, appendId: String): Unit = {
     requireAppendId(appendId)
+    if (DurableIndex.isCommitted(path, appendId)) return
     pairs.write.mode("overwrite").parquet(s"$path/append=$appendId")
+    DurableIndex.commitAppend(path, appendId)
   }
 
-  /** Load the durable pair table; `excludeAppends` prunes the named
-    * append partitions (replay safety, as in [[loadMinhashIndex]]).
+  /** Load the durable pair table: the manifest-committed appends minus
+    * `excludeAppends` (replay safety, as in [[loadMinhashIndex]]).
     */
   def loadPairs(
       spark: org.apache.spark.sql.SparkSession, path: String,
       excludeAppends: Seq[String] = Nil): DataFrame = {
-    val df = spark.read.parquet(path)
-    val pruned =
-      if (excludeAppends.isEmpty) df
-      else df.filter(!col("append").isin(excludeAppends: _*))
-    pruned.drop("append")
+    val vis = DurableIndex.visible(path, excludeAppends)
+    spark.read.parquet(path)
+      .filter(col("append").isin(vis: _*))
+      .drop("append")
   }
 
   private def loadIndexMeta(path: String): (Int, Int, Int) = {

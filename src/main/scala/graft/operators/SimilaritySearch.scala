@@ -959,6 +959,8 @@ object SimilaritySearch {
       s""""seed":${index.seed}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(path, "index_meta.json"),
       meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // manifest publishes LAST — a torn initial save stays unloadable
+    DurableIndex.initManifest(path)
   }
 
   private def loadLshMeta(path: String): (Int, Int, Int, Long) = {
@@ -980,14 +982,12 @@ object SimilaritySearch {
       excludeAppends: Seq[String] = Nil): LshIndex = {
     import spark.implicits._
     val (numPlanes, numTables, dim, seed) = loadLshMeta(path)
-    // same replay contract as Dedup.loadMinhashIndex: excluding an
-    // append partition prunes its files so a replaying increment never
-    // sees its own prior partial append
-    def part(sub: String): DataFrame = {
-      val df = spark.read.parquet(s"$path/$sub")
-      if (excludeAppends.isEmpty) df
-      else df.filter(!$"append".isin(excludeAppends: _*))
-    }
+    // same manifest-resolved visibility as Dedup.loadMinhashIndex: only
+    // committed appends (minus the caller's replay exclusions) are read,
+    // so a load at any instant sees whole increments or none of them
+    val vis = DurableIndex.visible(path, excludeAppends)
+    def part(sub: String): DataFrame =
+      spark.read.parquet(s"$path/$sub").filter($"append".isin(vis: _*))
     val counts = part("bucket_counts")
       .groupBy($"tbl", $"bucket").agg(sum($"partial").as("population"))
     LshIndex(
@@ -997,14 +997,14 @@ object SimilaritySearch {
       numPlanes, numTables, dim, seed)
   }
 
-  /** Append an ACCEPTED embedding increment to a durable index —
-    * idempotent via the per-increment overwrite partition. Same
-    * sequential-commit crash window as
-    * [[graft.operators.Dedup.appendToMinhashIndex]] (three tables here):
-    * harmless inside the single-writer loop (replay overwrites all three
-    * before any later batch probes), but an out-of-band reader loading
-    * inside the window can miss pairs of the half-appended vectors —
-    * load only after the owning stream is quiescent. */
+  /** Append an ACCEPTED embedding increment to a durable index — same
+    * manifest-committed contract as
+    * [[graft.operators.Dedup.appendToMinhashIndex]]: the three tables
+    * write sequentially but become reader-visible only when the final
+    * manifest republish lands, so an out-of-band [[loadLshIndex]] at any
+    * instant sees the whole increment or none of it; a replay of a
+    * fully committed append is a no-op.
+    */
   def appendToLshIndex(
       path: String,
       batch: DataFrame,
@@ -1014,6 +1014,7 @@ object SimilaritySearch {
     val spark = batch.sparkSession
     import spark.implicits._
     Dedup.requireAppendId(appendId)
+    if (DurableIndex.isCommitted(path, appendId)) return
     val (numPlanes, numTables, dim, seed) = loadLshMeta(path)
     val e = normedVectors(batch, idCol, vecCol, "corpus_id", "v", "nrm")
       .persist()
@@ -1024,8 +1025,10 @@ object SimilaritySearch {
     // partition's whole point) must not strand them
     try {
       e.write.mode("overwrite").parquet(s"$path/vectors/append=$appendId")
+      DurableIndex.seam("lsh:vectors-written")
       bucketed.write.mode("overwrite")
         .parquet(s"$path/buckets/append=$appendId")
+      DurableIndex.seam("lsh:buckets-written")
       bucketed.groupBy($"tbl", $"bucket").agg(count(lit(1)).as("partial"))
         .write.mode("overwrite")
         .parquet(s"$path/bucket_counts/append=$appendId")
@@ -1033,6 +1036,7 @@ object SimilaritySearch {
       e.unpersist(blocking = false)
       bucketed.unpersist(blocking = false)
     }
+    DurableIndex.commitAppend(path, appendId)
   }
 
   /** Probe a standing [[LshIndex]] with a batch of new embeddings — the

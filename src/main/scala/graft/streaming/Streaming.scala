@@ -1019,7 +1019,7 @@ object Streaming {
     import graft.operators.Dedup
     val spark = batch.sparkSession
     // exclude OUR OWN append partition: a replayed batch must probe
-    // the pre-batch index, not its earlier partial self (see scaladoc)
+    // the pre-batch index, not its own prior manifest-committed append
     val idx = Dedup.loadMinhashIndex(spark, indexPath,
       excludeAppends = Seq(s"b$batchId"))
     runIncrementalDedupBatch(batch, batchId, acceptedDir, dupesDir, idCol,

@@ -1,0 +1,205 @@
+package graft
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, DurableIndex, SimilaritySearch}
+
+/** Atomicity of the durable-index append protocol: the minhash index's
+  * four tables (and the LSH index's three) commit SEQUENTIALLY, so before
+  * the manifest protocol an out-of-band reader loading mid-append could
+  * observe bands without sizes and silently drop the half-appended docs'
+  * pairs. With the manifest, an increment becomes visible only when the
+  * single `_manifest.json` republish lands — this spec kills the append
+  * inside every window (in-process throws at each seam, plus forked
+  * `halt(9)` children whose caches are actually gone) and asserts the
+  * OUT-OF-BAND pair set equals pre-increment or post-increment, never a
+  * half-append.
+  */
+class DurableIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // mirrors build.sbt's jdk17AddOpens (forked child runs a real
+  // SparkSession outside spark-submit)
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  private def minhashProbe(path: String): Set[(Long, Long, Double)] = {
+    val probe = Tables.load(spark, sfDir, "documents")
+      .filter($"doc_id" % 4 === 3)
+    val idx = Dedup.loadMinhashIndex(spark, path)
+    try Dedup.minhashPairsAgainstIndex(probe, idx, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    finally idx.unpersist()
+  }
+
+  private def lshProbe(path: String): Set[(Long, Long, Double)] = {
+    val probe = Tables.load(spark, sfDir, "embeddings")
+      .filter($"vec_id" % 4 === 3)
+    val idx = SimilaritySearch.loadLshIndex(spark, path)
+    try SimilaritySearch.lshPairsAgainstIndex(probe, idx, "vec_id",
+        "embedding", threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    finally idx.unpersist()
+  }
+
+  test("minhash append killed at every seam: out-of-band load sees all of the increment or none") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val a = docs.filter($"doc_id" % 4 === 2)
+    val b = docs.filter($"doc_id" % 4 === 0)
+    val path = tempDir("mhatom")
+    Dedup.saveMinhashIndex(Dedup.minhashIndex(a, "doc_id", "text"), path)
+    val pre = minhashProbe(path)
+    assert(pre.nonEmpty)
+    Seq("minhash:shingles-written", "minhash:bands-written",
+      "minhash:sizes-written", "manifest:pre-commit:inc1").foreach { at =>
+      DurableIndex.crashSeam =
+        n => if (n == at) throw new RuntimeException(s"kill at $n")
+      try {
+        val e = intercept[RuntimeException] {
+          Dedup.appendToMinhashIndex(path, b, "doc_id", "text", "inc1")
+        }
+        assert(e.getMessage.contains(at))
+      } finally DurableIndex.crashSeam = null
+      // partitions may exist on disk, but the manifest does not name the
+      // increment — the out-of-band reader sees exactly the prior index
+      assert(!DurableIndex.isCommitted(path, "inc1"), at)
+      assert(minhashProbe(path) == pre, s"half-append visible after $at")
+    }
+    // clean replay commits; now the whole increment is visible
+    Dedup.appendToMinhashIndex(path, b, "doc_id", "text", "inc1")
+    assert(DurableIndex.isCommitted(path, "inc1"))
+    val post = minhashProbe(path)
+    val freshIdx = Dedup.minhashIndex(a.unionAll(b), "doc_id", "text")
+    val fresh = Dedup.minhashPairsAgainstIndex(
+        Tables.load(spark, sfDir, "documents").filter($"doc_id" % 4 === 3),
+        freshIdx, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    freshIdx.unpersist()
+    assert(post == fresh && post != pre)
+    // replay of the FULLY COMMITTED append is a no-op: were it to
+    // rewrite the (manifest-visible) partitions, a concurrent reader
+    // could list them mid-overwrite — the seam would also fire
+    DurableIndex.crashSeam = n => throw new RuntimeException(s"rewrote: $n")
+    try Dedup.appendToMinhashIndex(path, b, "doc_id", "text", "inc1")
+    finally DurableIndex.crashSeam = null
+    assert(minhashProbe(path) == post)
+  }
+
+  test("lsh append killed at every seam: out-of-band load sees all of the increment or none") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val a = emb.filter($"vec_id" % 4 === 2)
+    val b = emb.filter($"vec_id" % 4 === 0)
+    val path = tempDir("lshatom")
+    SimilaritySearch.saveLshIndex(
+      SimilaritySearch.lshIndex(a, "vec_id", "embedding"), path)
+    val pre = lshProbe(path)
+    Seq("lsh:vectors-written", "lsh:buckets-written",
+      "manifest:pre-commit:inc1").foreach { at =>
+      DurableIndex.crashSeam =
+        n => if (n == at) throw new RuntimeException(s"kill at $n")
+      try {
+        val e = intercept[RuntimeException] {
+          SimilaritySearch.appendToLshIndex(path, b, "vec_id", "embedding",
+            "inc1")
+        }
+        assert(e.getMessage.contains(at))
+      } finally DurableIndex.crashSeam = null
+      assert(!DurableIndex.isCommitted(path, "inc1"), at)
+      assert(lshProbe(path) == pre, s"half-append visible after $at")
+    }
+    SimilaritySearch.appendToLshIndex(path, b, "vec_id", "embedding", "inc1")
+    assert(DurableIndex.isCommitted(path, "inc1"))
+    assert(lshProbe(path) != pre)
+  }
+
+  test("pair-table append crash before manifest commit leaves the prior pair set") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val a = docs.filter($"doc_id" % 4 === 2)
+    val path = tempDir("pairatom")
+    Dedup.savePairs(
+      Dedup.minhashPairs(a, "doc_id", "text", persist = false), path)
+    val pre = Dedup.loadPairs(spark, path)
+      .as[(Long, Long, Double)].collect().toSet
+    val inc = Seq((900001L, 900002L, 0.9)).toDF("a_id", "b_id", "jaccard")
+    DurableIndex.crashSeam = n =>
+      if (n == "manifest:pre-commit:inc1")
+        throw new RuntimeException(s"kill at $n")
+    try intercept[RuntimeException] { Dedup.appendPairs(path, inc, "inc1") }
+    finally DurableIndex.crashSeam = null
+    // the partition is on disk but unlisted — out-of-band load unchanged
+    assert(Dedup.loadPairs(spark, path)
+      .as[(Long, Long, Double)].collect().toSet == pre)
+    Dedup.appendPairs(path, inc, "inc1")
+    assert(Dedup.loadPairs(spark, path)
+      .as[(Long, Long, Double)].collect().toSet == pre + ((900001L, 900002L, 0.9)))
+  }
+
+  test("a torn initial save (no manifest) fails loudly instead of reading as empty") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .filter($"doc_id" % 4 === 2)
+    val path = tempDir("mhtorn")
+    Dedup.saveMinhashIndex(Dedup.minhashIndex(docs, "doc_id", "text"), path)
+    java.nio.file.Files.delete(Paths.get(path, "_manifest.json"))
+    val e = intercept[RuntimeException] { Dedup.loadMinhashIndex(spark, path) }
+    assert(e.getMessage.contains("manifest"))
+  }
+
+  test("hard-killed appends (forked halt(9)) never expose a half-append to an out-of-band load") {
+    // the cross-process twin: a real kill between table commits, the
+    // dead JVM's half-finished jobs and caches actually gone
+    val docs = Tables.load(spark, sfDir, "documents")
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val mhPath = tempDir("mhkill")
+    val lshPath = tempDir("lshkill")
+    Dedup.saveMinhashIndex(Dedup.minhashIndex(
+      docs.filter($"doc_id" % 4 === 2), "doc_id", "text"), mhPath)
+    SimilaritySearch.saveLshIndex(SimilaritySearch.lshIndex(
+      emb.filter($"vec_id" % 4 === 2), "vec_id", "embedding"), lshPath)
+    val mhPre = minhashProbe(mhPath)
+    val lshPre = lshProbe(lshPath)
+    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+    def kill(kind: String, path: String, seam: String): Unit = {
+      val pb = new ProcessBuilder(
+        (Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g",
+          "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+          "-cp", sys.props("java.class.path"),
+          "graft.IndexCrashMain", kind, path, sfDir, seam, "inc1")): _*)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+      val p = pb.start()
+      assert(p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+        s"index crash child hung at $seam")
+      assert(p.exitValue() == 9, s"child exited ${p.exitValue()} at $seam")
+    }
+    Seq("minhash:bands-written", "manifest:pre-commit:inc1").foreach { at =>
+      kill("minhash", mhPath, at)
+      assert(!DurableIndex.isCommitted(mhPath, "inc1"), at)
+      assert(minhashProbe(mhPath) == mhPre, s"half-append visible after $at")
+    }
+    Seq("lsh:buckets-written", "manifest:pre-commit:inc1").foreach { at =>
+      kill("lsh", lshPath, at)
+      assert(!DurableIndex.isCommitted(lshPath, "inc1"), at)
+      assert(lshProbe(lshPath) == lshPre, s"half-append visible after $at")
+    }
+    // the owning writer's replay converges both indexes to the full
+    // increment (all-or-nothing held at every instant in between)
+    Dedup.appendToMinhashIndex(mhPath,
+      docs.filter($"doc_id" % 4 === 0), "doc_id", "text", "inc1")
+    SimilaritySearch.appendToLshIndex(lshPath,
+      emb.filter($"vec_id" % 4 === 0), "vec_id", "embedding", "inc1")
+    assert(DurableIndex.isCommitted(mhPath, "inc1") &&
+      DurableIndex.isCommitted(lshPath, "inc1"))
+    assert(minhashProbe(mhPath) != mhPre && lshProbe(lshPath) != lshPre)
+  }
+}
