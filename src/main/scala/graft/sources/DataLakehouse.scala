@@ -1193,6 +1193,21 @@ final class DataLakehouse(
     * rewrite (§1.2). One implementation — the former per-call-site
     * copies had already drifted on empty-set and mergeSchema handling.
     */
+  /** Read a commit's ADDED files under the schema recorded at `version`
+    * (falling back to the live schema) — the incremental-view delta
+    * scan. Same per-file format dispatch as the query path, so CSV
+    * appends ride the delta fast path instead of forcing a rebuild;
+    * basePath keeps partition-value columns.
+    */
+  private[sources] def readAddedRels(rels: Seq[String],
+      version: Long): DataFrame = {
+    val versionSchema = txnLog.schemaAt(version)
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[StructType])
+      .getOrElse(schemaWithDate)
+    readRels(rels, versionSchema)
+  }
+
   private def readRels(rels: Seq[String], schema: StructType,
       mergeSchema: Boolean = false): DataFrame = {
     val (csvRels, pqRels) = rels.partition(_.endsWith(".csv"))

@@ -15,15 +15,15 @@ import org.apache.spark.sql.functions._
   *
   * Refresh contract:
   *  - Commits after the cursor that only ADD files (the append-only fast
-  *    path — streaming ingest, batch appends): only the newly added files
-  *    are scanned; their per-key partial aggregates MERGE into the
-  *    standing state by key. Cost tracks the increment, not the table.
+  *    path — streaming ingest, batch appends, parquet AND csv via the
+  *    lake's per-file format dispatch under the recorded schema): only
+  *    the newly added files are scanned; their per-key partial
+  *    aggregates MERGE into the standing state by key. Cost tracks the
+  *    increment, not the table.
   *  - Any commit in the range that REMOVES files (compaction, DELETE/
-  *    UPDATE/MERGE rewrites) or ADDS non-parquet files (CSV appends,
-  *    mixed-format addFiles — the delta scan is a schema'd parquet
-  *    read) forces a full rebuild at the current snapshot — removals
-  *    can take back rows already folded into the state, which
-  *    decomposable partials cannot un-merge. (Compaction is
+  *    UPDATE/MERGE rewrites) forces a full rebuild at the current
+  *    snapshot — removals can take back rows already folded into the
+  *    state, which decomposable partials cannot un-merge. (Compaction is
   *    row-preserving, but the log doesn't distinguish it from a
   *    row-changing rewrite, so the sound default is rebuild; a rewrite
   *    marker in the commit would upgrade this.)
@@ -72,16 +72,8 @@ object IncrementalView {
     val range = lake.txnLog.commitsBetween(last, cur)
     val anyRemovals = range.exists(_.removed.nonEmpty)
     val addedAll = range.flatMap(_.added)
-    // a non-parquet (CSV) add cannot ride the delta fast path: the scan
-    // below is a schema'd parquet read. Filtering such files OUT of the
-    // delta — the former behavior — advanced the cursor with their rows
-    // never folded into the state: a silently stale view on any lake
-    // that appends CSV (format="csv" tables, mixed-format addFiles).
-    // Rebuild instead: correct over fast, and parquet-only lakes — the
-    // steady-state streaming path — never pay it.
-    val anyNonParquet = addedAll.exists(!_.endsWith(".parquet"))
     val (partials, mode, nFiles) =
-      if (anyRemovals || anyNonParquet || last < 0L) {
+      if (anyRemovals || last < 0L) {
         // full rebuild at the current snapshot
         (partialAgg(lake.query(asOfVersion = Some(cur)).df),
           if (last < 0L) "initial" else "rebuild", -1L)
@@ -90,12 +82,14 @@ object IncrementalView {
         if (added.isEmpty)
           (loadState(spark, viewDir, last), "noop_merge", 0L)
         else {
-          // partition-value columns come back TYPE-INFERRED from the dir
-          // names (date-looking values → DateType); the lakehouse read
-          // convention is string keys — align, or merged state forks by
-          // dtype
-          val raw = spark.read.option("basePath", lake.root)
-            .parquet(added.map(r => s"${lake.root}/$r"): _*)
+          // the delta scan dispatches per file format under the schema
+          // RECORDED at the target version (the lake's readRels), so CSV
+          // appends — format="csv" tables, mixed-format addFiles — fold
+          // incrementally too; an earlier all-parquet delta read forced
+          // a full rebuild on any non-parquet add. Partition-value
+          // columns are cast to the lakehouse string-key convention so
+          // merged state never forks by dtype.
+          val raw = lake.readAddedRels(added, cur)
           val delta = lake.partitionCols.foldLeft(raw)((d, c) =>
             d.withColumn(c, col(c).cast("string")))
           val deltaPartials = partialAgg(delta)

@@ -75,12 +75,13 @@ class IncrementalViewSpec extends SparkSpec {
     assertMatchesFull(lake, viewDir)
   }
 
-  test("CSV appends force a rebuild instead of silently never folding") {
-    // the delta fast path is a schema'd parquet read; the former
-    // behavior FILTERED non-parquet adds out of the delta and advanced
-    // the cursor anyway — on a format="csv" lake every refresh after the
-    // first was a noop_merge that silently dropped the new rows from
-    // the view forever
+  test("CSV appends ride the incremental delta path — zero rebuilds, view equals full") {
+    // the delta scan dispatches per file format through the lake's
+    // readRels under the recorded schema, so a format="csv" lake folds
+    // appends incrementally. (History: non-parquet adds were first
+    // silently FILTERED out of the delta while the cursor advanced — a
+    // forever-stale view — then fixed correct-over-fast with a full
+    // rebuild per refresh; this pins the fast path.)
     val lake = new DataLakehouse(spark, tempDir("mv-lake4"),
       batchSize = 1000, format = "csv")
     val viewDir = tempDir("mv-view4")
@@ -88,9 +89,15 @@ class IncrementalViewSpec extends SparkSpec {
     assert(IncrementalView.refresh(lake, viewDir).mode == "initial")
     assertMatchesFull(lake, viewDir)
     lake.ingestBatch((10 until 20).map(i => bar(1, i, "GOOG")))
+    lake.ingestBatch((20 until 25).map(i => bar(0, i, "AAPL")))
     val s = IncrementalView.refresh(lake, viewDir)
-    assert(s.mode == "rebuild", s)
-    assertMatchesFull(lake, viewDir) // GOOG rows ARE in the view
+    assert(s.mode == "incremental" && s.deltaFiles > 0, s)
+    assertMatchesFull(lake, viewDir) // GOOG + late AAPL rows ARE in the view
+    // append-only refreshes on a CSV lake never rebuild
+    lake.ingestBatch((25 until 30).map(i => bar(2, i, "MSFT")))
+    val s2 = IncrementalView.refresh(lake, viewDir)
+    assert(s2.mode == "incremental", s2)
+    assertMatchesFull(lake, viewDir)
   }
 
   test("refresh sweeps stray state dirs from a crashed predecessor") {
