@@ -155,6 +155,58 @@ class DurableIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("manifest"))
   }
 
+  test("out-of-band loads concurrent with a live appender always see a committed prefix") {
+    // the contract the manifest buys: an analytic reader may load and
+    // probe the standing index WHILE the owning stream appends — every
+    // observation must equal the index after some prefix of the commits,
+    // never a half-append and never a torn mix of increments
+    val docs = Tables.load(spark, sfDir, "documents").persist()
+    try {
+      val slices = (0 to 4).map(k => docs.filter($"doc_id" % 8 === k))
+      val probe = docs.filter($"doc_id" % 8 === 7)
+      def probeSet(idx: Dedup.MinhashIndex): Set[(Long, Long, Double)] =
+        Dedup.minhashPairsAgainstIndex(probe, idx, "doc_id", "text",
+            threshold = 0.15) // low bar → richer, better-separated sets
+          .as[(Long, Long, Double)].collect().toSet
+      // expected observation per committed prefix (base, base+1, ...)
+      val prefixes = (1 to slices.size).map { n =>
+        val idx = Dedup.minhashIndex(
+          slices.take(n).reduce(_ unionAll _), "doc_id", "text")
+        try probeSet(idx) finally idx.unpersist()
+      }
+      val path = tempDir("mhlive")
+      Dedup.saveMinhashIndex(
+        Dedup.minhashIndex(slices.head, "doc_id", "text"), path)
+      // NOT the file-level minhashProbe helper: its % 4 probe slice
+      // overlaps this test's % 8 corpus slices (self-matches)
+      def outOfBandProbe(): Set[(Long, Long, Double)] = {
+        val idx = Dedup.loadMinhashIndex(spark, path)
+        try probeSet(idx) finally idx.unpersist()
+      }
+      @volatile var writerErr: Throwable = null
+      val writer = new Thread(() => {
+        try slices.tail.zipWithIndex.foreach { case (s, i) =>
+          Dedup.appendToMinhashIndex(path, s, "doc_id", "text", s"inc$i")
+        } catch { case t: Throwable => writerErr = t }
+      })
+      writer.start()
+      try {
+        var seen = Set.empty[Int]
+        (0 until 8).foreach { i =>
+          val got = outOfBandProbe()
+          val at = prefixes.indexOf(got)
+          assert(at >= 0, s"iteration $i observed a non-prefix pair set: " +
+            s"got=${got.size} prefixes=${prefixes.map(_.size)}")
+          seen += at
+        }
+        assert(seen.nonEmpty)
+      } finally writer.join()
+      assert(writerErr == null, s"writer failed: $writerErr")
+      // once the writer is done, the reader converges on the full corpus
+      assert(outOfBandProbe() == prefixes.last)
+    } finally docs.unpersist()
+  }
+
   test("hard-killed appends (forked halt(9)) never expose a half-append to an out-of-band load") {
     // the cross-process twin: a real kill between table commits, the
     // dead JVM's half-finished jobs and caches actually gone
