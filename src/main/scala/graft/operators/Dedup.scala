@@ -887,6 +887,60 @@ object Dedup {
       appendId.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
       s"appendId must be a filesystem-safe token, got '$appendId'")
 
+  private val minhashTables =
+    Seq("shingles", "bands", "sizes", "bucket_counts")
+
+  /** Compact a durable minhash index: fold the committed append HISTORY
+    * into one fresh `base-<runId>` partition per table, so a perpetual
+    * incremental stream keeps O(1) partitions (and manifest entries)
+    * instead of one per micro-batch — the lake-compaction discipline
+    * applied to the index. Returns the number of appends folded (0 =
+    * nothing worth folding).
+    *
+    * The NEWEST append is deliberately KEPT unfolded: under the
+    * streaming contract at most the latest batch can be redelivered
+    * after a crash, and its replay must still be able to exclude its own
+    * append when probing ([[loadMinhashIndex]]'s excludeAppends) — an
+    * exclusion that cannot prune rows already merged into a folded base.
+    * Folded ids are recorded in the manifest, so a LATE retry of an
+    * older increment no-ops instead of double-appending rows the base
+    * already holds.
+    *
+    * Crash-safe and reader-safe like every other maintenance pass here:
+    * folded partitions are invisible until [[DurableIndex.commitFold]]
+    * atomically republishes the manifest (a crash leaves orphans no
+    * reader lists); superseded partitions stay on disk for
+    * `tombstoneRetentionMs` (readers that pinned the pre-fold manifest
+    * keep scanning intact files) and are deleted by a LATER compaction's
+    * sweep. Single maintenance caller: run from the owning writer,
+    * quiescent between appends — commitFold fails loudly if the manifest
+    * moved mid-fold.
+    */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, tombstoneRetentionMs: Long = 10L * 60L * 1000L): Int = {
+    import spark.implicits._
+    val appends = DurableIndex.visible(path, Nil)
+    DurableIndex.sweepUnreferenced(path, minhashTables, tombstoneRetentionMs)
+    if (appends.size <= 2) return 0 // base (+ newest): nothing to fold
+    val kept = Seq(appends.last)
+    val toFold = appends.dropRight(1)
+    val newId = s"base-${java.util.UUID.randomUUID().toString.take(8)}"
+    def part(sub: String): DataFrame =
+      spark.read.parquet(s"$path/$sub").filter($"append".isin(toFold: _*))
+    part("shingles").select($"corpus_id", $"h")
+      .write.mode("overwrite").parquet(s"$path/shingles/append=$newId")
+    part("bands").select($"corpus_id", $"band", $"bucket")
+      .write.mode("overwrite").parquet(s"$path/bands/append=$newId")
+    part("sizes").select($"corpus_id", $"nc")
+      .write.mode("overwrite").parquet(s"$path/sizes/append=$newId")
+    part("bucket_counts")
+      .groupBy($"band", $"bucket").agg(sum($"partial").as("partial"))
+      .write.mode("overwrite").parquet(s"$path/bucket_counts/append=$newId")
+    DurableIndex.seam("minhash:fold-written")
+    DurableIndex.commitFold(path, appends, newId, kept)
+    toFold.size
+  }
+
   /** Persist a verified near-dup PAIR SET as a durable parquet table —
     * the cluster pipeline's second piece of standing state (the first is
     * the minhash index). Cold cluster formation over a large corpus is
@@ -912,6 +966,26 @@ object Dedup {
     if (DurableIndex.isCommitted(path, appendId)) return
     pairs.write.mode("overwrite").parquet(s"$path/append=$appendId")
     DurableIndex.commitAppend(path, appendId)
+  }
+
+  /** Compact the durable pair table — [[compactMinhashIndex]]'s contract
+    * (fold history, keep the newest append, manifest-committed,
+    * retention-deferred deletion) applied to its single relation.
+    */
+  def compactPairs(spark: org.apache.spark.sql.SparkSession, path: String,
+      tombstoneRetentionMs: Long = 10L * 60L * 1000L): Int = {
+    val appends = DurableIndex.visible(path, Nil)
+    DurableIndex.sweepUnreferenced(path, Seq(""), tombstoneRetentionMs)
+    if (appends.size <= 2) return 0
+    val kept = Seq(appends.last)
+    val toFold = appends.dropRight(1)
+    val newId = s"base-${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.read.parquet(path)
+      .filter(col("append").isin(toFold: _*)).drop("append")
+      .write.mode("overwrite").parquet(s"$path/append=$newId")
+    DurableIndex.seam("pairs:fold-written")
+    DurableIndex.commitFold(path, appends, newId, kept)
+    toFold.size
   }
 
   /** Load the durable pair table: the manifest-committed appends minus

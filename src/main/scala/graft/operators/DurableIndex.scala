@@ -55,7 +55,8 @@ object DurableIndex {
   private def manifestPath(path: String) = Paths.get(path, "_manifest.json")
 
   /** The committed append set, or None when no manifest exists (initial
-    * save incomplete, or a pre-manifest directory).
+    * save incomplete, or a pre-manifest directory). Order is commit
+    * order: the LAST entry is the newest increment.
     */
   def committed(path: String): Option[Seq[String]] = {
     val p = manifestPath(path)
@@ -64,6 +65,25 @@ object DurableIndex {
       val node = mapper.readTree(Files.readAllBytes(p))
       import scala.jdk.CollectionConverters._
       Some(node.get("appends").elements().asScala.map(_.asText()).toSeq)
+    }
+  }
+
+  /** AppendIds whose rows were folded into the current base by an index
+    * compaction ([[commitFold]]). Kept in the manifest so a LATE retry
+    * of an already-folded increment no-ops instead of re-appending rows
+    * the base already contains.
+    */
+  def foldedIds(path: String): Seq[String] = {
+    val p = manifestPath(path)
+    if (!Files.exists(p)) Nil
+    else {
+      val node = mapper.readTree(Files.readAllBytes(p))
+      val f = node.get("folded")
+      if (f == null) Nil
+      else {
+        import scala.jdk.CollectionConverters._
+        f.elements().asScala.map(_.asText()).toSeq
+      }
     }
   }
 
@@ -78,16 +98,25 @@ object DurableIndex {
         "protocol); rebuild with save*Index"))
       .filterNot(excludeAppends.contains)
 
-  def isCommitted(path: String, appendId: String): Boolean =
-    committed(path).exists(_.contains(appendId))
-
-  /** Atomically publish `ids` as the committed set: staged temp +
-    * ATOMIC_MOVE over the previous manifest.
+  /** True when the id is live-committed OR already folded into the base
+    * — either way its rows are in the index and a retry must no-op.
     */
-  private def publish(path: String, ids: Seq[String]): Unit = {
+  def isCommitted(path: String, appendId: String): Boolean =
+    committed(path).exists(_.contains(appendId)) ||
+      foldedIds(path).contains(appendId)
+
+  /** Atomically publish the committed set (and the folded-id record):
+    * staged temp + ATOMIC_MOVE over the previous manifest.
+    */
+  private def publish(path: String, ids: Seq[String],
+      folded: Seq[String]): Unit = {
     val node = mapper.createObjectNode()
     val arr = node.putArray("appends")
     ids.distinct.foreach(arr.add)
+    if (folded.nonEmpty) {
+      val fa = node.putArray("folded")
+      folded.distinct.foreach(fa.add)
+    }
     val tmp = Files.createTempFile(Paths.get(path), ".manifest", ".tmp")
     Files.write(tmp, mapper.writeValueAsString(node)
       .getBytes(StandardCharsets.UTF_8))
@@ -96,14 +125,80 @@ object DurableIndex {
   }
 
   /** First publish after an initial save: exactly the base partitions. */
-  def initManifest(path: String): Unit = publish(path, Seq("base"))
+  def initManifest(path: String): Unit = publish(path, Seq("base"), Nil)
 
   /** Commit one append: republish the manifest with the id added
     * (idempotent — republishing an already-present id rewrites the same
-    * set).
+    * set). The folded-id record carries through unchanged.
     */
   def commitAppend(path: String, appendId: String): Unit = {
     seam(s"manifest:pre-commit:$appendId")
-    publish(path, committed(path).getOrElse(Seq("base")) :+ appendId)
+    publish(path, committed(path).getOrElse(Seq("base")) :+ appendId,
+      foldedIds(path))
+  }
+
+  /** Commit an index compaction: the visible set becomes the freshly
+    * folded base plus the KEPT (unfolded) newest appends, and every
+    * folded non-base id is recorded so late retries no-op. Enforces the
+    * single-writer contract loudly: the manifest must still equal what
+    * the compactor read at entry — an append that committed mid-fold
+    * would otherwise silently vanish from visibility.
+    */
+  def commitFold(path: String, entryAppends: Seq[String],
+      newBaseId: String, kept: Seq[String]): Unit = {
+    seam(s"manifest:pre-fold:$newBaseId")
+    val now = committed(path)
+    require(now.contains(entryAppends),
+      s"index at $path changed during compaction (manifest $now vs entry " +
+        s"$entryAppends) — compaction must run from the single writer, " +
+        "quiescent between appends")
+    val newlyFolded = entryAppends.filterNot(kept.contains)
+      .filterNot(_.startsWith("base"))
+    publish(path, newBaseId +: kept, foldedIds(path) ++ newlyFolded)
+  }
+
+  /** Deferred deletion for index compaction (the quote-state/vacuum
+    * retention discipline): remove `append=<id>` partitions that the
+    * manifest no longer references once they are older than
+    * `retentionMs` — folded history and orphans of crashed folds. The
+    * retention window is what lets a reader that pinned the
+    * pre-compaction manifest keep scanning intact files; an in-flight
+    * (not yet committed) append is likewise protected by its youth.
+    * Stale manifest staging temps are swept on the same clock.
+    */
+  def sweepUnreferenced(path: String, tableDirs: Seq[String],
+      retentionMs: Long): Unit = {
+    val liveOpt = committed(path)
+    if (liveOpt.isEmpty) return // no manifest: nothing is safely sweepable
+    val live = liveOpt.get.toSet
+    val cutoff = System.currentTimeMillis() - math.max(0L, retentionMs)
+    import scala.jdk.CollectionConverters._
+    def old(p: java.nio.file.Path): Boolean =
+      Files.getLastModifiedTime(p).toMillis <= cutoff
+    tableDirs.foreach { sub =>
+      val root = if (sub.isEmpty) Paths.get(path) else Paths.get(path, sub)
+      if (Files.isDirectory(root)) {
+        val s = Files.list(root)
+        val doomed =
+          try s.iterator().asScala.filter { p =>
+            val n = p.getFileName.toString
+            Files.isDirectory(p) && n.startsWith("append=") &&
+              !live.contains(n.stripPrefix("append=")) && old(p)
+          }.toList
+          finally s.close()
+        doomed.foreach { d =>
+          val w = Files.walk(d)
+          try w.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.deleteIfExists(f))
+          finally w.close()
+        }
+      }
+    }
+    val s = Files.list(Paths.get(path))
+    try s.iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith(".manifest") &&
+        p.getFileName.toString.endsWith(".tmp") && old(p))
+      .toList.foreach(Files.deleteIfExists(_))
+    finally s.close()
   }
 }

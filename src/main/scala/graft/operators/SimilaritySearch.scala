@@ -1039,6 +1039,37 @@ object SimilaritySearch {
     DurableIndex.commitAppend(path, appendId)
   }
 
+  /** Compact a durable LSH index — the embedding twin of
+    * [[graft.operators.Dedup.compactMinhashIndex]], same fold contract:
+    * history folds into one fresh base per table, the newest append
+    * stays unfolded for streaming replay exclusion, folded ids are
+    * recorded so late retries no-op, superseded partitions outlive the
+    * fold by `tombstoneRetentionMs` for pinned readers.
+    */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, tombstoneRetentionMs: Long = 10L * 60L * 1000L): Int = {
+    import spark.implicits._
+    val appends = DurableIndex.visible(path, Nil)
+    DurableIndex.sweepUnreferenced(path,
+      Seq("vectors", "buckets", "bucket_counts"), tombstoneRetentionMs)
+    if (appends.size <= 2) return 0
+    val kept = Seq(appends.last)
+    val toFold = appends.dropRight(1)
+    val newId = s"base-${java.util.UUID.randomUUID().toString.take(8)}"
+    def part(sub: String): DataFrame =
+      spark.read.parquet(s"$path/$sub").filter($"append".isin(toFold: _*))
+    part("vectors").select($"corpus_id", $"v", $"nrm")
+      .write.mode("overwrite").parquet(s"$path/vectors/append=$newId")
+    part("buckets").select($"corpus_id", $"tbl", $"bucket")
+      .write.mode("overwrite").parquet(s"$path/buckets/append=$newId")
+    part("bucket_counts")
+      .groupBy($"tbl", $"bucket").agg(sum($"partial").as("partial"))
+      .write.mode("overwrite").parquet(s"$path/bucket_counts/append=$newId")
+    DurableIndex.seam("lsh:fold-written")
+    DurableIndex.commitFold(path, appends, newId, kept)
+    toFold.size
+  }
+
   /** Probe a standing [[LshIndex]] with a batch of new embeddings — the
     * incremental shape of [[lshPairs]] (semantic dedup of an increment
     * against the standing corpus): batch vectors bucket under the SAME

@@ -939,6 +939,17 @@ object Streaming {
     * increment cadence; the relations are lazily scanned by the probe),
     * so growth appended by batch N is visible to batch N+1 without any
     * in-memory cache invalidation protocol.
+    *
+    * MAINTENANCE: a perpetual stream accrues one `append=bN` partition
+    * per table per batch — run
+    * [[graft.operators.Dedup.compactMinhashIndex]] (embedding twin:
+    * [[graft.operators.SimilaritySearch.compactLshIndex]]; pair table:
+    * [[graft.operators.Dedup.compactPairs]]) periodically from the
+    * owner, quiescent between batches, to fold history back to O(1)
+    * partitions. The fold keeps the newest append unfolded so the
+    * one redeliverable batch's replay exclusion still works, records
+    * folded ids so late retries no-op, and defers physical deletion one
+    * retention window for pinned readers.
     */
   def incrementalDedupStream(
       docs: DataFrame, // streaming (doc_id, text, ...)

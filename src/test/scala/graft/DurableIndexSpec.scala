@@ -207,6 +207,153 @@ class DurableIndexSpec extends SparkSpec {
     } finally docs.unpersist()
   }
 
+  test("minhash index compaction folds history into one base without changing any probe result") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val slices = (0 to 4).map(k => docs.filter($"doc_id" % 8 === k))
+    val path = tempDir("mhfold")
+    Dedup.saveMinhashIndex(
+      Dedup.minhashIndex(slices.head, "doc_id", "text"), path)
+    slices.tail.zipWithIndex.foreach { case (s, i) =>
+      Dedup.appendToMinhashIndex(path, s, "doc_id", "text", s"inc$i")
+    }
+    def probeAt(exclude: Seq[String] = Nil): Set[(Long, Long, Double)] = {
+      val idx = Dedup.loadMinhashIndex(spark, path, excludeAppends = exclude)
+      try Dedup.minhashPairsAgainstIndex(
+          docs.filter($"doc_id" % 8 === 7), idx, "doc_id", "text",
+          threshold = 0.15)
+        .as[(Long, Long, Double)].collect().toSet
+      finally idx.unpersist()
+    }
+    def partsOf(sub: String): Set[String] =
+      new java.io.File(s"$path/$sub").listFiles()
+        .map(_.getName).filter(_.startsWith("append=")).toSet
+    val pre = probeAt()
+    val preReplayView = probeAt(exclude = Seq("inc3"))
+    assert(pre.nonEmpty && pre != preReplayView)
+
+    // a fold that crashes before its manifest commit changes nothing a
+    // reader can see; orphan folded partitions are swept later
+    DurableIndex.crashSeam = n =>
+      if (n == "minhash:fold-written") throw new RuntimeException(n)
+    try intercept[RuntimeException] { Dedup.compactMinhashIndex(spark, path) }
+    finally DurableIndex.crashSeam = null
+    assert(probeAt() == pre)
+    assert(DurableIndex.committed(path).get ==
+      Seq("base", "inc0", "inc1", "inc2", "inc3"))
+
+    // clean fold: base + inc0..inc2 fold, the NEWEST append stays
+    assert(Dedup.compactMinhashIndex(spark, path) == 4)
+    val vis = DurableIndex.committed(path).get
+    assert(vis.size == 2 && vis.head.startsWith("base-") &&
+      vis.last == "inc3", vis)
+    assert(DurableIndex.foldedIds(path).toSet == Set("inc0", "inc1", "inc2"))
+    assert(probeAt() == pre)
+    // the streaming replay view (exclude the kept newest) still prunes
+    assert(probeAt(exclude = Seq("inc3")) == preReplayView)
+    // a LATE retry of a folded increment no-ops (its rows are in base)
+    Dedup.appendToMinhashIndex(path, slices(1), "doc_id", "text", "inc0")
+    assert(probeAt() == pre)
+    assert(DurableIndex.committed(path).get == vis)
+
+    // superseded partitions survive the fold (pinned readers), then a
+    // later pass beyond retention deletes them — including the crashed
+    // fold's orphans
+    assert(partsOf("bands").size > 2)
+    assert(Dedup.compactMinhashIndex(spark, path,
+      tombstoneRetentionMs = 0L) == 0) // nothing left to fold, sweep only
+    Seq("shingles", "bands", "sizes", "bucket_counts").foreach { sub =>
+      val parts = partsOf(sub)
+      assert(parts == vis.map("append=" + _).toSet, s"$sub: $parts")
+    }
+    assert(probeAt() == pre)
+  }
+
+  test("an append committing mid-fold aborts the fold loudly and loses nothing") {
+    // the single-writer contract, enforced not just documented: if the
+    // manifest moves between the fold's entry read and its commit, the
+    // commit would drop the interloper from visibility — commitFold
+    // must refuse, leaving both the old appends and the interloper
+    // visible (the fold's orphan partitions sweep later)
+    val docs = Tables.load(spark, sfDir, "documents")
+    val slices = (0 to 3).map(k => docs.filter($"doc_id" % 8 === k))
+    val path = tempDir("mhrace")
+    Dedup.saveMinhashIndex(
+      Dedup.minhashIndex(slices.head, "doc_id", "text"), path)
+    Seq(1, 2).foreach(i => Dedup.appendToMinhashIndex(
+      path, slices(i), "doc_id", "text", s"inc$i"))
+    DurableIndex.crashSeam = n =>
+      if (n.startsWith("manifest:pre-fold")) { // fold staged; an append
+        DurableIndex.crashSeam = null          // now commits concurrently
+        Dedup.appendToMinhashIndex(path, slices(3), "doc_id", "text", "inc3")
+      }
+    val e =
+      try intercept[IllegalArgumentException] {
+        Dedup.compactMinhashIndex(spark, path)
+      } finally DurableIndex.crashSeam = null
+    assert(e.getMessage.contains("changed during compaction"))
+    // nothing lost: all four increments visible, fold not committed
+    assert(DurableIndex.committed(path).get ==
+      Seq("base", "inc1", "inc2", "inc3"))
+    val idx = Dedup.loadMinhashIndex(spark, path)
+    val got = try Dedup.minhashPairsAgainstIndex(
+        docs.filter($"doc_id" % 8 === 7), idx, "doc_id", "text",
+        threshold = 0.15).as[(Long, Long, Double)].collect().toSet
+      finally idx.unpersist()
+    val fresh = Dedup.minhashIndex(
+      slices.reduce(_ unionAll _), "doc_id", "text")
+    val want = try Dedup.minhashPairsAgainstIndex(
+        docs.filter($"doc_id" % 8 === 7), fresh, "doc_id", "text",
+        threshold = 0.15).as[(Long, Long, Double)].collect().toSet
+      finally fresh.unpersist()
+    assert(got == want)
+    // the retried fold (now seeing all four) succeeds
+    assert(Dedup.compactMinhashIndex(spark, path) == 3)
+    val idx2 = Dedup.loadMinhashIndex(spark, path)
+    val got2 = try Dedup.minhashPairsAgainstIndex(
+        docs.filter($"doc_id" % 8 === 7), idx2, "doc_id", "text",
+        threshold = 0.15).as[(Long, Long, Double)].collect().toSet
+      finally idx2.unpersist()
+    assert(got2 == want)
+  }
+
+  test("lsh index and pair table compaction: same fold contract, probe- and set-preserving") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val slices = (0 to 3).map(k => emb.filter($"vec_id" % 8 === k))
+    val path = tempDir("lshfold")
+    SimilaritySearch.saveLshIndex(
+      SimilaritySearch.lshIndex(slices.head, "vec_id", "embedding"), path)
+    slices.tail.zipWithIndex.foreach { case (s, i) =>
+      SimilaritySearch.appendToLshIndex(path, s, "vec_id", "embedding",
+        s"inc$i")
+    }
+    val pre = lshProbe(path)
+    assert(SimilaritySearch.compactLshIndex(spark, path) == 3)
+    assert(lshProbe(path) == pre)
+    assert(DurableIndex.committed(path).get.last == "inc2")
+    assert(SimilaritySearch.compactLshIndex(spark, path,
+      tombstoneRetentionMs = 0L) == 0)
+    assert(lshProbe(path) == pre)
+
+    val pairs = tempDir("pairfold")
+    Dedup.savePairs(Seq((1L, 2L, 0.9)).toDF("a_id", "b_id", "jaccard"), pairs)
+    Dedup.appendPairs(pairs,
+      Seq((3L, 4L, 0.8)).toDF("a_id", "b_id", "jaccard"), "inc0")
+    Dedup.appendPairs(pairs,
+      Seq((5L, 6L, 0.7)).toDF("a_id", "b_id", "jaccard"), "inc1")
+    def pairSet(): Set[(Long, Long, Double)] = Dedup.loadPairs(spark, pairs)
+      .as[(Long, Long, Double)].collect().toSet
+    val all = pairSet()
+    assert(all.size == 3)
+    assert(Dedup.compactPairs(spark, pairs) == 2)
+    assert(pairSet() == all)
+    assert(Dedup.compactPairs(spark, pairs, tombstoneRetentionMs = 0L) == 0)
+    assert(pairSet() == all)
+    // late retry of a folded pair append no-ops
+    Dedup.appendPairs(pairs,
+      Seq((3L, 4L, 0.8)).toDF("a_id", "b_id", "jaccard"), "inc0")
+    assert(pairSet() == all)
+  }
+
   test("hard-killed appends (forked halt(9)) never expose a half-append to an out-of-band load") {
     // the cross-process twin: a real kill between table commits, the
     // dead JVM's half-finished jobs and caches actually gone
