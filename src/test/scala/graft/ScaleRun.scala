@@ -111,6 +111,58 @@ object ScaleRun {
     // live), flat in commit count, warm AND from a cold process); and
     // windowed reads (table_changes pollers, incremental-view refresh)
     // pay O(window), never O(log). No Spark jobs — this is pure log IO.
+    // Durable dedup-index compaction scale probe (the r15 fold
+    // protocol): an incremental dedup stream leaves one append partition
+    // per table per micro-batch. Claims under test: probe cost over a
+    // many-append index degrades only through listing/scan width (small
+    // files), compactMinhashIndex is one bounded pass whose output
+    // leaves exactly (folded base + newest append) partitions per
+    // table, the probe pair set is IDENTICAL across the fold, and the
+    // post-fold probe is at-or-below the pre-fold cost.
+    if (which == "dedupindex") {
+      val nAppends = mult * 10
+      val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+        .persist()
+      val probe = docs.filter($"doc_id" % 997 < 60)
+      val idxPath = java.nio.file.Files
+        .createTempDirectory("dedupidx-scale").toString
+      def slice(k: Int) = docs.filter($"doc_id" % (nAppends + 1) === k)
+      operators.Dedup.saveMinhashIndex(
+        operators.Dedup.minhashIndex(slice(0), "doc_id", "text"), idxPath)
+      val tIng0 = System.nanoTime()
+      (1 to nAppends).foreach { k =>
+        operators.Dedup.appendToMinhashIndex(idxPath, slice(k),
+          "doc_id", "text", s"b$k")
+      }
+      val ingestMs = (System.nanoTime() - tIng0) / 1e6
+      def timedProbe(): (Double, Set[(Long, Long)]) = {
+        val t0 = System.nanoTime()
+        val idx = operators.Dedup.loadMinhashIndex(spark, idxPath)
+        val got =
+          try operators.Dedup.minhashPairsAgainstIndex(probe, idx,
+              "doc_id", "text", threshold = 0.2)
+            .select($"batch_id", $"corpus_id")
+            .as[(Long, Long)].collect().toSet
+          finally idx.unpersist()
+        ((System.nanoTime() - t0) / 1e6, got)
+      }
+      val (preMs, preSet) = timedProbe()
+      val tC0 = System.nanoTime()
+      val folded = operators.Dedup.compactMinhashIndex(spark, idxPath)
+      val compactMs = (System.nanoTime() - tC0) / 1e6
+      assert(folded == nAppends, s"folded $folded, want $nAppends")
+      val (postMs, postSet) = timedProbe()
+      assert(postSet == preSet, "probe pair set changed across the fold")
+      val parts = new java.io.File(s"$idxPath/bands").listFiles()
+        .map(_.getName).count(_.startsWith("append="))
+      println(f"[dedupindex] appends=$nAppends ingest=${ingestMs / 1000}%.2fs " +
+        f"probe_pre=${preMs / 1000}%.2fs compact=${compactMs / 1000}%.2fs " +
+        f"probe_post=${postMs / 1000}%.2fs pairs=${preSet.size} " +
+        f"band_partitions_on_disk=$parts")
+      docs.unpersist()
+      spark.stop(); return
+    }
+
     // Quote-state protocol scale probe (the r14 compaction rewrite):
     // state with mult×100 batch partitions × 50 symbols — the
     // long-running-enrichment shape compaction exists for. Claims under
