@@ -151,6 +151,57 @@ class StreamingSpec extends SparkSpec {
     } finally { qs.stop(); ts.stop() }
   }
 
+  test("live two-stream enrichment stays exact with a compaction loop running throughout") {
+    // the round-15 protocol, end-to-end: real quoteStateStream +
+    // asOfEnrichStream micro-batches while compactQuoteState free-runs
+    // in a maintenance thread — neither stream quiescent. Every round
+    // must resolve the newest committed quote exactly: compaction may
+    // never lose an in-flight batch that commits mid-run (supersede only
+    // what was committed at entry) nor starve a scan (tombstoned
+    // partitions outlive their readers).
+    implicit val sc = spark.sqlContext
+    val stateDir = tempDir("asofl-state")
+    val outDir = tempDir("asofl-out")
+    val memQ = MemoryStream[Quote]
+    val memT = MemoryStream[Trade]
+    val t0 = 1718445600000L
+    val qs = Streaming.quoteStateStream(memQ.toDF(), stateDir,
+      tempDir("asofl-qckpt"), triggerMs = 20)
+    val ts = Streaming.asOfEnrichStream(memT.toDF(), stateDir, outDir,
+      tempDir("asofl-tckpt"), triggerMs = 20)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    @volatile var compactErr: Throwable = null
+    val compactor = new Thread(() => {
+      try while (!stop.get()) {
+        Streaming.compactQuoteState(spark, stateDir)
+        Thread.sleep(3)
+      } catch { case t: Throwable => compactErr = t }
+    })
+    compactor.start()
+    try {
+      (0 until 5).foreach { r =>
+        val qid = r * 2 + 1L
+        memQ.addData(
+          Quote("AAPL", new Timestamp(t0 + r * 10000L), qid, 99.0 + r, 101.0 + r),
+          Quote("GOOG", new Timestamp(t0 + r * 10000L), qid + 1L, 50.0 + r, 51.0 + r))
+        qs.processAllAvailable()
+        memT.addData(
+          Trade(r * 2 + 1L, "AAPL", new Timestamp(t0 + 60000L + r), 100.0),
+          Trade(r * 2 + 2L, "GOOG", new Timestamp(t0 + 60000L + r), 50.0))
+        ts.processAllAvailable()
+        val got = spark.read.parquet(outDir).drop("batch")
+          .filter($"trade_id" >= r * 2 + 1L)
+          .select($"trade_id", $"qid").as[(Long, Long)].collect().toMap
+        assert(got == Map((r * 2 + 1L) -> qid, (r * 2 + 2L) -> (qid + 1L)),
+          s"round $r resolved $got")
+      }
+    } finally {
+      stop.set(true); compactor.join()
+      qs.stop(); ts.stop()
+    }
+    assert(compactErr == null, s"compactor failed: $compactErr")
+  }
+
   test("as-of enrichment batch is idempotent under replay") {
     val stateDir = tempDir("asofr-state")
     val outDir = tempDir("asofr-out")
