@@ -711,6 +711,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("index compaction interleaves with the incremental dedup loop: folded corpus still dedups, kept batch still replays") {
+    // the maintenance contract end-to-end: fold between batches (owner
+    // quiescent), then (a) the redeliverable KEPT batch replays
+    // identically — its append survived the fold so the replay exclusion
+    // still prunes it; (b) later batches dedup against rows that now
+    // live only in the folded base; (c) a second fold composes.
+    val idxPath = tempDir("fdidx")
+    val accepted = tempDir("fdaccepted")
+    val dupes = tempDir("fddupes")
+    val seedA = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val docA = "first wave of novel streaming content words " * 5
+    val docB = "second wave different novel material entirely " * 5
+    val docC = "third wave completely fresh tokens again " * 5
+    graft.operators.Dedup.saveMinhashIndex(
+      graft.operators.Dedup.minhashIndex(
+        Seq((1L, seedA)).toDF("doc_id", "text"), "doc_id", "text"), idxPath)
+    def run(batch: Seq[(Long, String)], id: Long): Unit =
+      Streaming.processDedupBatch(batch.toDF("doc_id", "text"), id, idxPath,
+        accepted, dupes, "doc_id", "text", threshold = 0.5,
+        maxBucketSize = 0)
+    def accDup(): (Set[Long], Set[Long]) = (
+      spark.read.parquet(accepted).select($"doc_id").as[Long].collect().toSet,
+      spark.read.parquet(dupes).select($"doc_id").as[Long].collect().toSet)
+    run(Seq((10L, docA)), 0L)                       // b0: novel
+    run(Seq((20L, seedA), (21L, docB)), 1L)         // b1: dup + novel
+    assert(accDup() == ((Set(10L, 21L), Set(20L))))
+    // fold between batches: base + b0 fold, b1 (the redeliverable) kept
+    assert(graft.operators.Dedup.compactMinhashIndex(spark, idxPath) == 2)
+    // (a) kept-batch replay after the fold: identical state
+    run(Seq((20L, seedA), (21L, docB)), 1L)
+    assert(accDup() == ((Set(10L, 21L), Set(20L))))
+    // (b) next batch dedups against folded-base rows (10, seed) AND the
+    // kept append's rows (21)
+    run(Seq((30L, docA), (31L, docB), (32L, docC), (33L, seedA)), 2L)
+    assert(accDup() == ((Set(10L, 21L, 32L), Set(20L, 30L, 31L, 33L))))
+    // (c) second fold (base-x + b1 fold, b2 kept), then one more batch
+    assert(graft.operators.Dedup.compactMinhashIndex(spark, idxPath) == 2)
+    run(Seq((40L, docC), (41L, "final genuinely unseen words " * 5)), 3L)
+    assert(accDup() ==
+      ((Set(10L, 21L, 32L, 41L), Set(20L, 30L, 31L, 33L, 40L))))
+    // the standing index holds exactly the accepted corpus
+    val idx = graft.operators.Dedup.loadMinhashIndex(spark, idxPath)
+    val indexed =
+      try idx.sizes.select($"corpus_id").as[Long].collect().toSet
+      finally idx.unpersist()
+    assert(indexed == Set(1L, 10L, 21L, 32L, 41L))
+  }
+
   test("incremental dedup: within-batch near-dups split min-id-wins; replay is idempotent") {
     val idxPath = tempDir("wbidx")
     val accepted = tempDir("wbaccepted")
