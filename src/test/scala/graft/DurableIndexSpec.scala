@@ -354,6 +354,97 @@ class DurableIndexSpec extends SparkSpec {
     assert(pairSet() == all)
   }
 
+  test("durable-index protocol fuzz: random append/replay/fold/kill mixes always probe as the committed corpus") {
+    // composes every r15 protocol op — fresh appends, appends killed at
+    // a random seam, replays of committed and of crashed appends, clean
+    // folds at both retentions, folds killed at a random seam — and
+    // asserts after EVERY op that an out-of-band load probes exactly as
+    // the committed corpus. The model is additive: with no bucket cap,
+    // a (probe, doc) candidate exists iff the two docs share a band
+    // bucket and verification is pairwise-exact, so each increment's
+    // contribution to the probe pair set is independent of every other
+    // — expected = union of committed increments' contributions.
+    val docs = Tables.load(spark, sfDir, "documents").persist()
+    try {
+      val probe = docs.filter($"doc_id" % 64 === 63)
+      def slice(k: Int) = docs.filter($"doc_id" % 64 === k)
+      def probeAgainst(idx: Dedup.MinhashIndex): Set[(Long, Long, Double)] =
+        Dedup.minhashPairsAgainstIndex(probe, idx, "doc_id", "text",
+            threshold = 0.15)
+          .as[(Long, Long, Double)].collect().toSet
+      // per-increment contribution, computed once through the SAME
+      // index+probe code path over the slice alone
+      val contribution = scala.collection.mutable.Map.empty[Int, Set[(Long, Long, Double)]]
+      def contrib(k: Int): Set[(Long, Long, Double)] =
+        contribution.getOrElseUpdate(k, {
+          val i = Dedup.minhashIndex(slice(k), "doc_id", "text")
+          try probeAgainst(i) finally i.unpersist()
+        })
+      val appendSeams = Seq("minhash:shingles-written",
+        "minhash:bands-written", "minhash:sizes-written",
+        "manifest:pre-commit:")
+      val foldSeams = Seq("minhash:fold-written", "manifest:pre-fold:")
+      Seq(7L, 19L).foreach { seed =>
+        val rnd = new scala.util.Random(seed)
+        val path = tempDir(s"mhfuzz$seed")
+        Dedup.saveMinhashIndex(
+          Dedup.minhashIndex(slice(0), "doc_id", "text"), path)
+        val committed = scala.collection.mutable.Set(0)
+        val crashed = scala.collection.mutable.Set.empty[Int]
+        var nextK = 1
+        def append(k: Int): Unit = {
+          Dedup.appendToMinhashIndex(path, slice(k), "doc_id", "text",
+            s"inc$k")
+          committed += k; crashed -= k
+        }
+        (0 until 18).foreach { _ =>
+          rnd.nextInt(6) match {
+            case 0 | 1 => // fresh append
+              append(nextK); nextK += 1
+            case 2 => // append killed at a random seam; retried later
+              val k = nextK; nextK += 1
+              val at = appendSeams(rnd.nextInt(appendSeams.size))
+              DurableIndex.crashSeam =
+                n => if (n.startsWith(at)) throw new RuntimeException(at)
+              try intercept[RuntimeException] {
+                Dedup.appendToMinhashIndex(path, slice(k), "doc_id",
+                  "text", s"inc$k")
+              } finally DurableIndex.crashSeam = null
+              crashed += k
+            case 3 => // replay: a crashed append heals, a committed no-ops
+              if (crashed.nonEmpty) append(crashed.head)
+              else if (committed.nonEmpty)
+                append(committed.toSeq(rnd.nextInt(committed.size)))
+            case 4 => // clean fold, sometimes sweeping past retention
+              Dedup.compactMinhashIndex(spark, path,
+                tombstoneRetentionMs = if (rnd.nextBoolean()) 0L
+                  else 10L * 60L * 1000L)
+            case 5 => // fold killed at a random seam
+              val at = foldSeams(rnd.nextInt(foldSeams.size))
+              DurableIndex.crashSeam =
+                n => if (n.startsWith(at)) throw new RuntimeException(at)
+              try {
+                val canFold = DurableIndex.visible(path, Nil).size > 2
+                if (canFold) intercept[RuntimeException] {
+                  Dedup.compactMinhashIndex(spark, path)
+                } else Dedup.compactMinhashIndex(spark, path)
+              } finally DurableIndex.crashSeam = null
+          }
+          val expected = committed.toSet.flatMap(contrib)
+          val idx = Dedup.loadMinhashIndex(spark, path)
+          val got = try probeAgainst(idx) finally idx.unpersist()
+          assert(got == expected, s"seed=$seed diverged: got ${got.size}, " +
+            s"want ${expected.size} over committed=$committed")
+        }
+        // convergence: a final clean fold changes nothing a reader sees
+        Dedup.compactMinhashIndex(spark, path, tombstoneRetentionMs = 0L)
+        val idx = Dedup.loadMinhashIndex(spark, path)
+        val fin = try probeAgainst(idx) finally idx.unpersist()
+        assert(fin == committed.toSet.flatMap(contrib), s"seed=$seed post-fold")
+      }
+    } finally docs.unpersist()
+  }
+
   test("hard-killed appends (forked halt(9)) never expose a half-append to an out-of-band load") {
     // the cross-process twin: a real kill between table commits, the
     // dead JVM's half-finished jobs and caches actually gone
