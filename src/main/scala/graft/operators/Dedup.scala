@@ -802,10 +802,18 @@ object Dedup {
     * manifest-committed appends are read, so a load concurrent with (or
     * after a crash of) an in-flight append sees the WHOLE prior index
     * and none of the increment — never bands without sizes.
+    *
+    * `pinId` (from [[DurableIndex.acquirePin]]) resolves visibility from
+    * that pin's recorded snapshot instead, and the sweep holds the
+    * snapshot's partitions for the pin's lease — take one when the scan
+    * may outlive `tombstoneRetentionMs` of concurrent index maintenance.
+    * Unpinned, the relations are persisted at load, so the exposure is
+    * the first materialization (keep retention above it).
     */
   def loadMinhashIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      excludeAppends: Seq[String] = Nil): MinhashIndex = {
+      excludeAppends: Seq[String] = Nil,
+      pinId: Option[String] = None): MinhashIndex = {
     import spark.implicits._
     val (numBands, rowsPerBand, shingleLen) = loadIndexMeta(path)
     // the append=<id> partition column is a durability artifact, not part
@@ -814,7 +822,9 @@ object Dedup {
     // not see its own prior partial append), then selected away.
     // Selection is partition pruning: unlisted appends' files are never
     // read.
-    val vis = DurableIndex.visible(path, excludeAppends)
+    val vis = pinId
+      .map(DurableIndex.pinnedVisible(path, _, excludeAppends))
+      .getOrElse(DurableIndex.visible(path, excludeAppends))
     def part(sub: String): DataFrame =
       spark.read.parquet(s"$path/$sub").filter($"append".isin(vis: _*))
     val counts = part("bucket_counts")
@@ -857,6 +867,10 @@ object Dedup {
     import spark.implicits._
     requireAppendId(appendId)
     if (DurableIndex.isCommitted(path, appendId)) return
+    // pre-flight the manifest invariant BEFORE any table write: appending
+    // to a torn or pre-manifest index must fail loudly up front, not
+    // fabricate a manifest that hides (then sweeps) legacy partitions
+    DurableIndex.requireCommitted(path)
     val (numBands, rowsPerBand, shingleLen) = loadIndexMeta(path)
     val bEx = shingleHashRelation(batch, idCol, "corpus_id", textCol,
       shingleLen).persist()
@@ -937,7 +951,7 @@ object Dedup {
       .groupBy($"band", $"bucket").agg(sum($"partial").as("partial"))
       .write.mode("overwrite").parquet(s"$path/bucket_counts/append=$newId")
     DurableIndex.seam("minhash:fold-written")
-    DurableIndex.commitFold(path, appends, newId, kept)
+    DurableIndex.commitFold(path, appends, newId, kept, minhashTables)
     toFold.size
   }
 
@@ -964,6 +978,7 @@ object Dedup {
   def appendPairs(path: String, pairs: DataFrame, appendId: String): Unit = {
     requireAppendId(appendId)
     if (DurableIndex.isCommitted(path, appendId)) return
+    DurableIndex.requireCommitted(path) // pre-flight, as in the index appends
     pairs.write.mode("overwrite").parquet(s"$path/append=$appendId")
     DurableIndex.commitAppend(path, appendId)
   }
@@ -984,7 +999,7 @@ object Dedup {
       .filter(col("append").isin(toFold: _*)).drop("append")
       .write.mode("overwrite").parquet(s"$path/append=$newId")
     DurableIndex.seam("pairs:fold-written")
-    DurableIndex.commitFold(path, appends, newId, kept)
+    DurableIndex.commitFold(path, appends, newId, kept, Seq(""))
     toFold.size
   }
 
@@ -993,8 +1008,11 @@ object Dedup {
     */
   def loadPairs(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      excludeAppends: Seq[String] = Nil): DataFrame = {
-    val vis = DurableIndex.visible(path, excludeAppends)
+      excludeAppends: Seq[String] = Nil,
+      pinId: Option[String] = None): DataFrame = {
+    val vis = pinId
+      .map(DurableIndex.pinnedVisible(path, _, excludeAppends))
+      .getOrElse(DurableIndex.visible(path, excludeAppends))
     spark.read.parquet(path)
       .filter(col("append").isin(vis: _*))
       .drop("append")

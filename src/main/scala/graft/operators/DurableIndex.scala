@@ -1,7 +1,9 @@
 package graft.operators
 
+import java.nio.ByteBuffer
+import java.nio.channels.FileChannel
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 
 import com.fasterxml.jackson.databind.ObjectMapper
 
@@ -18,13 +20,21 @@ import com.fasterxml.jackson.databind.ObjectMapper
   *      here leaves partitions invisible — the manifest does not name
   *      the id yet);
   *   2. republish the manifest with the id added — one staged write +
-  *      ATOMIC_MOVE, the txn-log publish discipline.
+  *      ATOMIC_MOVE, the txn-log publish discipline. The staged bytes
+  *      are force(true)'d and the directory fsync'd where the
+  *      filesystem allows, so the visibility root survives power loss,
+  *      not just process crashes (an unflushed rename could otherwise
+  *      land the sole visibility root empty over an intact index).
   *
   * Replay of a fully committed append is a NO-OP (the id is already in
   * the manifest and its partitions are intact); rewriting would
   * transiently empty the partitions under a concurrent out-of-band
   * reader. Replay of a crashed append overwrites partitions no reader
-  * could list, then commits.
+  * could list, then commits. The no-op record for FOLDED ids lives for
+  * the tombstone-retention horizon (see [[commitFold]]): a retry inside
+  * the horizon no-ops; a retry beyond it is outside the contract (the
+  * streaming loop can only redeliver the newest batch, which compaction
+  * always keeps unfolded).
   *
   * Loaders resolve the visible partition set FROM the manifest: committed
   * ids minus the caller's `excludeAppends` (the replay-safety primitive —
@@ -32,9 +42,18 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * manifest means the initial save never completed and loading fails
   * loudly rather than exposing a torn base.
   *
-  * The underscore-prefixed manifest and dot-prefixed staging temp are
-  * both invisible to Spark's file listing, so they coexist with the
-  * parquet partitions at the same root.
+  * Readers that may outlive `tombstoneRetentionMs` of index maintenance
+  * take a PIN ([[acquirePin]]): a lease file recording the committed set
+  * at acquisition that [[sweepUnreferenced]] honors — partitions a live
+  * pin references are never deleted, so a pinned load scans intact files
+  * no matter how many folds and sweeps land mid-scan. Unpinned loads are
+  * protected by the retention window alone (set it above the slowest
+  * expected scan), and the loaded relations are persisted, so the
+  * exposure is the first materialization, not the index's lifetime.
+  *
+  * The underscore-prefixed manifest, pins, and markers and the
+  * dot-prefixed staging temps are all invisible to Spark's file listing,
+  * so they coexist with the parquet partitions at the same root.
   */
 object DurableIndex {
 
@@ -54,6 +73,45 @@ object DurableIndex {
 
   private def manifestPath(path: String) = Paths.get(path, "_manifest.json")
 
+  /** Marker stamped inside a superseded `append=<id>` partition dir at
+    * [[commitFold]] (the quote-state `_SUPERSEDED` discipline): the
+    * retention clock for deferred deletion runs from the marker's mtime
+    * — SUPERSESSION time — never from the partition's own write time,
+    * which for folded history is by definition old and would let the
+    * very next sweep delete files a reader pinned moments ago.
+    */
+  private val SupersededMarker = "_SUPERSEDED"
+
+  /** Default pin lease: long enough for any sane analytic scan; expired
+    * pins stop holding partitions and are themselves swept.
+    */
+  val DefaultPinLeaseMs: Long = 6L * 60L * 60L * 1000L
+
+  /** Staged write + force(true) + ATOMIC_MOVE + best-effort directory
+    * fsync — the one durable-publish primitive the manifest and pin
+    * files share. The directory fsync (the Lucene IOUtils pattern:
+    * open READ, force) makes the rename itself power-loss durable on
+    * filesystems that support it; where unsupported the move is still
+    * atomic against process crashes.
+    */
+  private def atomicWrite(dir: Path, tmpPrefix: String, target: Path,
+      bytes: Array[Byte]): Unit = {
+    val tmp = Files.createTempFile(dir, tmpPrefix, ".tmp")
+    val ch = FileChannel.open(tmp, StandardOpenOption.WRITE,
+      StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      val buf = ByteBuffer.wrap(bytes)
+      while (buf.hasRemaining) ch.write(buf)
+      ch.force(true)
+    } finally ch.close()
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    try {
+      val dch = FileChannel.open(dir, StandardOpenOption.READ)
+      try dch.force(true) finally dch.close()
+    } catch { case _: java.io.IOException => () } // dir fsync unsupported
+  }
+
   /** The committed append set, or None when no manifest exists (initial
     * save incomplete, or a pre-manifest directory). Order is commit
     * order: the LAST entry is the newest increment.
@@ -71,7 +129,10 @@ object DurableIndex {
   /** AppendIds whose rows were folded into the current base by an index
     * compaction ([[commitFold]]). Kept in the manifest so a LATE retry
     * of an already-folded increment no-ops instead of re-appending rows
-    * the base already contains.
+    * the base already contains; pruned once the id's superseded
+    * partitions are swept past retention (the retry horizon — see
+    * [[commitFold]]), so a perpetual stream's manifest stays O(window),
+    * not O(every append ever folded).
     */
   def foldedIds(path: String): Seq[String] = {
     val p = manifestPath(path)
@@ -87,16 +148,22 @@ object DurableIndex {
     }
   }
 
+  /** The committed set, failing loudly when no manifest has ever been
+    * published — a torn initial save (or a pre-manifest legacy dir)
+    * must neither read as an empty index nor be silently legitimized
+    * by an append fabricating a fresh manifest over it.
+    */
+  def requireCommitted(path: String): Seq[String] =
+    committed(path).getOrElse(sys.error(
+      s"index at $path has no committed manifest — the initial save did " +
+        "not complete (or predates the manifest protocol); rebuild with " +
+        "save*Index"))
+
   /** Committed appendIds a loader should expose: manifest order minus the
-    * caller's exclusions. Fails loudly when no manifest has ever been
-    * published — a torn initial save must not read as an empty index.
+    * caller's exclusions.
     */
   def visible(path: String, excludeAppends: Seq[String]): Seq[String] =
-    committed(path)
-      .getOrElse(sys.error(s"index at $path has no committed manifest — " +
-        "the initial save did not complete (or predates the manifest " +
-        "protocol); rebuild with save*Index"))
-      .filterNot(excludeAppends.contains)
+    requireCommitted(path).filterNot(excludeAppends.contains)
 
   /** True when the id is live-committed OR already folded into the base
     * — either way its rows are in the index and a retry must no-op.
@@ -105,9 +172,7 @@ object DurableIndex {
     committed(path).exists(_.contains(appendId)) ||
       foldedIds(path).contains(appendId)
 
-  /** Atomically publish the committed set (and the folded-id record):
-    * staged temp + ATOMIC_MOVE over the previous manifest.
-    */
+  /** Atomically publish the committed set (and the folded-id record). */
   private def publish(path: String, ids: Seq[String],
       folded: Seq[String]): Unit = {
     val node = mapper.createObjectNode()
@@ -117,11 +182,8 @@ object DurableIndex {
       val fa = node.putArray("folded")
       folded.distinct.foreach(fa.add)
     }
-    val tmp = Files.createTempFile(Paths.get(path), ".manifest", ".tmp")
-    Files.write(tmp, mapper.writeValueAsString(node)
-      .getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestPath(path), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    atomicWrite(Paths.get(path), ".manifest", manifestPath(path),
+      mapper.writeValueAsString(node).getBytes(StandardCharsets.UTF_8))
   }
 
   /** First publish after an initial save: exactly the base partitions. */
@@ -129,12 +191,14 @@ object DurableIndex {
 
   /** Commit one append: republish the manifest with the id added
     * (idempotent — republishing an already-present id rewrites the same
-    * set). The folded-id record carries through unchanged.
+    * set). The folded-id record carries through unchanged. Fails loudly
+    * on a manifest-less index (torn initial save / legacy dir): silently
+    * fabricating `base :+ id` would make every existing legacy partition
+    * invisible and eventually sweep-deleted.
     */
   def commitAppend(path: String, appendId: String): Unit = {
     seam(s"manifest:pre-commit:$appendId")
-    publish(path, committed(path).getOrElse(Seq("base")) :+ appendId,
-      foldedIds(path))
+    publish(path, requireCommitted(path) :+ appendId, foldedIds(path))
   }
 
   /** Commit an index compaction: the visible set becomes the freshly
@@ -143,38 +207,155 @@ object DurableIndex {
     * single-writer contract loudly: the manifest must still equal what
     * the compactor read at entry — an append that committed mid-fold
     * would otherwise silently vanish from visibility.
+    *
+    * Two retention-clock duties land here, both against `tableDirs`
+    * (the per-table subdirs holding `append=<id>` partitions; `""` for
+    * a single-relation root):
+    *   - every superseded partition dir is stamped `_SUPERSEDED` BEFORE
+    *     the manifest publish, so [[sweepUnreferenced]] ages it from
+    *     supersession time, never from its (old) write time — a crash
+    *     between stamp and publish leaves markers on still-referenced
+    *     partitions, which the sweep ignores and a retried fold
+    *     re-stamps;
+    *   - folded ids whose partitions are ALL gone (swept past
+    *     retention) are pruned from the manifest's no-op record: the
+    *     tombstone retention IS the retry horizon, so an id that can no
+    *     longer be scanned can no longer be meaningfully retried, and
+    *     the record stays bounded by the retention window instead of
+    *     growing with every append ever folded.
     */
   def commitFold(path: String, entryAppends: Seq[String],
-      newBaseId: String, kept: Seq[String]): Unit = {
+      newBaseId: String, kept: Seq[String],
+      tableDirs: Seq[String]): Unit = {
     seam(s"manifest:pre-fold:$newBaseId")
     val now = committed(path)
     require(now.contains(entryAppends),
       s"index at $path changed during compaction (manifest $now vs entry " +
         s"$entryAppends) — compaction must run from the single writer, " +
         "quiescent between appends")
-    val newlyFolded = entryAppends.filterNot(kept.contains)
-      .filterNot(_.startsWith("base"))
-    publish(path, newBaseId +: kept, foldedIds(path) ++ newlyFolded)
+    def partDirs(id: String): Seq[Path] = tableDirs.map { sub =>
+      if (sub.isEmpty) Paths.get(path, s"append=$id")
+      else Paths.get(path, sub, s"append=$id")
+    }
+    val superseded = entryAppends.filterNot(kept.contains)
+    superseded.foreach { id =>
+      partDirs(id).filter(Files.isDirectory(_)).foreach { d =>
+        val m = d.resolve(SupersededMarker)
+        if (Files.exists(m)) // re-stamp (retried fold): restart retention
+          Files.setLastModifiedTime(m,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis()))
+        else Files.write(m, Array.emptyByteArray)
+      }
+    }
+    val newlyFolded = superseded.filterNot(_.startsWith("base"))
+    val retained = (foldedIds(path) ++ newlyFolded)
+      .filter(id => partDirs(id).exists(Files.isDirectory(_)))
+    publish(path, newBaseId +: kept, retained)
+  }
+
+  /** Take a reader lease on the CURRENT committed set: writes
+    * `_pin-<id>.json` (atomically, like the manifest) recording the ids
+    * and the lease; [[sweepUnreferenced]] never deletes a partition a
+    * live pin references, so a load pinned pre-fold keeps scanning
+    * intact files across any number of later folds and post-retention
+    * sweeps. Pass the returned id to the load entry points to resolve
+    * visibility from the pinned snapshot, and [[releasePin]] when done;
+    * an abandoned pin stops holding partitions when its lease expires
+    * and is swept with them. Pin AFTER the owning writer's sweep cannot
+    * be mid-flight against partitions superseded longer than retention
+    * ago — i.e. under the normal discipline (retention well above a
+    * scan) simply pin-then-load; the pin closes the long-scan exposure,
+    * the retention window closes the acquisition race.
+    */
+  def acquirePin(path: String,
+      leaseMs: Long = DefaultPinLeaseMs): String = {
+    val ids = requireCommitted(path)
+    val pinId = java.util.UUID.randomUUID().toString.take(12)
+    val node = mapper.createObjectNode()
+    val arr = node.putArray("ids")
+    ids.foreach(arr.add)
+    node.put("leaseMs", leaseMs)
+    atomicWrite(Paths.get(path), ".pin", Paths.get(path, s"_pin-$pinId.json"),
+      mapper.writeValueAsString(node).getBytes(StandardCharsets.UTF_8))
+    pinId
+  }
+
+  /** Release a reader lease (idempotent). */
+  def releasePin(path: String, pinId: String): Unit =
+    Files.deleteIfExists(Paths.get(path, s"_pin-$pinId.json"))
+
+  /** The snapshot a pin recorded at acquisition — loud when the pin is
+    * missing (released, or lease-expired and swept) or expired: a
+    * reader that asked for snapshot isolation must not silently read a
+    * different snapshot.
+    */
+  def pinnedVisible(path: String, pinId: String,
+      excludeAppends: Seq[String] = Nil): Seq[String] = {
+    val p = Paths.get(path, s"_pin-$pinId.json")
+    if (!Files.exists(p))
+      sys.error(s"pin $pinId at $path not found — released, or its lease " +
+        "expired and the sweep reclaimed it; re-acquire and re-load")
+    val node = mapper.readTree(Files.readAllBytes(p))
+    val lease = node.get("leaseMs").asLong()
+    if (Files.getLastModifiedTime(p).toMillis + lease <
+        System.currentTimeMillis())
+      sys.error(s"pin $pinId at $path has expired (lease ${lease}ms) — " +
+        "its partitions may already be swept; re-acquire and re-load")
+    import scala.jdk.CollectionConverters._
+    node.get("ids").elements().asScala.map(_.asText()).toSeq
+      .filterNot(excludeAppends.contains)
+  }
+
+  /** Ids referenced by live (unexpired) pins; expired pin files are
+    * deleted on the way.
+    */
+  private def pinnedIds(path: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val nowMs = System.currentTimeMillis()
+    val s = Files.list(Paths.get(path))
+    val pins =
+      try s.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("_pin-") && n.endsWith(".json")
+      }.toList
+      finally s.close()
+    pins.flatMap { p =>
+      val node = mapper.readTree(Files.readAllBytes(p))
+      if (Files.getLastModifiedTime(p).toMillis +
+          node.get("leaseMs").asLong() < nowMs) {
+        Files.deleteIfExists(p); Nil
+      } else node.get("ids").elements().asScala.map(_.asText()).toList
+    }.toSet
   }
 
   /** Deferred deletion for index compaction (the quote-state/vacuum
     * retention discipline): remove `append=<id>` partitions that the
-    * manifest no longer references once they are older than
-    * `retentionMs` — folded history and orphans of crashed folds. The
-    * retention window is what lets a reader that pinned the
-    * pre-compaction manifest keep scanning intact files; an in-flight
-    * (not yet committed) append is likewise protected by its youth.
-    * Stale manifest staging temps are swept on the same clock.
+    * manifest no longer references AND no live pin holds, once they are
+    * older than `retentionMs` on the right clock — SUPERSESSION time
+    * (the `_SUPERSEDED` marker [[commitFold]] stamped) for folded
+    * history, write time only for orphans of crashed appends/folds,
+    * which no reader could ever have listed. The retention window is
+    * what lets an UNPINNED reader that loaded recently keep scanning
+    * intact files; pinned readers are held explicitly. Stale staging
+    * temps are swept on the same clock.
     */
   def sweepUnreferenced(path: String, tableDirs: Seq[String],
       retentionMs: Long): Unit = {
     val liveOpt = committed(path)
     if (liveOpt.isEmpty) return // no manifest: nothing is safely sweepable
-    val live = liveOpt.get.toSet
+    val live = liveOpt.get.toSet ++ pinnedIds(path)
     val cutoff = System.currentTimeMillis() - math.max(0L, retentionMs)
     import scala.jdk.CollectionConverters._
-    def old(p: java.nio.file.Path): Boolean =
-      Files.getLastModifiedTime(p).toMillis <= cutoff
+    // supersession-time aging: a partition a committed fold tombstoned
+    // ages from the marker's mtime; an unmarked unreferenced partition
+    // (orphan of a crashed append/fold — never reader-visible) from its
+    // own write time
+    def old(p: java.nio.file.Path): Boolean = {
+      val marker = p.resolve(SupersededMarker)
+      val clock = if (Files.exists(marker)) marker else p
+      Files.getLastModifiedTime(clock).toMillis <= cutoff
+    }
     tableDirs.foreach { sub =>
       val root = if (sub.isEmpty) Paths.get(path) else Paths.get(path, sub)
       if (Files.isDirectory(root)) {
@@ -196,8 +377,12 @@ object DurableIndex {
     }
     val s = Files.list(Paths.get(path))
     try s.iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith(".manifest") &&
-        p.getFileName.toString.endsWith(".tmp") && old(p))
+      .filter { p =>
+        val n = p.getFileName.toString
+        (n.startsWith(".manifest") || n.startsWith(".pin")) &&
+          n.endsWith(".tmp") &&
+          Files.getLastModifiedTime(p).toMillis <= cutoff
+      }
       .toList.foreach(Files.deleteIfExists(_))
     finally s.close()
   }

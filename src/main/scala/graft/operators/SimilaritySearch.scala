@@ -963,6 +963,8 @@ object SimilaritySearch {
     DurableIndex.initManifest(path)
   }
 
+  private val lshTables = Seq("vectors", "buckets", "bucket_counts")
+
   private def loadLshMeta(path: String): (Int, Int, Int, Long) = {
     val meta = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path, "index_meta.json")),
@@ -975,17 +977,23 @@ object SimilaritySearch {
   }
 
   /** Load a durable [[LshIndex]] written by [[saveLshIndex]] / grown by
-    * [[appendToLshIndex]].
+    * [[appendToLshIndex]]. `pinId` (from [[DurableIndex.acquirePin]])
+    * resolves visibility from that pin's snapshot and holds its
+    * partitions against post-retention sweeps — take one when the scan
+    * may outlive `tombstoneRetentionMs` of concurrent maintenance.
     */
   def loadLshIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      excludeAppends: Seq[String] = Nil): LshIndex = {
+      excludeAppends: Seq[String] = Nil,
+      pinId: Option[String] = None): LshIndex = {
     import spark.implicits._
     val (numPlanes, numTables, dim, seed) = loadLshMeta(path)
     // same manifest-resolved visibility as Dedup.loadMinhashIndex: only
     // committed appends (minus the caller's replay exclusions) are read,
     // so a load at any instant sees whole increments or none of them
-    val vis = DurableIndex.visible(path, excludeAppends)
+    val vis = pinId
+      .map(DurableIndex.pinnedVisible(path, _, excludeAppends))
+      .getOrElse(DurableIndex.visible(path, excludeAppends))
     def part(sub: String): DataFrame =
       spark.read.parquet(s"$path/$sub").filter($"append".isin(vis: _*))
     val counts = part("bucket_counts")
@@ -1015,6 +1023,9 @@ object SimilaritySearch {
     import spark.implicits._
     Dedup.requireAppendId(appendId)
     if (DurableIndex.isCommitted(path, appendId)) return
+    // pre-flight the manifest invariant BEFORE any table write (see
+    // Dedup.appendToMinhashIndex)
+    DurableIndex.requireCommitted(path)
     val (numPlanes, numTables, dim, seed) = loadLshMeta(path)
     val e = normedVectors(batch, idCol, vecCol, "corpus_id", "v", "nrm")
       .persist()
@@ -1050,8 +1061,7 @@ object SimilaritySearch {
       path: String, tombstoneRetentionMs: Long = 10L * 60L * 1000L): Int = {
     import spark.implicits._
     val appends = DurableIndex.visible(path, Nil)
-    DurableIndex.sweepUnreferenced(path,
-      Seq("vectors", "buckets", "bucket_counts"), tombstoneRetentionMs)
+    DurableIndex.sweepUnreferenced(path, lshTables, tombstoneRetentionMs)
     if (appends.size <= 2) return 0
     val kept = Seq(appends.last)
     val toFold = appends.dropRight(1)
@@ -1066,7 +1076,7 @@ object SimilaritySearch {
       .groupBy($"tbl", $"bucket").agg(sum($"partial").as("partial"))
       .write.mode("overwrite").parquet(s"$path/bucket_counts/append=$newId")
     DurableIndex.seam("lsh:fold-written")
-    DurableIndex.commitFold(path, appends, newId, kept)
+    DurableIndex.commitFold(path, appends, newId, kept, lshTables)
     toFold.size
   }
 

@@ -1200,13 +1200,8 @@ final class DataLakehouse(
     * basePath keeps partition-value columns.
     */
   private[sources] def readAddedRels(rels: Seq[String],
-      version: Long): DataFrame = {
-    val versionSchema = txnLog.schemaAt(version)
-      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
-        .asInstanceOf[StructType])
-      .getOrElse(schemaWithDate)
-    readRels(rels, versionSchema)
-  }
+      version: Long): DataFrame =
+    readRels(rels, decodeSchema(txnLog.schemaAt(version)))
 
   private def readRels(rels: Seq[String], schema: StructType,
       mergeSchema: Boolean = false): DataFrame = {

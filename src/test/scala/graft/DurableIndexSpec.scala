@@ -411,10 +411,19 @@ class DurableIndexSpec extends SparkSpec {
                   "text", s"inc$k")
               } finally DurableIndex.crashSeam = null
               crashed += k
-            case 3 => // replay: a crashed append heals, a committed no-ops
+            case 3 => // replay: a crashed append heals; a committed-or-
+              // folded increment inside the retry horizon no-ops. Ids
+              // pruned PAST the horizon (partitions swept) are outside
+              // the contract — the streaming loop can only redeliver the
+              // newest batch, which folds always keep — so the fuzz
+              // draws replays from retryable ids only
               if (crashed.nonEmpty) append(crashed.head)
-              else if (committed.nonEmpty)
-                append(committed.toSeq(rnd.nextInt(committed.size)))
+              else {
+                val retryable = committed.toSeq.sorted
+                  .filter(k => DurableIndex.isCommitted(path, s"inc$k"))
+                if (retryable.nonEmpty)
+                  append(retryable(rnd.nextInt(retryable.size)))
+              }
             case 4 => // clean fold, sometimes sweeping past retention
               Dedup.compactMinhashIndex(spark, path,
                 tombstoneRetentionMs = if (rnd.nextBoolean()) 0L
@@ -491,5 +500,178 @@ class DurableIndexSpec extends SparkSpec {
     assert(DurableIndex.isCommitted(mhPath, "inc1") &&
       DurableIndex.isCommitted(lshPath, "inc1"))
     assert(minhashProbe(mhPath) != mhPre && lshProbe(lshPath) != lshPre)
+  }
+
+  private def pairAppendDirs(path: String): Set[String] =
+    new java.io.File(path).listFiles()
+      .map(_.getName).filter(_.startsWith("append=")).toSet
+
+  test("a load pinned pre-fold survives post-retention folds and sweeps with the exact committed set") {
+    // the r15 residual: a reader that outlives tombstoneRetentionMs of
+    // index maintenance could hit deleted files mid-scan. The pin/lease
+    // retires it — the sweep never deletes a partition a live pin
+    // references, so the pinned snapshot materializes EXACTLY, not
+    // merely without an exception, after folds AND zero-retention sweeps
+    val pairs = tempDir("pairpin")
+    Dedup.savePairs(Seq((1L, 2L, 0.9)).toDF("a_id", "b_id", "jaccard"), pairs)
+    Dedup.appendPairs(pairs,
+      Seq((3L, 4L, 0.8)).toDF("a_id", "b_id", "jaccard"), "inc0")
+    Dedup.appendPairs(pairs,
+      Seq((5L, 6L, 0.7)).toDF("a_id", "b_id", "jaccard"), "inc1")
+    val all = Set((1L, 2L, 0.9), (3L, 4L, 0.8), (5L, 6L, 0.7))
+    val pin = DurableIndex.acquirePin(pairs)
+    // lazy load NOW (the "mid-scan" reader): nothing materialized yet
+    val pinned = Dedup.loadPairs(spark, pairs, pinId = Some(pin))
+    // fold, then a second maintenance pass sweeping PAST retention —
+    // without the pin this deletes every superseded partition
+    assert(Dedup.compactPairs(spark, pairs, tombstoneRetentionMs = 0L) == 2)
+    assert(Dedup.compactPairs(spark, pairs, tombstoneRetentionMs = 0L) == 0)
+    assert(pairAppendDirs(pairs).contains("append=base"),
+      "pin did not hold the superseded partitions")
+    // materialization AFTER the sweeps: the exact pinned snapshot
+    assert(pinned.as[(Long, Long, Double)].collect().toSet == all)
+    DurableIndex.releasePin(pairs, pin)
+    // released: the next sweep reclaims, and unpinned loads stay exact
+    assert(Dedup.compactPairs(spark, pairs, tombstoneRetentionMs = 0L) == 0)
+    assert(pairAppendDirs(pairs) ==
+      DurableIndex.committed(pairs).get.map("append=" + _).toSet)
+    assert(Dedup.loadPairs(spark, pairs)
+      .as[(Long, Long, Double)].collect().toSet == all)
+    // a released (or swept) pin is loud to reuse, never a silent other
+    // snapshot
+    val gone = intercept[RuntimeException] {
+      Dedup.loadPairs(spark, pairs, pinId = Some(pin))
+    }
+    assert(gone.getMessage.contains("pin"))
+
+    // the minhash twin: pinned relations probe identically after the
+    // history they reference is folded and swept past retention
+    val docs = Tables.load(spark, sfDir, "documents")
+    val mh = tempDir("mhpin")
+    Dedup.saveMinhashIndex(Dedup.minhashIndex(
+      docs.filter($"doc_id" % 4 === 2), "doc_id", "text"), mh)
+    Dedup.appendToMinhashIndex(mh,
+      docs.filter($"doc_id" % 4 === 0), "doc_id", "text", "inc0")
+    Dedup.appendToMinhashIndex(mh,
+      docs.filter($"doc_id" % 4 === 1), "doc_id", "text", "inc1")
+    val want = minhashProbe(mh)
+    val mhPin = DurableIndex.acquirePin(mh)
+    val idx = Dedup.loadMinhashIndex(spark, mh, pinId = Some(mhPin))
+    try {
+      assert(Dedup.compactMinhashIndex(spark, mh,
+        tombstoneRetentionMs = 0L) == 2)
+      assert(Dedup.compactMinhashIndex(spark, mh,
+        tombstoneRetentionMs = 0L) == 0)
+      val probe = Tables.load(spark, sfDir, "documents")
+        .filter($"doc_id" % 4 === 3)
+      val got = Dedup.minhashPairsAgainstIndex(probe, idx, "doc_id", "text")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == want, "pinned minhash load diverged after fold+sweep")
+    } finally {
+      idx.unpersist()
+      DurableIndex.releasePin(mh, mhPin)
+    }
+  }
+
+  test("superseded partitions age from supersession time, not write time") {
+    // folded history is by definition OLD on the write-time clock; the
+    // retention guarantee ("a reader that pinned the pre-fold manifest
+    // keeps scanning intact files for the window") only holds if the
+    // clock starts at the fold — the _SUPERSEDED marker's mtime — never
+    // at the partition's own mtime
+    val pairs = tempDir("pairage")
+    Dedup.savePairs(Seq((1L, 2L, 0.9)).toDF("a_id", "b_id", "jaccard"), pairs)
+    Dedup.appendPairs(pairs,
+      Seq((3L, 4L, 0.8)).toDF("a_id", "b_id", "jaccard"), "inc0")
+    Dedup.appendPairs(pairs,
+      Seq((5L, 6L, 0.7)).toDF("a_id", "b_id", "jaccard"), "inc1")
+    // simulate history written an hour ago
+    val anHourAgo = java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 60L * 60L * 1000L)
+    pairAppendDirs(pairs).foreach { d =>
+      java.nio.file.Files.setLastModifiedTime(Paths.get(pairs, d), anHourAgo)
+    }
+    val retention = 60L * 1000L
+    assert(Dedup.compactPairs(spark, pairs, retention) == 2)
+    // the very next sweep must NOT reclaim: the partitions were
+    // superseded milliseconds ago, however old their bytes are
+    assert(Dedup.compactPairs(spark, pairs, retention) == 0)
+    assert(pairAppendDirs(pairs).contains("append=base") &&
+      pairAppendDirs(pairs).contains("append=inc0"),
+      "write-time aging reclaimed partitions inside the supersession window")
+    // age the MARKERS past retention: now legitimately reclaimable
+    Seq("append=base", "append=inc0").foreach { d =>
+      java.nio.file.Files.setLastModifiedTime(
+        Paths.get(pairs, d, "_SUPERSEDED"), anHourAgo)
+    }
+    assert(Dedup.compactPairs(spark, pairs, retention) == 0)
+    assert(pairAppendDirs(pairs) ==
+      DurableIndex.committed(pairs).get.map("append=" + _).toSet)
+  }
+
+  test("the manifest folded record is bounded by the retention horizon; a late retry inside it still no-ops") {
+    val pairs = tempDir("pairbound")
+    Dedup.savePairs(Seq((0L, 1L, 1.0)).toDF("a_id", "b_id", "jaccard"), pairs)
+    var all = Set((0L, 1L, 1.0))
+    var n = 0
+    // three fold generations at zero retention: each sweep reclaims the
+    // previous generation's superseded partitions, and the NEXT fold
+    // prunes their (no-longer-retryable) ids from the no-op record
+    (0 until 3).foreach { _ =>
+      (0 until 2).foreach { _ =>
+        val row = (10L * n, 10L * n + 1L, 0.5)
+        Dedup.appendPairs(pairs,
+          Seq(row).toDF("a_id", "b_id", "jaccard"), s"inc$n")
+        all += row; n += 1
+      }
+      Dedup.compactPairs(spark, pairs, tombstoneRetentionMs = 0L)
+    }
+    def pairSet(): Set[(Long, Long, Double)] = Dedup.loadPairs(spark, pairs)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairSet() == all)
+    val folded = DurableIndex.foldedIds(pairs)
+    // bounded: one generation's worth, not every id ever folded — and
+    // every retained id is still on disk (inside the retry horizon)
+    assert(folded.size <= 2 && !folded.contains("inc0"),
+      s"folded record accumulated: $folded")
+    folded.foreach { id =>
+      assert(java.nio.file.Files.isDirectory(Paths.get(pairs, s"append=$id")),
+        s"retained folded id $id has no partition — should have been pruned")
+    }
+    // a LATE retry of a folded id INSIDE the horizon no-ops
+    val late = folded.head
+    val k = late.stripPrefix("inc").toInt
+    Dedup.appendPairs(pairs,
+      Seq((10L * k, 10L * k + 1L, 0.5)).toDF("a_id", "b_id", "jaccard"), late)
+    assert(pairSet() == all)
+    assert(DurableIndex.foldedIds(pairs) == folded)
+  }
+
+  test("appending to a manifest-less (torn or legacy) index fails loudly before any write") {
+    // the load path already fails loudly on a missing manifest; the
+    // append path must too — silently fabricating base :+ id would hide
+    // (then sweep-delete) every legacy partition
+    val docs = Tables.load(spark, sfDir, "documents")
+      .filter($"doc_id" % 4 === 2)
+    val mh = tempDir("mhnoman")
+    Dedup.saveMinhashIndex(Dedup.minhashIndex(docs, "doc_id", "text"), mh)
+    java.nio.file.Files.delete(Paths.get(mh, "_manifest.json"))
+    val e = intercept[RuntimeException] {
+      Dedup.appendToMinhashIndex(mh, docs, "doc_id", "text", "inc9")
+    }
+    assert(e.getMessage.contains("manifest"))
+    // pre-flight: the append wrote NOTHING before failing
+    assert(!java.nio.file.Files.exists(
+      Paths.get(mh, "shingles", "append=inc9")))
+
+    val pairs = tempDir("pairnoman")
+    Dedup.savePairs(Seq((1L, 2L, 0.9)).toDF("a_id", "b_id", "jaccard"), pairs)
+    java.nio.file.Files.delete(Paths.get(pairs, "_manifest.json"))
+    val pe = intercept[RuntimeException] {
+      Dedup.appendPairs(pairs,
+        Seq((3L, 4L, 0.8)).toDF("a_id", "b_id", "jaccard"), "inc9")
+    }
+    assert(pe.getMessage.contains("manifest"))
+    assert(!java.nio.file.Files.exists(Paths.get(pairs, "append=inc9")))
   }
 }
