@@ -978,7 +978,11 @@ object Dedup {
   def appendPairs(path: String, pairs: DataFrame, appendId: String): Unit = {
     requireAppendId(appendId)
     if (DurableIndex.isCommitted(path, appendId)) return
-    DurableIndex.requireCommitted(path) // pre-flight, as in the index appends
+    // pre-flight BEFORE writing, as in the index appends — but the pair
+    // table supports create-by-append (the streaming loop's first batch
+    // creates it; there is no savePairs bootstrap step), so a truly
+    // empty root initializes an empty manifest instead of failing
+    DurableIndex.requireCommittedOrInit(path, Seq(""))
     pairs.write.mode("overwrite").parquet(s"$path/append=$appendId")
     DurableIndex.commitAppend(path, appendId)
   }

@@ -189,6 +189,36 @@ object DurableIndex {
   /** First publish after an initial save: exactly the base partitions. */
   def initManifest(path: String): Unit = publish(path, Seq("base"), Nil)
 
+  /** The committed set for an APPEND entry point that supports
+    * create-by-append (the streaming pair table: no initial save, the
+    * first micro-batch's append creates the table). A manifest-less
+    * root with NO partitions anywhere is a brand-new table and
+    * bootstraps an EMPTY manifest; a manifest-less root that HAS
+    * partitions is a torn initial save or a pre-manifest legacy index
+    * and fails loudly like [[requireCommitted]] — silently fabricating
+    * a manifest over it would hide (then sweep-delete) its partitions.
+    */
+  def requireCommittedOrInit(path: String,
+      tableDirs: Seq[String]): Seq[String] =
+    committed(path).getOrElse {
+      import scala.jdk.CollectionConverters._
+      val hasPartitions = tableDirs.exists { sub =>
+        val root = if (sub.isEmpty) Paths.get(path) else Paths.get(path, sub)
+        Files.isDirectory(root) && {
+          val s = Files.list(root)
+          try s.iterator().asScala
+            .exists(_.getFileName.toString.startsWith("append="))
+          finally s.close()
+        }
+      }
+      if (hasPartitions) requireCommitted(path) // loud: torn/legacy
+      else {
+        Files.createDirectories(Paths.get(path))
+        publish(path, Nil, Nil)
+        Nil
+      }
+    }
+
   /** Commit one append: republish the manifest with the id added
     * (idempotent — republishing an already-present id rewrites the same
     * set). The folded-id record carries through unchanged. Fails loudly

@@ -35,7 +35,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * stated on [[Streaming.ingestSocketStream]]: the wire cannot be
   * rewound, so a crash between receive and commit loses that window
   * (at-most-once); everything received is exactly-once downstream via
-  * the idempotent per-batch txn commits.
+  * the idempotent per-batch txn commits. Unlike the socket source,
+  * restarts are MONOTONE: the committed high-water mark persists under
+  * the source's checkpoint dir, so a reconnected stream numbers new
+  * frames above every checkpointed offset instead of from 0 (which
+  * would silently absorb an old-high-water's worth of fresh frames).
   *
   * Usage: `spark.readStream.format(classOf[WebSocketSourceProvider]
   * .getName).option("host", h).option("port", p).load()`.
@@ -71,7 +75,7 @@ private[streaming] class WebSocketTable(host: String, port: Int)
         override def readSchema(): StructType = WebSocketSource.schema
         override def toMicroBatchStream(
             checkpointLocation: String): MicroBatchStream =
-          new WebSocketMicroBatchStream(host, port)
+          new WebSocketMicroBatchStream(host, port, checkpointLocation)
       }
     }
 }
@@ -84,11 +88,61 @@ private[streaming] case class WsOffset(n: Long) extends Offset {
 private[streaming] case class WsInputPartition(rows: Array[String])
     extends InputPartition
 
-private[streaming] class WebSocketMicroBatchStream(host: String, port: Int)
-    extends MicroBatchStream {
+private[streaming] class WebSocketMicroBatchStream(host: String, port: Int,
+    checkpointLocation: String) extends MicroBatchStream {
+
+  // ---- persisted frame-numbering epoch -----------------------------
+  // The wire cannot be rewound, so frame CONTENT is at-most-once across
+  // a restart regardless — but frame NUMBERING need not reset. Without
+  // an epoch, a restarted stream counts from 0 against a checkpoint
+  // holding larger offsets, and the engine sees no new data until the
+  // fresh count climbs past the old high water (silently dropping that
+  // many frames). The committed high-water mark is therefore persisted
+  // under the source's own checkpoint directory at every commit() and
+  // re-read at (re)start, so new frames always number ABOVE every
+  // offset the checkpoint logged: at-most-once-MONOTONE, losing at
+  // most the final in-flight batch window instead of an old-high-water
+  // worth of feed. Files live on the checkpoint filesystem (HDFS/S3 on
+  // a cluster), via the Hadoop FS API like the engine's own logs.
+  private val hadoopConf =
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+  private val epochPath =
+    new org.apache.hadoop.fs.Path(checkpointLocation, "websocket-epoch")
+  private val epochTmp =
+    new org.apache.hadoop.fs.Path(checkpointLocation, "websocket-epoch.tmp")
+  private val epochFs = epochPath.getFileSystem(hadoopConf)
+
+  private def readEpoch(): Long = {
+    // read BOTH the published file and the staging temp and take the
+    // max: persistEpoch's write-tmp / delete / rename sequence leaves a
+    // current value in at least one of them across every crash window
+    // (a torn temp parses to None and the published value stands)
+    def at(p: org.apache.hadoop.fs.Path): Option[Long] =
+      if (!epochFs.exists(p)) None
+      else {
+        val in = epochFs.open(p)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "US-ASCII").mkString
+          finally in.close()
+        scala.util.Try(txt.trim.toLong).toOption
+      }
+    math.max(at(epochPath).getOrElse(0L), at(epochTmp).getOrElse(0L))
+  }
+
+  private def persistEpoch(n: Long): Unit = {
+    val out = epochFs.create(epochTmp, true)
+    try out.write(n.toString.getBytes(StandardCharsets.US_ASCII))
+    finally out.close()
+    epochFs.delete(epochPath, false)
+    epochFs.rename(epochTmp, epochPath)
+  }
+  // -------------------------------------------------------------------
 
   private val buffer = ArrayBuffer.empty[String] // guarded by `this`
-  private var trimmed = 0L // global index of buffer(0); guarded by `this`
+  // global index of buffer(0); guarded by `this`. Starts at the
+  // persisted epoch, not 0: frames received on this connection number
+  // strictly above everything a previous incarnation committed.
+  private var trimmed = readEpoch()
   @volatile private var stopped = false
 
   private val socket = new java.net.Socket(
@@ -180,7 +234,7 @@ private[streaming] class WebSocketMicroBatchStream(host: String, port: Int)
   reader.setDaemon(true)
   reader.start()
 
-  override def initialOffset(): Offset = WsOffset(0L)
+  override def initialOffset(): Offset = synchronized { WsOffset(trimmed) }
 
   override def deserializeOffset(json: String): Offset = WsOffset(json.toLong)
 
@@ -219,6 +273,7 @@ private[streaming] class WebSocketMicroBatchStream(host: String, port: Int)
       buffer.size.toLong).toInt
     buffer.remove(0, drop)
     trimmed += drop
+    persistEpoch(trimmed)
   }
 
   override def stop(): Unit = {

@@ -673,5 +673,17 @@ class DurableIndexSpec extends SparkSpec {
     }
     assert(pe.getMessage.contains("manifest"))
     assert(!java.nio.file.Files.exists(Paths.get(pairs, "append=inc9")))
+
+    // ...but the pair table supports CREATE-BY-APPEND (the streaming
+    // loop's first micro-batch creates it — no savePairs bootstrap):
+    // a truly EMPTY root (no partitions to hide) initializes cleanly
+    val fresh = tempDir("pairfresh") + "/pairs"
+    Dedup.appendPairs(fresh,
+      Seq((7L, 8L, 0.6)).toDF("a_id", "b_id", "jaccard"), "b0")
+    assert(Dedup.loadPairs(spark, fresh)
+      .as[(Long, Long, Double)].collect().toSet == Set((7L, 8L, 0.6)))
+    // and the bootstrap is itself crash-safe: the append commits via
+    // the same manifest republish
+    assert(DurableIndex.committed(fresh).get == Seq("b0"))
   }
 }
