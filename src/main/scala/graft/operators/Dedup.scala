@@ -935,6 +935,11 @@ object Dedup {
     import spark.implicits._
     val appends = DurableIndex.visible(path, Nil)
     DurableIndex.sweepUnreferenced(path, minhashTables, tombstoneRetentionMs)
+    // the sweep deletes files with raw IO, which Spark's session-level
+    // file-status and cached-plan caches cannot see — drop them, or a
+    // later same-session read can plan against a stale listing and hit
+    // FAILED_READ on the swept files
+    spark.catalog.refreshByPath(path)
     if (appends.size <= 2) return 0 // base (+ newest): nothing to fold
     val kept = Seq(appends.last)
     val toFold = appends.dropRight(1)
@@ -995,6 +1000,7 @@ object Dedup {
       tombstoneRetentionMs: Long = 10L * 60L * 1000L): Int = {
     val appends = DurableIndex.visible(path, Nil)
     DurableIndex.sweepUnreferenced(path, Seq(""), tombstoneRetentionMs)
+    spark.catalog.refreshByPath(path) // see compactMinhashIndex
     if (appends.size <= 2) return 0
     val kept = Seq(appends.last)
     val toFold = appends.dropRight(1)

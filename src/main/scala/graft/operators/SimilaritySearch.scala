@@ -1062,6 +1062,9 @@ object SimilaritySearch {
     import spark.implicits._
     val appends = DurableIndex.visible(path, Nil)
     DurableIndex.sweepUnreferenced(path, lshTables, tombstoneRetentionMs)
+    // drop Spark's stale file-status/plan caches over the swept files
+    // (see Dedup.compactMinhashIndex)
+    spark.catalog.refreshByPath(path)
     if (appends.size <= 2) return 0
     val kept = Seq(appends.last)
     val toFold = appends.dropRight(1)

@@ -97,13 +97,20 @@ private[streaming] class WebSocketMicroBatchStream(host: String, port: Int,
   // an epoch, a restarted stream counts from 0 against a checkpoint
   // holding larger offsets, and the engine sees no new data until the
   // fresh count climbs past the old high water (silently dropping that
-  // many frames). The committed high-water mark is therefore persisted
-  // under the source's own checkpoint directory at every commit() and
-  // re-read at (re)start, so new frames always number ABOVE every
-  // offset the checkpoint logged: at-most-once-MONOTONE, losing at
-  // most the final in-flight batch window instead of an old-high-water
-  // worth of feed. Files live on the checkpoint filesystem (HDFS/S3 on
-  // a cluster), via the Hadoop FS API like the engine's own logs.
+  // many frames). The RECEIVED high-water mark is therefore persisted
+  // under the source's own checkpoint directory whenever it advances —
+  // at latestOffset(), NOT merely at commit(): the engine writes
+  // latestOffset's value into its offset WAL before executing the
+  // batch and defers commit() until the NEXT batch starts, so a
+  // commit-time-only epoch lags one batch behind the checkpoint and a
+  // restart after a drained feed would still renumber below the WAL.
+  // Persisting at expose time makes the epoch >= every offset the
+  // checkpoint can ever hold, so new frames always number ABOVE it:
+  // at-most-once-MONOTONE, losing at most the final in-flight batch
+  // window instead of an old-high-water worth of feed. Files live on
+  // the checkpoint filesystem (HDFS/S3 on a cluster), via the Hadoop
+  // FS API like the engine's own logs; the write is one tiny
+  // temp+rename, issued only when the mark actually advanced.
   private val hadoopConf =
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
   private val epochPath =
@@ -129,20 +136,24 @@ private[streaming] class WebSocketMicroBatchStream(host: String, port: Int,
     math.max(at(epochPath).getOrElse(0L), at(epochTmp).getOrElse(0L))
   }
 
-  private def persistEpoch(n: Long): Unit = {
+  private var persistedEpoch = readEpoch() // guarded by `this`
+
+  private def persistEpoch(n: Long): Unit = if (n > persistedEpoch) {
     val out = epochFs.create(epochTmp, true)
     try out.write(n.toString.getBytes(StandardCharsets.US_ASCII))
     finally out.close()
     epochFs.delete(epochPath, false)
     epochFs.rename(epochTmp, epochPath)
+    persistedEpoch = n
   }
   // -------------------------------------------------------------------
 
   private val buffer = ArrayBuffer.empty[String] // guarded by `this`
   // global index of buffer(0); guarded by `this`. Starts at the
   // persisted epoch, not 0: frames received on this connection number
-  // strictly above everything a previous incarnation committed.
-  private var trimmed = readEpoch()
+  // strictly above everything a previous incarnation exposed to the
+  // engine.
+  private var trimmed = persistedEpoch
   @volatile private var stopped = false
 
   private val socket = new java.net.Socket(
@@ -239,7 +250,11 @@ private[streaming] class WebSocketMicroBatchStream(host: String, port: Int,
   override def deserializeOffset(json: String): Offset = WsOffset(json.toLong)
 
   override def latestOffset(): Offset = synchronized {
-    WsOffset(trimmed + buffer.size)
+    val n = trimmed + buffer.size
+    // the engine logs this value in its offset WAL before running the
+    // batch — persist it FIRST so the epoch is never behind the WAL
+    persistEpoch(n)
+    WsOffset(n)
   }
 
   override def planInputPartitions(start: Offset,

@@ -354,12 +354,13 @@ class DurableIndexSpec extends SparkSpec {
     assert(pairSet() == all)
   }
 
-  test("durable-index protocol fuzz: random append/replay/fold/kill mixes always probe as the committed corpus") {
-    // composes every r15 protocol op — fresh appends, appends killed at
+  test("durable-index protocol fuzz: random append/replay/fold/kill/pin mixes always probe as the committed corpus") {
+    // composes every protocol op — fresh appends, appends killed at
     // a random seam, replays of committed and of crashed appends, clean
-    // folds at both retentions, folds killed at a random seam — and
-    // asserts after EVERY op that an out-of-band load probes exactly as
-    // the committed corpus. The model is additive: with no bucket cap,
+    // folds at both retentions, folds killed at a random seam, and
+    // (r16) pinned snapshot loads materialized several arbitrary ops
+    // later — and asserts after EVERY op that an out-of-band load
+    // probes exactly as the committed corpus. The model is additive: with no bucket cap,
     // a (probe, doc) candidate exists iff the two docs share a band
     // bucket and verification is pairwise-exact, so each increment's
     // contribution to the probe pair set is independent of every other
@@ -397,8 +398,22 @@ class DurableIndexSpec extends SparkSpec {
             s"inc$k")
           committed += k; crashed -= k
         }
+        // outstanding pinned observations: (pinId, snapshot-frozen
+        // expectation, the lazily loaded pinned index). Materialized at
+        // a LATER random op — by then arbitrary appends/kills/folds/
+        // sweeps have run — and must still equal the frozen snapshot
+        val pinned = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Set[(Long, Long, Double)], Dedup.MinhashIndex)]
+        def drainPin(): Unit = if (pinned.nonEmpty) {
+          val (pid, want, idx) = pinned.remove(0)
+          val got = try probeAgainst(idx) finally idx.unpersist()
+          assert(got == want,
+            s"seed=$seed pinned snapshot diverged: got ${got.size}, " +
+              s"want ${want.size}")
+          DurableIndex.releasePin(path, pid)
+        }
         (0 until 18).foreach { _ =>
-          rnd.nextInt(6) match {
+          rnd.nextInt(7) match {
             case 0 | 1 => // fresh append
               append(nextK); nextK += 1
             case 2 => // append killed at a random seam; retried later
@@ -438,6 +453,14 @@ class DurableIndexSpec extends SparkSpec {
                   Dedup.compactMinhashIndex(spark, path)
                 } else Dedup.compactMinhashIndex(spark, path)
               } finally DurableIndex.crashSeam = null
+            case 6 => // pin a snapshot now, materialize it LATER
+              if (pinned.size >= 2) drainPin()
+              else {
+                val pid = DurableIndex.acquirePin(path)
+                val idx = Dedup.loadMinhashIndex(spark, path,
+                  pinId = Some(pid))
+                pinned += ((pid, committed.toSet.flatMap(contrib), idx))
+              }
           }
           val expected = committed.toSet.flatMap(contrib)
           val idx = Dedup.loadMinhashIndex(spark, path)
@@ -445,7 +468,18 @@ class DurableIndexSpec extends SparkSpec {
           assert(got == expected, s"seed=$seed diverged: got ${got.size}, " +
             s"want ${expected.size} over committed=$committed")
         }
-        // convergence: a final clean fold changes nothing a reader sees
+        // drain outstanding pinned snapshots (each must still read
+        // exactly as frozen), then release so the final sweep reclaims
+        while (pinned.nonEmpty) drainPin()
+        // convergence: a final clean fold changes nothing a reader sees.
+        // (A FAILED_READ_FILE error may appear in the log here without
+        // failing anything: AQE materializes query stages eagerly on a
+        // background pool, and an ABANDONED stage of the just-drained
+        // pinned query — its collect already returned with every needed
+        // stage — can still be running when this sweep reclaims the
+        // released snapshot's files. The zombie stage aborts, no
+        // consumer awaits it, and every asserted read above was exact;
+        // sweep-after-release is ordered after all pinned results.)
         Dedup.compactMinhashIndex(spark, path, tombstoneRetentionMs = 0L)
         val idx = Dedup.loadMinhashIndex(spark, path)
         val fin = try probeAgainst(idx) finally idx.unpersist()

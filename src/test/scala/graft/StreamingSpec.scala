@@ -1047,6 +1047,64 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("WebSocket engine-level restart: fresh frames deliver immediately under the monotone epoch") {
+    // the integration half of WebSocketEpochSpec: the ENGINE drives
+    // commit(), the epoch persists under the source's checkpoint
+    // subdir, and a restarted query (new connection, fresh frames only)
+    // delivers those frames at once. Pre-epoch, the restarted source
+    // renumbered from 0 against the checkpoint's high water of 3, the
+    // engine saw "no new data", and all three fresh frames were
+    // silently absorbed — this test pins the upgrade end-to-end.
+    import graft.streaming.FeedReplayServer
+    val lake = new DataLakehouse(spark, tempDir("wsrlake"))
+    val ckpt = tempDir("wsrckpt")
+    val base = 1718445600000L
+    def bar(i: Int) = OhlcvBar(s"SYM${i % 2}",
+      new Timestamp(base + i * 1000L), 100 + i, 110 + i, 90 + i, 105 + i,
+      1000L + i, AssetClass.Equity)
+    def epoch(): Long = {
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+      val f =
+        try {
+          import scala.jdk.CollectionConverters._
+          w.iterator().asScala
+            .find(_.getFileName.toString == "websocket-epoch")
+        } finally w.close()
+      f.map(p => new String(java.nio.file.Files.readAllBytes(p)).trim.toLong)
+        .getOrElse(-1L)
+    }
+    def runSession(bars: Seq[OhlcvBar], wantRows: Long,
+        wantEpoch: Long): Unit = {
+      val server = new FeedReplayServer(
+        bars.map(FeedReplayServer.csvLine), webSocket = true)
+      val q = Streaming.ingestWebSocketStream(lake, server.host,
+        server.port, ckpt, streamId = "wsr", triggerMs = 50,
+        wireFormat = "csv")
+      try {
+        assert(server.awaitDrained(60000), "feed never drained")
+        val deadline = System.currentTimeMillis() + 30000
+        // stop only after the engine has COMMITTED through the session's
+        // frames (rows landed AND the persisted epoch advanced) — the
+        // restart contract is about committed state, not buffered state
+        while ((lake.query().count < wantRows || epoch() < wantEpoch) &&
+          System.currentTimeMillis() < deadline) {
+          q.processAllAvailable()
+          Thread.sleep(50)
+        }
+        assert(lake.query().count == wantRows,
+          s"expected $wantRows rows, got ${lake.query().count}")
+        assert(epoch() >= wantEpoch, s"epoch ${epoch()} < $wantEpoch")
+      } finally {
+        q.stop()
+        server.close()
+      }
+    }
+    runSession((0 until 3).map(bar), wantRows = 3, wantEpoch = 3)
+    // restart: NEW server, NEW connection, only the three fresh bars
+    runSession((3 until 6).map(bar), wantRows = 6, wantEpoch = 6)
+    assert(lake.query().df.select("symbol").distinct().count() == 2)
+  }
+
   test("socket live-feed twin: socket -> parse -> ring admission -> DLQ -> lake, conserving every line") {
     import graft.streaming.FeedReplayServer
     val lake = new DataLakehouse(spark, tempDir("socklake"))
