@@ -143,8 +143,10 @@ private[streaming] class WebSocketMicroBatchStream(host: String, port: Int,
     try out.write(n.toString.getBytes(StandardCharsets.US_ASCII))
     finally out.close()
     epochFs.delete(epochPath, false)
-    epochFs.rename(epochTmp, epochPath)
-    persistedEpoch = n
+    // advance the in-memory mark only when the publish landed — on a
+    // failed rename the temp still carries n (readEpoch takes the max
+    // of both), and the next advance retries the full sequence
+    if (epochFs.rename(epochTmp, epochPath)) persistedEpoch = n
   }
   // -------------------------------------------------------------------
 
