@@ -862,11 +862,15 @@ object Dedup {
       batch: DataFrame,
       idCol: String,
       textCol: String,
-      appendId: String): Unit = {
+      appendId: String,
+      txn: Option[(String, Long)] = None): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     requireAppendId(appendId)
-    if (DurableIndex.isCommitted(path, appendId)) return
+    // the (app, seq) high-water catches replays even after the folded-id
+    // record was pruned past the retention horizon (DurableIndex.hasTxn)
+    if (DurableIndex.isCommitted(path, appendId) ||
+        txn.exists { case (a, s) => DurableIndex.hasTxn(path, a, s) }) return
     // pre-flight the manifest invariant BEFORE any table write: appending
     // to a torn or pre-manifest index must fail loudly up front, not
     // fabricate a manifest that hides (then sweeps) legacy partitions
@@ -893,7 +897,7 @@ object Dedup {
       bEx.unpersist(blocking = false)
       bBand.unpersist(blocking = false)
     }
-    DurableIndex.commitAppend(path, appendId)
+    DurableIndex.commitAppend(path, appendId, txn)
   }
 
   private[operators] def requireAppendId(appendId: String): Unit =
@@ -980,16 +984,18 @@ object Dedup {
     * manifest additionally shields readers from a partially
     * job-committed parquet write).
     */
-  def appendPairs(path: String, pairs: DataFrame, appendId: String): Unit = {
+  def appendPairs(path: String, pairs: DataFrame, appendId: String,
+      txn: Option[(String, Long)] = None): Unit = {
     requireAppendId(appendId)
-    if (DurableIndex.isCommitted(path, appendId)) return
+    if (DurableIndex.isCommitted(path, appendId) ||
+        txn.exists { case (a, s) => DurableIndex.hasTxn(path, a, s) }) return
     // pre-flight BEFORE writing, as in the index appends — but the pair
     // table supports create-by-append (the streaming loop's first batch
     // creates it; there is no savePairs bootstrap step), so a truly
     // empty root initializes an empty manifest instead of failing
     DurableIndex.requireCommittedOrInit(path, Seq(""))
     pairs.write.mode("overwrite").parquet(s"$path/append=$appendId")
-    DurableIndex.commitAppend(path, appendId)
+    DurableIndex.commitAppend(path, appendId, txn)
   }
 
   /** Compact the durable pair table — [[compactMinhashIndex]]'s contract

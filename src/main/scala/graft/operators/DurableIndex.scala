@@ -13,7 +13,12 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * single `_manifest.json` naming the committed appendIds is atomically
   * republished — so a reader can never observe a HALF-APPENDED increment
   * (e.g. bands without sizes, whose inner join would silently drop the
-  * half-appended docs' pairs), no matter where a writer crashed.
+  * half-appended docs' pairs), no matter where a writer crashed. A
+  * committer may additionally declare a per-app monotone (app, seq) on
+  * each commit ([[commitAppend]]'s `txn`): the manifest then records a
+  * never-pruned high-water per app, so replays of increments folded and
+  * swept BEYOND the retention horizon still no-op (see [[hasTxn]]) —
+  * the TxnLog txn-tier pattern.
   *
   * Protocol per append (single writer, the owning stream/job):
   *   1. write every table's `append=<id>` partition (any order; a crash
@@ -31,10 +36,11 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * transiently empty the partitions under a concurrent out-of-band
   * reader. Replay of a crashed append overwrites partitions no reader
   * could list, then commits. The no-op record for FOLDED ids lives for
-  * the tombstone-retention horizon (see [[commitFold]]): a retry inside
-  * the horizon no-ops; a retry beyond it is outside the contract (the
-  * streaming loop can only redeliver the newest batch, which compaction
-  * always keeps unfolded).
+  * the tombstone-retention horizon (see [[commitFold]]); beyond it the
+  * per-app txn high-water (never pruned) still catches any replay whose
+  * committer declared a monotone (app, seq) — without a declared txn,
+  * the contract falls back to "the streaming loop only redelivers the
+  * newest batch, which compaction always keeps unfolded".
   *
   * Loaders resolve the visible partition set FROM the manifest: committed
   * ids minus the caller's `excludeAppends` (the replay-safety primitive —
@@ -148,6 +154,38 @@ object DurableIndex {
     }
   }
 
+  /** Per-app append high-water marks (app -> max declared sequence) —
+    * the [[graft.sources.TxnLog]] txn-tier pattern carried into the
+    * index manifest. Unlike the folded-id record (bounded by the
+    * retention horizon, see [[foldedIds]]), this survives every fold
+    * and sweep at O(#writer apps) bytes, so a replay of an append
+    * folded BEYOND the horizon still no-ops when the committer declared
+    * a monotone (app, seq) — the index enforces the replay contract
+    * itself instead of leaning on "the stream only redelivers the
+    * newest batch".
+    */
+  def txnHighWater(path: String): Map[String, Long] = {
+    val p = manifestPath(path)
+    if (!Files.exists(p)) Map.empty
+    else {
+      val node = mapper.readTree(Files.readAllBytes(p))
+      val t = node.get("txns")
+      if (t == null) Map.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        t.properties().asScala
+          .map(e => e.getKey -> e.getValue.asLong()).toMap
+      }
+    }
+  }
+
+  /** True when (app, seq) — or any LATER sequence of the same app — has
+    * already been committed: the replayed increment's rows are in the
+    * index (live, folded, or folded-and-swept) and the retry must no-op.
+    */
+  def hasTxn(path: String, app: String, seq: Long): Boolean =
+    txnHighWater(path).get(app).exists(_ >= seq)
+
   /** The committed set, failing loudly when no manifest has ever been
     * published — a torn initial save (or a pre-manifest legacy dir)
     * must neither read as an empty index nor be silently legitimized
@@ -172,15 +210,22 @@ object DurableIndex {
     committed(path).exists(_.contains(appendId)) ||
       foldedIds(path).contains(appendId)
 
-  /** Atomically publish the committed set (and the folded-id record). */
+  /** Atomically publish the committed set (and the folded-id record and
+    * per-app txn high-waters).
+    */
   private def publish(path: String, ids: Seq[String],
-      folded: Seq[String]): Unit = {
+      folded: Seq[String],
+      txns: Map[String, Long] = Map.empty): Unit = {
     val node = mapper.createObjectNode()
     val arr = node.putArray("appends")
     ids.distinct.foreach(arr.add)
     if (folded.nonEmpty) {
       val fa = node.putArray("folded")
       folded.distinct.foreach(fa.add)
+    }
+    if (txns.nonEmpty) {
+      val tn = node.putObject("txns")
+      txns.toSeq.sortBy(_._1).foreach { case (a, s) => tn.put(a, s) }
     }
     atomicWrite(Paths.get(path), ".manifest", manifestPath(path),
       mapper.writeValueAsString(node).getBytes(StandardCharsets.UTF_8))
@@ -225,10 +270,20 @@ object DurableIndex {
     * on a manifest-less index (torn initial save / legacy dir): silently
     * fabricating `base :+ id` would make every existing legacy partition
     * invisible and eventually sweep-deleted.
+    *
+    * `txn` optionally DECLARES a per-app monotone (app, seq) recorded as
+    * a high-water in the same publish (see [[hasTxn]]): the caller's
+    * replay guard then holds beyond the folded-id record's retention
+    * horizon, because the high-water is never pruned.
     */
-  def commitAppend(path: String, appendId: String): Unit = {
+  def commitAppend(path: String, appendId: String,
+      txn: Option[(String, Long)] = None): Unit = {
     seam(s"manifest:pre-commit:$appendId")
-    publish(path, requireCommitted(path) :+ appendId, foldedIds(path))
+    val hw = txnHighWater(path)
+    val hw2 = txn.fold(hw) { case (app, seq) =>
+      hw + (app -> math.max(hw.getOrElse(app, Long.MinValue), seq))
+    }
+    publish(path, requireCommitted(path) :+ appendId, foldedIds(path), hw2)
   }
 
   /** Commit an index compaction: the visible set becomes the freshly
@@ -281,7 +336,7 @@ object DurableIndex {
     val newlyFolded = superseded.filterNot(_.startsWith("base"))
     val retained = (foldedIds(path) ++ newlyFolded)
       .filter(id => partDirs(id).exists(Files.isDirectory(_)))
-    publish(path, newBaseId +: kept, retained)
+    publish(path, newBaseId +: kept, retained, txnHighWater(path))
   }
 
   /** Take a reader lease on the CURRENT committed set: writes
@@ -292,23 +347,47 @@ object DurableIndex {
     * sweeps. Pass the returned id to the load entry points to resolve
     * visibility from the pinned snapshot, and [[releasePin]] when done;
     * an abandoned pin stops holding partitions when its lease expires
-    * and is swept with them. Pin AFTER the owning writer's sweep cannot
-    * be mid-flight against partitions superseded longer than retention
-    * ago — i.e. under the normal discipline (retention well above a
-    * scan) simply pin-then-load; the pin closes the long-scan exposure,
-    * the retention window closes the acquisition race.
+    * and is swept with them.
+    *
+    * Acquisition is race-free against the writer's own maintenance
+    * (which serializes appends, folds, and sweeps): after the pin file
+    * is durably published, the manifest is re-read and the acquisition
+    * RETRIES from the fresh committed set if it moved. A fold that
+    * commits before the validation read is therefore observed (retry
+    * pins the post-fold set); a fold that commits after it necessarily
+    * precedes any sweep that could delete the pinned set's superseded
+    * partitions — and that sweep's pin listing happens later still, so
+    * it sees the already-published pin and spares them. A pin can thus
+    * never reference partitions a sweep is free to delete, at ANY
+    * retention (including zero).
     */
   def acquirePin(path: String,
       leaseMs: Long = DefaultPinLeaseMs): String = {
-    val ids = requireCommitted(path)
-    val pinId = java.util.UUID.randomUUID().toString.take(12)
-    val node = mapper.createObjectNode()
-    val arr = node.putArray("ids")
-    ids.foreach(arr.add)
-    node.put("leaseMs", leaseMs)
-    atomicWrite(Paths.get(path), ".pin", Paths.get(path, s"_pin-$pinId.json"),
-      mapper.writeValueAsString(node).getBytes(StandardCharsets.UTF_8))
-    pinId
+    var attempts = 0
+    while (true) {
+      val ids = requireCommitted(path)
+      seam("pin:pre-publish")
+      val pinId = java.util.UUID.randomUUID().toString.take(12)
+      val node = mapper.createObjectNode()
+      val arr = node.putArray("ids")
+      ids.foreach(arr.add)
+      node.put("leaseMs", leaseMs)
+      atomicWrite(Paths.get(path), ".pin",
+        Paths.get(path, s"_pin-$pinId.json"),
+        mapper.writeValueAsString(node).getBytes(StandardCharsets.UTF_8))
+      // validate AFTER the durable publish: unchanged manifest means the
+      // pinned set is the committed set every later sweep also treats as
+      // live; a moved manifest means a fold raced the acquisition and
+      // this pin may name already-superseded partitions — discard it and
+      // pin the fresh set instead
+      if (requireCommitted(path) == ids) return pinId
+      Files.deleteIfExists(Paths.get(path, s"_pin-$pinId.json"))
+      attempts += 1
+      require(attempts < 64,
+        s"acquirePin at $path: manifest moved $attempts times during " +
+          "acquisition — maintenance is not quiescing")
+    }
+    sys.error("unreachable")
   }
 
   /** Release a reader lease (idempotent). */
@@ -323,10 +402,17 @@ object DurableIndex {
   def pinnedVisible(path: String, pinId: String,
       excludeAppends: Seq[String] = Nil): Seq[String] = {
     val p = Paths.get(path, s"_pin-$pinId.json")
-    if (!Files.exists(p))
-      sys.error(s"pin $pinId at $path not found — released, or its lease " +
-        "expired and the sweep reclaimed it; re-acquire and re-load")
-    val node = mapper.readTree(Files.readAllBytes(p))
+    // read first, map the miss: an exists() probe would race a sweep
+    // reclaiming an expired pin and surface a raw NoSuchFileException
+    // instead of the loud re-acquire message
+    val bytes =
+      try Files.readAllBytes(p)
+      catch { case _: java.nio.file.NoSuchFileException =>
+        sys.error(s"pin $pinId at $path not found — released, or its " +
+          "lease expired and the sweep reclaimed it; re-acquire and " +
+          "re-load")
+      }
+    val node = mapper.readTree(bytes)
     val lease = node.get("leaseMs").asLong()
     if (Files.getLastModifiedTime(p).toMillis + lease <
         System.currentTimeMillis())
@@ -351,11 +437,21 @@ object DurableIndex {
       }.toList
       finally s.close()
     pins.flatMap { p =>
-      val node = mapper.readTree(Files.readAllBytes(p))
-      if (Files.getLastModifiedTime(p).toMillis +
-          node.get("leaseMs").asLong() < nowMs) {
-        Files.deleteIfExists(p); Nil
-      } else node.get("ids").elements().asScala.map(_.asText()).toList
+      // a pin vanishing between the listing and the read is a reader's
+      // concurrent releasePin — the designed usage — and holds nothing;
+      // unparseable content (torn out-of-band copy) likewise must not
+      // abort the writer's whole maintenance pass
+      try {
+        val node = mapper.readTree(Files.readAllBytes(p))
+        if (Files.getLastModifiedTime(p).toMillis +
+            node.get("leaseMs").asLong() < nowMs) {
+          Files.deleteIfExists(p); Nil
+        } else node.get("ids").elements().asScala.map(_.asText()).toList
+      } catch {
+        case _: java.nio.file.NoSuchFileException => Nil
+        case _: java.io.IOException => Nil
+        case _: NullPointerException => Nil // missing fields: not a pin
+      }
     }.toSet
   }
 

@@ -1018,11 +1018,15 @@ object SimilaritySearch {
       batch: DataFrame,
       idCol: String,
       vecCol: String,
-      appendId: String): Unit = {
+      appendId: String,
+      txn: Option[(String, Long)] = None): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     Dedup.requireAppendId(appendId)
-    if (DurableIndex.isCommitted(path, appendId)) return
+    // the (app, seq) high-water catches replays even after the folded-id
+    // record was pruned past the retention horizon (DurableIndex.hasTxn)
+    if (DurableIndex.isCommitted(path, appendId) ||
+        txn.exists { case (a, s) => DurableIndex.hasTxn(path, a, s) }) return
     // pre-flight the manifest invariant BEFORE any table write (see
     // Dedup.appendToMinhashIndex)
     DurableIndex.requireCommitted(path)
@@ -1047,7 +1051,7 @@ object SimilaritySearch {
       e.unpersist(blocking = false)
       bucketed.unpersist(blocking = false)
     }
-    DurableIndex.commitAppend(path, appendId)
+    DurableIndex.commitAppend(path, appendId, txn)
   }
 
   /** Compact a durable LSH index — the embedding twin of

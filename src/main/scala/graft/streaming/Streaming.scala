@@ -1042,7 +1042,10 @@ object Streaming {
           idx.numBands, idx.rowsPerBand, threshold, maxBucketSize,
           persist = false),
       appendIndex = novel => Dedup.appendToMinhashIndex(indexPath, novel,
-        idCol, textCol, appendId = s"b$batchId"),
+        idCol, textCol, appendId = s"b$batchId",
+        // declared txn tier: batchId is the engine's monotone sequence,
+        // so a replay no-ops even past the folded-id retention horizon
+        txn = Some(("stream", batchId))),
       releaseIndex = () => idx.unpersist())
   }
 
@@ -1075,7 +1078,8 @@ object Streaming {
           idx.numPlanes, idx.numTables, maxBucketSize, idx.seed,
           persist = false),
       appendIndex = novel => SimilaritySearch.appendToLshIndex(indexPath,
-        novel, idCol, vecCol, appendId = s"b$batchId"),
+        novel, idCol, vecCol, appendId = s"b$batchId",
+        txn = Some(("stream", batchId))),
       releaseIndex = () => idx.unpersist())
   }
 
@@ -1136,7 +1140,8 @@ object Streaming {
             corpusPairs.select(col("batch_id").as("a_id"),
               col("corpus_id").as("b_id"), col(score))
               .unionByName(wbPairs),
-            appendId = s"b$batchId")
+            appendId = s"b$batchId",
+            txn = Some(("stream", batchId)))
         }
       } finally novel.unpersist(blocking = false)
     } finally {

@@ -136,17 +136,25 @@ private[streaming] class WebSocketMicroBatchStream(host: String, port: Int,
     math.max(at(epochPath).getOrElse(0L), at(epochTmp).getOrElse(0L))
   }
 
-  private var persistedEpoch = readEpoch() // guarded by `this`
+  // guarded by epochLock, NOT `this`: the publish is filesystem IO (a
+  // create+delete+rename against the checkpoint FS — HDFS/S3 on a
+  // cluster) and the reader thread needs `this` to append frames, so
+  // publishing under `this` would stall frame ingestion for the whole
+  // round-trip and inflate trigger latency on a slow checkpoint store
+  private val epochLock = new Object
+  private var persistedEpoch = epochLock.synchronized(readEpoch())
 
-  private def persistEpoch(n: Long): Unit = if (n > persistedEpoch) {
-    val out = epochFs.create(epochTmp, true)
-    try out.write(n.toString.getBytes(StandardCharsets.US_ASCII))
-    finally out.close()
-    epochFs.delete(epochPath, false)
-    // advance the in-memory mark only when the publish landed — on a
-    // failed rename the temp still carries n (readEpoch takes the max
-    // of both), and the next advance retries the full sequence
-    if (epochFs.rename(epochTmp, epochPath)) persistedEpoch = n
+  private def persistEpoch(n: Long): Unit = epochLock.synchronized {
+    if (n > persistedEpoch) {
+      val out = epochFs.create(epochTmp, true)
+      try out.write(n.toString.getBytes(StandardCharsets.US_ASCII))
+      finally out.close()
+      epochFs.delete(epochPath, false)
+      // advance the in-memory mark only when the publish landed — on a
+      // failed rename the temp still carries n (readEpoch takes the max
+      // of both), and the next advance retries the full sequence
+      if (epochFs.rename(epochTmp, epochPath)) persistedEpoch = n
+    }
   }
   // -------------------------------------------------------------------
 
@@ -251,10 +259,12 @@ private[streaming] class WebSocketMicroBatchStream(host: String, port: Int,
 
   override def deserializeOffset(json: String): Offset = WsOffset(json.toLong)
 
-  override def latestOffset(): Offset = synchronized {
-    val n = trimmed + buffer.size
+  override def latestOffset(): Offset = {
+    val n = synchronized { trimmed + buffer.size }
     // the engine logs this value in its offset WAL before running the
-    // batch — persist it FIRST so the epoch is never behind the WAL
+    // batch — persist it FIRST (before returning) so the epoch is never
+    // behind the WAL; issued OUTSIDE `this` so the reader thread keeps
+    // appending frames while the checkpoint FS round-trips
     persistEpoch(n)
     WsOffset(n)
   }
@@ -284,13 +294,16 @@ private[streaming] class WebSocketMicroBatchStream(host: String, port: Int,
       }
     }
 
-  override def commit(end: Offset): Unit = synchronized {
-    val drop = math.min(
-      math.max(end.asInstanceOf[WsOffset].n - trimmed, 0L),
-      buffer.size.toLong).toInt
-    buffer.remove(0, drop)
-    trimmed += drop
-    persistEpoch(trimmed)
+  override def commit(end: Offset): Unit = {
+    val mark = synchronized {
+      val drop = math.min(
+        math.max(end.asInstanceOf[WsOffset].n - trimmed, 0L),
+        buffer.size.toLong).toInt
+      buffer.remove(0, drop)
+      trimmed += drop
+      trimmed
+    }
+    persistEpoch(mark) // outside `this` (see latestOffset)
   }
 
   override def stop(): Unit = {

@@ -453,10 +453,24 @@ class DurableIndexSpec extends SparkSpec {
                   Dedup.compactMinhashIndex(spark, path)
                 } else Dedup.compactMinhashIndex(spark, path)
               } finally DurableIndex.crashSeam = null
-            case 6 => // pin a snapshot now, materialize it LATER
+            case 6 => // pin a snapshot now, materialize it LATER —
+              // half the time with a fold + zero-retention sweep
+              // INTERLEAVED into the acquisition (between the manifest
+              // read and the pin publish: the race acquirePin's
+              // post-publish validation closes)
               if (pinned.size >= 2) drainPin()
               else {
-                val pid = DurableIndex.acquirePin(path)
+                val interleave = rnd.nextBoolean()
+                var fired = false
+                if (interleave) DurableIndex.crashSeam = name =>
+                  if (name == "pin:pre-publish" && !fired) {
+                    fired = true
+                    Dedup.compactMinhashIndex(spark, path,
+                      tombstoneRetentionMs = 0L)
+                  }
+                val pid =
+                  try DurableIndex.acquirePin(path)
+                  finally { if (interleave) DurableIndex.crashSeam = null }
                 val idx = Dedup.loadMinhashIndex(spark, path,
                   pinId = Some(pid))
                 pinned += ((pid, committed.toSet.flatMap(contrib), idx))
@@ -679,6 +693,129 @@ class DurableIndexSpec extends SparkSpec {
       Seq((10L * k, 10L * k + 1L, 0.5)).toDF("a_id", "b_id", "jaccard"), late)
     assert(pairSet() == all)
     assert(DurableIndex.foldedIds(pairs) == folded)
+  }
+
+  test("a replay folded BEYOND the retention horizon no-ops via the declared txn high-water") {
+    // the r16 residual: the folded-id no-op record is pruned with its
+    // swept partitions, so an ancient replay was guarded only by the
+    // streaming contract ("only the newest batch is redeliverable").
+    // With a declared (app, seq) the manifest's never-pruned high-water
+    // makes the index itself enforce it.
+    val pairs = tempDir("pairtxn")
+    Dedup.savePairs(Seq((0L, 1L, 1.0)).toDF("a_id", "b_id", "jaccard"), pairs)
+    var all = Set((0L, 1L, 1.0))
+    var n = 0
+    // three fold generations at zero retention — inc0's partitions are
+    // swept and its id pruned from the folded record
+    (0 until 3).foreach { _ =>
+      (0 until 2).foreach { _ =>
+        val row = (10L * n, 10L * n + 1L, 0.5)
+        Dedup.appendPairs(pairs, Seq(row).toDF("a_id", "b_id", "jaccard"),
+          s"inc$n", txn = Some(("app", n.toLong)))
+        all += row; n += 1
+      }
+      Dedup.compactPairs(spark, pairs, tombstoneRetentionMs = 0L)
+    }
+    def pairSet(): Set[(Long, Long, Double)] = Dedup.loadPairs(spark, pairs)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairSet() == all)
+    // inc0 is beyond the horizon: invisible to the folded-id record...
+    assert(!DurableIndex.isCommitted(pairs, "inc0"),
+      "inc0 should have aged out of the folded record")
+    // ...but the high-water survived every fold
+    assert(DurableIndex.txnHighWater(pairs) == Map("app" -> (n - 1).toLong))
+    assert(DurableIndex.hasTxn(pairs, "app", 0L))
+    // the ancient replay: index state must be bit-for-bit unchanged
+    val manifestBefore = java.nio.file.Files.readAllBytes(
+      Paths.get(pairs, "_manifest.json")).toSeq
+    Dedup.appendPairs(pairs,
+      Seq((0L, 1L, 0.5)).toDF("a_id", "b_id", "jaccard"), "inc0",
+      txn = Some(("app", 0L)))
+    assert(java.nio.file.Files.readAllBytes(
+      Paths.get(pairs, "_manifest.json")).toSeq == manifestBefore,
+      "replay republished the manifest")
+    assert(!java.nio.file.Files.isDirectory(Paths.get(pairs, "append=inc0")),
+      "replay re-materialized a beyond-horizon partition")
+    assert(pairSet() == all)
+  }
+
+  test("acquirePin racing an in-flight fold+sweep retries onto the fresh committed set") {
+    // the r16 'closed in practice' caveat, closed outright: a fold+sweep
+    // landing between acquirePin's manifest read and its pin publish
+    // (the pin:pre-publish seam) would leave the pin naming partitions
+    // the sweep already deleted — at ANY retention, including the zero
+    // retention production callers are free to use. acquirePin now
+    // validates the manifest after the durable publish and retries from
+    // the fresh set, so the returned pin always names a set every later
+    // sweep treats as live.
+    val pairs = tempDir("pairpinrace")
+    Dedup.savePairs(Seq((1L, 2L, 0.9)).toDF("a_id", "b_id", "jaccard"), pairs)
+    Dedup.appendPairs(pairs,
+      Seq((3L, 4L, 0.8)).toDF("a_id", "b_id", "jaccard"), "inc0")
+    Dedup.appendPairs(pairs,
+      Seq((5L, 6L, 0.7)).toDF("a_id", "b_id", "jaccard"), "inc1")
+    val all = Set((1L, 2L, 0.9), (3L, 4L, 0.8), (5L, 6L, 0.7))
+    var fired = 0
+    DurableIndex.crashSeam = name => if (name == "pin:pre-publish") {
+      fired += 1
+      if (fired == 1) {
+        // the in-flight maintenance pass: fold, then a zero-retention
+        // sweep that deletes every superseded partition immediately —
+        // the pin about to be published names exactly those partitions
+        assert(Dedup.compactPairs(spark, pairs,
+          tombstoneRetentionMs = 0L) == 2)
+        assert(Dedup.compactPairs(spark, pairs,
+          tombstoneRetentionMs = 0L) == 0)
+      }
+    }
+    val pin =
+      try DurableIndex.acquirePin(pairs)
+      finally DurableIndex.crashSeam = null
+    assert(fired == 2, s"expected exactly one retry, seam fired $fired")
+    // the pin names the POST-fold committed set, whose partitions the
+    // sweep spared — and the stale first-attempt pin was discarded
+    assert(DurableIndex.pinnedVisible(pairs, pin) ==
+      DurableIndex.requireCommitted(pairs))
+    val pinFiles = {
+      val s = java.nio.file.Files.list(Paths.get(pairs))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(f => f.startsWith("_pin-") && f.endsWith(".json")).toList
+      } finally s.close()
+    }
+    assert(pinFiles == List(s"_pin-$pin.json"),
+      s"stale pin not discarded: $pinFiles")
+    // the pinned load materializes the exact committed set
+    assert(Dedup.loadPairs(spark, pairs, pinId = Some(pin))
+      .as[(Long, Long, Double)].collect().toSet == all)
+    DurableIndex.releasePin(pairs, pin)
+  }
+
+  test("maintenance survives garbage and concurrently-released pin files") {
+    // pinnedIds runs inside the writer's maintenance pass; a reader
+    // releasing its pin between the listing and the read — the designed
+    // usage — or a torn out-of-band copy must read as 'holds nothing',
+    // never abort the pass
+    val pairs = tempDir("pairjunk")
+    Dedup.savePairs(Seq((1L, 2L, 0.9)).toDF("a_id", "b_id", "jaccard"), pairs)
+    Dedup.appendPairs(pairs,
+      Seq((3L, 4L, 0.8)).toDF("a_id", "b_id", "jaccard"), "inc0")
+    Dedup.appendPairs(pairs,
+      Seq((5L, 6L, 0.7)).toDF("a_id", "b_id", "jaccard"), "inc1")
+    java.nio.file.Files.write(Paths.get(pairs, "_pin-junk.json"),
+      "not json".getBytes("UTF-8"))
+    java.nio.file.Files.write(Paths.get(pairs, "_pin-nofields.json"),
+      "{}".getBytes("UTF-8"))
+    // fold + sweep complete despite the junk, and the sweep still
+    // reclaims the superseded partitions
+    assert(Dedup.compactPairs(spark, pairs, tombstoneRetentionMs = 0L) == 2)
+    assert(Dedup.compactPairs(spark, pairs, tombstoneRetentionMs = 0L) == 0)
+    assert(pairAppendDirs(pairs) ==
+      DurableIndex.committed(pairs).get.map("append=" + _).toSet)
+    assert(Dedup.loadPairs(spark, pairs)
+      .as[(Long, Long, Double)].collect().toSet ==
+      Set((1L, 2L, 0.9), (3L, 4L, 0.8), (5L, 6L, 0.7)))
   }
 
   test("appending to a manifest-less (torn or legacy) index fails loudly before any write") {
