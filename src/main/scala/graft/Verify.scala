@@ -55,6 +55,31 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    // ANN recall@10 vs the brute-force q25 answer, measured from the
+    // dumps just written. The four ANN queries are rows-only in the
+    // driver gate (seeded buckets/cells — no portable SQL oracle), so a
+    // silent recall regression would otherwise pass; this surfaces the
+    // measured value in the artifact every round. CatalogSmokeSpec
+    // asserts the floors (lsh 0.7 / ivf 0.9 / pq 0.9 / ivfpq 0.7).
+    val bruteName = "q25_cosine_topk"
+    val annNames =
+      Seq("q29_ann_lsh", "q50_ann_ivf", "q65_ann_pq", "q66_ann_ivfpq")
+    val recallJson =
+      if (!Files.isDirectory(Paths.get(s"$outDir/$bruteName"))) "{}"
+      else {
+        def topIds(name: String): Set[Long] = {
+          val df = spark.read.parquet(s"$outDir/$name")
+          df.select(df.columns.head).collect().map(_.getLong(0)).toSet
+        }
+        val brute = topIds(bruteName)
+        annNames
+          .filter(n => Files.isDirectory(Paths.get(s"$outDir/$n")))
+          .map { n =>
+            val recall = (topIds(n) & brute).size.toDouble / brute.size
+            s"${q(n)}: $recall"
+          }.mkString("{", ",", "}")
+      }
+    Files.writeString(Paths.get(s"$outDir/recall.json"), recallJson)
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()

@@ -296,4 +296,31 @@ class CatalogSmokeSpec extends SparkSpec {
     // a consistent memo state (it simply rebuilds)
     queries.DedupQueries.neardupPairs(spark, sfDir).count()
   }
+
+  test("catalog ANN recall@10 floors vs the brute q25 answer (sf0.01)") {
+    // VERDICT r16 #4: the four ANN queries are rows-only in the driver
+    // gate (seeded buckets/cells — no portable oracle), so a silent
+    // recall regression would pass it. Verify emits the measured
+    // recall@10 into its artifact (recall.json); this floors the SAME
+    // computation over the catalog entries' own geometries. Floors sit
+    // at or below the measured values (lsh 0.9 / ivf 0.9 / pq 1.0 /
+    // ivfpq 0.8 on this data) so only an algorithm or geometry change
+    // trips them.
+    val dir = "/root/testdata/sf0.01"
+    import spark.implicits._
+    def topIds(name: String): Set[Long] = {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.select(df.columns.head).as[Long].collect().toSet
+    }
+    val brute = topIds("q25_cosine_topk")
+    assert(brute.size == 10)
+    val floors = Seq("q29_ann_lsh" -> 0.7, "q50_ann_ivf" -> 0.9,
+      "q65_ann_pq" -> 0.9, "q66_ann_ivfpq" -> 0.7)
+    floors.foreach { case (name, floor) =>
+      val recall = (topIds(name) & brute).size / 10.0
+      info(f"$name recall@10 = $recall%.1f (floor $floor%.1f)")
+      assert(recall >= floor,
+        f"$name recall@10 $recall%.1f under floor $floor%.1f")
+    }
+  }
 }
