@@ -148,6 +148,13 @@ final class TxnLog(root: String, checkpointInterval: Int = 10,
   private val cachedCkpt =
     new java.util.concurrent.atomic.AtomicLong(-2L)
 
+  // Lost-race publishes this instance has retried (telemetry for the
+  // multi-writer contention rung and operational dashboards): a commit
+  // increments it once per FileAlreadyExistsException loop iteration,
+  // so `delta / commits` is the mean extra publish attempts a writer
+  // pays under contention.
+  val contentionRetries = new java.util.concurrent.atomic.AtomicLong(0L)
+
   // Parsed commit/checkpoint caches. Both file kinds are IMMUTABLE once
   // published (exclusive-create via hard-link of a fully-written temp
   // file; vacuum reclaims data files only), so a parse result keyed by
@@ -534,6 +541,7 @@ final class TxnLog(root: String, checkpointInterval: Int = 10,
         case _: java.nio.file.FileAlreadyExistsException =>
           Files.deleteIfExists(tmp)
           cachedVersion.updateAndGet(c => math.max(c, v)) // v is taken
+          contentionRetries.incrementAndGet()
           attempt += 1
           if (attempt > 100) sys.error(s"txn log contention at version $v")
       }

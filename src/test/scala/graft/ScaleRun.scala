@@ -101,6 +101,156 @@ object ScaleRun {
       spark.stop(); return
     }
 
+    // Multi-writer txn-log CONTENTION rung (VERDICT r16 #2):
+    // TxnCrossProcessSpec proves 2-JVM safety; this measures THROUGHPUT
+    // under sustained contention — `workers` forked JVMs (default 4) ×
+    // `commits` blind appends each (default 250) against ONE log root,
+    // rendezvous'd so the window is fully contended. Claims: aggregate
+    // wall stays near-linear in total commits (the exclusive-create race
+    // costs retries, not collapse) and per-commit retries stay bounded
+    // (no starved writer). Pure file IO — no Spark jobs.
+    if (which == "txncontend") {
+      val workers = args.lift(1).map(_.toInt).getOrElse(4)
+      val commits = args.lift(2).map(_.toInt).getOrElse(250)
+      import java.nio.file.{Files, Paths}
+      val javaBin = Paths
+        .get(sys.props("java.home"), "bin", "java").toString
+      def fork(root: String, tag: String): Process = {
+        val pb = new ProcessBuilder(javaBin, "-cp",
+          sys.props("java.class.path"), "graft.TxnContendMain",
+          root, commits.toString, tag)
+        pb.redirectErrorStream(true)
+        pb.redirectOutput(ProcessBuilder.Redirect.INHERIT)
+        pb.start()
+      }
+      // baseline: ONE writer, same commit count, uncontended
+      val soloRoot = Files.createTempDirectory("txncontend-solo").toString
+      val solo = fork(soloRoot, "solo")
+      Files.createFile(Paths.get(soloRoot, "go"))
+      require(solo.waitFor(300, java.util.concurrent.TimeUnit.SECONDS) &&
+        solo.exitValue() == 0, "solo worker failed")
+      val soloWall = new String(Files.readAllBytes(
+        Paths.get(soloRoot, "contend-solo"))).split(" ")(0).toDouble
+      // contended: `workers` JVMs over one root, released together
+      val root = Files.createTempDirectory("txncontend").toString
+      val tags = (0 until workers).map(i => s"w$i")
+      val procs = tags.map(t => t -> fork(root, t))
+      val deadline = System.currentTimeMillis() + 60000
+      while (tags.exists(t => !Files.exists(Paths.get(root, s"ready-$t"))) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(5)
+      Files.createFile(Paths.get(root, "go"))
+      procs.foreach { case (t, p) =>
+        require(p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS),
+          s"worker $t hung")
+        require(p.exitValue() == 0, s"worker $t crashed")
+      }
+      val stats = tags.map { t =>
+        val Array(wall, retries, maxPer) = new String(Files.readAllBytes(
+          Paths.get(root, s"contend-$t"))).split(" ")
+        (t, wall.toDouble, retries.toLong, maxPer.toLong)
+      }
+      val total = workers * commits
+      val wallMax = stats.map(_._2).max
+      val retriesTotal = stats.map(_._3).sum
+      val maxPerCommit = stats.map(_._4).max
+      stats.foreach { case (t, w, r, m) =>
+        println(f"[scale] txncontend worker=$t wallMs=$w%.0f retries=$r maxRetriesPerCommit=$m")
+      }
+      println(f"[scale] txncontend workers=$workers commitsEach=$commits " +
+        f"total=$total soloWallMs=$soloWall%.0f contendedWallMs=$wallMax%.0f " +
+        f"throughputSolo=${commits / (soloWall / 1000)}%.0f/s " +
+        f"throughputContended=${total / (wallMax / 1000)}%.0f/s " +
+        f"retriesTotal=$retriesTotal retriesPerCommit=${retriesTotal.toDouble / total}%.2f " +
+        f"maxRetriesPerCommit=$maxPerCommit")
+      // correctness under contention: contiguous versions, no lost or
+      // duplicated append, from a fresh reader process-equivalent
+      val reader = new graft.sources.TxnLog(root)
+      assert(reader.currentVersion() == total - 1L,
+        s"version head ${reader.currentVersion()} != ${total - 1}")
+      val live = reader.snapshotFiles().toSet
+      tags.foreach { t =>
+        (0 until commits).foreach { i =>
+          assert(live.contains(s"$t-$i.parquet"), s"lost $t-$i") }
+      }
+      // near-linear: aggregate throughput under 4-way contention stays
+      // within 4x of the solo writer's (publishes serialize on the FS;
+      // the bound trips only on a retry storm / starvation collapse)
+      assert(wallMax < (soloWall * workers) * 4,
+        f"contention collapse: $wallMax%.0f ms for $total commits vs " +
+          f"solo $soloWall%.0f ms for $commits")
+      // bounded retries: no commit came near the 100-attempt cap
+      assert(maxPerCommit <= 50,
+        s"a commit retried $maxPerCommit times — starvation risk")
+      spark.stop(); return
+    }
+
+    // Skewed-join rung (VERDICT r16 #7): a q05-shaped fact⋈dim join at
+    // mult× sf0.1 lineitem where ONE key owns ~30% of the fact rows.
+    // Compares plain shuffle join (AQE skew mitigation OFF), plain with
+    // AQE skew mitigation ON, and Skew.saltedJoin — wall plus the
+    // max/median task-time spread (the straggler signature). Broadcast
+    // is disabled: the salted join's documented regime is "small side
+    // too big to broadcast, big side skewed".
+    if (which == "skewjoin") {
+      val sqlf = org.apache.spark.sql.functions
+      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        .select($"l_orderkey", $"l_extendedprice")
+      val big0 = (0 until mult).map(i =>
+        li.withColumn("l_orderkey", $"l_orderkey" + lit(i * 1000000000L)))
+        .reduce(_ unionAll _)
+      // bounded key domain (the dim side must be SMALL relative to the
+      // fact — the salted regime — just not broadcastable here), with
+      // ~30% of fact rows collapsed onto one hot key
+      val keyDomain = 100000L
+      val big = big0.withColumn("l_orderkey",
+        sqlf.when(sqlf.pmod(sqlf.xxhash64($"l_orderkey",
+          $"l_extendedprice"), lit(10)) < 3, lit(42L))
+          .otherwise(sqlf.pmod(sqlf.xxhash64($"l_orderkey"),
+            lit(keyDomain)))).persist()
+      val nBig = big.count()
+      val dim = big.select($"l_orderkey".as("o_orderkey")).distinct()
+        .withColumn("o_flag", sqlf.pmod($"o_orderkey", lit(7)))
+        .persist()
+      val nDim = dim.count()
+      println(s"[scale] skewjoin rows=$nBig dimRows=$nDim (hot key ~30%)")
+      // per-stage task durations: the skew signature is the max/median
+      // spread WITHIN the reducer stage — whole-job medians are
+      // dominated by the map-side scan tasks and mask it
+      val durations =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            durations.add((te.stageId, te.taskInfo.duration))
+        })
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      def run(tag: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
+        durations.clear()
+        val t0 = System.nanoTime()
+        val n = f.groupBy().agg(sqlf.sum($"l_extendedprice")).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500) // listener bus drain (async)
+        import scala.jdk.CollectionConverters._
+        // report the stage holding the longest task (the hot reducer's)
+        val byStage = durations.asScala.toSeq.groupBy(_._1)
+        val (stage, ds0) = byStage.maxBy(_._2.map(_._2).max)
+        val ds = ds0.map(_._2).sorted
+        val med = math.max(1L, ds(ds.size / 2))
+        println(f"[scale] skewjoin $tag rows=$n wall=$wall%.1f " +
+          f"hotStage=$stage tasks=${ds.size} maxTaskMs=${ds.last} " +
+          f"medianTaskMs=$med spread=${ds.last.toDouble / med}%.1f")
+      }
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      run("plain-noAqeSkew")(big.join(dim, $"l_orderkey" === $"o_orderkey"))
+      run("salted")(operators.Skew.saltedJoin(big, dim,
+        "l_orderkey", "o_orderkey", salts = 32))
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      run("plain-aqeSkew")(big.join(dim, $"l_orderkey" === $"o_orderkey"))
+      spark.stop(); return
+    }
+
     // Txn-log metadata scale probe: mult×1000 commits in the streaming
     // ring pattern (each commit adds one file, retires the previous —
     // live set stays 1, the 100 ms-cadence shape from README.md:37).
