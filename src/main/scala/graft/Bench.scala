@@ -229,7 +229,7 @@ object Bench {
     // measurements of the same queries (double-counting them would
     // inflate the round-over-round total), ratios are not seconds
     val total = results.map(_._2).sum +
-      lakeMetrics.filterNot(_._1 == "storage_csv_over_parquet").map(_._2).sum
+      lakeMetrics.filterNot(_._1.startsWith("storage_")).map(_._2).sum
     val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // The driver's artifact capture is TAIL-bounded AND short (the r6
     // line lost q01-q24's keys to truncation at ~2 KB), so the emitted
@@ -397,7 +397,59 @@ object Bench {
       val ratio =
         dirBytes(csvRoot, ".csv").toDouble / dirBytes(root, ".parquet")
       deleteRecursively(csvRoot)
-      Seq("storage_csv_over_parquet" -> ratio)
+      // Delta-codec experiment (reference README.md:170-172, "What I'd
+      // Improve"): per-(symbol,day) integer-cent price deltas vs the
+      // SAME absolute-price layout — identical partitioning, clustering
+      // sort, and zstd on both sides, so the ratio isolates the codec.
+      // < 1.0 is a codec win.
+      // the sort LEADS with the partition column (the DataLakehouse
+      // clusterSortKeys discipline): partitionBy's writer otherwise
+      // re-sorts by date alone, unstably, destroying the clustering
+      def writeLayout(df: org.apache.spark.sql.DataFrame): String = {
+        val dir = java.nio.file.Files.createTempDirectory("benchcodec").toString
+        df.withColumn("date", to_date(col("timestamp")))
+          .repartition(col("date"))
+          .sortWithinPartitions(col("date"), col("symbol"),
+            col("timestamp"), col("volume"))
+          .write.partitionBy("date").option("compression", "zstd")
+          .mode("overwrite").parquet(dir)
+        dir
+      }
+      val priceCols = Seq("open", "high", "low", "close")
+      // the codec fixture replaces df2m's cyclic prices (100 distinct
+      // values — dictionary-perfect already, which would hide ANY
+      // codec) with a bounded cent random WALK per symbol: the actual
+      // market shape, where absolutes accumulate a wide value range and
+      // tick-to-tick deltas stay in a ±25-cent alphabet
+      val wWalk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("symbol")).orderBy(col("timestamp"), col("volume"))
+      def walkPx(seed: Int) =
+        ((lit(10000L + seed * 100L) +
+          sum(pmod(xxhash64(col("volume"), lit(seed)), lit(51)) - lit(25))
+            .over(wWalk)).cast("double") / 100.0).as(priceCols(seed - 1))
+      val walk2m = df2m.select(
+        col("symbol") +: col("timestamp") +: col("volume") +:
+          col("asset_class") +: (1 to 4).map(walkPx): _*)
+      val absRoot = writeLayout(walk2m)
+      // (timestamp, volume) is a unique order key per (symbol, date) in
+      // df2m (volume = 1000 + id), so the codec's default storage-free
+      // ordering mode applies
+      val encRoot = writeLayout(
+        graft.sources.StorageCodec.encodeDeltas(
+          walk2m.withColumn("date", to_date(col("timestamp"))),
+          priceCols, "symbol", Seq("timestamp", "volume"),
+          groupCols = Seq("date")))
+      val deltaRatio =
+        dirBytes(encRoot, ".parquet").toDouble / dirBytes(absRoot, ".parquet")
+      def priceBytes(dir: String) = {
+        val m = graft.sources.StorageCodec.parquetColumnBytes(dir)
+        priceCols.map(m.getOrElse(_, 0L)).sum
+      }
+      val priceRatio = priceBytes(encRoot).toDouble / priceBytes(absRoot)
+      deleteRecursively(absRoot); deleteRecursively(encRoot)
+      Seq("storage_csv_over_parquet" -> ratio,
+        "storage_delta_over_absolute" -> deltaRatio,
+        "storage_delta_price_ratio" -> priceRatio)
     } else Seq.empty
     deleteRecursively(root)
 
