@@ -118,19 +118,51 @@ object DurableIndex {
     } catch { case _: java.io.IOException => () } // dir fsync unsupported
   }
 
+  /** One read+parse of the manifest, or None when none exists (initial
+    * save incomplete, or a pre-manifest directory). The commit paths
+    * derive appends/folded/txns from a SINGLE node — three separate
+    * re-reads per commit would be redundant I/O at streaming cadence.
+    */
+  private def manifestNode(path: String)
+      : Option[com.fasterxml.jackson.databind.JsonNode] = {
+    val p = manifestPath(path)
+    if (!Files.exists(p)) None
+    else Some(mapper.readTree(Files.readAllBytes(p)))
+  }
+
+  private def appendsOf(
+      node: com.fasterxml.jackson.databind.JsonNode): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    node.get("appends").elements().asScala.map(_.asText()).toSeq
+  }
+
+  private def foldedOf(
+      node: com.fasterxml.jackson.databind.JsonNode): Seq[String] = {
+    val f = node.get("folded")
+    if (f == null) Nil
+    else {
+      import scala.jdk.CollectionConverters._
+      f.elements().asScala.map(_.asText()).toSeq
+    }
+  }
+
+  private def txnsOf(
+      node: com.fasterxml.jackson.databind.JsonNode): Map[String, Long] = {
+    val t = node.get("txns")
+    if (t == null) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      t.properties().asScala
+        .map(e => e.getKey -> e.getValue.asLong()).toMap
+    }
+  }
+
   /** The committed append set, or None when no manifest exists (initial
     * save incomplete, or a pre-manifest directory). Order is commit
     * order: the LAST entry is the newest increment.
     */
-  def committed(path: String): Option[Seq[String]] = {
-    val p = manifestPath(path)
-    if (!Files.exists(p)) None
-    else {
-      val node = mapper.readTree(Files.readAllBytes(p))
-      import scala.jdk.CollectionConverters._
-      Some(node.get("appends").elements().asScala.map(_.asText()).toSeq)
-    }
-  }
+  def committed(path: String): Option[Seq[String]] =
+    manifestNode(path).map(appendsOf)
 
   /** AppendIds whose rows were folded into the current base by an index
     * compaction ([[commitFold]]). Kept in the manifest so a LATE retry
@@ -140,19 +172,8 @@ object DurableIndex {
     * [[commitFold]]), so a perpetual stream's manifest stays O(window),
     * not O(every append ever folded).
     */
-  def foldedIds(path: String): Seq[String] = {
-    val p = manifestPath(path)
-    if (!Files.exists(p)) Nil
-    else {
-      val node = mapper.readTree(Files.readAllBytes(p))
-      val f = node.get("folded")
-      if (f == null) Nil
-      else {
-        import scala.jdk.CollectionConverters._
-        f.elements().asScala.map(_.asText()).toSeq
-      }
-    }
-  }
+  def foldedIds(path: String): Seq[String] =
+    manifestNode(path).fold(Seq.empty[String])(foldedOf)
 
   /** Per-app append high-water marks (app -> max declared sequence) —
     * the [[graft.sources.TxnLog]] txn-tier pattern carried into the
@@ -164,20 +185,8 @@ object DurableIndex {
     * itself instead of leaning on "the stream only redelivers the
     * newest batch".
     */
-  def txnHighWater(path: String): Map[String, Long] = {
-    val p = manifestPath(path)
-    if (!Files.exists(p)) Map.empty
-    else {
-      val node = mapper.readTree(Files.readAllBytes(p))
-      val t = node.get("txns")
-      if (t == null) Map.empty
-      else {
-        import scala.jdk.CollectionConverters._
-        t.properties().asScala
-          .map(e => e.getKey -> e.getValue.asLong()).toMap
-      }
-    }
-  }
+  def txnHighWater(path: String): Map[String, Long] =
+    manifestNode(path).fold(Map.empty[String, Long])(txnsOf)
 
   /** True when (app, seq) — or any LATER sequence of the same app — has
     * already been committed: the replayed increment's rows are in the
@@ -192,10 +201,12 @@ object DurableIndex {
     * by an append fabricating a fresh manifest over it.
     */
   def requireCommitted(path: String): Seq[String] =
-    committed(path).getOrElse(sys.error(
-      s"index at $path has no committed manifest — the initial save did " +
-        "not complete (or predates the manifest protocol); rebuild with " +
-        "save*Index"))
+    committed(path).getOrElse(noManifest(path))
+
+  private def noManifest(path: String): Nothing = sys.error(
+    s"index at $path has no committed manifest — the initial save did " +
+      "not complete (or predates the manifest protocol); rebuild with " +
+      "save*Index")
 
   /** Committed appendIds a loader should expose: manifest order minus the
     * caller's exclusions.
@@ -207,8 +218,8 @@ object DurableIndex {
     * — either way its rows are in the index and a retry must no-op.
     */
   def isCommitted(path: String, appendId: String): Boolean =
-    committed(path).exists(_.contains(appendId)) ||
-      foldedIds(path).contains(appendId)
+    manifestNode(path).exists(n =>
+      appendsOf(n).contains(appendId) || foldedOf(n).contains(appendId))
 
   /** Atomically publish the committed set (and the folded-id record and
     * per-app txn high-waters).
@@ -279,11 +290,12 @@ object DurableIndex {
   def commitAppend(path: String, appendId: String,
       txn: Option[(String, Long)] = None): Unit = {
     seam(s"manifest:pre-commit:$appendId")
-    val hw = txnHighWater(path)
+    val node = manifestNode(path).getOrElse(noManifest(path))
+    val hw = txnsOf(node)
     val hw2 = txn.fold(hw) { case (app, seq) =>
       hw + (app -> math.max(hw.getOrElse(app, Long.MinValue), seq))
     }
-    publish(path, requireCommitted(path) :+ appendId, foldedIds(path), hw2)
+    publish(path, appendsOf(node) :+ appendId, foldedOf(node), hw2)
   }
 
   /** Commit an index compaction: the visible set becomes the freshly
@@ -313,7 +325,8 @@ object DurableIndex {
       newBaseId: String, kept: Seq[String],
       tableDirs: Seq[String]): Unit = {
     seam(s"manifest:pre-fold:$newBaseId")
-    val now = committed(path)
+    val node = manifestNode(path)
+    val now = node.map(appendsOf)
     require(now.contains(entryAppends),
       s"index at $path changed during compaction (manifest $now vs entry " +
         s"$entryAppends) — compaction must run from the single writer, " +
@@ -334,9 +347,10 @@ object DurableIndex {
       }
     }
     val newlyFolded = superseded.filterNot(_.startsWith("base"))
-    val retained = (foldedIds(path) ++ newlyFolded)
+    val retained = (node.map(foldedOf).getOrElse(Nil) ++ newlyFolded)
       .filter(id => partDirs(id).exists(Files.isDirectory(_)))
-    publish(path, newBaseId +: kept, retained, txnHighWater(path))
+    publish(path, newBaseId +: kept,
+      retained, node.map(txnsOf).getOrElse(Map.empty))
   }
 
   /** Take a reader lease on the CURRENT committed set: writes
@@ -404,9 +418,11 @@ object DurableIndex {
     val p = Paths.get(path, s"_pin-$pinId.json")
     // read first, map the miss: an exists() probe would race a sweep
     // reclaiming an expired pin and surface a raw NoSuchFileException
-    // instead of the loud re-acquire message
-    val bytes =
-      try Files.readAllBytes(p)
+    // instead of the loud re-acquire message. The mtime probe sits in
+    // the SAME try — a sweep can reclaim the pin between the read and
+    // the probe, and that race must map to the same message.
+    val (bytes, mtimeMs) =
+      try (Files.readAllBytes(p), Files.getLastModifiedTime(p).toMillis)
       catch { case _: java.nio.file.NoSuchFileException =>
         sys.error(s"pin $pinId at $path not found — released, or its " +
           "lease expired and the sweep reclaimed it; re-acquire and " +
@@ -414,8 +430,7 @@ object DurableIndex {
       }
     val node = mapper.readTree(bytes)
     val lease = node.get("leaseMs").asLong()
-    if (Files.getLastModifiedTime(p).toMillis + lease <
-        System.currentTimeMillis())
+    if (mtimeMs + lease < System.currentTimeMillis())
       sys.error(s"pin $pinId at $path has expired (lease ${lease}ms) — " +
         "its partitions may already be swept; re-acquire and re-load")
     import scala.jdk.CollectionConverters._
@@ -440,17 +455,25 @@ object DurableIndex {
       // a pin vanishing between the listing and the read is a reader's
       // concurrent releasePin — the designed usage — and holds nothing;
       // unparseable content (torn out-of-band copy) likewise must not
-      // abort the writer's whole maintenance pass
-      try {
-        val node = mapper.readTree(Files.readAllBytes(p))
-        if (Files.getLastModifiedTime(p).toMillis +
-            node.get("leaseMs").asLong() < nowMs) {
-          Files.deleteIfExists(p); Nil
-        } else node.get("ids").elements().asScala.map(_.asText()).toList
-      } catch {
-        case _: java.nio.file.NoSuchFileException => Nil
-        case _: java.io.IOException => Nil
-        case _: NullPointerException => Nil // missing fields: not a pin
+      // abort the writer's whole maintenance pass. Any OTHER read error
+      // (transient EIO on a LIVE pin) propagates and aborts the pass:
+      // treating it as a released pin would let the sweep delete
+      // partitions the pin still holds.
+      val bytes =
+        try Some(Files.readAllBytes(p))
+        catch { case _: java.nio.file.NoSuchFileException => None }
+      bytes.toList.flatMap { b =>
+        try {
+          val node = mapper.readTree(b)
+          if (Files.getLastModifiedTime(p).toMillis +
+              node.get("leaseMs").asLong() < nowMs) {
+            Files.deleteIfExists(p); Nil
+          } else node.get("ids").elements().asScala.map(_.asText()).toList
+        } catch {
+          case _: com.fasterxml.jackson.core.JacksonException => Nil
+          case _: NullPointerException => Nil // missing fields: not a pin
+          case _: java.nio.file.NoSuchFileException => Nil // swept mid-check
+        }
       }
     }.toSet
   }

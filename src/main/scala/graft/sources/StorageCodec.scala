@@ -57,9 +57,21 @@ object StorageCodec {
   private def centsOf(c: Column, name: String): Column = {
     val scaled = c * lit(100.0)
     val cents = round(scaled)
-    when(abs(scaled - cents) > lit(1e-6),
-      raise_error(concat(
-        lit(s"delta codec: non-cent price in '$name': "), c.cast("string"))))
+    // tolerance is ulp-aware: a TRUE cents/100.0 value carries at most
+    // ~1 ulp of scaled-value noise through the divide/multiply round
+    // trip, so at large magnitudes a fixed absolute band would
+    // spuriously raise on lossless data. 1e-15 relative ≈ 4.5 ulps —
+    // generous for genuine cents, still far below any representable
+    // sub-cent tick it must keep rejecting.
+    val tol = greatest(lit(1e-6), abs(scaled) * lit(1e-15))
+    when(c.isNull,
+      raise_error(lit(s"delta codec: null price in '$name' — the " +
+        "running-sum decode would silently shift every later row; " +
+        "filter or fill nulls before encoding")))
+      .when(abs(scaled - cents) > tol,
+        raise_error(concat(
+          lit(s"delta codec: non-cent price in '$name': "),
+          c.cast("string"))))
       .otherwise(cents.cast("long"))
   }
 

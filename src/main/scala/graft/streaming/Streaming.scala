@@ -922,12 +922,17 @@ object Streaming {
     * dropped iff it pairs with any smaller-id survivor (greedy min-id
     * wins: deterministic, so a replay recomputes the identical split).
     * Duplicates land in `dupesDir/batch=N`, novel docs in
-    * `acceptedDir/batch=N` and in the index's own `append=bN` partitions
-    * (all per-batch overwrites — the DLQ pattern).
+    * `acceptedDir/batch=N` and in the index's own `append=<app>-bN`
+    * partitions (all per-batch overwrites — the DLQ pattern; `<app>` is
+    * the checkpoint-scoped txn app, so a NEW checkpoint adopting the
+    * index neither overwrites its predecessor's partitions nor has its
+    * restarted batchId sequence suppressed by the predecessor's
+    * never-pruned replay high-water — sinks are per-stream dirs by the
+    * same convention).
     *
     * REPLAY SAFETY: the probe loads the index EXCLUDING this batch's own
     * append partition. Under redelivery the batch's rows are already
-    * indexed under `append=bN`; without the exclusion every replayed doc
+    * indexed under that append id; without the exclusion every replayed doc
     * would match its own earlier copy — or its within-batch sibling's
     * copy, vanishing BOTH docs from the corpus. With it, a replay sees
     * exactly the pre-batch index, recomputes the same split, and
@@ -969,9 +974,34 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processDedupBatch(batch, batchId, indexPath, acceptedDir, dupesDir,
-          idCol, textCol, threshold, maxBucketSize, pairsDir)
+          idCol, textCol, threshold, maxBucketSize, pairsDir,
+          txnApp = checkpointTxnApp(batch.sparkSession, checkpointDir))
       }
       .start()
+
+  /** The durable-index txn app for a dedup stream: the query id Spark
+    * recorded in the checkpoint's `metadata` file. That id IS the
+    * identity of the batchId sequence — stable across every restart
+    * from the same checkpoint (so a replayed batch still no-ops against
+    * the index high-water), fresh for a new checkpoint (so a new stream
+    * adopting an EXISTING index starts its own high-water instead of
+    * being silently suppressed by a predecessor's: the index high-water
+    * never forgets, and batchIds restart at 0 with the checkpoint).
+    */
+  private def checkpointTxnApp(spark: SparkSession,
+      checkpointDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir, "metadata")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(text) match {
+      case Some(m) => s"stream-${m.group(1)}"
+      case None => sys.error(
+        s"no query id in $p — cannot scope the index replay high-water")
+    }
+  }
 
   /** SEMANTIC incremental dedup as a stream — the embedding twin of
     * [[incrementalDedupStream]]: micro-batches of (id, vector) rows
@@ -1001,7 +1031,8 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processEmbeddingDedupBatch(batch, batchId, indexPath, acceptedDir,
-          dupesDir, idCol, vecCol, threshold, maxBucketSize, pairsDir)
+          dupesDir, idCol, vecCol, threshold, maxBucketSize, pairsDir,
+          txnApp = checkpointTxnApp(batch.sparkSession, checkpointDir))
       }
       .start()
 
@@ -1026,13 +1057,18 @@ object Streaming {
       textCol: String,
       threshold: Double,
       maxBucketSize: Int,
-      pairsDir: Option[String] = None): Unit = {
+      pairsDir: Option[String] = None,
+      txnApp: String = "stream"): Unit = {
     import graft.operators.Dedup
     val spark = batch.sparkSession
+    // the append id carries the txnApp (checkpoint identity): a NEW
+    // checkpoint adopting an existing index starts a fresh id sequence
+    // instead of overwriting its predecessor's append=b0 partition
+    val aid = s"$txnApp-b$batchId"
     // exclude OUR OWN append partition: a replayed batch must probe
     // the pre-batch index, not its own prior manifest-committed append
     val idx = Dedup.loadMinhashIndex(spark, indexPath,
-      excludeAppends = Seq(s"b$batchId"))
+      excludeAppends = Seq(aid))
     runIncrementalDedupBatch(batch, batchId, acceptedDir, dupesDir, idCol,
       pairsDir,
       probePairs = Dedup.minhashPairsAgainstIndex(batch, idx, idCol,
@@ -1042,11 +1078,13 @@ object Streaming {
           idx.numBands, idx.rowsPerBand, threshold, maxBucketSize,
           persist = false),
       appendIndex = novel => Dedup.appendToMinhashIndex(indexPath, novel,
-        idCol, textCol, appendId = s"b$batchId",
-        // declared txn tier: batchId is the engine's monotone sequence,
-        // so a replay no-ops even past the folded-id retention horizon
-        txn = Some(("stream", batchId))),
-      releaseIndex = () => idx.unpersist())
+        idCol, textCol, appendId = aid,
+        // declared txn tier: batchId is monotone within the checkpoint
+        // identity txnApp names, so a replay no-ops even past the
+        // folded-id retention horizon
+        txn = Some((txnApp, batchId))),
+      releaseIndex = () => idx.unpersist(),
+      txnApp = txnApp)
   }
 
   /** The embedding twin of [[processDedupBatch]]: one micro-batch of
@@ -1064,11 +1102,13 @@ object Streaming {
       vecCol: String,
       threshold: Double,
       maxBucketSize: Int,
-      pairsDir: Option[String] = None): Unit = {
+      pairsDir: Option[String] = None,
+      txnApp: String = "stream"): Unit = {
     import graft.operators.SimilaritySearch
     val spark = batch.sparkSession
+    val aid = s"$txnApp-b$batchId" // see processDedupBatch
     val idx = SimilaritySearch.loadLshIndex(spark, indexPath,
-      excludeAppends = Seq(s"b$batchId"))
+      excludeAppends = Seq(aid))
     runIncrementalDedupBatch(batch, batchId, acceptedDir, dupesDir, idCol,
       pairsDir,
       probePairs = SimilaritySearch.lshPairsAgainstIndex(batch, idx, idCol,
@@ -1078,9 +1118,10 @@ object Streaming {
           idx.numPlanes, idx.numTables, maxBucketSize, idx.seed,
           persist = false),
       appendIndex = novel => SimilaritySearch.appendToLshIndex(indexPath,
-        novel, idCol, vecCol, appendId = s"b$batchId",
-        txn = Some(("stream", batchId))),
-      releaseIndex = () => idx.unpersist())
+        novel, idCol, vecCol, appendId = aid,
+        txn = Some((txnApp, batchId))),
+      releaseIndex = () => idx.unpersist(),
+      txnApp = txnApp)
   }
 
   /** The shared micro-batch core of the two incremental dedup streams:
@@ -1104,7 +1145,8 @@ object Streaming {
       probePairs: => DataFrame,
       withinBatchPairs: DataFrame => DataFrame,
       appendIndex: DataFrame => Unit,
-      releaseIndex: () => Unit): Unit = {
+      releaseIndex: () => Unit,
+      txnApp: String = "stream"): Unit = {
     import graft.operators.Dedup
     // when the pair frames feed TWO consumers (dup-id split + durable
     // pair append) they are persisted for the batch and freed in the
@@ -1140,8 +1182,8 @@ object Streaming {
             corpusPairs.select(col("batch_id").as("a_id"),
               col("corpus_id").as("b_id"), col(score))
               .unionByName(wbPairs),
-            appendId = s"b$batchId",
-            txn = Some(("stream", batchId)))
+            appendId = s"$txnApp-b$batchId",
+            txn = Some((txnApp, batchId)))
         }
       } finally novel.unpersist(blocking = false)
     } finally {

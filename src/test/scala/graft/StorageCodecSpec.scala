@@ -106,6 +106,43 @@ class StorageCodecSpec extends SparkSpec {
       s"unexpected failure: ${e.getMessage}")
   }
 
+  test("a null price fails the encode loudly, never silently shifts the group") {
+    // a null would make the running-sum decode skip the row and carry a
+    // permanent additive offset into every later row of the group —
+    // silent corruption, so encode must reject it like non-cent prices
+    val bad = Seq(
+      ("A", new java.sql.Timestamp(0L), Some(1.00), 1.0, 1.0, 1.0, 1L),
+      ("A", new java.sql.Timestamp(1000L), None, 1.0, 1.0, 1.0, 2L))
+      .toDF("symbol", "timestamp", "open", "high", "low", "close",
+        "volume")
+    val e = intercept[Exception] {
+      StorageCodec.encodeDeltas(bad, priceCols, "symbol", Seq("timestamp"))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("null price")),
+      s"unexpected failure: ${e.getMessage}")
+  }
+
+  test("cent-canonical prices at very large magnitudes still encode") {
+    // the tolerance is ulp-aware: at ~1e8 dollars the double round-trip
+    // of a TRUE cent value can exceed an absolute 1e-6 band
+    val big = (0 until 50).map { i =>
+      val cents = 12345678901234L + i * 7L
+      ("A", new java.sql.Timestamp(i.toLong * 1000L),
+        cents / 100.0, cents / 100.0, cents / 100.0, cents / 100.0,
+        1000L + i)
+    }.toDF("symbol", "timestamp", "open", "high", "low", "close",
+      "volume")
+    val enc = StorageCodec.encodeDeltas(big, priceCols, "symbol",
+      Seq("timestamp"))
+    val dec = StorageCodec.decodeDeltas(enc, priceCols, "symbol",
+      orderCols = Seq("timestamp"))
+    assert(rowSet(dec) == rowSet(big))
+  }
+
   test("a non-unique order key fails the encode loudly in default mode") {
     val df = walk(2000, 5).withColumn("timestamp",
       timestamp_millis(unix_millis($"timestamp") -

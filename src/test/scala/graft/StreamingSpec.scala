@@ -685,9 +685,9 @@ class StreamingSpec extends SparkSpec {
     graft.operators.Dedup.saveMinhashIndex(
       graft.operators.Dedup.minhashIndex(corpus, "doc_id", "text"), idxPath)
     val mem = MemoryStream[(Long, String)]
+    val ckpt = tempDir("incckpt")
     val q = Streaming.incrementalDedupStream(
-      mem.toDF().toDF("doc_id", "text"), idxPath, accepted, dupes,
-      tempDir("incckpt"))
+      mem.toDF().toDF("doc_id", "text"), idxPath, accepted, dupes, ckpt)
     try {
       // batch 0: one dup of the seed corpus, one novel doc
       mem.addData((10L, seedA), (11L, "totally fresh content here " * 5))
@@ -708,7 +708,37 @@ class StreamingSpec extends SparkSpec {
       val indexed = idx.sizes.select($"corpus_id").as[Long].collect().toSet
       idx.unpersist()
       assert(indexed == Set(1L, 2L, 11L, 21L))
+      // the replay high-water is scoped to the CHECKPOINT's stable
+      // query id, not a shared literal: that id names the batchId
+      // sequence's identity
+      val meta = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(ckpt, "metadata")), "UTF-8")
+      val qid =
+        """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(meta).get.group(1)
+      assert(graft.operators.DurableIndex.txnHighWater(idxPath) ==
+        Map(s"stream-$qid" -> 1L))
     } finally q.stop()
+
+    // ADOPTION: a NEW checkpoint (fresh batchId sequence restarting at
+    // 0) over the SAME index must neither be silently no-op'd by the
+    // first stream's never-pruned high-water nor overwrite its
+    // append=...-b0 partition
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = Streaming.incrementalDedupStream(
+      mem2.toDF().toDF("doc_id", "text"), idxPath, tempDir("incacc2"),
+      tempDir("incdup2"), tempDir("incckpt2"))
+    try {
+      mem2.addData((30L, "yet another brand new document body " * 5))
+      q2.processAllAvailable()
+      val idx2 = graft.operators.Dedup.loadMinhashIndex(spark, idxPath)
+      val indexed2 =
+        idx2.sizes.select($"corpus_id").as[Long].collect().toSet
+      idx2.unpersist()
+      // 30 was indexed (no suppression), 11/21 survived (no overwrite)
+      assert(indexed2 == Set(1L, 2L, 11L, 21L, 30L))
+      assert(
+        graft.operators.DurableIndex.txnHighWater(idxPath).size == 2)
+    } finally q2.stop()
   }
 
   test("index compaction interleaves with the incremental dedup loop: folded corpus still dedups, kept batch still replays") {

@@ -35,8 +35,11 @@ object TxnContendMain {
         math.max(maxPerCommit, log.contentionRetries.get() - before)
     }
     val wallMs = (System.nanoTime() - t0) / 1e6
+    // Locale.ROOT: a comma decimal separator from the platform locale
+    // would break the harness's toDouble parse
     Files.write(Paths.get(root, s"contend-$tag"),
-      f"$wallMs%.1f ${log.contentionRetries.get()}%d $maxPerCommit%d"
-        .getBytes("UTF-8"))
+      String.format(java.util.Locale.ROOT, "%.1f %d %d",
+        Double.box(wallMs), Long.box(log.contentionRetries.get()),
+        Long.box(maxPerCommit)).getBytes("UTF-8"))
   }
 }
