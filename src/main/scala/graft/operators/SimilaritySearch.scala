@@ -31,8 +31,15 @@ import graft.functions.VectorOps
   */
 object SimilaritySearch {
 
-  /** Deterministic pseudo-random hyperplanes (fixed seed). */
+  /** Deterministic pseudo-random hyperplanes (fixed seed). Bounded below
+    * 64: bucket ids are sign bits packed into one long via `1L << i`,
+    * and Java masks the shift count mod 64 — plane 64 would silently
+    * alias plane 0 and corrupt every bucket instead of failing.
+    */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    require(numPlanes >= 1 && numPlanes < 64,
+      s"numPlanes must be in [1, 63] (sign bits pack into one long " +
+        s"bucket id): $numPlanes")
     val rng = new scala.util.Random(seed)
     Array.fill(numPlanes, dim)(rng.nextGaussian())
   }
@@ -296,7 +303,10 @@ object SimilaritySearch {
         BroadcastGate.bytes(df)))
       if (c >= 3 && c <= maxBlockedChunks) {
         e.unpersist(blocking = false)
-        return lshPairsBlocked(df, idCol, vecCol, threshold, numPlanes,
+        // pass the RESOLVED planes, not the caller's 0: the blocked path
+        // would otherwise re-run a full-corpus count just to re-derive
+        // the adaptive plane count this call already computed
+        return lshPairsBlocked(df, idCol, vecCol, threshold, geom.planes,
           numTables, maxBucketSize, seed, probeFlips, probeRadius, c)
       }
       if (c > maxBlockedChunks)
@@ -521,8 +531,11 @@ object SimilaritySearch {
       chunks: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val dimRow = df.select(size(VectorOps.toDoubles(col(vecCol)))).take(1)
-    val n = if (dimRow.isEmpty) 0L else df.count()
+    // lazy: the routed call (explicit chunks + resolved planes) needs
+    // neither probe — forcing them would re-scan the corpus the router
+    // just counted
+    lazy val dimRow = df.select(size(VectorOps.toDoubles(col(vecCol)))).take(1)
+    lazy val n = if (dimRow.isEmpty) 0L else df.count()
     val c =
       if (chunks == 1) 1 // explicit monolithic
       else if (chunks >= 2) chunks // explicit split pin (the spec lever)
@@ -1664,6 +1677,21 @@ object SimilaritySearch {
     val spark = df.sparkSession
     import spark.implicits._
     require(threshold > 0.0 && threshold <= 1.0, s"threshold: $threshold")
+    // loud, not lossy: the cast to long below would turn a string/UUID
+    // id column into all-null ids — empty pair set, every row in one
+    // null dup_group, and a "successful" dedup that keeps ONE row of
+    // the whole corpus
+    require({
+        import org.apache.spark.sql.types._
+        df.schema(idCol).dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }
+      },
+      s"semDedup needs an integral id column (CC contraction orders " +
+        s"ids numerically); '$idCol' is " +
+        s"${df.schema(idCol).dataType.simpleString} — derive a long id " +
+        "(e.g. monotonically_increasing_id or a 64-bit hash) first")
     val fitDf =
       if (fitSampleFraction < 1.0) df.sample(fitSampleFraction, seed)
       else df

@@ -1039,17 +1039,32 @@ final class TxnLog(root: String, checkpointInterval: Int = 10,
       Files.write(tmp, mapper.writeValueAsString(node)
         .getBytes(StandardCharsets.UTF_8))
       TxnLog.seam("ckpt:tmp-written")
-      try Files.move(tmp, checkpointPath(v), StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.FileSystemException =>
-        Files.deleteIfExists(tmp) // lost a race; that checkpoint exists
-      }
+      val published =
+        try {
+          Files.move(tmp, checkpointPath(v), StandardCopyOption.ATOMIC_MOVE)
+          true
+        } catch { case _: java.nio.file.FileSystemException =>
+          Files.deleteIfExists(tmp)
+          // lost race vs GENUINE publish failure (EIO, quota): trust
+          // only what is on disk — a real failure must not run the
+          // hygiene below, or it deletes the tombstone chain the
+          // still-newest REAL checkpoint references and poisons
+          // cachedCkpt with a version that never landed
+          Files.exists(checkpointPath(v))
+        }
       TxnLog.seam("ckpt:published")
-      cachedCkpt.updateAndGet(c => math.max(c, v)) // exists either way
-      // rebase hygiene runs only after the new checkpoint is live; a
-      // crash before this point leaves the old chain intact (still
-      // referenced), a crash after leaves sweepable leftovers for the
-      // NEXT rebase's listing
-      if (pendingTombsDrop >= 0) dropSupersededTombs(pendingTombsDrop)
+      if (published) {
+        cachedCkpt.updateAndGet(c => math.max(c, v))
+        // rebase hygiene runs only after the new checkpoint is live; a
+        // crash before this point leaves the old chain intact (still
+        // referenced), a crash after leaves sweepable leftovers for the
+        // NEXT rebase's listing
+        if (pendingTombsDrop >= 0) dropSupersededTombs(pendingTombsDrop)
+      }
+      // not published: checkpointing is best-effort — the old chain and
+      // cache stay intact and the next interval retries; any rebased
+      // sidecar written above is an unreferenced leftover the next
+      // rebase's listing sweeps
     }
 
   /** Newest checkpoint that exists, cache-seeded like [[currentVersion]]:

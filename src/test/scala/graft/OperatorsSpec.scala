@@ -85,6 +85,16 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq((1L, Some(10L), Some(1.5))))
   }
 
+  test("hyperplane count past the 63-bit bucket id fails loudly, never aliases") {
+    // bucket ids pack sign bits with 1L << i and Java masks the shift
+    // count mod 64 — plane 64 would silently alias plane 0
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.SimilaritySearch.hyperplanes(64, 8)
+    }
+    assert(e.getMessage.contains("[1, 63]"), e.getMessage)
+    assert(graft.operators.SimilaritySearch.hyperplanes(63, 8).length == 63)
+  }
+
   test("exact dedup keeps deterministic winner (min id) per key") {
     val df = Seq((3L, "k1"), (1L, "k1"), (2L, "k2")).toDF("id", "key")
     val kept = Dedup.exact(df, Seq("key"), "id")

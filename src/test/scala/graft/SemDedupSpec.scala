@@ -21,6 +21,17 @@ import graft.operators.SimilaritySearch
 class SemDedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("a non-integral id column fails loudly instead of silently keeping one row") {
+    // the internal cast to long would null every string id: empty pair
+    // set, one null dup_group, a single survivor for the whole corpus
+    val df = Seq(("u1", Seq(1.0, 0.0)), ("u2", Seq(0.0, 1.0)))
+      .toDF("id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      SimilaritySearch.semDedup(df, "id", "embedding", 0.9)
+    }
+    assert(e.getMessage.contains("integral id"), e.getMessage)
+  }
+
   test("planted clones: one survivor per clone group, singletons untouched") {
     // three well-separated orthogonal-ish bases, each with 3 exact
     // clones; plus 4 far-apart singletons

@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.sources.{DataLakehouse, TxnLog}
@@ -794,5 +796,73 @@ class TxnSafetySpec extends SparkSpec {
     assert(counts.nonEmpty)
     assert(counts.values.sum == 10L)
     assert(lake.query().totalRowsScanned == 10L)
+  }
+
+  test("a genuine checkpoint-publish failure is best-effort: referenced chain intact, next interval retries") {
+    // a REAL move failure (EIO, quota — not a lost race) must not run
+    // the rebase hygiene: dropping the superseded sidecar chain would
+    // orphan the still-newest published checkpoint's tombstone
+    // references, and advancing the cache would point readers at a
+    // checkpoint version that never landed
+    val root = tempDir("ckptfail")
+    val rootPath = java.nio.file.Paths.get(root)
+    val logDir = rootPath.resolve("_txn_log")
+    def ckptFile(v: Int) = logDir.resolve(f"checkpoint-v$v%08d.json")
+    def tombsFile(v: Int) =
+      logDir.resolve(f"checkpoint-v$v%08d.tombs.json")
+    val log = new TxnLog(root, 3)
+    log.commit(added = Seq("a.parquet"))
+    log.commit(added = Seq("b.parquet"))
+    log.commit(added = Nil, removed = Seq("a.parquet"))
+    log.commit(added = Seq("c.parquet")) // v3: checkpoint + tombs chain
+    assert(java.nio.file.Files.exists(ckptFile(3)))
+    assert(java.nio.file.Files.exists(tombsFile(3)))
+    log.commit(added = Nil, removed = Seq("b.parquet"))
+    log.commit(added = Seq("d.parquet"))
+    // advance the vacuum floor so the v6 checkpoint takes the REBASE
+    // path (new base sidecar + superseded-chain drop) — the hygiene
+    // whose misfire the fix guards
+    log.recordVacuumCutoff(1L)
+    // fail the v6 publish genuinely: vaporize the staged main
+    // checkpoint tmp so the ATOMIC_MOVE throws (the sidecar tmp is
+    // already moved by this seam)
+    TxnLog.crashSeam = n =>
+      if (n == "ckpt:tmp-written") {
+        val s = java.nio.file.Files.list(logDir)
+        try s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith(".ckpt"))
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally s.close()
+      }
+    try log.commit(added = Seq("e.parquet")) // v6: commit OK, ckpt fails
+    finally TxnLog.crashSeam = null
+    assert(!java.nio.file.Files.exists(ckptFile(6)),
+      "failed publish must not surface a checkpoint")
+    // THE regression pin: the v3 chain the still-newest checkpoint
+    // references survives the failed v6 attempt
+    assert(java.nio.file.Files.exists(tombsFile(3)),
+      "superseded-chain drop ran after a failed publish")
+    // readers (same instance and cold) still resolve exactly
+    assert(log.snapshotFiles(log.currentVersion()).toSet ==
+      Set("c.parquet", "d.parquet", "e.parquet"))
+    val cold = new TxnLog(root, 3)
+    assert(cold.snapshotFiles(cold.currentVersion()).toSet ==
+      Set("c.parquet", "d.parquet", "e.parquet"))
+    assert(cold.removedTombstones().keySet ==
+      Set("a.parquet", "b.parquet"))
+    // the next interval retries, publishes, and ONLY THEN drops the
+    // superseded chain
+    log.commit(added = Seq("f.parquet"))
+    log.commit(added = Seq("g.parquet"))
+    log.commit(added = Seq("h.parquet")) // v9: checkpoint lands
+    assert(java.nio.file.Files.exists(ckptFile(9)))
+    assert(java.nio.file.Files.exists(tombsFile(9)))
+    assert(!java.nio.file.Files.exists(tombsFile(3)),
+      "successful rebase drops the superseded chain")
+    val cold2 = new TxnLog(root, 3)
+    assert(cold2.snapshotFiles(cold2.currentVersion()).toSet ==
+      Set("c", "d", "e", "f", "g", "h").map(_ + ".parquet"))
+    assert(cold2.removedTombstones().keySet ==
+      Set("a.parquet", "b.parquet"))
   }
 }
