@@ -74,7 +74,11 @@ object model {
     * One boolean Column — codegen'd, applied as a vectorized filter.
     */
   def barValid: Column =
-    (col("high") >= col("low")) &&
+    // symbol/timestamp null checks agree with the driver-side isValid:
+    // a null-timestamp bar derives a null date key and lands in the
+    // default-null partition, invisible to every date-pruned read
+    col("symbol").isNotNull && col("timestamp").isNotNull &&
+      (col("high") >= col("low")) &&
       col("open").between(col("low"), col("high")) &&
       col("close").between(col("low"), col("high")) &&
       (col("volume") >= 0) &&

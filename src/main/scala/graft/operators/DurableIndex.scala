@@ -188,6 +188,21 @@ object DurableIndex {
   def txnHighWater(path: String): Map[String, Long] =
     manifestNode(path).fold(Map.empty[String, Long])(txnsOf)
 
+  /** Drop the high-water entries of retired writer apps — the
+    * reclamation path for the one way the O(#writer apps) record grows
+    * without bound: checkpoint-scoped stream apps accrete one entry
+    * (~50 bytes) per stream incarnation, and a long-lived index adopted
+    * by periodic redeploys keeps every dead predecessor's. Single-writer
+    * maintenance like the folds: only drop an app once its driver is
+    * provably gone — a zombie of a dropped app replaying its last batch
+    * loses the beyond-horizon no-op guard (the folded-id record still
+    * covers replays inside the retention window).
+    */
+  def dropTxnApps(path: String, apps: Set[String]): Unit = {
+    val node = manifestNode(path).getOrElse(noManifest(path))
+    publish(path, appendsOf(node), foldedOf(node), txnsOf(node) -- apps)
+  }
+
   /** True when (app, seq) — or any LATER sequence of the same app — has
     * already been committed: the replayed increment's rows are in the
     * index (live, folded, or folded-and-swept) and the retry must no-op.

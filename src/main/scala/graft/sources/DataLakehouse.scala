@@ -113,7 +113,11 @@ final class DataLakehouse(
     * ingest must not launch a Spark job per bar.
     */
   def isValid(b: OhlcvBar): Boolean =
-    b.high >= b.low &&
+    // null symbol/timestamp are rejected like the streaming admission
+    // gate's guard: a null-timestamp bar would land in the default-null
+    // date partition, invisible to every date-pruned read
+    b.symbol != null && b.timestamp != null &&
+      b.high >= b.low &&
       b.open >= b.low && b.open <= b.high &&
       b.close >= b.low && b.close <= b.high &&
       b.volume >= 0 &&
@@ -192,7 +196,12 @@ final class DataLakehouse(
       // recursiveFileLookup: counts rows whether rejects sit in batch=
       // partition dirs (streaming/idempotent path) or flat files (older
       // layouts) — partition discovery would refuse the mixed layout
+      // ignoreMissingFiles: streaming replay hygiene deletes per-batch
+      // DLQ dirs concurrently (an emptied replay clears its previous
+      // attempt's rejects) — a listed file vanishing mid-scan must
+      // lower the count, not crash it
       spark.read.option("recursiveFileLookup", "true")
+        .option("ignoreMissingFiles", "true")
         .parquet(s"$root/_dlq").count()
     else 0L
 
@@ -1632,9 +1641,18 @@ final class DataLakehouse(
     val cs = txnLog.commitsBetween(fromVersion, hi)
     val added = cs.flatMap(_.added)
     val removed = cs.flatMap(_.removed)
-    val (addedSet, removedSet) = (added.toSet, removed.toSet)
-    val netAdded = added.filterNot(removedSet)
-    val netRemoved = removed.filterNot(addedSet)
+    // MULTISET cancellation, not set: a path removed then re-added in
+    // the range (deleteWhere + RESTORE) has counts add=2/remove=1 and
+    // must surface as one net insert — set-based filterNot would cancel
+    // both directions and silently report zero changes for live rows
+    val addCnt = added.groupBy(identity).map { case (f, o) => f -> o.size }
+    val remCnt = removed.groupBy(identity).map { case (f, o) => f -> o.size }
+    def net(a: Map[String, Int], b: Map[String, Int]): Seq[String] =
+      a.toSeq.sortBy(_._1).flatMap { case (f, c) =>
+        Seq.fill(math.max(0, c - b.getOrElse(f, 0)))(f)
+      }
+    val netAdded = net(addCnt, remCnt)
+    val netRemoved = net(remCnt, addCnt)
 
     val schema = txnLog.schemaAt(hi)
       .map(j => org.apache.spark.sql.types.DataType.fromJson(j)

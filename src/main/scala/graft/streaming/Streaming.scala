@@ -87,6 +87,20 @@ object Streaming {
     * observable and repairable — silent data loss is the ring's hazard,
     * not its point. The file caps bound batch BYTES; the event cap
     * bounds batch ROWS; they compose (files admit, ring evicts).
+    *
+    * `streamId` CONTRACT (the Delta `txnAppId` rule): it names the
+    * batchId sequence's identity for the lake's exactly-once
+    * high-water, so it must live and die with the CHECKPOINT. Restart
+    * from the same checkpoint → same streamId (replays no-op,
+    * exactly-once). New/wiped checkpoint → NEW streamId: batchIds
+    * restart at 0, and under the old id the predecessor's never-pruned
+    * high-water would silently swallow every batch at-or-below it —
+    * fresh live-feed data dropped with no DLQ record. (The dedup
+    * streams derive this identity from the checkpoint automatically;
+    * here the id is caller-owned because re-ingesting the SAME source
+    * after a checkpoint loss is the one case where keeping the old id
+    * is right — the suppression is then the dedup that keeps the lake
+    * exactly-once.)
     */
   def ingestStream(
       lake: DataLakehouse,
@@ -425,14 +439,26 @@ object Streaming {
     // file-less is a state the replay cleanup itself creates (the last
     // batch=… subdir deleted, parent left): reading it would throw
     // schema-inference AnalysisException instead of answering 0
+    // the walk and the scan both race the replay hygiene's per-batch
+    // deleteDirIfExists: a vanished entry answers 0/lower, never throws
     def hasFile: Boolean = {
       val s = java.nio.file.Files.walk(dir)
       try s.anyMatch(p => java.nio.file.Files.isRegularFile(p) &&
         p.toString.endsWith(".parquet"))
+      catch {
+        case e: java.io.UncheckedIOException
+            if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] =>
+          false
+      }
       finally s.close()
     }
     if (java.nio.file.Files.isDirectory(dir) && hasFile)
-      lake.spark.read.parquet(s"${lake.root}/_evicted").count()
+      try lake.spark.read.option("ignoreMissingFiles", "true")
+        .parquet(s"${lake.root}/_evicted").count()
+      catch {
+        // every file deleted between the probe and the read's planning
+        case _: org.apache.spark.sql.AnalysisException => 0L
+      }
     else 0L
   }
 
@@ -629,7 +655,13 @@ object Streaming {
       .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processQuoteStateBatch(batch, batchId, stateDir)
+        // partition names carry the checkpoint identity (the dedup
+        // streams' adoption rule): a NEW checkpoint's restarted batch 0
+        // must neither skip on the predecessor's committed append=b0
+        // (silently stale quotes) nor overwrite it
+        processQuoteStateBatch(batch, batchId, stateDir,
+          app = checkpointTxnApp(batch.sparkSession, checkpointDir,
+            batchId))
       }
       .start()
 
@@ -750,8 +782,10 @@ object Streaming {
     * files, never reader-visible rows) is overwritten as before.
     */
   private[graft] def processQuoteStateBatch(
-      batch: DataFrame, batchId: Long, stateDir: String): Unit = {
-    val target = java.nio.file.Paths.get(stateDir, s"append=b$batchId")
+      batch: DataFrame, batchId: Long, stateDir: String,
+      app: String = ""): Unit = {
+    val tag = if (app.isEmpty) s"b$batchId" else s"$app-b$batchId"
+    val target = java.nio.file.Paths.get(stateDir, s"append=$tag")
     if (quoteDirCommitted(target)) return
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qsymbol")).orderBy(col("qts").desc, col("qid").desc)
@@ -975,7 +1009,8 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processDedupBatch(batch, batchId, indexPath, acceptedDir, dupesDir,
           idCol, textCol, threshold, maxBucketSize, pairsDir,
-          txnApp = checkpointTxnApp(batch.sparkSession, checkpointDir))
+          txnApp = checkpointTxnApp(batch.sparkSession, checkpointDir,
+            batchId))
       }
       .start()
 
@@ -988,19 +1023,30 @@ object Streaming {
     * being silently suppressed by a predecessor's: the index high-water
     * never forgets, and batchIds restart at 0 with the checkpoint).
     */
+  private val txnAppCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def checkpointTxnApp(spark: SparkSession,
-      checkpointDir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(checkpointDir, "metadata")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val text =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(text) match {
-      case Some(m) => s"stream-${m.group(1)}"
-      case None => sys.error(
-        s"no query id in $p — cannot scope the index replay high-water")
-    }
+      checkpointDir: String, batchId: Long): String = {
+    // memoized: the id is written once at stream start and never
+    // changes, and this runs on every micro-batch — an uncached read
+    // would be sustained metadata IO against a remote checkpoint FS.
+    // Batch 0 always re-reads: a checkpoint recreated at the same path
+    // in the same JVM is a NEW identity, and its first batch is 0.
+    if (batchId == 0L) txnAppCache.remove(checkpointDir)
+    txnAppCache.computeIfAbsent(checkpointDir, { dir =>
+      val p = new org.apache.hadoop.fs.Path(dir, "metadata")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(text) match {
+        case Some(m) => s"stream-${m.group(1)}"
+        case None => sys.error(
+          s"no query id in $p — cannot scope the index replay high-water")
+      }
+    })
   }
 
   /** SEMANTIC incremental dedup as a stream — the embedding twin of
@@ -1032,7 +1078,8 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processEmbeddingDedupBatch(batch, batchId, indexPath, acceptedDir,
           dupesDir, idCol, vecCol, threshold, maxBucketSize, pairsDir,
-          txnApp = checkpointTxnApp(batch.sparkSession, checkpointDir))
+          txnApp = checkpointTxnApp(batch.sparkSession, checkpointDir,
+            batchId))
       }
       .start()
 
@@ -1066,9 +1113,12 @@ object Streaming {
     // instead of overwriting its predecessor's append=b0 partition
     val aid = s"$txnApp-b$batchId"
     // exclude OUR OWN append partition: a replayed batch must probe
-    // the pre-batch index, not its own prior manifest-committed append
+    // the pre-batch index, not its own prior manifest-committed append.
+    // The legacy unscoped id is excluded too: a batch committed by a
+    // pre-scoping build then redelivered after an upgrade would
+    // otherwise self-match and vanish from the accepted output.
     val idx = Dedup.loadMinhashIndex(spark, indexPath,
-      excludeAppends = Seq(aid))
+      excludeAppends = Seq(aid, s"b$batchId"))
     runIncrementalDedupBatch(batch, batchId, acceptedDir, dupesDir, idCol,
       pairsDir,
       probePairs = Dedup.minhashPairsAgainstIndex(batch, idx, idCol,
@@ -1108,7 +1158,7 @@ object Streaming {
     val spark = batch.sparkSession
     val aid = s"$txnApp-b$batchId" // see processDedupBatch
     val idx = SimilaritySearch.loadLshIndex(spark, indexPath,
-      excludeAppends = Seq(aid))
+      excludeAppends = Seq(aid, s"b$batchId")) // legacy id: see twin
     runIncrementalDedupBatch(batch, batchId, acceptedDir, dupesDir, idCol,
       pairsDir,
       probePairs = SimilaritySearch.lshPairsAgainstIndex(batch, idx, idCol,

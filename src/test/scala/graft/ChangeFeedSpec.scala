@@ -93,4 +93,24 @@ class ChangeFeedSpec extends SparkSpec {
     assert(upd.forall(r => r.getAs[Timestamp]("timestamp") == ts("2024-06-15 09:30:00")
       && r.getAs[String]("symbol") == "AAPL"))
   }
+
+  test("remove-then-re-add (DELETE + RESTORE) in one range nets as inserts, not zero") {
+    // cancellation must be MULTISET: a file removed once and re-added
+    // once (add=1 at seed, remove=1 at delete, add=1 at restore) has
+    // net +1 occurrence — set-based cancellation would report zero
+    // changes for rows that are live at the range end and absent at
+    // the start
+    val lake = seeded()
+    val preDelete = lake.txnLog.currentVersion()
+    lake.deleteWhere(org.apache.spark.sql.functions.col("symbol") === "GOOGL")
+    lake.restore(preDelete)
+    val afterRestore = lake.txnLog.currentVersion()
+    // across delete+restore only: row-neutral (back to the snapshot)
+    assert(lake.changes(preDelete, afterRestore).count() === 0)
+    // from BEFORE the seed: the GOOGL rows are net inserts and survive
+    val all = lake.changes(-1L, afterRestore).collect()
+    assert(all.length === 5)
+    assert(all.forall(_.getAs[String]("_change_type") == "insert"))
+    assert(all.count(_.getAs[String]("symbol") == "GOOGL") === 2)
+  }
 }

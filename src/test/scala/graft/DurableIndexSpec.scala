@@ -737,6 +737,19 @@ class DurableIndexSpec extends SparkSpec {
     assert(!java.nio.file.Files.isDirectory(Paths.get(pairs, "append=inc0")),
       "replay re-materialized a beyond-horizon partition")
     assert(pairSet() == all)
+    // reclamation: dropTxnApps retires a dead writer's entry (the one
+    // unbounded-growth path of the otherwise O(#apps) record) without
+    // touching the committed set — and the dropped app's replay guard
+    // is gone by design, so the same ancient replay now re-appends
+    Dedup.appendPairs(pairs,
+      Seq((100L, 101L, 0.4)).toDF("a_id", "b_id", "jaccard"), "tail",
+      txn = Some(("dead", 0L)))
+    assert(DurableIndex.txnHighWater(pairs).keySet == Set("app", "dead"))
+    DurableIndex.dropTxnApps(pairs, Set("dead"))
+    assert(DurableIndex.txnHighWater(pairs) ==
+      Map("app" -> (n - 1).toLong))
+    assert(pairSet() == all + ((100L, 101L, 0.4)),
+      "dropTxnApps must not change the committed set")
   }
 
   test("acquirePin racing an in-flight fold+sweep retries onto the fresh committed set") {

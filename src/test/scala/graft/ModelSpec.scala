@@ -42,6 +42,11 @@ class ModelSpec extends SparkSpec {
     assert(!lakeCheck(sampleBar.copy(volume = -1)))
   }
 
+  test("null symbol or timestamp rejected: a null date key would hide the row from pruned reads") {
+    assert(!lakeCheck(sampleBar.copy(symbol = null)))
+    assert(!lakeCheck(sampleBar.copy(timestamp = null)))
+  }
+
   test("all five asset classes accepted") {
     AssetClass.all.foreach { ac =>
       assert(lakeCheck(sampleBar.copy(asset_class = ac)), ac)

@@ -103,6 +103,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quote-state adoption: a new checkpoint records fresh quotes instead of skipping on the predecessor's batch 0") {
+    implicit val sc = spark.sqlContext
+    val stateDir = tempDir("qadopt-state")
+    val t0 = 1718445600000L
+    val memQ1 = MemoryStream[Quote]
+    val qs1 = Streaming.quoteStateStream(memQ1.toDF(), stateDir,
+      tempDir("qadopt-ck1"), triggerMs = 50)
+    try {
+      memQ1.addData(Quote("AAPL", new Timestamp(t0), 1L, 99.0, 101.0))
+      qs1.processAllAvailable()
+    } finally qs1.stop()
+    assert(Streaming.readQuoteState(spark, stateDir).count() == 1)
+    // NEW checkpoint over the SAME state dir: batchIds restart at 0.
+    // The partition name carries the checkpoint identity, so this batch
+    // 0 must not skip on (or overwrite) the predecessor's committed
+    // append=...b0 — pre-scoping it silently dropped the new quotes and
+    // enrichment served the dead stream's stale state
+    val memQ2 = MemoryStream[Quote]
+    val qs2 = Streaming.quoteStateStream(memQ2.toDF(), stateDir,
+      tempDir("qadopt-ck2"), triggerMs = 50)
+    try {
+      memQ2.addData(Quote("AAPL", new Timestamp(t0 + 60000L), 2L, 110.0, 112.0))
+      qs2.processAllAvailable()
+    } finally qs2.stop()
+    val qids = Streaming.readQuoteState(spark, stateDir)
+      .select($"qid").as[Long].collect().toSet
+    assert(qids == Set(1L, 2L), s"adopter's quote missing: $qids")
+  }
+
   test("streaming as-of enrichment: trades pick up the newest arrived quote") {
     implicit val sc = spark.sqlContext
     val stateDir = tempDir("asof-state")
