@@ -1558,13 +1558,30 @@ object SimilaritySearch {
     (array_position(d, array_min(d)) - 1).cast("int")
   }
 
-  /** K-means coarse quantizer, Lloyd's iterations expressed entirely as
-    * DataFrame aggregations — per round: one narrow assign pass, one
-    * shuffle (groupBy cell×dimension), and a k×dim collect of the new
-    * centroids (tiny). Init is deterministic: the k vectors with the
-    * smallest xxhash64(id, seed). At 100 TB fit on a sample (the
-    * quantizer needs cluster SHAPE, not every point); assignment of the
-    * full corpus stays a narrow map.
+  /** K-means coarse quantizer — ONE distributed job (a seeded
+    * bounded-sample collect, the [[fitPqCodebooks]] pattern), Lloyd's
+    * iterations driver-side over the sample. Init is deterministic and
+    * IDENTICAL to the previous distributed form: the k vectors with the
+    * smallest xxhash64(id, seed) (they are exactly the head of the
+    * hash-ordered sample). Assignment argmin ties keep the lowest
+    * centroid index (the [[ivfCell]] array_position rule); empty cells
+    * keep their previous centroid.
+    *
+    * Why local (optimization guide §1.2 "per-task work" after the
+    * distributed shape is right): the previous form paid `iters`
+    * SEQUENTIAL Spark jobs — each a posexplode (n×dim rows), a
+    * groupBy(cell, pos) shuffle, and a k×dim collect — to average
+    * vectors whose total size is bounded by the fit sample anyway.
+    * Measured at sf0.1 the fit dominated every k-means consumer
+    * (q50/q66/q99: 13-26 jobs each); the local form is one job + local
+    * math, the exact trade [[fitPqCodebooks]] already made (its comment:
+    * 27.8 s distributed vs <1 s local, identical output quality). The
+    * quantizer needs cluster SHAPE, not every point — `fitSampleCap`
+    * bounds driver memory by construction (cap × dim doubles; the
+    * 20k default at dim 768 is ~123 MB); corpora past the cap fit on
+    * the deterministic hash-ordered sample head, the published recipe
+    * (SemDeDup §3: centroids from a sample) and this file's own
+    * `fitSampleFraction` contract.
     */
   def fitCentroids(
       df: DataFrame,
@@ -1572,30 +1589,39 @@ object SimilaritySearch {
       vecCol: String,
       k: Int,
       iters: Int = 5,
-      seed: Long = 42L): Array[Array[Double]] = {
+      seed: Long = 42L,
+      fitSampleCap: Int = 20000): Array[Array[Double]] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val vecs = df.select(col(idCol).as("id"),
-      VectorOps.toDoubles(col(vecCol)).as("v"))
-    var centroids: Array[Array[Double]] = vecs
-      .orderBy(xxhash64($"id", lit(seed))).limit(k)
+    val sample: Array[Array[Double]] = df
+      .select(col(idCol).as("id"), VectorOps.toDoubles(col(vecCol)).as("v"))
+      .orderBy(xxhash64($"id", lit(seed)))
+      .limit(fitSampleCap)
       .select($"v").as[Seq[Double]].collect().map(_.toArray)
+    if (sample.isEmpty) return Array.empty
+    val dim = sample.head.length
+    val kk = math.min(k, sample.length)
+    var centroids: Array[Array[Double]] =
+      sample.take(kk).map(_.clone) // == k smallest xxhash64(id, seed)
     for (_ <- 0 until iters) {
-      // cell materialized in its OWN projection below the explode — the
-      // Generate must replicate the assignment VALUE per dimension, not
-      // re-evaluate the k-centroid argmin per exploded element
-      val means = vecs
-        .select(ivfCell(spark, $"v", centroids).as("cell"), $"v")
-        .select($"cell", posexplode($"v").as(Seq("pos", "x")))
-        .groupBy($"cell", $"pos").agg(avg($"x").as("m"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (cell, rows) =>
-          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < centroids.length) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = p(i) - centroids(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
         }
-      // empty cells keep their previous centroid
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
       val prev = centroids
-      centroids = prev.indices.map(i => means.getOrElse(i, prev(i))).toArray
+      centroids = Array.tabulate(prev.length) { c =>
+        if (counts(c) > 0) sums(c).map(_ / counts(c)) else prev(c)
+      }
     }
     centroids
   }
