@@ -197,6 +197,8 @@ object Dedup {
       shingleLen: Int = 3,
       threshold: Double = 0.5,
       maxPostingList: Int = 0): DataFrame = {
+    if (maxPostingList <= 0)
+      return jaccardPairsUncapped(df, idCol, textCol, shingleLen, threshold)
     val spark = df.sparkSession
     import spark.implicits._
     // tokens materialized in their own projection (see TextOps.shingles
@@ -293,6 +295,89 @@ object Dedup {
         .select($"a_id", $"b_id", round($"jaccard", 4).as("jaccard"))
       materializeAndRelease(pairs, allCaches)
     }
+  }
+
+  /** The UNCAPPED exact path of [[jaccardPairs]] as a posting-list
+    * pipeline — same result set and values, two exchanges instead of
+    * five-plus (optimization guide §2.4 "remove shuffles outright"):
+    *
+    *  1. Per-document distinct-shingle count `n` is computed MAP-SIDE
+    *     from the shingle array itself (`size(array_distinct(...))`)
+    *     and carried through the explode, so the separate
+    *     groupBy(doc_id) size aggregate and the two size join-backs of
+    *     the join formulation disappear (n is functionally dependent on
+    *     the id, so carrying it through the pair aggregate's keys is
+    *     free).
+    *  2. Candidates come from ONE groupBy(shingle) that collects the
+    *     posting list and expands its ordered pairs map-side
+    *     ([[postingPairs]]), instead of a self-join that shuffles the
+    *     whole exploded relation twice and needs a df>1 pre-filter
+    *     relation to prune singleton shingles (here: `size(ps) > 1`
+    *     on the grouped row — df==1 shingles die in place).
+    *
+    * Exactness argument unchanged from the join form: only df>1
+    * shingles can be shared, every shared shingle of a pair produces
+    * exactly one expanded row, so the pair count IS |A∩B| over distinct
+    * shingles, and the denominator uses the full per-doc distinct
+    * counts. Measured at sf0.1: 19 jobs → 6, 4.4 s → ~2 s cold.
+    *
+    * Scale note: a hot shingle's posting list (m docs) lands in ONE
+    * aggregation buffer here, where the join form spread its m²/2
+    * candidate rows across tasks — the uncapped exact form is O(m²) in
+    * EITHER shape and is the oracle pin, not the 100 TB path; dirty
+    * corpora use `maxPostingList` (the capped branch keeps the join
+    * form, whose recount machinery needs the exploded relations) or
+    * [[jaccardPairsPrefix]], which bounds prefix-join fan-out with
+    * exactness intact.
+    */
+  private def jaccardPairsUncapped(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int,
+      threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // explode(array(...)) is a GENERATE BARRIER: the distinct-shingle
+    // array must become a real (Generate-output) column before size()
+    // and explode() read it twice — an intermediate Project would be
+    // CollapseProject-merged into the tokens projection, inlining
+    // tokens(text) into the shingles lambda and re-tokenizing per
+    // element (the TextOps.shingles trap; measured 18× on this base)
+    val sh = df
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select($"doc_id",
+        explode(array(
+          array_distinct(TextOps.shingles($"toks", shingleLen)))).as("arr"))
+      .select($"doc_id", size($"arr").cast("long").as("n"),
+        explode($"arr").as("sh"))
+    // Pair expansion stays CODEGEN'D: two Generates + a Slice (all
+    // whole-stage-codegen expressions), NOT array higher-order functions
+    // — flatten(transform(transform(...))) computes the identical pair
+    // array but HOFs are CodegenFallback, and the interpreted per-element
+    // cost measured 2-3× slower than the whole original join form.
+    // Position i pairs with every later element; (i, j>i) hits each
+    // unordered pair exactly once, and the projection canonicalizes to
+    // a_id < b_id (a doc appears at most once per posting list, so the
+    // comparison is strict).
+    val pairs = sh.groupBy($"sh")
+      .agg(collect_list(struct($"doc_id", $"n")).as("ps"))
+      .filter(size($"ps") > 1)
+      .select($"ps", posexplode($"ps").as(Seq("i", "x")))
+      .select($"x", explode(slice($"ps", $"i" + lit(2), size($"ps"))).as("y"))
+      .select(when($"x.doc_id" < $"y.doc_id", struct($"x".as("a"), $"y".as("b")))
+        .otherwise(struct($"y".as("a"), $"x".as("b"))).as("p"))
+      .groupBy($"p.a.doc_id".as("a_id"), $"p.b.doc_id".as("b_id"),
+        $"p.a.n".as("na"), $"p.b.n".as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
+      .filter($"jaccard" >= threshold)
+      .select($"a_id", $"b_id", round($"jaccard", 4).as("jaccard"))
+    // the jaccardPairs contract: eagerly materialized and cached, caller
+    // owns the result's unpersist; no internal caches to release here —
+    // nothing upstream is read twice
+    materializeAndRelease(pairs, Nil)
   }
 
   /** Candidate-pair broadcast gate for the exact-verification tails: the
@@ -565,6 +650,9 @@ object Dedup {
       shingleLen: Int = 3,
       threshold: Double = 0.5,
       maxPostingList: Int = 0): DataFrame = {
+    if (maxPostingList <= 0)
+      return jaccardPairsAgainstUncapped(batch, corpus, idCol, textCol,
+        shingleLen, threshold)
     val spark = batch.sparkSession
     import spark.implicits._
     def sh(df: DataFrame, idAs: String) = df
@@ -644,6 +732,60 @@ object Dedup {
         .select($"batch_id", $"corpus_id", round($"jaccard", 4).as("jaccard"))
       materializeAndRelease(pairs, allCaches)
     }
+  }
+
+  /** The UNCAPPED exact path of [[jaccardPairsAgainst]] as a posting-list
+    * pipeline (the [[jaccardPairsUncapped]] treatment on the incremental
+    * shape): per-side distinct-shingle counts are computed MAP-SIDE and
+    * carried through the explode (no size aggregates, no size
+    * join-backs), and the batch×corpus candidate join becomes ONE
+    * groupBy(shingle) that collects the two sides' posting lists and
+    * cross-expands them map-side. Shingles present on one side only die
+    * in place (`size(bs) > 0 && size(cs) > 0`) — the same pruning the
+    * join achieved, without shuffling each side into a separate join
+    * exchange. Result set and jaccard values are identical: each shared
+    * shingle contributes exactly one expanded (batch, corpus) row, so
+    * the pair count is the exact cross-side intersection.
+    */
+  private def jaccardPairsAgainstUncapped(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int,
+      threshold: Double): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    // generate-barrier explode(array(...)) as in [[jaccardPairsUncapped]]
+    def sh(df: DataFrame, isBatch: Boolean) = df
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select($"id",
+        explode(array(
+          array_distinct(TextOps.shingles($"toks", shingleLen)))).as("arr"))
+      .select(struct($"id", size($"arr").cast("long").as("n")).as("e"),
+        explode($"arr").as("sh"))
+      .select($"sh", $"e", lit(isBatch).as("isB"))
+    val tagged = sh(batch, isBatch = true)
+      .unionAll(sh(corpus, isBatch = false))
+    // collect_list skips nulls, so each side's list holds only its own
+    // (id, n) structs
+    // cross expansion through two codegen'd Generates (explode × explode),
+    // not HOFs — the jaccardPairsUncapped CodegenFallback lesson
+    val crossed = tagged.groupBy($"sh")
+      .agg(collect_list(when($"isB", $"e")).as("bs"),
+        collect_list(when(!$"isB", $"e")).as("cs"))
+      .filter(size($"bs") > 0 && size($"cs") > 0)
+      .select($"cs", explode($"bs").as("b"))
+      .select($"b", explode($"cs").as("c"))
+    val pairs = crossed
+      .groupBy($"b.id".as("batch_id"), $"c.id".as("corpus_id"),
+        $"b.n".as("nb"), $"c.n".as("nc"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        $"inter".cast("double") / ($"nb" + $"nc" - $"inter"))
+      .filter($"jaccard" >= threshold)
+      .select($"batch_id", $"corpus_id", round($"jaccard", 4).as("jaccard"))
+    materializeAndRelease(pairs, Nil)
   }
 
   /** Incremental MinHash-LSH: near-dup pairs between a new batch and the
