@@ -108,53 +108,55 @@ object Dedup {
         explode(array_distinct(TextOps.shingles($"toks", shingleLen))).as("sh"))
       .select($"id", xxhash64($"sh").as("h")))
 
+    // per-doc distinct-shingle count rides the signature aggregate (same
+    // exchange — no separate size aggregate, no size join-backs later)
     val sigCols = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), $"h")).as(s"mh$i"))
+      min(xxhash64(lit(i), $"h")).as(s"mh$i")) :+ count(lit(1)).as("n")
     val sigs = shex.groupBy($"id")
       .agg(sigCols.head, sigCols.tail: _*)
-      .select($"id", array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
+      .select($"id", $"n",
+        array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
 
-    // Bands carry only (id, band, bucket) — candidate generation shuffles
-    // ints, never shingle sets (which at corpus scale dwarf the ids).
-    val banded = cached(sigs.select($"id",
-      posexplode(lshBands($"sig", bands, rowsPerBand)).as(Seq("band", "bucket"))))
-
-    val capped =
-      if (maxBucketSize > 0) {
-        val ok = banded.groupBy($"band", $"bucket")
-          .agg(count(lit(1)).as("__c")).filter($"__c" <= maxBucketSize)
-          .select($"band", $"bucket")
-        banded.join(ok, Seq("band", "bucket"))
-      } else banded
-
-    // Cross-band dedup as one hash aggregate (not a post-hoc
-    // dropDuplicates node on top of the join output).
-    val cand = capped.as("a")
-      .join(capped.as("b"),
-        $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
-          $"a.id" < $"b.id")
-      .groupBy($"a.id".as("a_id"), $"b.id".as("b_id")).agg(lit(1))
-      .select($"a_id", $"b_id")
+    // Bands carry only (id, n, band, bucket) — candidate generation
+    // shuffles ints, never shingle sets (which at corpus scale dwarf the
+    // ids). Candidates come from ONE groupBy(band, bucket) posting list
+    // (the jaccardPairsUncapped shape): the bucket cap and the ≥2 prune
+    // are filters on the grouped row (the previous cap aggregate +
+    // join-back and the bucket self-join disappear), pairs expand
+    // map-side through codegen'd Generates, and the cross-band dedup
+    // stays one hash aggregate.
+    val banded = sigs.select($"id", $"n",
+      posexplode(lshBands($"sig", bands, rowsPerBand)).as(Seq("band", "bucket")))
+    val posting = banded.groupBy($"band", $"bucket")
+      .agg(collect_list(struct($"id", $"n")).as("ps"))
+      .filter(size($"ps") > 1 &&
+        (if (maxBucketSize > 0) size($"ps") <= maxBucketSize else lit(true)))
+    val cand = posting
+      .select($"ps", posexplode($"ps").as(Seq("i", "x")))
+      .select($"x", explode(slice($"ps", $"i" + lit(2), size($"ps"))).as("y"))
+      .select(when($"x.id" < $"y.id", struct($"x".as("a"), $"y".as("b")))
+        .otherwise(struct($"y".as("a"), $"x".as("b"))).as("p"))
+      .groupBy($"p.a.id".as("a_id"), $"p.b.id".as("b_id"),
+        $"p.a.n".as("na"), $"p.b.n".as("nb"))
+      .agg(lit(1))
+      .select($"a_id", $"b_id", $"na", $"nb")
 
     // Exact-Jaccard verification of candidates only: intersection counts
     // come from joining the (small, broadcastable) pair set against the
     // exploded shingle relation — the shingle sets are never materialized
-    // as arrays, and set sizes are a cheap count per id. The broadcast is
+    // as arrays, and set sizes ride the candidate rows. The broadcast is
     // SIZE-GATED ([[gatedPairs]]) on the corpus-scale path; with
     // persist = false the inputs are small by contract (the streaming
     // within-batch pass) and the hint stays forced — a count job plus a
     // cache registration per micro-batch would cost more than it guards.
-    val sizes = shex.groupBy($"id").agg(count(lit(1)).as("n"))
     releasingOnFailure(caches.toSeq) {
       val candGated = if (persist) gatedPairs(cached(cand)) else broadcast(cand)
-      val inter = candGated
+      val pairs = candGated
         .join(shex.select($"id".as("a_id"), $"h"), "a_id")
         .join(shex.select($"id".as("b_id"), $"h".as("h_b")), Seq("b_id"))
         .filter($"h" === $"h_b")
-        .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("inter"))
-      val pairs = inter
-        .join(sizes.select($"id".as("a_id"), $"n".as("na")), "a_id")
-        .join(sizes.select($"id".as("b_id"), $"n".as("nb")), "b_id")
+        .groupBy($"a_id", $"b_id", $"na", $"nb")
+        .agg(count(lit(1)).as("inter"))
         .withColumn("jaccard",
           $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
         .filter($"jaccard" >= threshold)
@@ -510,33 +512,38 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    // Base relation carries the per-doc distinct-shingle count `n`
+    // map-side through the explode (the [[jaccardPairsUncapped]] shape,
+    // generate-barrier included) — the separate size aggregate, the
+    // per-doc count window, and the two size join-backs of the previous
+    // form all disappear: n rides the rows into candidates and
+    // verification as a functionally-dependent group key.
     val sh = df
       .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
       .select($"doc_id",
-        explode(array_distinct(TextOps.shingles($"toks", shingleLen))).as("sh"))
+        explode(array(
+          array_distinct(TextOps.shingles($"toks", shingleLen)))).as("arr"))
+      .select($"doc_id", size($"arr").cast("long").as("n"),
+        explode($"arr").as("sh"))
+    // Document frequency as ONE window over the shingle partition
+    // (replaces the groupBy(sh) aggregate + join-back pair — two
+    // exchanges of the exploded relation — with a single exchange).
+    // Persisted: the ranked/prefix chain reads it once and the
+    // verification tail twice more.
+    val withDf = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"sh")))
       .persist()
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val dfAgg = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
-    // (shingle, df) attached once, persisted: the ranked/prefix path and
-    // the verification tail both consume it
-    val withDf = sh.join(dfAgg, "sh").persist()
     // Global total order: (df asc, shingle asc) — deterministic, shared by
     // every document, rarest first. Positions are assigned WITHIN each
     // document by a window over that order; the prefix-filter lemma needs
     // positions over the document's FULL token set, so df==1 singletons
     // keep their slots here (they shorten the effective prefix — pure
-    // win) and are dropped only from the join input below (df==1 cannot
-    // match anything, so dropping them generates no false negatives).
-    // Doc size rides the SAME per-doc window partitioning as the position
-    // (count over the unordered frame) instead of joining `sizes` back in
-    // — that join re-shuffled the whole ranked relation on doc_id for a
-    // value the window already has in hand. `sizes` still serves the
-    // verification tail, where it joins only candidate-sized relations.
-    val docW = Window.partitionBy($"doc_id")
+    // win) and are dropped only from the candidate input below (df==1
+    // cannot match anything, so dropping them generates no false
+    // negatives).
     val ranked = withDf
-      .withColumn("n", count(lit(1)).over(docW))
       .withColumn("pos",
-        row_number().over(docW.orderBy($"df", $"sh")))
+        row_number().over(Window.partitionBy($"doc_id").orderBy($"df", $"sh")))
     // ⌈t·n⌉ via an epsilon-guard: fp noise must never ROUND UP an exact
     // integer t·n (that would shorten the prefix — the unsound direction);
     // overshooting downward only lengthens it (more candidates, still
@@ -545,35 +552,41 @@ object Dedup {
       .filter($"pos" <= $"n" - ceil($"n" * threshold - 1e-9) + 1)
       .filter($"df" > 1)
       .select($"doc_id", $"sh", $"n", $"pos")
-      .persist()
-    // POSITIONAL filter (PPJoin proper, Xiao et al. 2008 §3.2), applied
-    // per matching prefix token: tokens shared by x and y besides this
-    // one all rank AFTER it in both documents, so total overlap is at
-    // most 1 + min(|x|−i, |y|−j) — and J ≥ t needs overlap ≥
-    // t/(1+t)·(|x|+|y|). Exactness is preserved because a true pair's
-    // FIRST shared token (which the prefix lemma places inside both
-    // prefixes) always passes: its bound is ≥ the true overlap. Rows
-    // failing it are pairs matched only on LATE prefix tokens — pruned
-    // before the groupBy instead of surviving into verification.
-    val minOverlap =
-      ($"a.n" + $"b.n") * (threshold / (1.0 + threshold)) - 1e-9
-    val cand = prefix.as("a")
-      .join(prefix.as("b"),
-        $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id" &&
-          // length filter: J ≤ min/max, so t·max ≤ min is necessary
-          greatest($"a.n", $"b.n") * threshold <= least($"a.n", $"b.n") + 1e-9 &&
-          lit(1) + least($"a.n" - $"a.pos", $"b.n" - $"b.pos") >= minOverlap)
-      .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
+    // Candidate generation from ONE groupBy(prefix shingle) posting list,
+    // pairs expanded with codegen'd Generates (the jaccardPairsUncapped
+    // shape — the self-join's two exchanges become one). The LENGTH
+    // filter (J ≤ min/max ⇒ t·max ≤ min necessary) and the POSITIONAL
+    // filter (PPJoin proper, Xiao et al. 2008 §3.2: tokens shared
+    // besides this one all rank AFTER it in both docs, so overlap ≤
+    // 1 + min(|x|−i, |y|−j), and J ≥ t needs overlap ≥ t/(1+t)·(|x|+|y|))
+    // apply per expanded row — the same predicates the join form put in
+    // its join condition, on the same values. Exactness is preserved
+    // because a true pair's FIRST shared token always passes the
+    // positional bound; rows failing it matched only on LATE prefix
+    // tokens and are pruned before the pair aggregate.
+    val cand = prefix.groupBy($"sh")
+      .agg(collect_list(struct($"doc_id", $"n", $"pos")).as("ps"))
+      .filter(size($"ps") > 1)
+      .select($"ps", posexplode($"ps").as(Seq("i", "x")))
+      .select($"x", explode(slice($"ps", $"i" + lit(2), size($"ps"))).as("y"))
+      .select(when($"x.doc_id" < $"y.doc_id", struct($"x".as("a"), $"y".as("b")))
+        .otherwise(struct($"y".as("a"), $"x".as("b"))).as("p"))
+      .filter(greatest($"p.a.n", $"p.b.n") * threshold <=
+        least($"p.a.n", $"p.b.n") + 1e-9)
+      .filter(lit(1) + least($"p.a.n" - $"p.a.pos", $"p.b.n" - $"p.b.pos") >=
+        ($"p.a.n" + $"p.b.n") * (threshold / (1.0 + threshold)) - 1e-9)
+      .groupBy($"p.a.doc_id".as("a_id"), $"p.b.doc_id".as("b_id"),
+        $"p.a.n".as("na"), $"p.b.n".as("nb"))
       .agg(count(lit(1)).as("hits"))
-      .select($"a_id", $"b_id")
+      .select($"a_id", $"b_id", $"na", $"nb")
     // Verification counts intersections over df>1 shingles ONLY: a df==1
     // shingle lives in exactly one document, so it contributes zero to
     // every |x∩y| — dropping singletons (the bulk of a clean corpus's
-    // shingles) is provably count-preserving, while `sizes` stays over
-    // the FULL sets so the jaccard denominator is exact.
-    verifyJaccardCandidates(
-      cand, withDf.filter($"df" > 1).select($"doc_id", $"sh"), sizes,
-      threshold, intermediates = Seq(sh, withDf, prefix))
+    // shingles) is provably count-preserving, while the carried na/nb
+    // are the FULL distinct counts so the jaccard denominator is exact.
+    verifyJaccardCandidatesSized(
+      cand, withDf.filter($"df" > 1).select($"doc_id", $"sh"),
+      threshold, intermediates = Seq(withDf))
   }
 
   /** Exact-verification tail shared by the candidate-generation schemes:
@@ -585,10 +598,9 @@ object Dedup {
     * recount becomes an id-keyed shuffle join, which completes where a
     * forced broadcast build would fail.
     */
-  private def verifyJaccardCandidates(
-      cand: DataFrame,
+  private def verifyJaccardCandidatesSized(
+      cand: DataFrame, // (a_id, b_id, na, nb) — sizes carried by the caller
       sh: DataFrame,
-      sizes: DataFrame,
       threshold: Double,
       intermediates: Seq[DataFrame]): DataFrame = {
     val spark = cand.sparkSession
@@ -605,9 +617,10 @@ object Dedup {
         // equi-join on BOTH (b_id, sh): each surviving row IS one shared
         // shingle (see jaccardPairs' capped path)
         .join(sh.select($"doc_id".as("b_id"), $"sh"), Seq("b_id", "sh"))
-        .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("inter"))
-        .join(sizes.select($"doc_id".as("a_id"), $"n".as("na")), "a_id")
-        .join(sizes.select($"doc_id".as("b_id"), $"n".as("nb")), "b_id")
+        // na/nb ride the candidate rows (functionally dependent on the
+        // ids) — no size join-backs
+        .groupBy($"a_id", $"b_id", $"na", $"nb")
+        .agg(count(lit(1)).as("inter"))
         .withColumn("jaccard",
           $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
         .filter($"jaccard" >= threshold)
@@ -1378,9 +1391,9 @@ object Dedup {
     // every node that appears at all (self-pairs included) gets a label
     val nodes = raw.select($"a".as("id")).union(raw.select($"b".as("id")))
       .distinct()
-    var canon = raw
+    val canonPlan = raw
       .select(greatest($"a", $"b").as("a"), least($"a", $"b").as("b"))
-      .filter($"a" =!= $"b").distinct().localCheckpoint()
+      .filter($"a" =!= $"b").distinct()
 
     def largeStar(e: DataFrame): DataFrame = {
       val bidir = e.select($"a".as("u"), $"b".as("v"))
@@ -1421,7 +1434,7 @@ object Dedup {
     // smaller), so each tree's root IS the minimum id of its component —
     // identical labeling to the star fixpoint. Integral ids only (every
     // catalog caller uses long ids); other types iterate distributed.
-    val idType = canon.schema("a").dataType
+    val idType = canonPlan.schema("a").dataType
     val integralIds = idType match {
       case org.apache.spark.sql.types.ByteType |
            org.apache.spark.sql.types.ShortType |
@@ -1429,9 +1442,7 @@ object Dedup {
            org.apache.spark.sql.types.LongType => true
       case _ => false
     }
-    def driverUnionFind(e: DataFrame): DataFrame = {
-      val edges = e.select($"a".cast("long"), $"b".cast("long"))
-        .as[(Long, Long)].collect()
+    def unionFindLabels(edges: Array[(Long, Long)]): DataFrame = {
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var r = x
@@ -1452,15 +1463,42 @@ object Dedup {
         .toDF("id", "__c")
         .select($"id".cast(idType).as("id"), $"__c".cast(idType).as("__c"))
     }
+    def driverUnionFind(e: DataFrame): DataFrame =
+      unionFindLabels(e.select($"a".cast("long"), $"b".cast("long"))
+        .as[(Long, Long)].collect())
 
-    var prev = checksum(canon)
-    var converged = false
-    var iter = 0
-    var hybridLabels: Option[DataFrame] = None
     // opt-in per-round profile (System.property graft.cc.profile=1):
     // rounds are the whole cost of cluster queries, so regressions need
     // per-phase visibility without a debugger
     val profile = sys.props.get("graft.cc.profile").contains("1")
+
+    // DIRECT driver finish: when ids are integral, probe the canonical
+    // edge list with a BOUNDED collect (limit driverFinishEdges + 1 —
+    // driver memory stays capped by construction) BEFORE starting the
+    // distributed machinery. Near-dup graphs are pair-sparse, so this is
+    // the common case, and it replaces three jobs (localCheckpoint
+    // materialization, checksum, then the union-find collect) plus a
+    // cached edge RDD with ONE collect job and no cache. Past the cap
+    // the collected head is discarded and the star loop runs unchanged.
+    if (integralIds && driverFinishEdges > 0 &&
+        driverFinishEdges < Int.MaxValue) {
+      val head = canonPlan
+        .select($"a".cast("long"), $"b".cast("long")).as[(Long, Long)]
+        .limit(driverFinishEdges.toInt + 1).collect()
+      if (head.length <= driverFinishEdges) {
+        if (profile) System.err.println(
+          s"[cc] direct driver-finish edges=${head.length}")
+        val labels = nodes.join(unionFindLabels(head), Seq("id"), "left")
+          .select($"id", coalesce($"__c", $"id").as("component"))
+        return (labels, 0)
+      }
+    }
+
+    var canon = canonPlan.localCheckpoint()
+    var prev = checksum(canon)
+    var converged = false
+    var iter = 0
+    var hybridLabels: Option[DataFrame] = None
     while (hybridLabels.isEmpty && !converged && iter < maxIter) {
       if (integralIds && driverFinishEdges > 0 && prev._1 <= driverFinishEdges) {
         val mapping = driverUnionFind(canon)
@@ -1613,7 +1651,22 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int = 8,
-      w: Int = 4): DataFrame = {
+      w: Int = 4): DataFrame =
+    winnowFingerprintsRaw(df, idCol, textCol, n, w)
+      .select(col("id"), col("fp")).distinct()
+
+  /** [[winnowFingerprints]] WITHOUT the trailing per-doc distinct — the
+    * (id, fp) relation may repeat a fingerprint a document selected from
+    * several windows. [[winnowPairs]] consumes this form and dedups
+    * inside its posting-list aggregate (`collect_set`), saving the
+    * distinct's whole-relation exchange.
+    */
+  private def winnowFingerprintsRaw(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     import spark.implicits._
@@ -1629,7 +1682,7 @@ object Dedup {
       // only FULL windows select fingerprints (positions 0..cnt-w); a doc
       // shorter than one window keeps its pos-0 (global) min
       .filter($"pos" <= greatest($"cnt" - w, lit(0)))
-      .select($"id", $"fp").distinct()
+      .select($"id", $"fp")
   }
 
   /** Winnowing near-dup candidate pairs — the [[winnowFingerprints]]
@@ -1659,19 +1712,23 @@ object Dedup {
       maxDf: Int = 64): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // persist the EXPENSIVE upstream (posexplode + window-min pipeline):
-    // both the df aggregation and the join read it — self-joins do not
-    // share unmaterialized subplans
-    val fp = winnowFingerprints(df, idCol, textCol, n, w)
-      .select($"id".as("doc_id"), $"fp")
-      .persist()
-    val dfAgg = fp.groupBy($"fp").agg(count(lit(1)).as("df"))
-    val hot = (if (maxDf > 0) dfAgg.filter($"df" <= maxDf) else dfAgg)
-      .filter($"df" > 1).select($"fp")
-    val fp2 = fp.join(hot, "fp").persist()
-    fp2.as("a")
-      .join(fp2.as("b"), $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
+    // Posting-list form (the jaccardPairsUncapped shape): ONE
+    // groupBy(fp) replaces the previous distinct + df aggregate +
+    // df join-back + self-join chain. collect_set dedups a doc's
+    // repeated window minima (what the old .distinct() exchange did),
+    // its size IS the fingerprint's document frequency (the cap and the
+    // df > 1 prune become a filter on the grouped row), and pairs
+    // expand map-side through codegen'd Generates. No persists: each
+    // relation has exactly one consumer.
+    val fp = winnowFingerprintsRaw(df, idCol, textCol, n, w)
+    val posting = fp.groupBy($"fp").agg(collect_set($"id").as("ids"))
+      .filter(size($"ids") > 1 &&
+        (if (maxDf > 0) size($"ids") <= maxDf else lit(true)))
+    posting
+      .select($"ids", posexplode($"ids").as(Seq("i", "x")))
+      .select($"x", explode(slice($"ids", $"i" + lit(2), size($"ids"))).as("y"))
+      .select(least($"x", $"y").as("a_id"), greatest($"x", $"y").as("b_id"))
+      .groupBy($"a_id", $"b_id")
       .agg(count(lit(1)).as("shared_fps"))
       .filter($"shared_fps" >= minShared)
   }
@@ -1695,32 +1752,32 @@ object Dedup {
       maxBucketSize: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // persist: both sides of the chunk self-join read the signatures
-    val chunks = simhashSignatures(df, idCol, textCol).persist()
+    // Posting-list candidates (the jaccardPairsUncapped shape): ONE
+    // groupBy(chunk, chunkval) replaces the cap aggregate + join-back
+    // and the two-sided chunk self-join; the signature relation now has
+    // a single consumer, so its persist is gone too. Sigs ride the
+    // posting-list structs, so no join back to the signature relation.
+    val chunks = simhashSignatures(df, idCol, textCol)
       .select($"id", $"sig",
         posexplode(transform(sequence(lit(0), lit(3)),
           j => call_function("shiftright", $"sig", j * 16)
             .bitwiseAND(lit(0xFFFFL))))
           .as(Seq("chunk", "chunkval")))
-    val capped =
-      if (maxBucketSize > 0) {
-        val ok = chunks.groupBy($"chunk", $"chunkval")
-          .agg(count(lit(1)).as("__c")).filter($"__c" <= maxBucketSize)
-          .select($"chunk", $"chunkval")
-        chunks.join(ok, Seq("chunk", "chunkval"))
-      } else chunks
-    val a = capped.select($"id".as("a_id"), $"sig".as("a_sig"), $"chunk", $"chunkval")
-    val b = capped.select($"id".as("b_id"), $"sig".as("b_sig"),
-      $"chunk".as("chunk_b"), $"chunkval".as("chunkval_b"))
+    val posting = chunks.groupBy($"chunk", $"chunkval")
+      .agg(collect_list(struct($"id", $"sig")).as("ps"))
+      .filter(size($"ps") > 1 &&
+        (if (maxBucketSize > 0) size($"ps") <= maxBucketSize else lit(true)))
     // Cross-chunk dedup as one hash aggregate (the minhashPairs pattern):
     // a pair sharing k of the 4 chunks reaches the aggregate k times but
-    // is bit-counted ONCE, after dedup — not per duplicate join row. The
-    // sigs ride through the aggregation (min = the one value; a doc's sig
-    // is constant), avoiding a join back to the signature relation.
-    a.join(b, $"chunk" === $"chunk_b" && $"chunkval" === $"chunkval_b" &&
-        $"a_id" < $"b_id")
-      .groupBy($"a_id", $"b_id")
-      .agg(min($"a_sig").as("a_sig"), min($"b_sig").as("b_sig"))
+    // is bit-counted ONCE, after dedup — not per duplicate expanded row
+    // (min = the one value; a doc's sig is constant).
+    posting
+      .select($"ps", posexplode($"ps").as(Seq("i", "x")))
+      .select($"x", explode(slice($"ps", $"i" + lit(2), size($"ps"))).as("y"))
+      .select(when($"x.id" < $"y.id", struct($"x".as("a"), $"y".as("b")))
+        .otherwise(struct($"y".as("a"), $"x".as("b"))).as("p"))
+      .groupBy($"p.a.id".as("a_id"), $"p.b.id".as("b_id"))
+      .agg(min($"p.a.sig").as("a_sig"), min($"p.b.sig").as("b_sig"))
       .select($"a_id", $"b_id",
         bit_count($"a_sig".bitwiseXOR($"b_sig")).as("hamming"))
       .filter($"hamming" <= maxHamming)
