@@ -340,25 +340,31 @@ object SimilaritySearch {
     val bucketed = dotsRel
       .select($"id", $"tbl", bucketFromDots(planes).as("bucket"))
 
-    val capped =
-      if (maxBucketSize > 0) {
-        val ok = bucketed.groupBy($"tbl", $"bucket")
-          .agg(count(lit(1)).as("__c")).filter($"__c" <= maxBucketSize)
-          .select($"tbl", $"bucket")
-        bucketed.join(ok, Seq("tbl", "bucket"))
-      } else bucketed
+    // ONE groupBy(tbl, bucket) posting-list aggregate serves BOTH
+    // branches (guide §2.4): the bucket cap becomes a filter on the
+    // grouped row — the previous cap aggregate + join-back pair (two
+    // exchanges of the bucket relation) is gone — and each branch
+    // consumes the groups its own way (pair expansion below; broadcast
+    // bucket-group probe join in the flips branch).
+    val grouped = bucketed.groupBy($"tbl", $"bucket")
+      .agg(collect_list($"id").as("ids"))
+    val groupedCapped =
+      if (maxBucketSize > 0) grouped.filter(size($"ids") <= maxBucketSize)
+      else grouped
 
     if (flips <= 0) {
       // Cross-table candidate dedup is an aggregation, not dropDuplicates
-      // after the fact — same result, one hash aggregate. Verification
-      // joins the (small, post-dedup) candidate set back to the vectors —
-      // right when the threshold is high enough for the buckets to
-      // discriminate, so candidates ≪ n² and the dedup exchange is cheap.
-      val cand = capped.as("a")
-        .join(capped.as("b"),
-          $"a.tbl" === $"b.tbl" && $"a.bucket" === $"b.bucket" &&
-            $"a.id" < $"b.id")
-        .select($"a.id".as("a_id"), $"b.id".as("b_id"))
+      // after the fact — same result, one hash aggregate. Pairs expand
+      // from the bucket posting lists through codegen'd Generates (the
+      // Dedup posting-list shape), then verification joins the (small,
+      // post-dedup) candidate set back to the vectors — right when the
+      // threshold is high enough for the buckets to discriminate, so
+      // candidates ≪ n² and the dedup exchange is cheap.
+      val cand = groupedCapped
+        .filter(size($"ids") > 1)
+        .select($"ids", posexplode($"ids").as(Seq("i", "x")))
+        .select($"x", explode(slice($"ids", $"i" + lit(2), size($"ids"))).as("y"))
+        .select(least($"x", $"y").as("a_id"), greatest($"x", $"y").as("b_id"))
         .groupBy($"a_id", $"b_id").agg(lit(1))
         .select($"a_id", $"b_id")
       cand
@@ -410,20 +416,25 @@ object SimilaritySearch {
       val probes = dotsRel.select($"id", $"tbl",
         explode(graft.functions.LshProbe.probeBucketsFast(
           spark, $"ds", flips, radius)).as("bucket"))
+      // the broadcast build is the GROUPED bucket relation (one row per
+      // (tbl, bucket), same total id payload as the exploded rows the
+      // previous form shipped) — candidate ids explode AFTER the BHJ,
+      // inside the same whole-stage-codegen pipeline
       probes.as("p")
-        .join(gated(capped.as("c"), n * tables * 24L),
-          $"p.tbl" === $"c.tbl" && $"p.bucket" === $"c.bucket" &&
-            $"p.id" =!= $"c.id")
+        .join(gated(groupedCapped.as("c"), n * tables * 24L),
+          $"p.tbl" === $"c.tbl" && $"p.bucket" === $"c.bucket")
+        .select($"p.id".as("pid0"), explode($"c.ids").as("cid0"))
+        .filter($"pid0" =!= $"cid0")
         .join(gated(e.select($"id".as("pid"), $"v".as("p_v"), $"nrm".as("p_n")),
-          n * vecBytes), $"p.id" === $"pid")
+          n * vecBytes), $"pid0" === $"pid")
         .join(gated(e.select($"id".as("cid"), $"v".as("c_v"), $"nrm".as("c_n")),
-          n * vecBytes), $"c.id" === $"cid")
+          n * vecBytes), $"cid0" === $"cid")
         .withColumn("cos",
           graft.functions.CosineSimilarity.dotFast(spark, $"p_v", $"c_v") /
             ($"p_n" * $"c_n"))
         .filter($"cos" >= threshold)
-        .select(least($"p.id", $"c.id").as("a_id"),
-          greatest($"p.id", $"c.id").as("b_id"), $"cos")
+        .select(least($"pid0", $"cid0").as("a_id"),
+          greatest($"pid0", $"cid0").as("b_id"), $"cos")
         .groupBy($"a_id", $"b_id").agg(first($"cos").as("c0"))
         .select($"a_id", $"b_id", round($"c0", 4).as("cosine"))
     }

@@ -750,11 +750,20 @@ object TextQueries {
       .where(size($"toks") >= 8)
     val sh = toks
       .select($"doc_id", explode(TextOps.shingles($"toks", 8)).as("sh"))
-    val df = sh.groupBy($"sh").agg(countDistinct($"doc_id").as("df"))
-    sh.join(df, "sh")
+    // Posting-list form (guide §2.4): the previous shape aggregated
+    // df = countDistinct(doc) per shingle and joined it BACK onto the
+    // exploded relation — a second full exchange of the 8-token shingle
+    // strings plus an SMJ sort. One groupBy(shingle) now collects the
+    // occurrence list (doc repeats preserved — n_shingles counts
+    // occurrences), df is size(array_distinct(ids)) on the grouped row,
+    // and the per-doc tallies re-explode map-side: 3 exchanges → 2,
+    // no join. Values are identical by construction.
+    sh.groupBy($"sh").agg(collect_list($"doc_id").as("ids"))
+      .select((size(array_distinct($"ids")) > 1).as("dup"),
+        explode($"ids").as("doc_id"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_shingles"),
-        sum(when($"df" > 1, 1L).otherwise(0L)).as("dup_shingles"))
+        sum(when($"dup", 1L).otherwise(0L)).as("dup_shingles"))
       .withColumn("dup_ratio",
         round($"dup_shingles" * lit(1.0) / $"n_shingles", 4))
       .orderBy($"doc_id")
