@@ -132,6 +132,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // (measured, then rejected: spark.sql.join.preferSortMergeJoin=false
+      // — the guide §3.1 candidate — regressed the exact-verification
+      // joins q27/q63 by ~1 s each at sf0.1: their shuffled-hash build
+      // sides are the wide exploded shingle relations, where sort-merge
+      // streams them. Kept at the default.)
       .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -83,6 +83,31 @@ object TextOps {
     stepped
   }
 
+  /** Longest equal-run AND distinct count of an ALREADY-SORTED string
+    * array, in one aggregate pass — struct(best, nd). The repetition
+    * scorer (q61) needs both statistics of the same bigram array;
+    * computing them together halves the interpreted-HOF passes vs
+    * [[maxElementFreq]] + `array_distinct`. Equal elements must be
+    * adjacent (sort first); `best` over a sorted array IS the max
+    * element frequency (spec-asserted equal to the naive form).
+    */
+  def sortedRunStats(sorted: Column): Column = {
+    val stepped = aggregate(
+      sorted,
+      struct(lit(null).cast("string").as("prev"),
+        lit(0L).as("run"), lit(0L).as("best"), lit(0L).as("nd")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        val nd = when(x === acc.getField("prev"),
+          acc.getField("nd")).otherwise(acc.getField("nd") + 1L)
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"), nd.as("nd"))
+      },
+      acc => struct(acc.getField("best").as("best"), acc.getField("nd").as("nd")))
+    stepped
+  }
+
   /** BPE-ish subword tokens: alternating alphanumeric runs and individual
     * punctuation marks — the pre-tokenization split most BPE vocabularies
     * assume. ASCII classes only, so Java-regex and RE2 agree.

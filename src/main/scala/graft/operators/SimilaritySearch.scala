@@ -1520,18 +1520,35 @@ object SimilaritySearch {
     val fetch = if (rerank.isDefined) k * overfetch else k
     val base = excludeId.fold(index.encoded)(id =>
       index.encoded.filter($"id" =!= id))
-    val perCell = probed.map { c =>
+    // ONE scan for all probed cells (was: one filtered scan per cell
+    // unioned — nprobe near-identical passes over the code relation and
+    // nprobe copies of the unrolled ADC codegen). Every cell's
+    // query-residual lookup tables flatten into a single constant-folded
+    // literal indexed by (cell, subspace, code): per row the ADC is
+    // still m element_at lookups + adds, statically unrolled, inside one
+    // whole-stage-codegen pass. The same arithmetic per subspace in the
+    // same order, so scores are bit-identical to the per-cell form.
+    val cbSize = index.codebooks.head.length
+    val flat = new Array[Double](index.centroids.length * m * cbSize)
+    for (c <- index.centroids.indices) {
       val qRes = queryVec.zip(index.centroids(c)).map { case (q, ce) => q - ce }
-      val tables = index.codebooks.zipWithIndex.map { case (cb, s) =>
+      for (s <- 0 until m) {
         val qSub = qRes.slice(s * subDim, (s + 1) * subDim)
-        cb.map(cent => cent.zip(qSub).map { case (a, b) => (a - b) * (a - b) }.sum)
+        for (j <- 0 until cbSize)
+          flat(c * m * cbSize + s * cbSize + j) =
+            index.codebooks(s)(j).zip(qSub)
+              .map { case (a, b) => (a - b) * (a - b) }.sum
       }
-      val dist2 = (0 until m).map(s =>
-        element_at(planeLit(tables(s)), $"code".getItem(s) + 1))
-        .reduce(_ + _)
-      base.filter($"cell" === c).select($"id", dist2.as("dist2"))
     }
-    val scored = perCell.reduce(_ unionAll _)
+    val flatLit = planeLit(flat)
+    val dist2 = (0 until m).map(s =>
+      element_at(flatLit,
+        ($"cell" * (m * cbSize) + lit(s * cbSize) + $"code".getItem(s) + 1)
+          .cast("int")))
+      .reduce(_ + _)
+    val scored = base
+      .filter($"cell".isInCollection(probed))
+      .select($"id", dist2.as("dist2"))
       .orderBy($"dist2".asc, $"id").limit(fetch)
     rerank match {
       case Some((vectors, idCol, vecCol)) =>

@@ -805,6 +805,23 @@ class OperatorsSpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("sortedRunStats: best == maxElementFreq, nd == distinct count") {
+    // the combined one-pass form (q61's fast path) must agree with the
+    // two separate definitions on random arrays, empties included
+    val rng = new scala.util.Random(611)
+    val arrays = (0 until 30).map(_ =>
+      (0 until rng.nextInt(40)).map(_ => s"w${rng.nextInt(8)}"))
+    val df = arrays.map(a => Tuple1(a)).toDF("arr")
+    val got = df.select(
+        TextOps.sortedRunStats(array_sort($"arr")).as("s"))
+      .select($"s.best", $"s.nd").as[(Long, Long)].collect()
+    val want = arrays.map(a =>
+      (if (a.isEmpty) 0L
+       else a.groupBy(identity).values.map(_.size).max.toLong,
+        a.distinct.size.toLong))
+    assert(got.toSeq == want)
+  }
+
   test("maxElementFreq works on non-string element types") {
     // the canonical-string accumulator makes the contract generic: equal
     // values have equal canonical strings regardless of element type
