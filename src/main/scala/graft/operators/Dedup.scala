@@ -1214,14 +1214,32 @@ object Dedup {
       maxBucketSize: Int = 0): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
-    // NOT persisted: referenced three times in one plan (banding, sizes,
+    // NOT persisted: referenced twice in one plan (banding,
     // verification), but an increment is small by definition — the
     // bounded recompute beats a cached relation with no release path,
     // which would leak one persisted DataFrame per micro-batch in the
-    // streaming caller.
-    val bEx = shingleHashRelation(batch, idCol, "batch_id", textCol,
-      index.shingleLen)
-    val bBand = bandRelation(bEx, "batch_id", index.numBands, index.rowsPerBand)
+    // streaming caller. The batch's distinct-shingle count `nb` is
+    // computed MAP-SIDE (generate-barrier, the jaccardPairsUncapped
+    // shape) and carried through banding and candidates — no separate
+    // size aggregate, no size join-back.
+    val bEx = batch
+      .select(col(idCol).as("batch_id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select($"batch_id",
+        explode(array(
+          array_distinct(TextOps.shingles($"toks", index.shingleLen)))).as("arr"))
+      .select($"batch_id", size($"arr").cast("long").as("nb"),
+        explode($"arr").as("sh"))
+      .select($"batch_id", $"nb", xxhash64($"sh").as("h"))
+    val numHashes = index.numBands * index.rowsPerBand
+    val sigCols = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), $"h")).as(s"mh$i"))
+    val bBand = bEx.groupBy($"batch_id", $"nb")
+      .agg(sigCols.head, sigCols.tail: _*)
+      .select($"batch_id", $"nb",
+        array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
+      .select($"batch_id", $"nb",
+        posexplode(lshBands($"sig", index.numBands, index.rowsPerBand))
+          .as(Seq("band", "bucket")))
     val cBand = index.bands
     val cEx = index.shingleHashes
     // cap by CORPUS bucket population — precomputed in the index and
@@ -1238,9 +1256,8 @@ object Dedup {
     // the corpus band index — the standing corpus is never shuffled
     val cand = cBand
       .join(broadcast(bCapped), Seq("band", "bucket"))
-      .groupBy($"batch_id", $"corpus_id").agg(lit(1))
-      .select($"batch_id", $"corpus_id")
-    val bSizes = bEx.groupBy($"batch_id").agg(count(lit(1)).as("nb"))
+      .groupBy($"batch_id", $"corpus_id", $"nb").agg(lit(1))
+      .select($"batch_id", $"corpus_id", $"nb")
     // verification reads ONLY candidate corpus docs' shingles: the
     // broadcast semi-join restricts the corpus relation before the big
     // (corpus_id, h) equi-join, so a mostly-novel increment never
@@ -1257,11 +1274,11 @@ object Dedup {
     // more than the gate guards, and the failure mode past the contract
     // is the loud broadcast-build error, not a silent spill.
     val inter = broadcast(cand)
-      .join(bEx, "batch_id")
+      .join(bEx.select($"batch_id", $"h"), "batch_id")
       .join(cExCand, Seq("corpus_id", "h"))
-      .groupBy($"batch_id", $"corpus_id").agg(count(lit(1)).as("inter"))
+      .groupBy($"batch_id", $"corpus_id", $"nb")
+      .agg(count(lit(1)).as("inter"))
     inter
-      .join(bSizes, "batch_id")
       .join(index.sizes, "corpus_id")
       .withColumn("jaccard",
         $"inter".cast("double") / ($"nb" + $"nc" - $"inter"))

@@ -700,6 +700,13 @@ object SimilaritySearch {
       buckets.unpersist(blocking = false)
       bucketCounts.unpersist(blocking = false)
     }
+    /** Corpus row count, computed once per index instance — a standing
+      * index's corpus is immutable by construction (appends build a NEW
+      * index object), so repeated probes must not each pay a count job
+      * for the same number (the gate only needs it for broadcast
+      * sizing).
+      */
+    lazy val corpusCount: Long = vectors.count()
   }
 
   /** The bucket sizing law, now the library default (numPlanes = 0 at
@@ -1200,7 +1207,7 @@ object SimilaritySearch {
     // vector relation is SIZE-GATED — past the gate Catalyst shuffle-
     // joins on corpus_id with only int pairs on the moving side, the
     // shape that survives a corpus no executor set can broadcast.
-    val n = index.vectors.count() // persisted relation — one cheap job
+    val n = index.corpusCount // memoized — no per-probe count job
     val vecBytes = 24L + 8L * index.dim
     // the operative memory bound; see lshPairs and [[BroadcastGate]]
     def gated(d: DataFrame, estBytes: Long): DataFrame =
