@@ -51,6 +51,11 @@ object PlanDump {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // mirror Bench's scan/coalesce parallelism floors so dumped plans
+      // and counters reflect the benched execution (see Bench.scala)
+      .config("spark.sql.files.minPartitionNum", cpus)
+      .config("spark.sql.files.openCostInBytes", "16384")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "128k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -80,10 +85,22 @@ object PlanDump {
         org.apache.spark.sql.execution.FormattedMode)
       df.write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
-      // listener events are async; give the bus a moment to drain before
-      // snapshotting the counters (private API waitUntilEmpty is
-      // inaccessible — a bounded sleep is fine for a measurement tool)
-      Thread.sleep(1500)
+      // listener events are async; poll until the counters are stable
+      // across two samples (bounded at 10 s) instead of one fixed sleep —
+      // on a loaded box late stage-completed events arrived after 1.5 s
+      // and under-reported shuffle bytes for exactly the slowest queries
+      // (ADVICE r17; private API waitUntilEmpty is inaccessible here)
+      var snap = (counters.jobs, counters.stages,
+        counters.shuffleRead, counters.shuffleWrite)
+      var stable = false
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (!stable && System.nanoTime() < deadline) {
+        Thread.sleep(500)
+        val now = (counters.jobs, counters.stages,
+          counters.shuffleRead, counters.shuffleWrite)
+        stable = now == snap
+        snap = now
+      }
       spark.sparkContext.removeSparkListener(counters)
       val body =
         f"""== $name ($suffix) ==

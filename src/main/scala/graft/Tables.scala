@@ -140,9 +140,41 @@ object Tables {
       }
       // canonical column order regardless of encoding: the raw schema with
       // `ts` in place, then ts_ns, ts_us appended
-      prepared.select(
-        raw.columns.map(col).toIndexedSeq ++ Seq(col("ts_ns"), col("ts_us")): _*)
-    } else spark.read.parquet(s"$sfDir/$name.parquet")
+      maybeSpread(spark, prepared.select(
+        raw.columns.map(col).toIndexedSeq ++ Seq(col("ts_ns"), col("ts_us")): _*),
+        s"$sfDir/events.parquet")
+    } else maybeSpread(spark, spark.read.parquet(s"$sfDir/$name.parquet"),
+      s"$sfDir/$name.parquet")
+  }
+
+  /** Unsplittable-input defuse (optimization guide §2.5): the sf fixture
+    * tables are SINGLE ROW-GROUP parquet files, so every scan — whatever
+    * the split count says — delivers all rows in ONE task (a parquet
+    * split only reads row groups whose midpoint falls in its byte range)
+    * and serializes the per-row kernels (tokenize/shingle/hash/ADC) that
+    * dominate this catalog; r17's 8-vs-32-core scaling block was flat
+    * for exactly this reason. Reads of sub-split tables are spread
+    * across the session's cores with one tiny round-robin exchange
+    * (deterministic under retry: sortBeforeRepartition is on by
+    * default). Tables past one default split-size load unchanged — at
+    * production scale the row-group population provides the
+    * parallelism and the exchange would be a full extra pass, so it
+    * exists exactly when it is cheap (≤ `spreadMaxBytes` shuffled once).
+    */
+  private val spreadMaxBytes = 128L << 20
+  private def maybeSpread(
+      spark: SparkSession, df: DataFrame, path: String): DataFrame = {
+    val bytes =
+      try {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(path)
+        java.nio.file.Files.walk(root).iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size).sum
+      } catch { case _: Throwable => Long.MaxValue } // non-local: no spread
+    if (bytes <= spreadMaxBytes)
+      df.repartition(spark.sparkContext.defaultParallelism)
+    else df
   }
 
   /** Register every table as a temp view (SURVEY §2.1 S12 table registry). */

@@ -481,10 +481,12 @@ object Dedup {
     * (each window is one document's shingles — bounded by doc length,
     * never skewed), one shuffle on PREFIX shingle for candidates (df-skew
     * structurally damped: a shingle in k prefixes of n docs needs k docs
-    * that all rank it in their rarest ~(1−t) fraction), then the
-    * candidate-restricted verification joins of [[jaccardPairs]]'s capped
-    * path. Prefix positions are computed per-document, so no global rank
-    * structure is ever built or broadcast.
+    * that all rank it in their rarest ~(1−t) fraction), then a
+    * candidate-restricted verification that attaches each side's cached
+    * distinct-shingle ARRAY and computes |x∩y| map-side via
+    * array_intersect — no exploded-relation re-scan, no per-pair count
+    * aggregate. Prefix positions are computed per-document, so no global
+    * rank structure is ever built or broadcast.
     *
     * When to use which (measured at sf0.1, round 6): on a CLEAN corpus
     * the uncapped [[jaccardPairs]] wins slightly (5.3 s vs 5.9 s here) —
@@ -512,27 +514,40 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    // Base relation carries the per-doc distinct-shingle count `n`
-    // map-side through the explode (the [[jaccardPairsUncapped]] shape,
-    // generate-barrier included) — the separate size aggregate, the
-    // per-doc count window, and the two size join-backs of the previous
-    // form all disappear: n rides the rows into candidates and
-    // verification as a functionally-dependent group key.
-    val sh = df
+    // Per-doc DISTINCT SHINGLE SET — one array row per document,
+    // persisted. This is the relation every stage reads: the candidate
+    // chain explodes it once, and the verification tail intersects the
+    // arrays directly. (The previous form persisted the full exploded
+    // (doc, n, sh, df) relation — every shingle string duplicated into
+    // its own row with per-row overhead — and re-scanned it twice in
+    // verification; the array form stores the same strings once per doc
+    // and makes verification a map-side set intersection, §2.3 "shuffle
+    // keys and metadata instead of payloads".) explode(array(...)) is
+    // the generate barrier that keeps CollapseProject from inlining
+    // tokens(text) into the shingles lambda and re-tokenizing per
+    // element (the TextOps.shingles trap; measured 18×).
+    // the set is stored SORTED: verification counts |x∩y| with a
+    // single codegen'd merge pass over the two sorted arrays
+    // ([[graft.functions.SortedIntersectCount]]) — `array_intersect`
+    // is CodegenFallback and allocates a hash set per call, which
+    // measured 4.2 s on this tail at sf0.1 vs sub-second for the merge
+    val docSets = df
       .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
       .select($"doc_id",
-        explode(array(
-          array_distinct(TextOps.shingles($"toks", shingleLen)))).as("arr"))
-      .select($"doc_id", size($"arr").cast("long").as("n"),
-        explode($"arr").as("sh"))
+        explode(array(array_sort(
+          array_distinct(TextOps.shingles($"toks", shingleLen))))).as("set"))
+      .select($"doc_id", size($"set").cast("long").as("n"), $"set")
+      .persist()
     // Document frequency as ONE window over the shingle partition
     // (replaces the groupBy(sh) aggregate + join-back pair — two
-    // exchanges of the exploded relation — with a single exchange).
-    // Persisted: the ranked/prefix chain reads it once and the
-    // verification tail twice more.
-    val withDf = sh
+    // exchanges of the exploded relation — with a single exchange; the
+    // window SORT spills gracefully where a posting-list aggregate's
+    // buffer would not, and this stage runs BEFORE prefix filtering has
+    // damped boilerplate, so spill-safety matters here). Un-persisted:
+    // the candidate chain is now its only consumer.
+    val withDf = docSets
+      .select($"doc_id", $"n", explode($"set").as("sh"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy($"sh")))
-      .persist()
     // Global total order: (df asc, shingle asc) — deterministic, shared by
     // every document, rarest first. Positions are assigned WITHIN each
     // document by a window over that order; the prefix-filter lemma needs
@@ -548,10 +563,23 @@ object Dedup {
     // integer t·n (that would shorten the prefix — the unsound direction);
     // overshooting downward only lengthens it (more candidates, still
     // exact).
+    // Two prefix lengths per document (Xiao et al. 2008 §3.1): the
+    // PROBING prefix n − ⌈t·n⌉ + 1 generates the rows, and the shorter
+    // INDEXING prefix n − ⌈2t/(1+t)·n⌉ + 1 marks which of them can
+    // represent the document as the SMALLER side of a pair. For a true
+    // pair with nx ≤ ny, overlap ≥ ⌈t/(1+t)·(nx+ny)⌉ ≥ ⌈2t/(1+t)·nx⌉,
+    // so the FIRST shared token in global order sits within x's
+    // indexing prefix (and within y's probing prefix, via
+    // overlap ≥ t·ny given the length filter) — a candidate row whose
+    // smaller side matched only past its indexing prefix is provably
+    // not a pair's first shared token and is pruned below. At t = 0.5
+    // the indexing prefix is ~n/3 vs the probing ~n/2.
     val prefix = ranked
       .filter($"pos" <= $"n" - ceil($"n" * threshold - 1e-9) + 1)
       .filter($"df" > 1)
-      .select($"doc_id", $"sh", $"n", $"pos")
+      .select($"doc_id", $"sh", $"n", $"pos",
+        ($"pos" <= $"n" -
+          ceil($"n" * (2 * threshold / (1 + threshold)) - 1e-9) + 1).as("idx"))
     // Candidate generation from ONE groupBy(prefix shingle) posting list,
     // pairs expanded with codegen'd Generates (the jaccardPairsUncapped
     // shape — the self-join's two exchanges become one). The LENGTH
@@ -565,12 +593,18 @@ object Dedup {
     // positional bound; rows failing it matched only on LATE prefix
     // tokens and are pruned before the pair aggregate.
     val cand = prefix.groupBy($"sh")
-      .agg(collect_list(struct($"doc_id", $"n", $"pos")).as("ps"))
+      .agg(collect_list(struct($"doc_id", $"n", $"pos", $"idx")).as("ps"))
       .filter(size($"ps") > 1)
       .select($"ps", posexplode($"ps").as(Seq("i", "x")))
       .select($"x", explode(slice($"ps", $"i" + lit(2), size($"ps"))).as("y"))
       .select(when($"x.doc_id" < $"y.doc_id", struct($"x".as("a"), $"y".as("b")))
         .otherwise(struct($"y".as("a"), $"x".as("b"))).as("p"))
+      // indexing-prefix filter: the strictly smaller side's token must
+      // lie within ITS indexing prefix (on ties either side may play
+      // the smaller role, so either flag admits the row)
+      .filter(when($"p.a.n" < $"p.b.n", $"p.a.idx")
+        .when($"p.b.n" < $"p.a.n", $"p.b.idx")
+        .otherwise($"p.a.idx" || $"p.b.idx"))
       .filter(greatest($"p.a.n", $"p.b.n") * threshold <=
         least($"p.a.n", $"p.b.n") + 1e-9)
       .filter(lit(1) + least($"p.a.n" - $"p.a.pos", $"p.b.n" - $"p.b.pos") >=
@@ -579,53 +613,34 @@ object Dedup {
         $"p.a.n".as("na"), $"p.b.n".as("nb"))
       .agg(count(lit(1)).as("hits"))
       .select($"a_id", $"b_id", $"na", $"nb")
-    // Verification counts intersections over df>1 shingles ONLY: a df==1
-    // shingle lives in exactly one document, so it contributes zero to
-    // every |x∩y| — dropping singletons (the bulk of a clean corpus's
-    // shingles) is provably count-preserving, while the carried na/nb
-    // are the FULL distinct counts so the jaccard denominator is exact.
-    verifyJaccardCandidatesSized(
-      cand, withDf.filter($"df" > 1).select($"doc_id", $"sh"),
-      threshold, intermediates = Seq(withDf))
-  }
-
-  /** Exact-verification tail shared by the candidate-generation schemes:
-    * recount |x∩y| over the FULL shingle relation restricted to candidate
-    * pairs, attach sizes, filter on exact Jaccard. Candidates broadcast
-    * under the [[gatedPairs]] size gate — they are the post-filter
-    * survivors (bounded by the true pair count × a small factor), not
-    * the quadratic candidate space; past the gate the hint drops and the
-    * recount becomes an id-keyed shuffle join, which completes where a
-    * forced broadcast build would fail.
-    */
-  private def verifyJaccardCandidatesSized(
-      cand: DataFrame, // (a_id, b_id, na, nb) — sizes carried by the caller
-      sh: DataFrame,
-      threshold: Double,
-      intermediates: Seq[DataFrame]): DataFrame = {
-    val spark = cand.sparkSession
-    import spark.implicits._
-    // cand persists because the gate's measuring job and the verify
-    // join share its blocks; it joins the caller's intermediates in the
-    // materializeAndRelease list below — the gate made this tail eager
-    // (the measuring job runs at call time), so an unreleased cache per
-    // call would accumulate in a long-lived session
+    // Verification: exact |x∩y| as a MAP-SIDE array_intersect over the
+    // cached per-doc sets — the candidate relation broadcasts under the
+    // [[gatedPairs]] size gate (candidates are the post-filter
+    // survivors, bounded by the true pair count × a small factor, not
+    // the quadratic candidate space; past the gate the hint drops and
+    // both attach joins degrade to id-keyed shuffle joins, which
+    // complete where a forced broadcast build would fail). Intersecting
+    // the FULL sets is exact: a shingle in both sets has df ≥ 2 by
+    // definition, so the df==1 mass the old exploded-relation recount
+    // had to filter out contributes nothing here either, and the
+    // carried na/nb are the full distinct counts so the denominator is
+    // exact. vs the previous tail: two scans of the exploded relation,
+    // a (b_id, sh) equi-join, and a per-pair count aggregate (one more
+    // exchange) all collapse into two attach joins + one projection.
+    // cand persists because the gate's measuring job and the attach
+    // join share its blocks.
     val candP = cand.persist()
-    releasingOnFailure(intermediates :+ candP) {
+    releasingOnFailure(Seq(docSets, candP)) {
       val pairs = gatedPairs(candP)
-        .join(sh.select($"doc_id".as("a_id"), $"sh"), "a_id")
-        // equi-join on BOTH (b_id, sh): each surviving row IS one shared
-        // shingle (see jaccardPairs' capped path)
-        .join(sh.select($"doc_id".as("b_id"), $"sh"), Seq("b_id", "sh"))
-        // na/nb ride the candidate rows (functionally dependent on the
-        // ids) — no size join-backs
-        .groupBy($"a_id", $"b_id", $"na", $"nb")
-        .agg(count(lit(1)).as("inter"))
+        .join(docSets.select($"doc_id".as("a_id"), $"set".as("a_set")), "a_id")
+        .join(docSets.select($"doc_id".as("b_id"), $"set".as("b_set")), "b_id")
+        .withColumn("inter", graft.functions.SetOps.sortedIntersectCount(
+          spark, $"a_set", $"b_set"))
         .withColumn("jaccard",
           $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
         .filter($"jaccard" >= threshold)
         .select($"a_id", $"b_id", round($"jaccard", 4).as("jaccard"))
-      materializeAndRelease(pairs, intermediates :+ candP)
+      materializeAndRelease(pairs, Seq(docSets, candP))
     }
   }
 
@@ -1497,12 +1512,26 @@ object Dedup {
     // materialization, checksum, then the union-find collect) plus a
     // cached edge RDD with ONE collect job and no cache. Past the cap
     // the collected head is discarded and the star loop runs unchanged.
-    if (integralIds && driverFinishEdges > 0 &&
-        driverFinishEdges < Int.MaxValue) {
-      val head = canonPlan
-        .select($"a".cast("long"), $"b".cast("long")).as[(Long, Long)]
-        .limit(driverFinishEdges.toInt + 1).collect()
+    // The probe runs against a PERSISTED canonPlan so the over-cap path
+    // pays one materialization, not two (ADVICE r17): un-persisted, the
+    // limit probe computed — and threw away — the full distinct, then
+    // localCheckpoint recomputed it. Under the cap the probe is still a
+    // single job; the partial cache is released as soon as the decision
+    // is made (and on the over-cap path, after the checkpoint has
+    // materialized from it).
+    val probed = integralIds && driverFinishEdges > 0 &&
+      driverFinishEdges < Int.MaxValue
+    val canonP = if (probed) canonPlan.persist() else canonPlan
+    if (probed) {
+      val head =
+        try canonP
+          .select($"a".cast("long"), $"b".cast("long")).as[(Long, Long)]
+          .limit(driverFinishEdges.toInt + 1).collect()
+        catch { case e: Throwable =>
+          canonP.unpersist(blocking = false); throw e
+        }
       if (head.length <= driverFinishEdges) {
+        canonP.unpersist(blocking = false)
         if (profile) System.err.println(
           s"[cc] direct driver-finish edges=${head.length}")
         val labels = nodes.join(unionFindLabels(head), Seq("id"), "left")
@@ -1511,7 +1540,9 @@ object Dedup {
       }
     }
 
-    var canon = canonPlan.localCheckpoint()
+    var canon =
+      try canonP.localCheckpoint()
+      finally if (probed) canonP.unpersist(blocking = false)
     var prev = checksum(canon)
     var converged = false
     var iter = 0

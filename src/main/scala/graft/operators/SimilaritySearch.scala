@@ -44,8 +44,15 @@ object SimilaritySearch {
     Array.fill(numPlanes, dim)(rng.nextGaussian())
   }
 
+  // ONE Literal node regardless of array size (typedLit), not a
+  // CreateArray with |p| literal children: the ADC lookup tables and
+  // centroid matrices reach thousands of elements, and the child-per-
+  // element form made every analyzer/optimizer pass walk them all
+  // (constant folding re-built the array per plan) — measurable
+  // per-probe planning cost on the ANN family. Runtime semantics are
+  // identical (same array<double> literal after folding).
   private def planeLit(p: Array[Double]): Column =
-    array(p.map(lit(_)): _*)
+    typedLit[Seq[Double]](p.toSeq)
 
   /** Sign-pattern bucket id in [0, 2^numPlanes). Uses the fused native dot
     * kernel: the HOF form fell out of whole-stage codegen (higher-order

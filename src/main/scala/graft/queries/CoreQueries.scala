@@ -125,18 +125,31 @@ object CoreQueries {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
 
-  // q05 — big-big join (J1): orders⋈lineitem shuffles once on orderkey;
-  // at 100 TB this is the sort-merge/shuffled-hash path with AQE skew split.
+  // q05 — big-big join (J1): lineitem PRE-AGGREGATES to one revenue row
+  // per l_orderkey BELOW the join (guide §2.3 "aggregate before you
+  // shuffle" / §2.4): the join then matches orders 1:1, so the
+  // count(DISTINCT o_orderkey) — whose planner expansion doubled the
+  // aggregation — becomes a plain count (o_orderkey is the orders
+  // primary key, and the pre-agg side is unique by construction), and
+  // the exchange carries one row per order instead of one per line.
+  // Values are identical: decimal addition is exact and associative, so
+  // sum-of-per-order-sums == the flat sum (oracle hash-pinned).
+  // At 100 TB both sides stay keyed on orderkey — one co-partitioned
+  // shuffle each; at bench SF the 2-column orders side auto-broadcasts.
   private def q05(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val lrev = t(s, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_extendedprice".cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)")))
+        .as("rev"))
     t(s, dir, "orders")
-      .join(t(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      .select($"o_orderkey", $"o_orderpriority")
+      .join(lrev, $"o_orderkey" === $"l_orderkey")
       .groupBy($"o_orderpriority")
       .agg(
-        round(sum($"l_extendedprice".cast("decimal(18,2)") *
-          (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)"))), 2)
-          .cast("double").as("revenue"),
-        countDistinct($"o_orderkey").as("orders"))
+        round(sum($"rev"), 2).cast("double").as("revenue"),
+        count($"o_orderkey").as("orders"))
       .orderBy($"o_orderpriority")
   }
 
