@@ -880,6 +880,20 @@ object Dedup {
       sizes.unpersist(blocking = false)
       bucketCounts.unpersist(blocking = false)
     }
+    /** Self-heal the caches (the [[SimilaritySearch.IvfPqIndex]]
+      * `ensureCached` pattern): a bench teardown or external clearCache
+      * that dropped the blocks also dropped the persist REGISTRATIONS,
+      * after which every probe recomputes the corpus shingle relation
+      * once per consumer — re-mark them so the next action rebuilds the
+      * cache instead.
+      */
+    def ensureCached(): this.type = {
+      Seq(shingleHashes, bands, sizes, bucketCounts).foreach { df =>
+        if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+          df.persist()
+      }
+      this
+    }
   }
 
   private def shingleHashRelation(
@@ -1416,13 +1430,48 @@ object Dedup {
       srcCol: String = "a_id",
       dstCol: String = "b_id",
       maxIter: Int = 50,
-      driverFinishEdges: Long = 2000000L): (DataFrame, Int) = {
+      driverFinishEdges: Long = 2000000L): (DataFrame, Int) =
+    ccStarImpl(pairs, srcCol, dstCol, maxIter, driverFinishEdges,
+      joinNodes = true)
+
+  /** MAPPING-ONLY star CC: the (id, component) rows for non-root nodes
+    * of real (a ≠ b) edges, WITHOUT the join against the full node
+    * universe — roots and isolated/self-pair-only nodes are simply
+    * absent. For a caller that left-joins the labels and coalesces to
+    * the node's own id (the [[SimilaritySearch.semDedup]] shape) the
+    * result is identical, and the node-universe relation — one more
+    * full evaluation of the pairs plan inside the RESULT plan, the
+    * expensive self-join for inline pair builders — never runs.
+    */
+  private[graft] def connectedComponentsMapping(
+      pairs: DataFrame,
+      srcCol: String = "a_id",
+      dstCol: String = "b_id",
+      maxIter: Int = 50,
+      driverFinishEdges: Long = 2000000L): DataFrame =
+    ccStarImpl(pairs, srcCol, dstCol, maxIter, driverFinishEdges,
+      joinNodes = false)._1
+
+  private def ccStarImpl(
+      pairs: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int,
+      driverFinishEdges: Long,
+      joinNodes: Boolean): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val raw = pairs.select(col(srcCol).as("a"), col(dstCol).as("b"))
     // every node that appears at all (self-pairs included) gets a label
+    // (evaluated only on the joinNodes path — Spark plans lazily, so the
+    // mapping-only path never runs this extra pass over the pairs plan)
     val nodes = raw.select($"a".as("id")).union(raw.select($"b".as("id")))
       .distinct()
+    def finish(mapping: DataFrame): DataFrame =
+      if (joinNodes)
+        nodes.join(mapping, Seq("id"), "left")
+          .select($"id", coalesce($"__c", $"id").as("component"))
+      else mapping.select($"id", $"__c".as("component"))
     val canonPlan = raw
       .select(greatest($"a", $"b").as("a"), least($"a", $"b").as("b"))
       .filter($"a" =!= $"b").distinct()
@@ -1534,9 +1583,7 @@ object Dedup {
         canonP.unpersist(blocking = false)
         if (profile) System.err.println(
           s"[cc] direct driver-finish edges=${head.length}")
-        val labels = nodes.join(unionFindLabels(head), Seq("id"), "left")
-          .select($"id", coalesce($"__c", $"id").as("component"))
-        return (labels, 0)
+        return (finish(unionFindLabels(head)), 0)
       }
     }
 
@@ -1551,8 +1598,7 @@ object Dedup {
       if (integralIds && driverFinishEdges > 0 && prev._1 <= driverFinishEdges) {
         val mapping = driverUnionFind(canon)
         freeLocalCheckpoint(canon)
-        hybridLabels = Some(nodes.join(mapping, Seq("id"), "left")
-          .select($"id", coalesce($"__c", $"id").as("component")))
+        hybridLabels = Some(finish(mapping))
         if (profile) System.err.println(
           s"[cc] driver-finish at round $iter edges=${prev._1}")
       } else {
@@ -1591,9 +1637,7 @@ object Dedup {
         // depth-1 forest: non-roots carry (id -> componentMin); roots (and
         // self-pair-only nodes) label themselves
         val mapping = canon.groupBy($"a".as("id")).agg(min($"b").as("__c"))
-        val labels = nodes.join(mapping, Seq("id"), "left")
-          .select($"id", coalesce($"__c", $"id").as("component"))
-        (labels, iter)
+        (finish(mapping), iter)
     }
   }
 

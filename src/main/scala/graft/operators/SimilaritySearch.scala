@@ -707,6 +707,19 @@ object SimilaritySearch {
       buckets.unpersist(blocking = false)
       bucketCounts.unpersist(blocking = false)
     }
+    /** Self-heal the caches (the [[IvfPqIndex.ensureCached]] pattern): a
+      * bench teardown or external clearCache that dropped the blocks also
+      * dropped the persist REGISTRATIONS, after which every probe
+      * recomputes the corpus relations once per consumer — re-mark them
+      * so the next action rebuilds the cache instead.
+      */
+    def ensureCached(): this.type = {
+      Seq(vectors, buckets, bucketCounts).foreach { df =>
+        if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+          df.persist()
+      }
+      this
+    }
     /** Corpus row count, computed once per index instance — a standing
       * index's corpus is immutable by construction (appends build a NEW
       * index object), so repeated probes must not each pay a count job
@@ -1770,9 +1783,16 @@ object SimilaritySearch {
         VectorOps.toDoubles(col(vecCol)).as("v"))
       .withColumn("cell", ivfCell(spark, $"v", centroids))
     // within-cell exact-cosine pairs (per-vector norms computed once,
-    // the q43 contract: the pair loop does only the fused dot)
+    // the q43 contract: the pair loop does only the fused dot).
+    // Persisted TRANSIENTLY for the pair self-join: a self-join does NOT
+    // share an unmaterialized subplan, so un-cached both sides paid the
+    // full assignment+norm pass; released as soon as the (eager —
+    // connectedComponents materializes its edge input) pair pass is
+    // done, so nothing leaks in a long-lived session and only the final
+    // labeling recomputes the narrow cell pass once from lineage.
     val normed = celled.withColumn("nrm",
       sqrt(graft.functions.CosineSimilarity.dotFast(spark, $"v", $"v")))
+      .persist()
     val a = normed.select($"cell", $"id".as("a_id"), $"v".as("a_v"), $"nrm".as("a_n"))
     val b = normed.select($"cell", $"id".as("b_id"), $"v".as("b_v"), $"nrm".as("b_n"))
     val pairs = a.join(b, Seq("cell"))
@@ -1780,7 +1800,13 @@ object SimilaritySearch {
       .where(graft.functions.CosineSimilarity.dotFast(spark, $"a_v", $"b_v") /
         ($"a_n" * $"b_n") >= lit(threshold))
       .select($"a_id", $"b_id")
-    val comps = Dedup.connectedComponents(pairs) // (id, component)
+    // MAPPING-ONLY labels: the left-join + coalesce below supplies
+    // isolated nodes' own-id labels, so the node-universe relation — a
+    // second full evaluation of the pair self-join inside the result
+    // plan — is never built (Dedup.connectedComponentsMapping scaladoc)
+    val comps =
+      try Dedup.connectedComponentsMapping(pairs) // (id, component)
+      finally normed.unpersist(blocking = false)
     val labeled = celled
       .withColumn("cent_sim", graft.functions.CosineSimilarity.cosineFast(
         spark, $"v", element_at(centArr, $"cell" + 1)))

@@ -470,7 +470,7 @@ object DedupQueries {
       val i = Dedup.minhashIndex(
         all.filter($"doc_id" % 8 =!= 7), "doc_id", "text")
       (i, () => i.unpersist())
-    }
+    }.ensureCached() // self-heal: bench teardown may have dropped the blocks
     Dedup.minhashPairsAgainstIndex(
         all.filter($"doc_id" % 8 === 7), idx, "doc_id", "text",
         threshold = 0.5)
@@ -494,7 +494,7 @@ object DedupQueries {
         emb.filter($"vec_id" % 8 =!= 7), "vec_id", "embedding",
         numTables = 14)
       (i, () => i.unpersist())
-    }
+    }.ensureCached() // self-heal: bench teardown may have dropped the blocks
     SimilaritySearch.lshPairsAgainstIndex(
         emb.filter($"vec_id" % 8 === 7), idx, "vec_id", "embedding",
         threshold = 0.45, probeFlips = -1)
