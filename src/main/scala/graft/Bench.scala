@@ -132,31 +132,17 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // Scan-parallelism FLOOR (guide §6): the sf0.1 fixtures are a few
-      // hundred KB per table — far under one 128 MB split — so every
-      // scan-rooted stage (tokenize/shingle/hash kernels, and any
-      // broadcast-join tail that streams the scan or its cache) ran as
-      // ONE task regardless of core count; r17's 8-vs-32-core scaling
-      // block was flat for exactly this reason. The floor derives from
-      // the session's core count ($SPARK_GRAFT_CPUS), so the driver's
-      // low-core rung measures real scaling; at production scale inputs
-      // produce thousands of natural splits and the floor is inert.
-      .config("spark.sql.files.minPartitionNum", cpus)
-      // ... which needs openCostInBytes lowered to actually bite on the
-      // sub-4 MB fixture files: split size = max(openCost,
-      // totalBytes/minPartitionNum), so the default 4 MB open-cost floor
-      // re-serializes any table smaller than 4 MB (documents is 584 KB —
-      // the tokenize/shingle/hash kernels ran as ONE task). At scale the
-      // trade is per-task file-open overhead on many-small-file tables;
-      // these fixtures are 1-4 files per table, and production tables
-      // with real split counts never hit either floor.
-      .config("spark.sql.files.openCostInBytes", "16384")
-      // Post-shuffle coalescing has the same sub-scale floor problem:
-      // parallelismFirst targets max(totalSize/cores, minPartitionSize),
-      // and the default 1 MB min re-serializes the CPU-dense pair-
-      // expansion stages whose exchanges are a few MB at sf0.1. 128 KB
-      // keeps those stages on all cores; at scale totalSize/cores is far
-      // above either value, so the setting is inert.
+      // Post-shuffle coalescing floor: parallelismFirst targets
+      // max(totalSize/cores, minPartitionSize), and the default 1 MB min
+      // re-serializes the CPU-dense pair-expansion and window stages
+      // whose exchanges are a few MB at sf0.1. 128 KB keeps those stages
+      // on all cores; at scale totalSize/cores is far above either
+      // value, so the setting is inert. (Scan-side floors —
+      // files.minPartitionNum / a lower openCostInBytes — were measured
+      // and REJECTED: every fixture is a single parquet row group, so
+      // extra splits are EMPTY tasks, pure launch overhead; the scan
+      // spread that actually works is Tables.loadSpread's explicit
+      // repartition on the kernel-heavy query paths.)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "128k")
       // (measured, then rejected: spark.sql.join.preferSortMergeJoin=false
       // — the guide §3.1 candidate — regressed the exact-verification

@@ -51,10 +51,8 @@ object PlanDump {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // mirror Bench's scan/coalesce parallelism floors so dumped plans
-      // and counters reflect the benched execution (see Bench.scala)
-      .config("spark.sql.files.minPartitionNum", cpus)
-      .config("spark.sql.files.openCostInBytes", "16384")
+      // mirror Bench's coalesce parallelism floor so dumped plans and
+      // counters reflect the benched execution (see Bench.scala)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "128k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -140,27 +140,36 @@ object Tables {
       }
       // canonical column order regardless of encoding: the raw schema with
       // `ts` in place, then ts_ns, ts_us appended
-      maybeSpread(spark, prepared.select(
-        raw.columns.map(col).toIndexedSeq ++ Seq(col("ts_ns"), col("ts_us")): _*),
-        s"$sfDir/events.parquet")
-    } else maybeSpread(spark, spark.read.parquet(s"$sfDir/$name.parquet"),
-      s"$sfDir/$name.parquet")
+      prepared.select(
+        raw.columns.map(col).toIndexedSeq ++ Seq(col("ts_ns"), col("ts_us")): _*)
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** Unsplittable-input defuse (optimization guide §2.5): the sf fixture
-    * tables are SINGLE ROW-GROUP parquet files, so every scan — whatever
-    * the split count says — delivers all rows in ONE task (a parquet
-    * split only reads row groups whose midpoint falls in its byte range)
-    * and serializes the per-row kernels (tokenize/shingle/hash/ADC) that
-    * dominate this catalog; r17's 8-vs-32-core scaling block was flat
-    * for exactly this reason. Reads of sub-split tables are spread
-    * across the session's cores with one tiny round-robin exchange
-    * (deterministic under retry: sortBeforeRepartition is on by
+  /** [[load]] + unsplittable-input spread (optimization guide §2.5): the
+    * sf fixture tables are SINGLE ROW-GROUP parquet files, so every scan
+    * — whatever the split count says — delivers all rows in ONE task (a
+    * parquet split only reads row groups whose midpoint falls in its
+    * byte range) and serializes the per-row kernels (tokenize/shingle/
+    * hash/dot/ADC) that dominate this catalog; r17's 8-vs-32-core
+    * scaling block was flat for exactly this reason. Reads of sub-split
+    * tables are spread across the session's cores with one round-robin
+    * exchange (deterministic under retry: sortBeforeRepartition is on by
     * default). Tables past one default split-size load unchanged — at
-    * production scale the row-group population provides the
-    * parallelism and the exchange would be a full extra pass, so it
-    * exists exactly when it is cheap (≤ `spreadMaxBytes` shuffled once).
+    * production scale the row-group population provides the parallelism
+    * and the exchange would be a full extra pass, so it exists exactly
+    * when it is cheap (≤ `spreadMaxBytes` shuffled once).
+    *
+    * OPT-IN per query path, not the default: the exchange plus its
+    * 2×cores task launches costs ~0.2-0.5 s at sf0.1, which the heavy
+    * per-row kernels repay many times over but a sub-second scalar
+    * aggregate/join does not (measured: ×1.4-×5 on the kernel family,
+    * ×0.3-0.5 REGRESSIONS on the short-query tail when this was applied
+    * inside [[load]] unconditionally). Callers whose downstream work is
+    * per-row compute use this; everything else stays on [[load]].
     */
+  def loadSpread(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    maybeSpread(spark, load(spark, sfDir, name), s"$sfDir/$name.parquet")
+
   private val spreadMaxBytes = 128L << 20
   private def maybeSpread(
       spark: SparkSession, df: DataFrame, path: String): DataFrame = {

@@ -1480,6 +1480,14 @@ object SimilaritySearch {
     * The residual map uses zip_with (interpreted) — acceptable: encoding
     * is a one-off narrow pass, unlike the scan-time scoring which stays
     * codegen'd.
+    *
+    * Sampling: `fitSampleFraction` thins the fit relation distributed-
+    * side; `fitSampleCap` additionally bounds the DRIVER-side sample the
+    * local Lloyd's runs on (hash-ordered head, so deterministic). Both
+    * fits — centroids and codebooks — see at most `fitSampleCap` vectors
+    * even at fraction 1.0; corpora above the cap get centroids fit on
+    * the sample head (the SemDeDup §3 recipe), which changes the
+    * (declared-approximate) ANN outputs relative to a full fit.
     */
   def fitIvfPq(
       df: DataFrame,
@@ -1490,12 +1498,14 @@ object SimilaritySearch {
       codebookSize: Int = 256,
       iters: Int = 5,
       seed: Long = 42L,
-      fitSampleFraction: Double = 1.0): IvfPqIndex = {
+      fitSampleFraction: Double = 1.0,
+      fitSampleCap: Int = 20000): IvfPqIndex = {
     val spark = df.sparkSession
     import spark.implicits._
     val fitDf =
       if (fitSampleFraction < 1.0) df.sample(fitSampleFraction, seed) else df
-    val centroids = fitCentroids(fitDf, idCol, vecCol, numCells, iters, seed)
+    val centroids = fitCentroids(fitDf, idCol, vecCol, numCells, iters, seed,
+      fitSampleCap)
     val centLit = array(centroids.map(planeLit): _*)
     val v = VectorOps.toDoubles(col(vecCol))
     // Persisted TRANSIENTLY: the residual relation (full-corpus centroid
@@ -1515,7 +1525,7 @@ object SimilaritySearch {
     var encoded: DataFrame = null
     BroadcastGate.releasingOnFailure(Seq(residuals) ++ Option(encoded)) {
       val books = fitPqCodebooks(residuals, "id", "res", m, codebookSize,
-        iters, seed + 1000)
+        iters, seed + 1000, fitSampleCap)
       encoded = pqEncode(residuals, "id", "res", books,
         carryCols = Seq("cell")).persist()
       encoded.count() // materialize the (m bytes/row) codes ...
@@ -1655,6 +1665,13 @@ object SimilaritySearch {
       .select($"v").as[Seq[Double]].collect().map(_.toArray)
     if (sample.isEmpty) return Array.empty
     val dim = sample.head.length
+    // loud, not silent: k above the sample size returns FEWER than k
+    // centroids (ADVICE r17) — legitimate on tiny fixtures, surprising
+    // on a production corpus whose cap truncated the fit sample
+    if (k > sample.length)
+      System.err.println(s"[fitCentroids] k=$k exceeds fit sample size " +
+        s"${sample.length} (fitSampleCap=$fitSampleCap): returning " +
+        s"${sample.length} centroids")
     val kk = math.min(k, sample.length)
     var centroids: Array[Array[Double]] =
       sample.take(kk).map(_.clone) // == k smallest xxhash64(id, seed)
@@ -1698,7 +1715,8 @@ object SimilaritySearch {
       nprobe: Int = 4,
       iters: Int = 5,
       excludeId: Option[Long] = None,
-      fitSampleFraction: Double = 1.0): DataFrame = {
+      fitSampleFraction: Double = 1.0,
+      fitSampleCap: Int = 20000): DataFrame = {
     // The quantizer needs the corpus's cluster SHAPE, not every point:
     // at 100 TB fit on a seeded sample (k-means centroids converge on a
     // fraction), then the full-corpus pass is assignment only — a narrow
@@ -1706,7 +1724,8 @@ object SimilaritySearch {
     val fitDf =
       if (fitSampleFraction < 1.0) df.sample(fitSampleFraction, seed = 42L)
       else df
-    val centroids = fitCentroids(fitDf, idCol, vecCol, numCells, iters)
+    val centroids = fitCentroids(fitDf, idCol, vecCol, numCells, iters,
+      fitSampleCap = fitSampleCap)
     val qDists = centroids.map(c =>
       c.zip(queryVec).map { case (a, b) => (a - b) * (a - b) }.sum)
     val probed = qDists.zipWithIndex.sortBy(_._1).take(nprobe).map(_._2).toSet
@@ -1754,7 +1773,8 @@ object SimilaritySearch {
       numCells: Int = 16,
       iters: Int = 5,
       fitSampleFraction: Double = 1.0,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      fitSampleCap: Int = 20000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     require(threshold > 0.0 && threshold <= 1.0, s"threshold: $threshold")
@@ -1776,7 +1796,8 @@ object SimilaritySearch {
     val fitDf =
       if (fitSampleFraction < 1.0) df.sample(fitSampleFraction, seed)
       else df
-    val centroids = fitCentroids(fitDf, idCol, vecCol, numCells, iters, seed)
+    val centroids = fitCentroids(fitDf, idCol, vecCol, numCells, iters, seed,
+      fitSampleCap)
     val centArr = array(centroids.map(planeLit): _*)
     val celled = df.select(
         col(idCol).cast("long").as("id"),

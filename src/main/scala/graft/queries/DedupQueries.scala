@@ -119,7 +119,7 @@ object DedupQueries {
   // on top for its oracle; consumers (q46/q54) don't need order.
   def neardupPairs(s: SparkSession, dir: String): DataFrame =
     memoizedPairs("jaccard", s, dir)(
-      Dedup.jaccardPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+      Dedup.jaccardPairs(Tables.loadSpread(s, dir, "documents"), "doc_id", "text",
         shingleLen = 3, threshold = 0.5))
 
   /** q43's cosine pair set, memoized like [[neardupPairs]] — q55's
@@ -212,7 +212,7 @@ object DedupQueries {
   // escape hatch — hot shingles sort to the suffixes and never join.
   private def q70(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Dedup.jaccardPairsPrefix(Tables.load(s, dir, "documents"), "doc_id",
+    Dedup.jaccardPairsPrefix(Tables.loadSpread(s, dir, "documents"), "doc_id",
         "text", shingleLen = 3, threshold = 0.5)
       .orderBy($"a_id", $"b_id")
   }
@@ -222,7 +222,7 @@ object DedupQueries {
   // is pinned by the spec comparing it against q24's exact pair set.
   private def q27(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Dedup.minhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+    Dedup.minhashPairs(Tables.loadSpread(s, dir, "documents"), "doc_id", "text",
         shingleLen = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)
       .orderBy($"a_id", $"b_id")
   }
@@ -234,7 +234,7 @@ object DedupQueries {
   // (spec-asserted in OperatorsSpec).
   private def q28(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Dedup.simhashPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+    Dedup.simhashPairs(Tables.loadSpread(s, dir, "documents"), "doc_id", "text",
         maxHamming = 3, maxBucketSize = 500)
       .orderBy($"a_id", $"b_id")
   }
@@ -259,7 +259,7 @@ object DedupQueries {
   // cells depend on the seeded init, no portable SQL oracle.
   private def q50(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val emb = Tables.load(s, dir, "embeddings")
+    val emb = Tables.loadSpread(s, dir, "embeddings")
     val qv = emb.filter($"vec_id" === 0)
       .select(VectorOps.toDoubles($"embedding"))
       .head().getSeq[Double](0).toArray
@@ -276,7 +276,7 @@ object DedupQueries {
     // Per-vector norms are computed ONCE (n rows), so the O(n²/2) pair
     // loop does only the fused dot product; dot/(norm_a·norm_b) is
     // float-identical to the fused cosine (same op order on same doubles).
-    val e = Tables.load(s, dir, "embeddings")
+    val e = Tables.loadSpread(s, dir, "embeddings")
       .select($"vec_id", VectorOps.toDoubles($"embedding").as("v"))
       .withColumn("nrm", sqrt(graft.functions.CosineSimilarity.dotFast(s, $"v", $"v")))
     val a = e.select($"vec_id".as("a_id"), $"v".as("a_v"), $"nrm".as("a_n"))
@@ -376,7 +376,7 @@ object DedupQueries {
     // resolve to the pinned 4-plane/2-flip geometry (oracle validity
     // unchanged); larger corpora grow planes with log2(n) so bucket
     // population (and the fused dot work per vector) stays bounded.
-    SimilaritySearch.lshPairs(Tables.load(s, dir, "embeddings"),
+    SimilaritySearch.lshPairs(Tables.loadSpread(s, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.45,
         numPlanes = 0, numTables = 14, maxBucketSize = 500,
         probeFlips = -1)
@@ -434,7 +434,7 @@ object DedupQueries {
     // direct call per invocation would strand one cache entry per run;
     // the memo makes repeat runs reuse it and owns the eviction
     memoizedPairs("jaccard-against", s, dir) {
-      val all = Tables.load(s, dir, "documents")
+      val all = Tables.loadSpread(s, dir, "documents")
       Dedup.jaccardPairsAgainst(
         all.filter($"doc_id" % 8 === 7),
         all.filter($"doc_id" % 8 =!= 7),
@@ -465,7 +465,7 @@ object DedupQueries {
   // cross-side restriction of the full minhashPairs run.
   private def q63(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val all = Tables.load(s, dir, "documents")
+    val all = Tables.loadSpread(s, dir, "documents")
     val idx = memoizedIndex[Dedup.MinhashIndex]("minhash", s, dir) {
       val i = Dedup.minhashIndex(
         all.filter($"doc_id" % 8 =!= 7), "doc_id", "text")
@@ -486,7 +486,7 @@ object DedupQueries {
   // exact pair set and takes its SQL (q27-style validity bound).
   private def q64(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val emb = Tables.load(s, dir, "embeddings")
+    val emb = Tables.loadSpread(s, dir, "embeddings")
     val idx = memoizedIndex[SimilaritySearch.LshIndex]("lsh", s, dir) {
       // default numPlanes = adaptive sizing law: gate corpora keep the
       // pinned 4-plane geometry, larger corpora bound bucket population
@@ -519,7 +519,7 @@ object DedupQueries {
   // the recall floors of both stages.
   private def q65(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val emb = Tables.load(s, dir, "embeddings")
+    val emb = Tables.loadSpread(s, dir, "embeddings")
     val qv = emb.filter($"vec_id" === 0)
       .select(VectorOps.toDoubles($"embedding"))
       .head().getSeq[Double](0).toArray
@@ -548,7 +548,7 @@ object DedupQueries {
   // Seeded → rows-only; spec pins recall ≥ 0.7 at half the cells probed.
   private def q66(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val emb = Tables.load(s, dir, "embeddings")
+    val emb = Tables.loadSpread(s, dir, "embeddings")
     val qv = emb.filter($"vec_id" === 0)
       .select(VectorOps.toDoubles($"embedding"))
       .head().getSeq[Double](0).toArray
@@ -572,7 +572,7 @@ object DedupQueries {
   private def q99(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     SimilaritySearch.semDedup(
-        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        Tables.loadSpread(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.35, numCells = 8)
       .select($"id".as("vec_id"), $"cell", $"dup_group",
         $"centroid_sim", $"keep")

@@ -466,7 +466,9 @@ object ExtendedQueries {
   private def q67(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    t(s, dir, "events")
+    // spread: the single-row-group events scan otherwise feeds the
+    // session window from one task (Tables.loadSpread scaladoc)
+    Tables.loadSpread(s, dir, "events")
       .withColumn("prev_ts", lag($"ts", 1).over(w))
       .withColumn("new_s",
         when($"prev_ts".isNull ||
@@ -800,7 +802,9 @@ object ExtendedQueries {
     val cc = when(pmod($"user_id", lit(5L)) === 0,
       format_string(" cc admin%d@corp.example.org", pmod($"user_id", lit(100L))))
       .otherwise(lit(""))
-    t(s, dir, "events")
+    // spread: the regex-redaction kernel is per-row compute rooted at a
+    // single-row-group scan (Tables.loadSpread scaladoc)
+    Tables.loadSpread(s, dir, "events")
       .where($"event_type" === "error")
       .select($"event_id", concat(base, card, cc).as("line"))
       .select($"event_id",

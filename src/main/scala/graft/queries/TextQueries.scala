@@ -17,6 +17,13 @@ object TextQueries {
   import CoreQueries.QFn
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  // spread variant for the KERNEL-heavy paths (tokenize/shingle/hash
+  // over every row): one tiny exchange buys full-core parallelism on
+  // the single-row-group fixture (Tables.loadSpread scaladoc). The
+  // sub-second queries stay on the plain load — the exchange costs more
+  // than their whole runtime.
+  private def docsSpread(s: SparkSession, dir: String) =
+    Tables.loadSpread(s, dir, "documents")
 
   // q19 — tokenization + top-k token counts (A10): explode(split) is
   // Spark's built-in generator; the groupBy shuffles on the token — at
@@ -146,7 +153,7 @@ object TextQueries {
   private def q51(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.operators.Dedup
-      .winnowPairs(docs(s, dir), "doc_id", "text",
+      .winnowPairs(docsSpread(s, dir), "doc_id", "text",
         n = 8, w = 8, minShared = 3, maxDf = 64)
       .orderBy($"a_id", $"b_id")
   }
@@ -190,7 +197,7 @@ object TextQueries {
       .select(col("doc_id").as(idAs), TextOps.tokens($"text").as("toks"))
       .select(col(idAs),
         explode(array_distinct(TextOps.shingles($"toks", 3))).as("sh"))
-    val all = docs(s, dir)
+    val all = docsSpread(s, dir)
     val bench = sh(all.filter($"doc_id" < 20), "bench_id")
       .select($"sh").distinct()
     sh(all.filter($"doc_id" >= 20), "doc_id")
@@ -228,7 +235,7 @@ object TextQueries {
       .select(col("doc_id").as(idAs), TextOps.tokens($"text").as("toks"))
       .select(col(idAs),
         explode(array_distinct(TextOps.shingles($"toks", 13))).as("sh"))
-    val all = docs(s, dir)
+    val all = docsSpread(s, dir)
     val bench = sh(all.filter($"doc_id" < 20), "bench_id")
     sh(all.filter($"doc_id" >= 20), "doc_id")
       .join(broadcast(bench), "sh")
@@ -299,7 +306,7 @@ object TextQueries {
     // bigram array materializes through a generate-barrier so the
     // three references below cannot re-evaluate the shingle lambda
     // (the CollapseProject trap).
-    docs(s, dir)
+    docsSpread(s, dir)
       .select($"doc_id", TextOps.tokens($"text").as("toks"))
       .select($"doc_id", $"toks",
         explode(array(TextOps.shingles($"toks", 2))).as("bg"))
@@ -359,7 +366,7 @@ object TextQueries {
   private def q68(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val tf = docs(s, dir)
+    val tf = docsSpread(s, dir)
       .select($"doc_id", explode(TextOps.tokens($"text")).as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val dlen = tf.groupBy($"doc_id").agg(sum($"tf").as("dlen"))
@@ -555,7 +562,7 @@ object TextQueries {
   // fixed threshold (-6.2 nats/token on this corpus).
   private def q76(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tf = docs(s, dir)
+    val tf = docsSpread(s, dir)
       .select($"doc_id", explode(TextOps.tokens($"text")).as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val uni = tf.groupBy($"term").agg(sum($"tf").as("cnt"))
@@ -664,7 +671,7 @@ object TextQueries {
   // and the totals are a 1-row broadcast.
   private def q84(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = docs(s, dir).select(TextOps.tokens($"text").as("t"))
+    val toks = docsSpread(s, dir).select(TextOps.tokens($"text").as("t"))
     val totals = toks.agg(
       sum(size($"t")).as("n_uni"),
       sum(greatest(size($"t") - 1, lit(0))).as("n_bi"))
@@ -756,7 +763,7 @@ object TextQueries {
   // string form as its correctness pin — same trade as q24 vs q27.
   private def q86(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = docs(s, dir)
+    val toks = docsSpread(s, dir)
       .select($"doc_id", TextOps.tokens($"text").as("toks"))
       .where(size($"toks") >= 8)
     val sh = toks
@@ -944,7 +951,7 @@ object TextQueries {
   private def q93(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    docs(s, dir)
+    docsSpread(s, dir)
       .select($"doc_id", $"text",
         expr("filter(split(text, '\\\\s+'), w -> w != '')").as("words"))
       .select($"doc_id",
